@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented operator surface:
+  * [[graft.analytics.Queries]] (the reference's 12-query analytics surface +
+  * matviews), with ETL/dedup/similarity/text extensions registered as their
+  * modules land. `oracleSql` carries the DuckDB twin for each hash-checked
+  * entry; rows-only entries (non-SQL-expressible ops) are deliberately absent
+  * from it.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: Q2 (top diagnoses per age group) — window ranking over a
+    * 4-way star join, the richest single reference query.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    analytics.Queries.q02TopDiagnosesByAgeGroup(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    analytics.Queries.all
+
+  def oracleSql: Map[String, String] =
+    analytics.OracleSql.all
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Raw driver-supplied parquet tables (`TESTDATA.md` / `FIXTURES.md` §B).
+  *
+  * These are the engine's *sources*: one columnar parquet table per entity.
+  * The reference lands data in PostgreSQL heap tables
+  * (`/root/reference/sql/01_schema.sql`); here the storage layer is parquet +
+  * Spark's vectorized reader, so column pruning and predicate pushdown reach
+  * the scan for free — the 16 B-tree indexes of the reference
+  * (`sql/01_schema.sql:19` etc.) map to parquet min/max pruning instead.
+  *
+  * At 100 TB each of these would be a partitioned directory
+  * (e.g. `orders/` partitioned by month of `o_orderdate`) rather than a single
+  * file; the loaders take a directory root so that swap is a path change.
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def rd(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(spark: SparkSession, dir: String): DataFrame   = rd(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = rd(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = rd(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = rd(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame   = rd(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = rd(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
+}
