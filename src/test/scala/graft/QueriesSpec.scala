@@ -1,0 +1,76 @@
+package graft
+
+import graft.analytics.Queries
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the analytics queries (the value-level check is
+  * the driver's DuckDB oracle; these pin the operator semantics).
+  */
+class QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q02: at most 5 diagnoses per age group, ranked by count desc (W1 top-k)") {
+    val rows = Queries.q02TopDiagnosesByAgeGroup(spark, sf).collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    assert(byGroup.values.forall(_.length <= 5))
+    byGroup.values.foreach { g =>
+      val counts = g.map(_.getLong(3))
+      assert(counts.sameElements(counts.sortBy(-_)), "counts descending within group")
+    }
+  }
+
+  test("q04: single grand-total row with consistent ratio (A4/A9)") {
+    val r = Queries.q04PatientUtilization(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val patients = row.getLong(0); val encounters = row.getLong(1)
+    assert(patients > 0 && encounters >= patients)
+  }
+
+  test("q05: exactly the two day types (F2)") {
+    val types = Queries.q05WeekendVsWeekday(spark, sf)
+      .select($"day_type").as[String].collect().toSet
+    assert(types == Set("Weekend", "Weekday"))
+  }
+
+  test("q06: percentages sum to ~100 (W3 percent-of-total)") {
+    val total = Queries.q06Demographics(spark, sf)
+      .agg(sum($"percentage")).head().getDouble(0)
+    assert(math.abs(total - 100.0) < 0.5, s"sum of pct = $total")
+  }
+
+  test("q09: pairs are ordered (d1 < d2) and meet the HAVING threshold (J5/A6)") {
+    val rows = Queries.q09DiagnosisCooccurrence(spark, sf).collect()
+    rows.foreach { r => assert(r.getLong(4) >= 10, "co-occurrence >= 10") }
+    // pair dedup: (a,b) ordered by numeric diagnosis_key, so the mirrored
+    // (b,a) pair must never also appear
+    val pairs = rows.map(r => (r.getString(0), r.getString(2))).toSet
+    assert(pairs.forall { case (a, b) => a != b && !pairs.contains((b, a)) })
+  }
+
+  test("q10: lag links each quarter to the previous row's encounters (W2)") {
+    val rows = Queries.q10QuarterlyGrowth(spark, sf)
+      .orderBy($"year", $"quarter").collect()
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getLong(5) == prev.getLong(2),
+          "previous_quarter_encounters == previous row's encounters")
+      case _ =>
+    }
+    assert(rows.headOption.forall(_.isNullAt(5)), "first quarter has no lag")
+  }
+
+  test("q11: completion rate is within [0,100] (A7/F11)") {
+    Queries.q11ReportsCoverage(spark, sf).collect().foreach { r =>
+      val rate = r.getDouble(4)
+      assert(rate >= 0 && rate <= 100)
+    }
+  }
+
+  test("readme record counts: all four entity tables non-empty (U1)") {
+    val counts = Queries.readmeRecordCounts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("patients", "encounters", "procedures", "diagnoses"))
+    assert(counts.values.forall(_ > 0))
+  }
+}

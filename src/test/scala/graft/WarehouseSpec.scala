@@ -1,0 +1,94 @@
+package graft
+
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit semantics of the warehouse build (SURVEY §5): age-bucket bounds (F1),
+  * ISO day-of-week (F4), decorrelated-count zero defaults (J7), EXISTS flag
+  * (J6), conservation properties, idempotence of the materialize step.
+  */
+class WarehouseSpec extends SparkSpec {
+  private lazy val wh = Warehouse.forDir(spark, sf)
+  import spark.implicits._
+
+  test("age_group bucket bounds match the reference CASE (populate_warehouse.py:68-74)") {
+    val got = Seq(-0.01, 0.0, 2499.99, 2500.0, 4999.99, 5000.0, 7499.99, 7500.0, 99999.0)
+      .toDF("bal")
+      .select(Warehouse.ageGroup($"bal"))
+      .as[String].collect().toSeq
+    assert(got == Seq("Unknown", "18-30", "18-30", "31-50", "31-50", "51-70",
+      "51-70", "71+", "71+"))
+  }
+
+  test("dim_time day_of_week is ISO (Mon=1..Sun=7) and is_weekend matches") {
+    // 2024-01-01 was a Monday, 2024-01-06 a Saturday, 2024-01-07 a Sunday.
+    val dt = wh.dimTime.filter($"date_key".isin(20240101, 20240106, 20240107))
+      .select($"date_key", $"day_of_week", $"day_name", $"is_weekend")
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
+    if (dt.contains(20240101)) // only if the orders span covers it
+      assert(dt(20240101) == ((1, "Monday", false)))
+    if (dt.contains(20240106))
+      assert(dt(20240106) == ((6, "Saturday", true)))
+    if (dt.contains(20240107))
+      assert(dt(20240107) == ((7, "Sunday", true)))
+    // structural invariants hold over the whole dim
+    val bad = wh.dimTime.filter(
+      !$"day_of_week".between(1, 7) ||
+        ($"is_weekend" =!= ($"day_of_week" >= 6))).count()
+    assert(bad == 0)
+    assert(wh.dimTime.select($"date_key").distinct().count() == wh.dimTime.count())
+  }
+
+  test("dim_time covers the full orders date span with no gaps") {
+    val Row(lo: java.sql.Date, hi: java.sql.Date) = Tables.orders(spark, sf)
+      .agg(min(to_date($"o_orderdate")), max(to_date($"o_orderdate"))).head()
+    val expected = (hi.toLocalDate.toEpochDay - lo.toLocalDate.toEpochDay) + 1
+    assert(wh.dimTime.count() == expected)
+  }
+
+  test("fact row count equals orders count (J4 preserves every encounter)") {
+    assert(wh.factEncounters.count() == Tables.orders(spark, sf).count())
+  }
+
+  test("num_procedures conserves lineitem rows; num_diagnoses conserves bridge rows (J7)") {
+    val sums = wh.factEncounters
+      .agg(sum($"num_procedures"), sum($"num_diagnoses")).head()
+    assert(sums.getLong(0) == Tables.lineitem(spark, sf).count())
+    assert(sums.getLong(1) == wh.bridgeDiagnosis.count())
+  }
+
+  test("orders without lineitems default to zero counts, not null (J7 LEFT semantics)") {
+    assert(wh.factEncounters.filter($"num_procedures".isNull || $"num_diagnoses".isNull).count() == 0)
+    // the testdata does contain childless orders — the default path is exercised
+    val childless = wh.factEncounters.filter($"num_procedures" === 0).count()
+    val expected = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+      $"o_orderkey" === $"l_orderkey", "left_anti").count()
+    assert(childless == expected)
+  }
+
+  test("has_report is the EXISTS(documents) semi-join flag (J6)") {
+    val flagged = wh.factEncounters.filter($"has_report").count()
+    val expected = Tables.orders(spark, sf)
+      .join(Tables.documents(spark, sf).select($"doc_id").distinct(),
+        $"o_orderkey" === $"doc_id", "left_semi").count()
+    assert(flagged == expected)
+  }
+
+  test("bridge tables have unique (encounter, key) PKs (D1 group-dedup)") {
+    assert(wh.bridgeProcedure.groupBy($"encounter_key", $"procedure_key")
+      .count().filter($"count" > 1).count() == 0)
+    assert(wh.bridgeDiagnosis.groupBy($"encounter_key", $"diagnosis_key")
+      .count().filter($"count" > 1).count() == 0)
+  }
+
+  test("materialize is idempotent (re-run overwrites to the same state)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-idem").toString
+    val w1 = Warehouse.materialize(spark, sf, work)
+    val c1 = w1.factEncounters.count()
+    val s1 = w1.factEncounters.agg(sum($"num_procedures")).head().getLong(0)
+    val w2 = Warehouse.materialize(spark, sf, work)
+    assert(w2.factEncounters.count() == c1)
+    assert(w2.factEncounters.agg(sum($"num_procedures")).head().getLong(0) == s1)
+  }
+}
