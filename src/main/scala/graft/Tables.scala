@@ -28,7 +28,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = rd(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = rd(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame   = rd(spark, dir, "events")
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's reader rejects
+    * by default (DuckDB silently truncates to micros). Read nanos as long
+    * and truncate to micros ourselves — same floor semantics as the oracle.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rd(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = rd(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
 }

@@ -1,0 +1,183 @@
+package graft.ingest
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ETL/staging operator surface re-expressed set-wise
+  * (`/root/reference/src/etl_pipeline.py`), with `events` as the staging-feed
+  * analog (SURVEY §7.1: events→staging/incremental input).
+  *
+  * The reference processes staging row-at-a-time with psycopg2 (`INSERT ...
+  * ON CONFLICT DO NOTHING`, per-row try/except, commit batches); every one of
+  * those row loops collapses into a declarative transform here:
+  *
+  *  - D1 dedup-on-ingest  → `dropDuplicates` intra-batch + left-anti join
+  *    cross-batch (`etl_pipeline.py:97,100-103`)
+  *  - D2 incremental batch → filter + `desc_nulls_last` sort + limit
+  *    (`etl_pipeline.py:125-132`)
+  *  - S6 idempotent upsert → anti-join against already-loaded keys
+  *    (`ON CONFLICT (image_id) DO NOTHING`, 9 call sites)
+  *  - P6/P7 cleanse/validate → null-safe exprs + domain filters
+  *    (`etl_pipeline.py:76-90`; CHECK constraints `sql/01_schema.sql:11-12`)
+  *  - F12 JSON field extraction → `get_json_object` (audit JSONB analog)
+  *  - D4 stats probe → grouped counts (`etl_pipeline.py:205-234`)
+  *
+  * Scale notes (100 TB): every operator here is a single narrow scan plus at
+  * most one shuffle on the dedup/upsert key. The cross-batch anti-join
+  * shuffles only the (small) incoming batch when the loaded-key side is used
+  * as the build side of a broadcast, or co-partitions both sides on the key
+  * at scale (bucketed staging). Nothing collects to the driver.
+  */
+object Ingest {
+
+  /** Event-type domain, the CHECK-constraint analog (P7). */
+  val EventTypes: Seq[String] = Seq("click", "view", "signup", "purchase", "error")
+
+  /** D1 + D4: duplicate-aware staging-load counters. The feed replays every
+    * 7th event (a deterministic stand-in for the reference's duplicate
+    * PadChest rows); loaded = distinct keys, duplicates = attempts − loaded,
+    * mirroring the loaded/duplicate counters of `etl_pipeline.py:100-103`.
+    */
+  def stagingDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val feed = events.unionByName(events.filter(pmod($"event_id", lit(7)) === 0))
+    feed.agg(
+      count(lit(1)).as("attempted"),
+      countDistinct($"event_id").as("loaded"),
+      (count(lit(1)) - countDistinct($"event_id")).as("duplicates"))
+  }
+
+  /** D1 as a dataset: the deduplicated staging content itself. Intra-batch
+    * dedup keeps one row per key — made deterministic by group-min instead of
+    * `dropDuplicates` (which keeps an arbitrary row, unacceptable under an
+    * oracle hash-compare; the reference keeps the *first* insert, which is
+    * order-dependent too — group-min is our fixed tie-break).
+    */
+  def stagingDeduped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val feed = events.unionByName(events.filter(pmod($"event_id", lit(7)) === 0))
+    feed.groupBy($"event_id")
+      .agg(min($"ts").as("ts"), min($"user_id").as("user_id"),
+        min($"event_type").as("event_type"), min($"value").as("value"))
+      .orderBy($"event_id")
+  }
+
+  /** P6/P7/F5/F12: cleanse + validate. Field extraction with null-safe
+    * defaults (`row.get(...)` fallbacks of `etl_pipeline.py:76-90`), JSON
+    * attribute pulled out of `props`, domain + range CHECK filters.
+    */
+  def cleanse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        $"event_id",
+        to_date($"ts").as("event_date"),
+        coalesce($"user_id", lit(-1L)).as("user_id"),
+        $"event_type",
+        coalesce($"value", lit(0.0)).as("value"),
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .filter($"event_type".isin(EventTypes: _*)
+        && $"value" >= 0 && $"k".between(0, 100))
+      .orderBy($"event_id")
+  }
+
+  /** D2: incremental batch selection — newest-first unprocessed slice
+    * (`WHERE processed = FALSE ORDER BY study_date DESC NULLS LAST LIMIT
+    * 5000`, `etl_pipeline.py:125-132`). The processed flag is simulated
+    * deterministically (every 3rd event already done); `event_id` breaks ts
+    * ties to keep the limit stable under hash-compare.
+    */
+  def incrementalBatch(spark: SparkSession, dir: String, batchSize: Int = 500): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("processed", pmod($"event_id", lit(3)) === 0)
+      .filter(!$"processed")
+      .orderBy($"ts".desc_nulls_last, $"event_id")
+      .limit(batchSize)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+  }
+
+  /** S6/J8: idempotent upsert as left-anti append — `ON CONFLICT DO NOTHING`
+    * without in-place writes. `staged` simulates the already-loaded table
+    * (80 % of keys); the batch is the full feed; only the missing 20 % load.
+    */
+  def upsertNewKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val staged = events.filter(pmod($"event_id", lit(5)) =!= 0)
+      .select($"event_id".as("staged_id"))
+    events.join(staged, $"event_id" === $"staged_id", "left_anti")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** D4: pipeline stats probe — processed/unprocessed split with per-group
+    * time bounds (`get_pipeline_stats`, `etl_pipeline.py:205-234`).
+    */
+  def pipelineStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("processed", pmod($"event_id", lit(3)) === 0)
+      .groupBy($"processed")
+      .agg(
+        count(lit(1)).as("record_count"),
+        countDistinct($"user_id").as("unique_users"),
+        min($"ts").as("oldest"),
+        max($"ts").as("newest"))
+      .orderBy($"processed")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_staging_dedup_stats" -> (stagingDedupStats _),
+    "etl_staging_deduped" -> (stagingDeduped _),
+    "etl_cleanse" -> (cleanse _),
+    "etl_incremental_batch" -> ((s: SparkSession, d: String) => incrementalBatch(s, d)),
+    "etl_upsert_new_keys" -> (upsertNewKeys _),
+    "etl_pipeline_stats" -> (pipelineStats _))
+
+  val oracle: Map[String, String] = Map(
+    "etl_staging_dedup_stats" -> """WITH feed AS (
+  SELECT * FROM events
+  UNION ALL SELECT * FROM events WHERE event_id % 7 = 0)
+SELECT count(*)::BIGINT AS attempted,
+       count(DISTINCT event_id) AS loaded,
+       (count(*) - count(DISTINCT event_id))::BIGINT AS duplicates
+FROM feed""",
+
+    "etl_staging_deduped" -> """WITH feed AS (
+  SELECT * FROM events
+  UNION ALL SELECT * FROM events WHERE event_id % 7 = 0)
+SELECT event_id, min(ts) AS ts, min(user_id) AS user_id,
+       min(event_type) AS event_type, min(value) AS value
+FROM feed GROUP BY event_id ORDER BY event_id""",
+
+    "etl_cleanse" -> """SELECT event_id, CAST(ts AS DATE) AS event_date,
+       COALESCE(user_id, -1) AS user_id, event_type,
+       COALESCE(value, 0.0) AS value,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE event_type IN ('click','view','signup','purchase','error')
+  AND value >= 0 AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 0 AND 100
+ORDER BY event_id""",
+
+    "etl_incremental_batch" -> """SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE NOT (event_id % 3 = 0)
+ORDER BY ts DESC NULLS LAST, event_id
+LIMIT 500""",
+
+    "etl_upsert_new_keys" -> """SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 5 <> 0)
+ORDER BY event_id""",
+
+    "etl_pipeline_stats" -> """SELECT (event_id % 3 = 0) AS processed,
+       count(*)::BIGINT AS record_count,
+       count(DISTINCT user_id) AS unique_users,
+       min(ts) AS oldest, max(ts) AS newest
+FROM events
+GROUP BY 1 ORDER BY 1""")
+}
