@@ -1,0 +1,170 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table (the reference's `reports` analog — it stores report
+  * text opaquely, `/root/reference/sql/01_schema.sql:88-98`; these operators
+  * are the extension surface a 100 TB corpus pipeline needs).
+  *
+  * All operators are pure column expressions (whole-stage codegen, no UDFs):
+  * one narrow scan per query, no shuffle except the final ORDER BY for the
+  * oracle's total order — at scale these run map-side over any partitioning.
+  *
+  * Determinism: ratios are produced by integer counts and a single double
+  * division, emitted with the identical expression shape in the DuckDB
+  * oracle, so the float hash-compare is bit-exact.
+  */
+object TextAnalysis {
+
+  /** Shared stopword list for quality scoring (English function words —
+    * the quality heuristic counts their density, a standard content-vs-
+    * boilerplate signal).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private val tokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val punctClass = "[.,;:!?'\"()-]"
+
+  /** Token statistics: whitespace tokens, BPE-ish regex tokens, char count,
+    * average token length. Whitespace tokenization via `\s+` split on the
+    * trimmed text (identical empty-token semantics on both engines).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        size(split(trim($"text"), "\\s+")).as("n_tokens"),
+        regexp_count(lower($"text"), lit(tokenRegex)).as("n_subtokens"),
+        (length(regexp_replace(trim($"text"), "\\s+", "")) * lit(1.0)
+          / size(split(trim($"text"), "\\s+"))).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: punctuation density, stopword density, uppercase
+    * density — the length/punct/stopword-ratio heuristics used to filter
+    * training corpora. Kept as raw ratios (no opaque combined score) so the
+    * oracle stays exact.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id", $"lang",
+        length($"text").as("n_chars"),
+        ((length($"text") - length(regexp_replace($"text", punctClass, "")))
+          * lit(1.0) / length($"text")).as("punct_ratio"),
+        (expr(s"size(filter(split(trim(text), '\\\\s+'), t -> lower(t) IN $stopArr))")
+          * lit(1.0) / size(toks)).as("stopword_ratio"),
+        ((length($"text") - length(regexp_replace($"text", "[A-Z]", "")))
+          * lit(1.0) / length($"text")).as("upper_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Marker-word language scores per language, and the argmax language with
+    * a fixed tiebreak order (en > de > fr > es > zh on equal scores — the
+    * greatest-first CASE). A corpus-scale lang-ID heuristic: count hits from
+    * small per-language function-word profiles.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "zh" -> Seq("de", "shi", "he", "zai"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def score(lang: String): org.apache.spark.sql.Column = {
+      val arr = LangMarkers(lang).map(s => s"'$s'").mkString("(", ",", ")")
+      expr(s"size(filter(split(trim(lower(text)), '\\\\s+'), t -> t IN $arr))")
+    }
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id" +: $"lang".as("declared_lang") +:
+        langs.map(l => score(l).as(s"score_$l")): _*)
+    // argmax as a chained CASE — en wins ties, then de, fr, es, zh
+    val predicted =
+      when(col("score_en") >= greatest(col("score_de"), col("score_fr"),
+        col("score_es"), col("score_zh")), "en")
+        .when(col("score_de") >= greatest(col("score_fr"), col("score_es"),
+          col("score_zh")), "de")
+        .when(col("score_fr") >= greatest(col("score_es"), col("score_zh")), "fr")
+        .when(col("score_es") >= col("score_zh"), "es")
+        .otherwise("zh")
+    scored.select(col("doc_id"), col("declared_lang"),
+      col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
+      col("score_zh"), predicted.as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: md5 of the normalized text (exact-dup key) and
+    * a coarse length bucket — the (fingerprint, bucket) pair is the
+    * partition-friendly exact-dedup identity at corpus scale.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        md5(lower(trim($"text"))).as("fingerprint"),
+        (floor($"n_chars" / 100) * 100).cast("long").as("length_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality" -> (qualityScore _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" -> """SELECT doc_id,
+       length(text)::INT AS n_chars,
+       length(string_split_regex(trim(text), '\s+'))::INT AS n_tokens,
+       length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::INT AS n_subtokens,
+       length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+         / length(string_split_regex(trim(text), '\s+')) AS avg_token_len
+FROM documents ORDER BY doc_id""",
+
+    "text_quality" -> s"""SELECT doc_id, lang,
+       length(text)::INT AS n_chars,
+       (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))
+         * 1.0 / length(text) AS punct_ratio,
+       len(list_filter(string_split_regex(trim(text), '\\s+'),
+           t -> lower(t) IN $stopArr)) * 1.0
+         / length(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+       (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+         * 1.0 / length(text) AS upper_ratio
+FROM documents ORDER BY doc_id""",
+
+    "text_lang_id" -> {
+      def s(lang: String) = {
+        val arr = LangMarkers(lang).map(x => s"'$x'").mkString("(", ",", ")")
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $arr))::INT"
+      }
+      s"""SELECT doc_id, lang AS declared_lang,
+       ${s("en")} AS score_en, ${s("de")} AS score_de, ${s("fr")} AS score_fr,
+       ${s("es")} AS score_es, ${s("zh")} AS score_zh,
+       CASE WHEN ${s("en")} >= greatest(${s("de")}, ${s("fr")}, ${s("es")}, ${s("zh")}) THEN 'en'
+            WHEN ${s("de")} >= greatest(${s("fr")}, ${s("es")}, ${s("zh")}) THEN 'de'
+            WHEN ${s("fr")} >= greatest(${s("es")}, ${s("zh")}) THEN 'fr'
+            WHEN ${s("es")} >= ${s("zh")} THEN 'es'
+            ELSE 'zh' END AS predicted_lang
+FROM documents ORDER BY doc_id"""
+    },
+
+    "text_fingerprint" -> """SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       (floor(n_chars / 100) * 100)::BIGINT AS length_bucket
+FROM documents ORDER BY doc_id""")
+}
