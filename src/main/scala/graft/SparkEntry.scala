@@ -20,8 +20,10 @@ object SparkEntry {
     analytics.Queries.q02TopDiagnosesByAgeGroup(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all
+    analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all ++
+      dedup.Dedup.all
 
   def oracleSql: Map[String, String] =
-    analytics.OracleSql.all ++ ingest.Ingest.oracle ++ text.TextAnalysis.oracle
+    analytics.OracleSql.all ++ ingest.Ingest.oracle ++
+      text.TextAnalysis.oracle ++ dedup.Dedup.oracle
 }

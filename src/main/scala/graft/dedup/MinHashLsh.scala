@@ -1,0 +1,73 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection — the corpus-scale path.
+  *
+  * Pipeline: word-2-gram shingles → k=32 seeded-min-hash signature → 8 bands
+  * of 4 rows → band-bucket equi-join for candidates → exact Jaccard verify.
+  * With bands of r=4 over k=32, a pair with Jaccard j collides in at least
+  * one band with probability 1−(1−j⁴)⁸ (≈97 % at j=0.5, ≈100 % at j≥0.7) —
+  * the standard S-curve; the τ=0.2 verify keeps the output aligned with
+  * [[Dedup.ngramJaccard]] and [[MinHashLshSpec]] pins the realized recall.
+  *
+  * Scale notes (100 TB): unlike the inverted-index join, candidate fan-out is
+  * bounded by band-bucket collisions (64-bit buckets — no accidental mass
+  * collisions), and the signature is a fixed 32×8 bytes per doc regardless of
+  * document length. Everything is expressions over arrays (codegen'd
+  * projections + two hash-partition shuffles: bucket join, pair distinct).
+  */
+object MinHashLsh {
+
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = 4
+
+  /** doc_id → minhash signature (array of 32 longs); empty-shingle docs drop. */
+  def signatures(docs: DataFrame): DataFrame = {
+    Dedup.withShingles(docs)
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, $NumHashes),
+           |  s -> array_min(transform(sh, x -> xxhash64(concat(cast(s AS STRING), ':', x)))))
+           |""".stripMargin).as("sig"),
+        col("sh"))
+  }
+
+  /** Candidate pairs from band-bucket collisions, then exact-Jaccard verify. */
+  def nearDuplicates(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val sigs = signatures(Tables.documents(spark, dir))
+
+    val banded = sigs.select($"doc_id",
+      explode(expr(
+        s"""transform(sequence(0, ${Bands - 1}),
+           |  b -> struct(b AS band,
+           |              xxhash64(concat_ws(',',
+           |                transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand),
+           |                          v -> cast(v AS STRING)))) AS bucket))
+           |""".stripMargin)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val shA = sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val shB = sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")) * lit(1.0)
+          / size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.{Dedup, MinHashLsh, SimHash}
+import org.apache.spark.sql.functions._
+
+/** Dedup-family semantics: the exact path is oracle-checked by the driver;
+  * these specs pin the relationships BETWEEN the families (LSH recall vs the
+  * exact Jaccard join, SimHash finding the planted near-dups) that no SQL
+  * oracle can express.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup finds exactly the planted duplicate groups") {
+    val groups = Dedup.exact(spark, sf).collect()
+    val planted = Tables.documents(spark, sf)
+      .filter(pmod($"doc_id", lit(10)) === 0).count()
+    // every 10th doc was replayed once → that many groups of exactly 2,
+    // unless distinct docs share identical text (none in this corpus)
+    assert(groups.length == planted)
+    assert(groups.forall(_.getLong(2) == 2))
+  }
+
+  test("ngram Jaccard finds the planted near-duplicates with jaccard in (0,1]") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+    assert(pairs.nonEmpty, "testdata contains planted near-dup documents")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.2 && j <= 1.0)
+    }
+  }
+
+  test("MinHash-LSH recovers the exact-Jaccard pairs (recall at tau=0.2)") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = MinHashLsh.nearDuplicates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // LSH verifies with exact Jaccard, so it can only miss (never invent):
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, j) => assert(math.abs(j - exact(k)) < 1e-12) }
+    // banding (8 bands × 4 rows) catches j ≥ 0.5 pairs essentially always —
+    // those are the pairs a dedup pass must not miss
+    val strong = exact.filter(_._2 >= 0.5).keySet
+    assert(strong.subsetOf(lsh.keySet),
+      s"missed strong pairs: ${strong -- lsh.keySet}")
+  }
+
+  test("SimHash flags near-identical pairs (j >= 0.95) within its Hamming radius") {
+    val sim = SimHash.nearDuplicates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = Dedup.ngramJaccard(spark, sf, threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty, "corpus plants near-identical pairs")
+    assert(strong.subsetOf(sim),
+      s"simhash missed near-identical pairs: ${strong -- sim}")
+    sim.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("simhash fingerprints are deterministic across runs") {
+    val f1 = SimHash.fingerprints(Tables.documents(spark, sf))
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val f2 = SimHash.fingerprints(Tables.documents(spark, sf))
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(f1.sameElements(f2))
+  }
+}
