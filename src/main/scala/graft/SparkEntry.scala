@@ -21,9 +21,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all ++
-      dedup.Dedup.all
+      dedup.Dedup.all ++ similarity.Similarity.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ ingest.Ingest.oracle ++
-      text.TextAnalysis.oracle ++ dedup.Dedup.oracle
+      text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
+      similarity.Similarity.oracle
 }

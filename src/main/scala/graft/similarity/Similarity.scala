@@ -1,0 +1,124 @@
+package graft.similarity
+
+import graft.Tables
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`), the
+  * Spark-native realization of the reference's declared-but-unimplemented
+  * `VECTOR(768)` embedding column (`/root/reference/sql/01_schema.sql:95`).
+  *
+  * Two paths:
+  *  - brute-force: probe×corpus pair scan with the codegen'd
+  *    [[graft.functions.CosineSimilarity]] kernel — the exact baseline.
+  *  - LSH-bucketed ([[RandomHyperplaneLsh]]): sign-random-projection
+  *    signatures; candidates only within matching buckets — the scale path
+  *    (corpus sharded by signature, probes touch one bucket each).
+  *
+  * Scale notes (100 TB): the brute-force scan broadcasts the (small) probe
+  * set against the corpus — one pass, no shuffle of the corpus itself; at a
+  * billion vectors the LSH/IVF variant bounds each probe's candidate set by
+  * its bucket population.
+  *
+  * Determinism for the oracle: cosine is accumulated in double left-to-right
+  * (identical order in the DuckDB SQL), thresholds compare that exact
+  * double, and displayed values go through the shared closed-form round.
+  */
+object Similarity {
+
+  /** graft_cosine registered once per session so `expr("graft_cosine(a,b)")`
+    * is usable anywhere (the native-Expression registration path; idempotent).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
+      "built-in")
+
+  private def round2(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + lit(0.5)) / lit(100.0)
+
+  /** All embedding pairs with cosine ≥ threshold — the embedding-space
+    * near-duplicate detector (dedup family member; τ=0.4 sits above this
+    * corpus's random-pair ceiling ≈0.51 tail, so only genuinely close pairs
+    * emit).
+    */
+  def cosinePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    a.crossJoin(b)
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
+      .filter($"cos" >= threshold)
+      .select($"vec_a", $"vec_b", round2($"cos").as("cosine_r2"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Brute-force top-k nearest neighbors for a deterministic probe subset
+    * (every 50th vector): the exact ANN baseline. Rank by cosine desc with
+    * vec_id tiebreak.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(pmod($"vec_id", lit(50)) === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val scored = broadcast(probes).crossJoin(
+        e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb")))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"rank", round2($"cos").as("cosine_r2"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
+    "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
+      RandomHyperplaneLsh.topK(s, d)))
+
+  private val dotSql =
+    """list_sum(list_transform(range(1, len(%A) + 1),
+      |  i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)))""".stripMargin
+  private def dot(a: String, b: String): String =
+    dotSql.replace("%A", a).replace("%B", b)
+  private def cosSql(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  private def r2(x: String): String = s"FLOOR(($x) * 100 + 0.5) / 100.0"
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_pairs" -> s"""WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ${cosSql("a.embedding", "b.embedding")} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, ${r2("cos")} AS cosine_r2
+FROM pairs WHERE cos >= 0.4
+ORDER BY vec_a, vec_b""",
+
+    "sim_bruteforce_topk" -> s"""WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ${cosSql("q.embedding", "n.embedding")} AS cos
+  FROM embeddings q JOIN embeddings n ON q.vec_id % 50 = 0 AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank""")
+  // sim_ann_lsh_topk: no oracle (seeded xxhash64 hyperplanes not reproducible
+  // in DuckDB); SimilaritySpec pins its recall against bruteForceTopK.
+}

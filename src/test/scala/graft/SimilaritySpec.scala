@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.similarity.{RandomHyperplaneLsh, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search semantics: the native cosine Expression (interpreted
+  * AND codegen paths), brute-force top-k shape, and the LSH path's recall
+  * relationship to the exact baseline.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_cosine matches a reference implementation (both eval paths)") {
+    Similarity.register(spark)
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f), Some(1.0)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f), Some(0.0)),
+      (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, -2.0f, -3.0f), Some(-1.0)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f), None), // zero norm
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f), None) // length mismatch
+    ).toDF("a", "b", "want")
+    // codegen path (inside a projection)
+    val got = df.withColumn("cos", expr("graft_cosine(a, b)")).collect()
+    got.foreach { r =>
+      val want = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val gotV = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      (want, gotV) match {
+        case (Some(w), Some(g)) => assert(math.abs(w - g) < 1e-12)
+        case (w, g) => assert(w == g)
+      }
+    }
+    // interpreted path (direct eval)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val e = CosineSimilarity(
+      Literal.create(Array(3.0f, 4.0f), ArrayType(FloatType)),
+      Literal.create(Array(4.0f, 3.0f), ArrayType(FloatType)))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("brute-force top-k: each probe gets k contiguous ranks, cosine descending") {
+    val rows = Similarity.bruteForceTopK(spark, sf, k = 5).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, g) =>
+      assert(g.map(_.getInt(2)).sorted.sameElements(1 to g.length))
+      assert(g.length == 5)
+    }
+  }
+
+  test("LSH top-k only returns true candidates and never beats brute force") {
+    val exact = Similarity.bruteForceTopK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ann = RandomHyperplaneLsh.topK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ann.nonEmpty, "multi-probe buckets should be non-empty at this corpus size")
+    // ANN's best candidate can never exceed the exact best
+    ann.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
+    // and the probe sets coincide
+    assert(ann.keySet.subsetOf(exact.keySet))
+  }
+
+  test("LSH signatures are deterministic") {
+    val s1 = Tables.embeddings(spark, sf)
+      .select($"vec_id", RandomHyperplaneLsh.signature("embedding").as("sig"))
+      .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val s2 = Tables.embeddings(spark, sf)
+      .select($"vec_id", RandomHyperplaneLsh.signature("embedding").as("sig"))
+      .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(s1.sameElements(s2))
+    assert(s1.map(_._2).forall(s => s >= 0 && s < (1 << RandomHyperplaneLsh.Planes)))
+  }
+}
