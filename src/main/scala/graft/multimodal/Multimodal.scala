@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, and per-partition decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The container has no media codecs, so the decode kernel is a STUB — a
+  * deterministic fake (byte histogram) clearly marked below — but everything
+  * Spark-side is real: the binary column, the metadata schema, the
+  * mapPartitions batch shape (the Scala analog of `mapInPandas` — one
+  * iterator per partition so a real decoder would amortize model/codec init
+  * across the partition, exactly how GPU/codec batching works at scale), and
+  * the frame-sampling explode.
+  *
+  * The media payload is derived deterministically from `documents.text`
+  * (UTF-8 bytes) since the testdata ships no true media; swapping in real
+  * bytes changes no operator shape.
+  *
+  * Scale notes (100 TB): media rows are large — the featurize path carries
+  * only (id, bytes) through the partition iterator and returns fixed-width
+  * features, so shuffle volume is features not media; frame sampling emits
+  * bounded slices via posexplode rather than materializing per-frame copies
+  * of the whole payload.
+  */
+object Multimodal {
+
+  /** One media record entering the decode kernel. */
+  final case class MediaIn(doc_id: Long, media: Array[Byte], media_type: String)
+
+  /** Decoded features leaving the kernel. */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      n_bytes: Int, features: Array[Float])
+
+  /** The documents table lifted to a media table: binary payload + typed
+    * metadata (simulated modality assignment — deterministic on doc_id).
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      encode($"text", "UTF-8").as("media"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"))
+  }
+
+  /** Typed metadata over the binary column — pure column expressions
+    * (byte length, magic-prefix sniff), no decode needed.
+    */
+  def metadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).select(
+      $"doc_id", $"media_type",
+      length($"media").as("n_bytes"),
+      hex(substring($"media", 1, 4)).as("magic_hex"))
+      .orderBy($"doc_id")
+  }
+
+  /** Feature extraction through the per-partition decode kernel.
+    *
+    * ===== STUB BOUNDARY =====
+    * `decodeKernel` is where a real image/audio decoder (JPEG decode →
+    * resize → CNN features; PCM decode → mel spectrogram; ...) would run,
+    * initialized ONCE per partition before the iterator is consumed. The
+    * container ships no codecs, so the stand-in is a deterministic
+    * 16-bin byte histogram, L1-normalized — fake features with the real
+    * batch shape, signature, and schema.
+    */
+  private[graft] def decodeKernel(it: Iterator[MediaIn]): Iterator[MediaFeatures] = {
+    // (real pipeline: val decoder = HeavyCodec.init() — once per partition)
+    it.map { m =>
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < m.media.length) {
+        hist((m.media(i) & 0xff) >> 4) += 1f
+        i += 1
+      }
+      val n = math.max(m.media.length, 1).toFloat
+      var j = 0
+      while (j < 16) { hist(j) /= n; j += 1 }
+      MediaFeatures(m.doc_id, m.media_type, m.media.length, hist)
+    }
+  }
+
+  def featurize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[MediaIn]
+      .mapPartitions(decodeKernel _)
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Frame sampling: slice the payload into fixed 256-byte frames and keep
+    * every 4th (the video-keyframe analog). posexplode keeps the lineage
+    * columnar; at scale the slice bound keeps row width fixed.
+    */
+  def frameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"doc_id", $"media_type",
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(floor((length(media) - 1) / $frameBytes) AS INT)),
+             |  f -> substring(media, f * $frameBytes + 1, $frameBytes))""".stripMargin)))
+      .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame")
+      .filter(pmod($"frame_idx", lit(stride)) === 0)
+      .select($"doc_id", $"media_type", $"frame_idx",
+        length($"frame").as("frame_bytes"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> (metadata _),
+    "mm_featurize" -> (featurize _),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)))
+
+  // DuckDB cannot slice BLOBs, but this corpus is pure ASCII (asserted by
+  // MultimodalSpec), so char-wise VARCHAR ops equal Spark's byte-wise ops.
+  val oracle: Map[String, String] = Map(
+    "mm_metadata" -> """SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       octet_length(encode(text))::INT AS n_bytes,
+       hex(encode(substring(text, 1, 4))) AS magic_hex
+FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" -> """WITH frames AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         i AS frame_idx,
+         octet_length(encode(substring(text, i * 256 + 1, 256)))::INT AS frame_bytes
+  FROM documents,
+       LATERAL (SELECT unnest(range(0,
+         CAST(floor((octet_length(encode(text)) - 1) / 256) AS INT) + 1)) AS i))
+SELECT doc_id, media_type, frame_idx::INT AS frame_idx, frame_bytes
+FROM frames WHERE frame_idx % 4 = 0
+ORDER BY doc_id, frame_idx""")
+  // mm_featurize: no oracle (the decode kernel is engine-side code by
+  // design); MultimodalSpec pins the histogram semantics instead.
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming re-expression of the reference's incremental loop
+  * (`/root/reference/src/etl_pipeline.py:125-132,184-195`): each re-run picks
+  * up the not-yet-processed slice, dedups on the staging key, and lands it
+  * idempotently. The reference implements this with a `processed` flag and
+  * `ON CONFLICT DO NOTHING`; the streaming-native shape is a checkpointed
+  * file source (the "unprocessed set" IS the checkpoint's unread files),
+  * watermarked `dropDuplicates` (the conflict key with bounded state), and
+  * `Trigger.AvailableNow` (one catch-up micro-batch per run — the exact
+  * semantics of "run the pipeline again to process the next batch",
+  * `README.md:204-210`).
+  *
+  * Scale notes (100 TB): file-source listing is incremental (only new files
+  * per trigger, `maxFilesPerTrigger` bounds batch size); dedup state is
+  * bounded by the watermark horizon rather than the full history — the
+  * reference's UNIQUE index over all of staging cannot bound its state.
+  * Exactly-once: sink + checkpoint commit atomically per micro-batch, so
+  * re-running after any failure never double-lands a batch — the property
+  * the reference approximates with per-record rollback.
+  */
+object IncrementalIngest {
+
+  /** The events schema (nanos already truncated to micros by the batch
+    * loader; streams read the landed micros form).
+    */
+  private def eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  /** Stage: watch `srcDir` for event files, dedup on event_id within the
+    * watermark horizon, append to `stagingDir`. One AvailableNow catch-up
+    * batch; re-delivered (late) duplicates are dropped by the dedup state or
+    * the watermark.
+    */
+  def stage(spark: SparkSession, srcDir: String, stagingDir: String,
+      checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(srcDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", stagingDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Windowed rollup: tumbling 1-hour counts per event type with a 1-day
+    * watermark — the streaming analog of the matview refresh (append mode:
+    * each window emits once, when the watermark passes it).
+    */
+  def windowedCounts(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(srcDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"),
+        col("total_value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch view of a staged directory (what downstream transforms consume). */
+  def staged(spark: SparkSession, stagingDir: String): DataFrame =
+    spark.read.schema(eventSchema).parquet(stagingDir)
+}

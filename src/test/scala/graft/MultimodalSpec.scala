@@ -1,0 +1,61 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaFeatures, MediaIn}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing semantics: the decode-kernel stub's contract (unit
+  * level, no Spark), the mapPartitions path end-to-end, and frame-sampling
+  * bounds.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode kernel: histogram is L1-normalized over byte high-nibbles") {
+    val bytes = Array[Byte](0x00, 0x10, 0x10, 0x7f, -1) // nibbles 0,1,1,7,15
+    val out = Multimodal.decodeKernel(
+      Iterator(MediaIn(7L, bytes, "image"))).toList
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.doc_id == 7L && f.n_bytes == 5 && f.media_type == "image")
+    assert(math.abs(f.features.sum - 1.0f) < 1e-6)
+    assert(f.features(0) == 0.2f && f.features(1) == 0.4f
+      && f.features(7) == 0.2f && f.features(15) == 0.2f)
+  }
+
+  test("featurize runs the kernel distributed with correct schema and totals") {
+    val out = Multimodal.featurize(spark, sf)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "features"))
+    val rows = out.as[MediaFeatures].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.features.length == 16)
+      assert(math.abs(r.features.sum - 1.0f) < 1e-5)
+    }
+    // n_bytes must equal the metadata operator's byte length per doc
+    val meta = Multimodal.metadata(spark, sf)
+      .select($"doc_id", $"n_bytes").as[(Long, Int)].collect().toMap
+    rows.foreach(r => assert(meta(r.doc_id) == r.n_bytes))
+  }
+
+  test("frame sampling keeps every 4th fixed-size frame and covers the payload") {
+    val frames = Multimodal.frameSample(spark, sf).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getInt(2) % 4 == 0, "only sampled frames")
+      assert(r.getInt(3) <= 256 && r.getInt(3) > 0)
+    }
+    // frame 0 exists for every document
+    val docsWithFrame0 = frames.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    assert(docsWithFrame0.size == Tables.documents(spark, sf).count())
+  }
+
+  test("corpus is pure ASCII (precondition for the VARCHAR-based oracle)") {
+    // the DuckDB oracle slices VARCHAR (it cannot slice BLOBs); equality of
+    // byte length and char length over the whole corpus is the precondition
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(octet_length($"text") =!= length($"text")).count()
+    assert(nonAscii == 0)
+  }
+}
