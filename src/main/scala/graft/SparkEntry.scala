@@ -21,10 +21,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all ++
-      dedup.Dedup.all ++ similarity.Similarity.all ++ multimodal.Multimodal.all
+      dedup.Dedup.all ++ similarity.Similarity.all ++
+      multimodal.Multimodal.all ++ sources.Sources.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ ingest.Ingest.oracle ++
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
-      similarity.Similarity.oracle ++ multimodal.Multimodal.oracle
+      similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++
+      sources.Sources.oracle
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Source/sample/sink semantics: deterministic sampling, synthetic source
+  * shape, assignment-join stability, and S5 sink roundtrips (csv/json/
+  * partitioned parquet — the reference's JDBC row sink becomes format
+  * writes; partitioned parquet is the scale sink).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seeded sample is deterministic and ~1/8 of the feed") {
+    val n = Tables.events(spark, sf).count()
+    val s1 = Sources.seededSample(spark, sf).collect().map(_.getLong(0))
+    val s2 = Sources.seededSample(spark, sf).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2))
+    assert(s1.length > n / 16 && s1.length < n / 4, s"${s1.length} of $n")
+  }
+
+  test("synthetic source: schema, cardinality, domains") {
+    val df = Sources.syntheticEvents(spark, 1000)
+    assert(df.columns.toSeq == Seq("event_id", "ts", "user_id", "event_type", "value"))
+    assert(df.count() == 1000)
+    assert(df.filter($"event_type".isin(graft.ingest.Ingest.EventTypes: _*))
+      .count() == 1000)
+    assert(df.agg(countDistinct($"user_id")).head().getLong(0) == 97)
+  }
+
+  test("assignment join is stable and total on matched buckets") {
+    val a1 = Sources.assignmentJoin(spark, sf).collect()
+    val a2 = Sources.assignmentJoin(spark, sf).collect()
+    assert(a1.map(_.toString).sameElements(a2.map(_.toString)))
+    // every event maps to at most one pool member
+    assert(a1.map(_.getLong(0)).distinct.length == a1.length)
+  }
+
+  test("word frequency conserves the token count") {
+    val totalWords = Sources.wordFrequency(spark, sf)
+      .agg(sum($"n")).head().getLong(0)
+    val tokenTotal = Tables.documents(spark, sf)
+      .select(size(split(trim(lower($"text")), "\\s+")).as("k"))
+      .agg(sum($"k")).head().getLong(0)
+    assert(totalWords == tokenTotal)
+  }
+
+  test("S5 sinks: csv and json roundtrip; parquet partitioned write prunes") {
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val base = Files.createTempDirectory("sinks").toString
+
+    events.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val csvBack = spark.read.option("header", "true")
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .csv(s"$base/csv")
+    assert(csvBack.count() == events.count())
+
+    events.write.mode("overwrite").json(s"$base/json")
+    assert(spark.read.json(s"$base/json").count() == events.count())
+
+    // partitioned parquet: the scale sink — a filter on the partition column
+    // must prune to one directory (partition pruning, the index analog)
+    events.write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$base/part")
+    val one = spark.read.parquet(s"$base/part").filter($"event_type" === "click")
+    assert(one.count() ==
+      events.filter($"event_type" === "click").count())
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      "partition filter must reach the scan")
+  }
+}
