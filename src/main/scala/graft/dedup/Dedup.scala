@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): the exact and n-gram paths shuffle on fingerprint /
   * shingle — both keys are high-cardinality, so the shuffle is balanced; the
   * n-gram inverted index's join fan-out is Σ df², which is why ubiquitous
-  * shingles must be rare (true for ≥2-gram shingles; for corpora with
+  * shingles must be rare (true for wide-enough shingles — see withShingles; for corpora with
   * boilerplate add a document-frequency cap or go through MinHash-LSH whose
   * fan-out is bounded by band-bucket size).
   */
@@ -30,19 +30,28 @@ object Dedup {
   /** Tokens of the normalized text (shared by every dedup family). */
   private[dedup] def tokens: Column = split(trim(lower(col("text"))), "\\s+")
 
-  /** doc_id + distinct word-2-gram shingle array (`sh`); empty for sub-2-token
-    * docs. Tokenization is materialized into a column FIRST — referencing
-    * `split(...)` inside the shingle lambda would re-tokenize the whole text
-    * on every loop iteration (quadratic per document; measured 148 s → 3 s on
-    * 500 docs).
+  /** doc_id + distinct word-3-gram shingle array (`sh`); empty for sub-3-token
+    * docs. Two deliberate choices, both load-bearing at scale:
+    *
+    *  - Tokenization is materialized into a column FIRST — referencing
+    *    `split(...)` inside the shingle lambda would re-tokenize the whole
+    *    text on every loop iteration (quadratic per document; measured
+    *    148 s → 3 s on 500 docs).
+    *  - 3-grams, not 2-grams: this corpus has a ~30-word vocabulary, so the
+    *    2-gram space (≈950 shingles) is saturated and the inverted-index
+    *    self-join fans out to Σ df² ≈ 73 M rows at sf0.1; 3-grams are
+    *    discriminative (27 k shingles, fan-out 2.8 M — 25× less) and detect
+    *    the identical near-dup pair set at τ=0.2. Shingle width is THE
+    *    fan-out knob for Jaccard at corpus scale.
     */
   private[dedup] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", tokens)
       .withColumn("sh",
-        when(size(col("toks")) >= 2,
+        when(size(col("toks")) >= 3,
           array_distinct(expr(
-            """transform(sequence(0, size(toks) - 2),
-              |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""".stripMargin)))
+            """transform(sequence(0, size(toks) - 3),
+              |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2),
+              |              ' ', element_at(toks, i + 3)))""".stripMargin)))
           .otherwise(array().cast("array<string>")))
 
   /** The duplicate-bearing feed: the corpus plus re-keyed copies of every
@@ -79,7 +88,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
-    val docs = withShingles(Tables.documents(spark, dir)).select($"doc_id", $"sh")
+    val docs = DocIndex.forDir(spark, dir)
     val sizes = docs.select($"doc_id", size($"sh").as("n"))
     val inv = docs.select($"doc_id", explode($"sh").as("shingle"))
     val overlap = inv.as("a")
@@ -120,9 +129,9 @@ ORDER BY canonical_id""",
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
   FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
-  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
-  WHERE len(t) >= 2),
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 ov AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection — the corpus-scale path.
   *
-  * Pipeline: word-2-gram shingles → k=32 seeded-min-hash signature → 8 bands
+  * Pipeline: word-3-gram shingles → k=32 seeded-min-hash signature → 8 bands
   * of 4 rows → band-bucket equi-join for candidates → exact Jaccard verify.
   * With bands of r=4 over k=32, a pair with Jaccard j collides in at least
   * one band with probability 1−(1−j⁴)⁸ (≈97 % at j=0.5, ≈100 % at j≥0.7) —
@@ -25,10 +25,11 @@ object MinHashLsh {
   val Bands = 8
   val RowsPerBand = 4
 
-  /** doc_id → minhash signature (array of 32 longs); empty-shingle docs drop. */
+  /** doc_id → minhash signature (array of 32 longs); empty-shingle docs drop.
+    * `docs` must carry (doc_id, sh) — pass [[DocIndex.forDir]].
+    */
   def signatures(docs: DataFrame): DataFrame = {
-    Dedup.withShingles(docs)
-      .select(col("doc_id"), col("sh"))
+    docs
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), expr(
         s"""transform(sequence(1, $NumHashes),
@@ -41,7 +42,7 @@ object MinHashLsh {
   def nearDuplicates(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
-    val sigs = signatures(Tables.documents(spark, dir))
+    val sigs = signatures(DocIndex.forDir(spark, dir))
 
     val banded = sigs.select($"doc_id",
       explode(expr(

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * by Hamming distance, with chunk-bucketed candidate generation.
   *
   * Fingerprint: for each of 64 bit positions, sum +1/−1 over the document's
-  * distinct word-2-gram shingles according to that bit of xxhash64(shingle);
+  * distinct word-3-gram shingles according to that bit of xxhash64(shingle);
   * the sign of each sum is the fingerprint bit. Shingle features (same
   * feature set as the Jaccard/MinHash families) rather than unigrams: this
   * corpus has a ~30-word vocabulary, so unigram sets are near-identical
@@ -34,9 +34,11 @@ object SimHash {
   val ChunkBits = 8
   val MaxHamming = 10
 
-  /** doc_id → 64-bit simhash of the distinct shingle set. */
+  /** doc_id → 64-bit simhash of the distinct shingle set. `docs` must carry
+    * (doc_id, sh) — pass [[DocIndex.forDir]].
+    */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val toks = Dedup.withShingles(docs)
+    val toks = docs
       .select(col("doc_id"), explode(col("sh")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitSums: Seq[Column] = (0 until 64).map { i =>
@@ -53,7 +55,7 @@ object SimHash {
   def nearDuplicates(spark: SparkSession, dir: String,
       maxHamming: Int = MaxHamming): DataFrame = {
     import spark.implicits._
-    val fps = fingerprints(Tables.documents(spark, dir))
+    val fps = fingerprints(DocIndex.forDir(spark, dir))
     val chunked = fps.select($"doc_id", $"simhash",
       explode(expr(
         s"""transform(sequence(0, ${Chunks - 1}),

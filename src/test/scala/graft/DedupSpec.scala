@@ -58,9 +58,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash fingerprints are deterministic across runs") {
-    val f1 = SimHash.fingerprints(Tables.documents(spark, sf))
+    val idx = graft.dedup.DocIndex.forDir(spark, sf)
+    val f1 = SimHash.fingerprints(idx)
       .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val f2 = SimHash.fingerprints(Tables.documents(spark, sf))
+    val f2 = SimHash.fingerprints(idx)
       .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(f1.sameElements(f2))
   }
