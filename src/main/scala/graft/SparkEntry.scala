@@ -22,11 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all ++
       dedup.Dedup.all ++ similarity.Similarity.all ++
-      multimodal.Multimodal.all ++ sources.Sources.all
+      multimodal.Multimodal.all ++ sources.Sources.all ++
+      streaming.Sessionize.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ ingest.Ingest.oracle ++
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
       similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++
-      sources.Sources.oracle
+      sources.Sources.oracle ++ streaming.Sessionize.oracle
 }
