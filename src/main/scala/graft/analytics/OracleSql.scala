@@ -261,6 +261,37 @@ SELECT modality, procedure_count, unique_patients, facilities_performed
 FROM mv_procedure_volume
 ORDER BY procedure_count DESC, modality""",
 
+    "readme_q1_monthly" -> s"""$prelude
+SELECT year, month, month_name, total_encounters, unique_patients
+FROM mv_monthly_encounters
+ORDER BY year DESC, month DESC""",
+
+    "readme_q2_top_diagnoses_51_70" -> s"""$prelude
+SELECT age_group, code, description, diagnosis_count
+FROM mv_diagnosis_by_age_group
+WHERE age_group = '51-70'
+ORDER BY diagnosis_count DESC, code, description
+LIMIT 10""",
+
+    "readme_q3_avg_procedures" -> s"""$prelude
+SELECT COUNT(DISTINCT patient_key) AS total_patients,
+       ${r2("AVG(num_procedures)")} AS avg_procedures_per_encounter
+FROM fact_encounters""",
+
+    "readme_q4_high_volume" -> s"""$prelude
+SELECT dp.patient_key, dp.age_group, COUNT(*) AS total_visits
+FROM fact_encounters fe
+JOIN dim_patient dp ON fe.patient_key = dp.patient_key
+GROUP BY dp.patient_key, dp.age_group
+HAVING COUNT(*) >= 5
+ORDER BY total_visits DESC, dp.patient_key""",
+
+    "readme_age_distribution" -> s"""$prelude
+SELECT age_group, COUNT(DISTINCT patient_key) AS patient_count
+FROM dim_patient
+GROUP BY age_group
+ORDER BY age_group""",
+
     "readme_record_counts" -> s"""$prelude
 SELECT * FROM (
   SELECT 'patients' AS table_name, COUNT(*) AS record_count FROM dim_patient

@@ -253,7 +253,59 @@ object Queries {
       .orderBy(col("table_name"))
   }
 
+  /** README sample Query 1 (`README.md:250-254`): monthly matview dump. */
+  def readmeQ1Monthly(spark: SparkSession, dir: String): DataFrame =
+    wh(spark, dir).mvMonthlyEncounters
+      .select(col("year"), col("month"), col("month_name"),
+        col("total_encounters"), col("unique_patients"))
+      .orderBy(col("year").desc, col("month").desc)
+
+  /** README sample Query 2 (`README.md:256-263`): top diagnoses within one
+    * age group — the P3 dim-attribute equality filter.
+    */
+  def readmeQ2TopDiagnoses5170(spark: SparkSession, dir: String): DataFrame =
+    wh(spark, dir).mvDiagnosisByAgeGroup
+      .filter(col("age_group") === "51-70")
+      .select(col("age_group"), col("code"), col("description"),
+        col("diagnosis_count"))
+      .orderBy(col("diagnosis_count").desc, col("code"), col("description"))
+      .limit(10)
+
+  /** README sample Query 3 (`README.md:265-271`): grand-total utilization. */
+  def readmeQ3AvgProcedures(spark: SparkSession, dir: String): DataFrame =
+    wh(spark, dir).factEncounters.agg(
+      countDistinct(col("patient_key")).as("total_patients"),
+      round2(avg(col("num_procedures"))).as("avg_procedures_per_encounter"))
+
+  /** README sample Query 4 (`README.md:273-281`): high-volume patients
+    * (chronic-care candidates) — plain-count HAVING variant of Q8.
+    */
+  def readmeQ4HighVolume(spark: SparkSession, dir: String): DataFrame = {
+    val w = wh(spark, dir)
+    w.factEncounters
+      .join(broadcast(w.dimPatient.select(col("patient_key"), col("age_group"))),
+        "patient_key")
+      .groupBy(col("patient_key"), col("age_group"))
+      .agg(count(lit(1)).as("total_visits"))
+      .filter(col("total_visits") >= 5)
+      .orderBy(col("total_visits").desc, col("patient_key"))
+  }
+
+  /** README "Verify Warehouse" probe (`README.md:365-374`): age-group
+    * distribution.
+    */
+  def readmeAgeDistribution(spark: SparkSession, dir: String): DataFrame =
+    wh(spark, dir).dimPatient
+      .groupBy(col("age_group"))
+      .agg(countDistinct(col("patient_key")).as("patient_count"))
+      .orderBy(col("age_group"))
+
   val all: Map[String, Q] = Map(
+    "readme_q1_monthly" -> (readmeQ1Monthly _),
+    "readme_q2_top_diagnoses_51_70" -> (readmeQ2TopDiagnoses5170 _),
+    "readme_q3_avg_procedures" -> (readmeQ3AvgProcedures _),
+    "readme_q4_high_volume" -> (readmeQ4HighVolume _),
+    "readme_age_distribution" -> (readmeAgeDistribution _),
     "q01_monthly_trends" -> (q01MonthlyTrends _),
     "q02_top_diagnoses_by_age_group" -> (q02TopDiagnosesByAgeGroup _),
     "q03_procedure_volume" -> (q03ProcedureVolume _),
