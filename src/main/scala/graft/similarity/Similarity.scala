@@ -87,7 +87,8 @@ object Similarity {
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
-      RandomHyperplaneLsh.topK(s, d)))
+      RandomHyperplaneLsh.topK(s, d)),
+    "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)))
 
   private val dotSql =
     """list_sum(list_transform(range(1, len(%A) + 1),

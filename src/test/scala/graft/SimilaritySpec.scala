@@ -61,6 +61,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.keySet.subsetOf(exact.keySet))
   }
 
+  test("IVF top-k: candidates come from probed cells and never beat brute force") {
+    val exact = Similarity.bruteForceTopK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ivf = graft.similarity.IvfIndex.topK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
+    assert(ivf.keySet.subsetOf(exact.keySet))
+    // cells partition the corpus
+    val (assigned, centroids) = graft.similarity.IvfIndex.build(spark, sf)
+    assert(assigned.count() == Tables.embeddings(spark, sf).count())
+    assert(centroids.count() == graft.similarity.IvfIndex.K)
+  }
+
   test("LSH signatures are deterministic") {
     val s1 = Tables.embeddings(spark, sf)
       .select($"vec_id", RandomHyperplaneLsh.signature("embedding").as("sig"))
