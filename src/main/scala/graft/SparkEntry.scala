@@ -23,11 +23,12 @@ object SparkEntry {
     analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all ++
       dedup.Dedup.all ++ similarity.Similarity.all ++
       multimodal.Multimodal.all ++ sources.Sources.all ++
-      streaming.Sessionize.all
+      streaming.Sessionize.all ++ analytics.WindowExtras.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ ingest.Ingest.oracle ++
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
       similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++
-      sources.Sources.oracle ++ streaming.Sessionize.oracle
+      sources.Sources.oracle ++ streaming.Sessionize.oracle ++
+      analytics.WindowExtras.oracle
 }

@@ -1,0 +1,124 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window/grouping operators beyond the reference's W1-W3 — the rest of the
+  * analytic surface a warehouse user reaches for (sliding frames, ranking
+  * family, ROLLUP subtotals, pivot). The reference exercises none of these
+  * (SURVEY §2.6/2.5 "not present"), so they are extensions, each with a
+  * DuckDB oracle twin.
+  *
+  * Determinism: every window is ordered by a total order (ts + event_id /
+  * key tiebreaks); sliding sums/averages go through DECIMAL so frame
+  * accumulation order cannot produce float drift between engines.
+  */
+object WindowExtras {
+
+  /** Sliding-frame moving average (ROWS BETWEEN 3 PRECEDING AND CURRENT). */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        $"value".cast("decimal(12,2)").as("v"))
+      .select($"user_id", $"ts", $"event_id",
+        // avg derived from the exact decimal sum: Spark's decimal avg keeps
+        // scale 6 while DuckDB's returns double — sum::double / n is the
+        // same IEEE operation on both engines
+        (sum($"v").over(w).cast("double") / count(lit(1)).over(w))
+          .as("moving_avg"),
+        sum($"v").over(w).as("moving_sum"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  /** Ranking family: rank / dense_rank / ntile over order totals. */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000)
+      .select($"o_orderkey", $"o_totalprice",
+        rank().over(w).as("price_rank"),
+        dense_rank().over(w).as("price_dense_rank"),
+        ntile(10).over(w).as("decile"),
+        lead($"o_orderkey", 1).over(w).as("next_orderkey"))
+      .orderBy($"price_rank")
+  }
+
+  /** ROLLUP subtotals: encounter counts by (year, quarter) with quarter and
+    * grand totals (grouping-set markers via GROUPING()).
+    */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("y"), quarter($"o_orderdate").as("q"))
+      .rollup($"y", $"q")
+      .agg(count(lit(1)).as("n"),
+        grouping($"y").cast("int").as("g_y"),
+        grouping($"q").cast("int").as("g_q"))
+      .orderBy($"g_y", $"g_q", $"y", $"q")
+  }
+
+  /** Pivot: per-user-bucket event-type counts as columns (explicit value
+    * list so the output schema is fixed).
+    */
+  def pivotEventTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(pmod($"user_id", lit(10)).as("user_bucket"), $"event_type")
+      .groupBy($"user_bucket")
+      .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_bucket")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_moving_avg" -> (movingAvg _),
+    "win_rank_family" -> (rankFamily _),
+    "agg_rollup" -> (rollupCounts _),
+    "agg_pivot_event_types" -> (pivotEventTypes _))
+
+  val oracle: Map[String, String] = Map(
+    "win_moving_avg" -> """SELECT user_id, ts, event_id,
+       (sum(value::DECIMAL(12,2)) OVER w)::DOUBLE / (count(*) OVER w) AS moving_avg,
+       sum(value::DECIMAL(12,2)) OVER w AS moving_sum,
+       count(*) OVER w AS frame_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id""",
+
+    "win_rank_family" -> """SELECT o_orderkey, o_totalprice,
+       rank() OVER w AS price_rank,
+       dense_rank() OVER w AS price_dense_rank,
+       ntile(10) OVER w AS decile,
+       lead(o_orderkey, 1) OVER w AS next_orderkey
+FROM orders
+WHERE o_totalprice > 400000
+WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY price_rank""",
+
+    "agg_rollup" -> """SELECT year(o_orderdate)::INT AS y,
+       quarter(o_orderdate)::INT AS q,
+       count(*)::BIGINT AS n,
+       (CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN 1 ELSE 0 END) AS g_y,
+       (CASE WHEN GROUPING(quarter(o_orderdate)) = 1 THEN 1 ELSE 0 END) AS g_q
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+ORDER BY g_y, g_q, y, q""",
+
+    "agg_pivot_event_types" -> """SELECT user_id % 10 AS user_bucket,
+       count(*) FILTER (event_type = 'click')::BIGINT AS click,
+       count(*) FILTER (event_type = 'view')::BIGINT AS view,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+       count(*) FILTER (event_type = 'error')::BIGINT AS error
+FROM events
+GROUP BY 1 ORDER BY 1""")
+}
