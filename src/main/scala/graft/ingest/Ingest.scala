@@ -130,7 +130,28 @@ object Ingest {
       .orderBy($"processed")
   }
 
+  /** F12: audit-log emission — the reference declares an `audit_log` table
+    * with JSONB old/new values that its code never writes
+    * (`sql/01_schema.sql:122-131`); this is that capability: every row the
+    * upsert (S6) would land gets an audit record with the new values as
+    * JSON. `changed_at` is deliberately absent from the checked output
+    * (wall-clock is nondeterministic); a real deployment stamps it at the
+    * sink.
+    */
+  def auditLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    upsertNewKeys(spark, dir)
+      .select(
+        lit("events_staging").as("table_name"),
+        lit("INSERT").as("operation"),
+        $"event_id".as("record_id"),
+        lit("graft_etl").as("changed_by"),
+        to_json(struct($"user_id", $"event_type")).as("new_values"))
+      .orderBy($"record_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_audit_log" -> (auditLog _),
     "etl_staging_dedup_stats" -> (stagingDedupStats _),
     "etl_staging_deduped" -> (stagingDeduped _),
     "etl_cleanse" -> (cleanse _),
@@ -139,6 +160,15 @@ object Ingest {
     "etl_pipeline_stats" -> (pipelineStats _))
 
   val oracle: Map[String, String] = Map(
+    "etl_audit_log" -> """SELECT 'events_staging' AS table_name,
+       'INSERT' AS operation,
+       event_id AS record_id,
+       'graft_etl' AS changed_by,
+       to_json(struct_pack(user_id := user_id, event_type := event_type))::VARCHAR
+         AS new_values
+FROM events
+WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 5 <> 0)
+ORDER BY record_id""",
     "etl_staging_dedup_stats" -> """WITH feed AS (
   SELECT * FROM events
   UNION ALL SELECT * FROM events WHERE event_id % 7 = 0)
