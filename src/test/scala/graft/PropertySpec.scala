@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-driven property tests (SURVEY §5): the reference's headline
+  * "idempotent — can be run multiple times safely" property, dedup algebra,
+  * bucket totality, and rounding semantics, over ScalaCheck-generated data
+  * evaluated in single Spark passes.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): List[T] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("age bucketing is total and respects its boundaries (F1)") {
+    val doubles = sample(Gen.chooseNum(-10000.0, 20000.0), 300, 1L) ++
+      List(-0.005, 0.0, 2499.999, 2500.0, 4999.999, 5000.0, 7499.999, 7500.0)
+    val rows = doubles.toDF("bal")
+      .select($"bal", warehouse.Warehouse.ageGroup($"bal").as("g"))
+      .collect()
+    rows.foreach { r =>
+      val (bal, g) = (r.getDouble(0), r.getString(1))
+      val want =
+        if (bal < 0) "Unknown" else if (bal < 2500) "18-30"
+        else if (bal < 5000) "31-50" else if (bal < 7500) "51-70" else "71+"
+      assert(g == want, s"bal=$bal")
+    }
+  }
+
+  test("group-min dedup: unique keys, size bound, subset, idempotent (D1)") {
+    val feed = sample(Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0, 1000)),
+      500, 2L).toDF("k", "v")
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(min($"v").as("v"))
+    val once = dedup(feed)
+    val out = once.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val in = feed.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.size <= in.length)
+    assert(out.size == in.map(_._1).distinct.length, "one row per key")
+    assert(out.keySet.subsetOf(in.map(_._1).toSet))
+    out.foreach { case (k, v) =>
+      assert(v == in.filter(_._1 == k).map(_._2).min, "min survivor")
+    }
+    // idempotence: dedup ∘ dedup = dedup (the reference's re-run guarantee)
+    val twice = dedup(once).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(twice == out)
+  }
+
+  test("anti-join upsert is idempotent: loading a batch twice lands it once (S6)") {
+    val existing = sample(Gen.chooseNum(0L, 60L), 80, 3L).distinct.toDF("k")
+    val batch = sample(Gen.chooseNum(0L, 90L), 120, 4L).distinct.toDF("k")
+    def upsert(sink: Seq[Long], b: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val loaded = b.join(sink.toDF("k"), Seq("k"), "left_anti")
+        .collect().map(_.getLong(0)).toSeq
+      sink ++ loaded
+    }
+    val sink0 = existing.collect().map(_.getLong(0)).toSeq
+    val sink1 = upsert(sink0, batch)
+    val sink2 = upsert(sink1, batch)
+    assert(sink1.sorted == sink2.sorted, "second delivery is a no-op")
+    assert(sink1.distinct.length == sink1.length, "no duplicate keys ever")
+  }
+
+  test("round2 matches BigDecimal HALF_UP on non-negative values (F7)") {
+    val doubles = sample(Gen.chooseNum(0.0, 10000.0), 300, 5L) ++
+      List(2.675, 0.005, 1.005, 99.995, 0.0)
+    val got = doubles.toDF("x")
+      .select($"x", functions.GraftFunctions.round2($"x").as("r"))
+      .collect()
+    got.foreach { r =>
+      val (x, v) = (r.getDouble(0), r.getDouble(1))
+      val want = math.floor(x * 100 + 0.5) / 100.0
+      assert(v == want, s"x=$x")
+      // and within a half-ulp-of-cent of BigDecimal HALF_UP on the double
+      val bd = BigDecimal(x * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble / 100.0
+      assert(math.abs(v - bd) < 1e-9, s"x=$x graft=$v bigdecimal=$bd")
+    }
+  }
+}
