@@ -22,13 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all ++
       text.Curate.all ++
-      dedup.Dedup.all ++ similarity.Similarity.all ++
+      dedup.Dedup.all ++ dedup.DupClusters.all ++ similarity.Similarity.all ++
       multimodal.Multimodal.all ++ sources.Sources.all ++
       streaming.Sessionize.all ++ analytics.WindowExtras.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ ingest.Ingest.oracle ++
       text.TextAnalysis.oracle ++ text.Curate.oracle ++ dedup.Dedup.oracle ++
+      dedup.DupClusters.oracle ++
       similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++
       sources.Sources.oracle ++ streaming.Sessionize.oracle ++
       analytics.WindowExtras.oracle

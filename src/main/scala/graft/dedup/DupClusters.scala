@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate cluster assembly: connected components over the Jaccard
+  * pair graph, by iterative min-label propagation — pairwise dedup decisions
+  * ("drop b of (a,b)") are wrong when dups come in families (a~b, b~c:
+  * keeping one canonical per component is the correct corpus policy).
+  *
+  * Implementation is the standard Spark iterative pattern: each round every
+  * node takes the min of its own label and its neighbors' labels; fixpoint
+  * when no label changes (bounded by component diameter — near-dup families
+  * are shallow). The driver loop carries only a changed-count; all data
+  * stays distributed, and each round is one shuffle on node id. At larger
+  * diameters the same loop runs with checkpointing every ~10 rounds to cut
+  * lineage (or large-star/small-star for power-law graphs).
+  */
+object DupClusters {
+
+  def clusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccard(spark, dir, threshold)
+      .select($"doc_a", $"doc_b")
+    // undirected edge list, both directions
+    val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .unionByName(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .distinct()
+    var labels = edges.select($"u".as("node")).distinct()
+      .withColumn("label", $"node")
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy($"u".as("node2"))
+        .agg(min($"label").as("nbr_label"))
+      val updated = labels
+        .join(neighborMin, labels("node") === col("node2"), "left")
+        .select($"node",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"),
+          ($"label" =!= least($"label", coalesce($"nbr_label", $"label")))
+            .as("changed"))
+      // one pass materializes both the new labels and the changed count
+      val mat = updated.persist()
+      val changed = mat.filter($"changed").count()
+      labels = mat.select($"node", $"label")
+      converged = changed == 0
+      i += 1
+    }
+    labels
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Cluster-size rollup (the dedup ledger per family). */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusters(spark, dir)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"cluster_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
+    "dedup_cluster_sizes" -> ((s: SparkSession, d: String) => clusterSizes(s, d)))
+
+  private val pairCte = """WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM ov JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.2),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_clusters" -> s"""$pairCte
+SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""",
+
+    "dedup_cluster_sizes" -> s"""$pairCte
+SELECT cluster_id, count(*)::BIGINT AS n_docs
+FROM labels GROUP BY cluster_id ORDER BY cluster_id""")
+}
