@@ -23,12 +23,16 @@ object DupClusters {
     import spark.implicits._
     val pairs = Dedup.ngramJaccard(spark, dir, threshold)
       .select($"doc_a", $"doc_b")
-    // undirected edge list, both directions
+    // undirected edge list, both directions — persisted: every round joins
+    // against it, and without pinning each round would re-run the whole
+    // Jaccard join to re-derive it
     val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
       .unionByName(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
       .distinct()
+      .persist()
     var labels = edges.select($"u".as("node")).distinct()
       .withColumn("label", $"node")
+    var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -45,10 +49,13 @@ object DupClusters {
       // one pass materializes both the new labels and the changed count
       val mat = updated.persist()
       val changed = mat.filter($"changed").count()
+      prev.foreach(_.unpersist())
+      prev = Some(mat)
       labels = mat.select($"node", $"label")
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels
       .select($"node".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
