@@ -26,7 +26,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
-        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        spark_files = (glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
+                       or glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not spark_files:
             print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
         try:
