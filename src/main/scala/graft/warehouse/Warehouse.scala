@@ -234,13 +234,42 @@ object Warehouse {
       bridgeDiagnosis = mat("bridge_encounter_diagnosis", wh.bridgeDiagnosis),
       mvMonthlyEncounters = null, mvDiagnosisByAgeGroup = null,
       mvProcedureVolume = null)
+    // mv_monthly is partitioned by year: the refresh unit. A 100 TB matview
+    // is never rebuilt whole — see [[refreshMonthlyYears]].
+    val mvMonthlyPath = s"$workDir/mv_monthly_encounters"
+    MatViews.monthlyEncounters(base).write.mode("overwrite")
+      .partitionBy("year").parquet(mvMonthlyPath)
     base.copy(
-      mvMonthlyEncounters =
-        mat("mv_monthly_encounters", MatViews.monthlyEncounters(base)),
+      mvMonthlyEncounters = spark.read.parquet(mvMonthlyPath),
       mvDiagnosisByAgeGroup =
         mat("mv_diagnosis_by_age_group", MatViews.diagnosisByAgeGroup(base)),
       mvProcedureVolume =
         mat("mv_procedure_volume", MatViews.procedureVolume(base)))
+  }
+
+  /** Incremental matview refresh: recompute mv_monthly_encounters for the
+    * given years only and overwrite just those partitions (dynamic partition
+    * overwrite). This is the scale path for `refresh_all_warehouse_views()`
+    * — late or corrected facts touch a few date partitions, so only those
+    * matview partitions rebuild; the full-recompute `materialize` remains
+    * the bootstrap.
+    */
+  def refreshMonthlyYears(spark: SparkSession, dir: String, workDir: String,
+      years: Seq[Int]): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val base = build(spark, dir)
+      MatViews.monthlyEncounters(base)
+        .filter(col("year").isin(years: _*))
+        .write.mode("overwrite").partitionBy("year")
+        .parquet(s"$workDir/mv_monthly_encounters")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 
   // One materialized warehouse per (application, data dir): queries called
