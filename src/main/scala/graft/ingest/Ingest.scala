@@ -84,6 +84,34 @@ object Ingest {
       .orderBy($"event_id")
   }
 
+  /** Quarantine split (SURVEY §2.9 late/dirty-data row): the rows `cleanse`
+    * rejects are not dropped silently — they land in a quarantine ledger
+    * with a reason code (the set-wise analog of the reference's per-row
+    * try/except + logged-error skip, `etl_pipeline.py:110-112,197-200`).
+    * `cleanse` ∪ quarantine = the full feed, by construction.
+    */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = get_json_object($"props", "$.k").cast("int")
+    // the raw testdata is clean — dirty it deterministically (every 13th
+    // value negated, every 17th event type corrupted) so the reject path is
+    // genuinely exercised
+    val feed = Tables.events(spark, dir)
+      .withColumn("value",
+        when(pmod($"event_id", lit(13)) === 0, -$"value").otherwise($"value"))
+      .withColumn("event_type",
+        when(pmod($"event_id", lit(17)) === 0, lit("unknown"))
+          .otherwise($"event_type"))
+    feed
+      .withColumn("reason",
+        when(!$"event_type".isin(EventTypes: _*), "bad_event_type")
+          .when($"value" < 0, "negative_value")
+          .when(k.isNull || !k.between(0, 100), "bad_k"))
+      .filter($"reason".isNotNull)
+      .select($"event_id", $"event_type", $"value", $"reason")
+      .orderBy($"event_id")
+  }
+
   /** D2: incremental batch selection — newest-first unprocessed slice
     * (`WHERE processed = FALSE ORDER BY study_date DESC NULLS LAST LIMIT
     * 5000`, `etl_pipeline.py:125-132`). The processed flag is simulated
@@ -155,6 +183,7 @@ object Ingest {
     "etl_staging_dedup_stats" -> (stagingDedupStats _),
     "etl_staging_deduped" -> (stagingDeduped _),
     "etl_cleanse" -> (cleanse _),
+    "etl_quarantine" -> (quarantine _),
     "etl_incremental_batch" -> ((s: SparkSession, d: String) => incrementalBatch(s, d)),
     "etl_upsert_new_keys" -> (upsertNewKeys _),
     "etl_pipeline_stats" -> (pipelineStats _))
@@ -191,6 +220,26 @@ FROM feed GROUP BY event_id ORDER BY event_id""",
 FROM events
 WHERE event_type IN ('click','view','signup','purchase','error')
   AND value >= 0 AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 0 AND 100
+ORDER BY event_id""",
+
+    "etl_quarantine" -> """WITH feed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 13 = 0 THEN -value ELSE value END AS value,
+         props
+  FROM events),
+judged AS (
+  SELECT event_id, event_type, value,
+         CASE WHEN event_type NOT IN ('click','view','signup','purchase','error')
+                THEN 'bad_event_type'
+              WHEN value < 0 THEN 'negative_value'
+              WHEN CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+                OR CAST(json_extract_string(props, '$.k') AS INT) NOT BETWEEN 0 AND 100
+                THEN 'bad_k'
+         END AS reason
+  FROM feed)
+SELECT event_id, event_type, value, reason
+FROM judged WHERE reason IS NOT NULL
 ORDER BY event_id""",
 
     "etl_incremental_batch" -> """SELECT event_id, ts, user_id, event_type, value
