@@ -36,7 +36,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its oracle lookup by the output directory name —
+    // i.e. "<name>.parquet", not the bare query name (CORRECTNESS_r01
+    // recorded no_oracle for every entry because only bare names were
+    // emitted). Emit each statement under BOTH keys so either lookup works.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -185,6 +185,40 @@ HAVING COUNT(DISTINCT fe.encounter_key) >= 5
 ORDER BY encounter_count DESC, dp.patient_key
 LIMIT 20""",
 
+    // run_analytics.py report variants (reference src/run_analytics.py:53-60,
+    // :134-143, :148-162) — same plans at different k / column sets.
+    "q02_top3_report" -> s"""$prelude,
+ranked_diagnoses AS (
+  SELECT age_group, code, description, diagnosis_count,
+         ROW_NUMBER() OVER (PARTITION BY age_group
+           ORDER BY diagnosis_count DESC, code, description) AS rnk
+  FROM mv_diagnosis_by_age_group)
+SELECT age_group, code, description, diagnosis_count
+FROM ranked_diagnoses
+WHERE rnk <= 3
+ORDER BY age_group, rnk""",
+
+    "q07_top5_report" -> s"""$prelude
+SELECT df.facility_name, df.facility_type,
+       COUNT(DISTINCT fe.encounter_key) AS total_encounters,
+       SUM(fe.num_procedures)::BIGINT AS total_procedures
+FROM fact_encounters fe
+JOIN dim_facility df ON fe.facility_key = df.facility_key
+GROUP BY df.facility_name, df.facility_type
+ORDER BY total_encounters DESC, df.facility_name
+LIMIT 5""",
+
+    "q08_top10_report" -> s"""$prelude
+SELECT dp.age_group, dp.sex,
+       COUNT(DISTINCT fe.encounter_key) AS encounter_count,
+       SUM(fe.num_procedures)::BIGINT AS total_procedures
+FROM fact_encounters fe
+JOIN dim_patient dp ON fe.patient_key = dp.patient_key
+GROUP BY dp.patient_key, dp.age_group, dp.sex
+HAVING COUNT(DISTINCT fe.encounter_key) >= 5
+ORDER BY encounter_count DESC, dp.patient_key
+LIMIT 10""",
+
     "q09_diagnosis_cooccurrence" -> s"""$prelude
 SELECT d1.code AS diagnosis_1, d1.description AS description_1,
        d2.code AS diagnosis_2, d2.description AS description_2,

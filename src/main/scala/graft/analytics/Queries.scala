@@ -222,6 +222,56 @@ object Queries {
         sum(when(col("has_report"), 1).otherwise(0)).as("encounters_with_reports"))
       .orderBy(col("encounter_count").desc, col("encounter_type"))
 
+  /** Report variant of Q2 (`src/run_analytics.py:53-60`): top-**3** per age
+    * group, without the unique_patients column — the literal query the
+    * reference's report runner executes.
+    */
+  def q02Top3Report(spark: SparkSession, dir: String): DataFrame =
+    wh(spark, dir).mvDiagnosisByAgeGroup
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("age_group"))
+          .orderBy(col("diagnosis_count").desc, col("code"), col("description"))))
+      .filter(col("rank") <= 3)
+      .orderBy(col("age_group"), col("rank"))
+      .select(col("age_group"), col("code"), col("description"),
+        col("diagnosis_count"))
+
+  /** Report variant of Q7 (`src/run_analytics.py:134-143`): top-**5**
+    * facilities with the report's narrower column set.
+    */
+  def q07Top5Report(spark: SparkSession, dir: String): DataFrame = {
+    val w = wh(spark, dir)
+    w.factEncounters
+      .join(broadcast(w.dimFacility), "facility_key")
+      .groupBy(col("facility_name"), col("facility_type"))
+      .agg(
+        countDistinct(col("encounter_key")).as("total_encounters"),
+        sum(col("num_procedures")).as("total_procedures"))
+      .orderBy(col("total_encounters").desc, col("facility_name"))
+      .limit(5)
+  }
+
+  /** Report variant of Q8 (`src/run_analytics.py:148-162`): top-**10** high
+    * utilizers without the report-count column or the patient key in the
+    * output. The limit boundary is still made deterministic by ordering on
+    * the (grouped, unselected) patient_key before the projection.
+    */
+  def q08Top10Report(spark: SparkSession, dir: String): DataFrame = {
+    val w = wh(spark, dir)
+    w.factEncounters
+      .join(broadcast(w.dimPatient.select(col("patient_key"), col("age_group"),
+        col("sex"))), "patient_key")
+      .groupBy(col("patient_key"), col("age_group"), col("sex"))
+      .agg(
+        countDistinct(col("encounter_key")).as("encounter_count"),
+        sum(col("num_procedures")).as("total_procedures"))
+      .filter(col("encounter_count") >= 5)
+      .orderBy(col("encounter_count").desc, col("patient_key"))
+      .limit(10)
+      .select(col("age_group"), col("sex"), col("encounter_count"),
+        col("total_procedures"))
+  }
+
   /** The matviews themselves, dumped with the reference's own ORDER BY
     * (`sql/03_warehouse.sql:124,141,156`) made total.
     */
@@ -314,6 +364,9 @@ object Queries {
     "q06_demographics" -> (q06Demographics _),
     "q07_facility_performance" -> (q07FacilityPerformance _),
     "q08_high_utilization" -> (q08HighUtilization _),
+    "q02_top3_report" -> (q02Top3Report _),
+    "q07_top5_report" -> (q07Top5Report _),
+    "q08_top10_report" -> (q08Top10Report _),
     "q09_diagnosis_cooccurrence" -> (q09DiagnosisCooccurrence _),
     "q10_quarterly_growth" -> (q10QuarterlyGrowth _),
     "q11_reports_coverage" -> (q11ReportsCoverage _),

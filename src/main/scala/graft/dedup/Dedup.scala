@@ -106,9 +106,36 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Base threshold of the materialized pair table: the lowest τ any
+    * consumer uses, so every consumer's pair set is a filter of this one.
+    */
+  val BaseTau = 0.2
+
+  private val pairMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The exact-Jaccard pair table (doc_a, doc_b, jaccard), τ ≥ [[BaseTau]],
+    * materialized ONCE per (app, corpus) and shared by every consumer —
+    * the registered `dedup_ngram_jaccard` query, [[DupClusters]]' edge list,
+    * and [[graft.text.Curate]]'s drop set (τ=0.5, a filter of this
+    * superset). Round 1 re-ran the full inverted-index join in each of the
+    * three; at 100 TB the pair table is exactly the artifact you'd persist
+    * once per dedup pass and query repeatedly.
+    */
+  def pairsForDir(spark: SparkSession, dir: String): DataFrame =
+    pairMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-pairs/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      ngramJaccard(spark, dir, BaseTau).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
-    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    // re-assert total order after the memoized parquet round-trip
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      pairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => MinHashLsh.nearDuplicates(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => SimHash.nearDuplicates(s, d)))
 

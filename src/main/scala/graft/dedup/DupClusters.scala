@@ -34,7 +34,9 @@ object DupClusters {
   private def computeClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.2, maxIter: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.ngramJaccard(spark, dir, threshold)
+    // filter of the shared materialized pair table (threshold ≥ BaseTau)
+    val pairs = Dedup.pairsForDir(spark, dir)
+      .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b")
     // undirected edge list, both directions — persisted: every round joins
     // against it, and without pinning each round would re-run the whole

@@ -95,6 +95,23 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Driver-checkable form of [[featurize]]: the feature vector flattened to
+    * 16 scalar double columns (f00..f15). The driver's pandas comparator
+    * row-sorts by every column and cannot hash an array column, so the
+    * checked output must be all-scalar; internal consumers keep the
+    * `Array[Float]` form from [[featurize]]. float→double cast is exact
+    * widening, so the DuckDB oracle can reproduce it bit-for-bit with
+    * float32 division then a DOUBLE cast.
+    */
+  def featurizeChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = (0 until 16).map(i =>
+      element_at($"features", i + 1).cast("double").as(f"f$i%02d"))
+    featurize(spark, dir)
+      .select(Seq($"doc_id", $"media_type", $"n_bytes") ++ f: _*)
+      .orderBy($"doc_id")
+  }
+
   /** Frame sampling: slice the payload into fixed 256-byte frames and keep
     * every 4th (the video-keyframe analog). posexplode keeps the lineage
     * columnar; at scale the slice bound keeps row width fixed.
@@ -116,7 +133,7 @@ object Multimodal {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (metadata _),
-    "mm_featurize" -> (featurize _),
+    "mm_featurize" -> (featurizeChecked _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)))
 
   // DuckDB cannot slice BLOBs, but this corpus is pure ASCII (asserted by
@@ -140,7 +157,32 @@ FROM documents ORDER BY doc_id""",
          CAST(floor((octet_length(encode(text)) - 1) / 256) AS INT) + 1)) AS i))
 SELECT doc_id, media_type, frame_idx::INT AS frame_idx, frame_bytes
 FROM frames WHERE frame_idx % 4 = 0
-ORDER BY doc_id, frame_idx""")
-  // mm_featurize: no oracle (the decode kernel is engine-side code by
-  // design); MultimodalSpec pins the histogram semantics instead.
+ORDER BY doc_id, frame_idx""",
+
+    // The decode stub's 16-bin high-nibble byte histogram IS
+    // SQL-expressible over this pure-ASCII corpus: per-char unnest, bin by
+    // ascii//16, then float32 division widened to DOUBLE matches the
+    // kernel's float arithmetic bit-for-bit (counts < 2^24 stay exact in
+    // float32). The `text <> ''` guard exists because string_split('','')
+    // yields [''] (ascii 0) in DuckDB; no empty docs ship, but stay safe.
+    "mm_featurize" -> ("""WITH chars AS (
+  SELECT doc_id, ascii(c) // 16 AS bin
+  FROM documents, UNNEST(string_split(text, '')) AS t(c)
+  WHERE text <> ''
+), hist AS (
+  SELECT doc_id,
+""" + (0 until 16).map(b =>
+      s"    SUM(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS c$b").mkString(",\n") +
+      """
+  FROM chars GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_type,
+  octet_length(encode(d.text))::INT AS n_bytes,
+""" + (0 until 16).map(b =>
+      s"  (COALESCE(h.c$b, 0)::FLOAT / GREATEST(octet_length(encode(d.text)), 1)::FLOAT)::DOUBLE AS f${"%02d".format(b)}").mkString(",\n") +
+      """
+FROM documents d LEFT JOIN hist h USING (doc_id)
+ORDER BY d.doc_id"""))
 }

@@ -68,7 +68,7 @@ object IvfIndex {
     import spark.implicits._
     Similarity.register(spark)
     val (assigned, centroids) = build(spark, dir)
-    val probes = assigned.filter(pmod($"vec_id", lit(50)) === 0)
+    val probes = assigned.filter($"vec_id" < Similarity.NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     // rank cells per probe by centroid similarity, keep nprobe nearest
     val probeCells = broadcast(probes).crossJoin(broadcast(centroids))

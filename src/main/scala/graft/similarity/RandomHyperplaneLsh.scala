@@ -56,7 +56,7 @@ object RandomHyperplaneLsh {
     val e = Tables.embeddings(spark, dir)
     val corpus = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
       signature("embedding").as("bucket"))
-    val probes = e.filter(pmod($"vec_id", lit(50)) === 0)
+    val probes = e.filter($"vec_id" < Similarity.NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         explode(probeSignatures(signature("embedding"))).as("bucket"))
     broadcast(probes)

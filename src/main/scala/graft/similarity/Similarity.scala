@@ -45,6 +45,12 @@ object Similarity {
     * near-duplicate detector (dedup family member; τ=0.4 sits above this
     * corpus's random-pair ceiling ≈0.51 tail, so only genuinely close pairs
     * emit).
+    *
+    * SCALE CEILING: this is the exact O(n²) labeled baseline, registered for
+    * oracle verification at test scale (n ≤ ~10⁴, i.e. sf ≤ 0.1). At corpus
+    * scale the same τ-filter runs over [[RandomHyperplaneLsh]] /
+    * [[IvfIndex]] candidate pairs instead of the full product — identical
+    * verify expression, bounded candidate set.
     */
   def cosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
@@ -61,15 +67,19 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  /** Brute-force top-k nearest neighbors for a deterministic probe subset
-    * (every 50th vector): the exact ANN baseline. Rank by cosine desc with
-    * vec_id tiebreak.
+  /** Brute-force top-k nearest neighbors for a deterministic FIXED-COUNT
+    * probe set (the [[NumProbes]] lowest vec_ids): the exact ANN baseline.
+    * Fixed probes keep the scan O(probes × n) — linear in the corpus — where
+    * round 1's every-50th sampling grew the probe set with n and made the
+    * baseline quadratic-ish. Rank by cosine desc with vec_id tiebreak.
     */
+  val NumProbes = 40
+
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     register(spark)
     val e = Tables.embeddings(spark, dir)
-    val probes = e.filter(pmod($"vec_id", lit(50)) === 0)
+    val probes = e.filter($"vec_id" < NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val scored = broadcast(probes).crossJoin(
         e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb")))
@@ -111,7 +121,7 @@ ORDER BY vec_a, vec_b""",
     "sim_bruteforce_topk" -> s"""WITH scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          ${cosSql("q.embedding", "n.embedding")} AS cos
-  FROM embeddings q JOIN embeddings n ON q.vec_id % 50 = 0 AND q.vec_id <> n.vec_id),
+  FROM embeddings q JOIN embeddings n ON q.vec_id < 40 AND q.vec_id <> n.vec_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id

@@ -28,7 +28,10 @@ object Curate {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val quality = docs.filter($"n_chars" >= MinChars)
-    val dropIds = Dedup.ngramJaccard(spark, dir, NearDupTau)
+    // τ=0.5 drop set is a filter of the shared τ=0.2 materialized pair
+    // table (NearDupTau ≥ Dedup.BaseTau) — no Jaccard re-derivation
+    val dropIds = Dedup.pairsForDir(spark, dir)
+      .filter($"jaccard" >= NearDupTau)
       .select($"doc_b".as("drop_id")).distinct()
     quality
       .join(broadcast(dropIds), $"doc_id" === $"drop_id", "left_anti")

@@ -3,12 +3,18 @@
 
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
 
-Reads oracle_sql.json, registers the parquet tables by name in DuckDB,
-runs each oracle statement, and compares against the Spark parquet dump:
-columns sorted by name, rows compared positionally, values exactly
-(floats: bit equality, with a report of max abs diff when close).
+Driver-faithful lookup: enumerates the Spark OUTPUT directories
+(outDir/<name>.parquet) and resolves each one's oracle statement by that
+exact directory basename — including the ".parquet" suffix — from
+oracle_sql.json. A query whose oracle is keyed only by the bare name is
+reported NO-ORACLE here, exactly as the driver records it (this keying
+mismatch silently zeroed round 1's official correctness score).
+
+Rows are sorted by all columns via pandas sort_values before comparison,
+like the driver, so non-hashable column types (e.g. array columns) crash
+here too instead of only in the driver run.
 """
-import json, sys, glob
+import json, sys, glob, os
 import duckdb
 import pandas as pd
 
@@ -17,6 +23,8 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 def norm(df):
     df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
 def main(sf_dir, out_dir):
@@ -24,17 +32,27 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
-    for name, sql in sorted(oracle.items()):
-        spark_files = (glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
-                       or glob.glob(f"{out_dir}/{name}/*.parquet"))
+    n_ok = n_bad = n_noracle = 0
+    out_dirs = sorted(d for d in glob.glob(f"{out_dir}/*.parquet")
+                      if os.path.isdir(d))
+    for d in out_dirs:
+        name = os.path.basename(d)      # "<query>.parquet" — the driver's key
+        spark_files = glob.glob(f"{d}/*.parquet")
         if not spark_files:
-            print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
+            print(f"MISSING  {name}: no spark part files"); n_bad += 1; continue
+        sql = oracle.get(name)
+        if sql is None:
+            print(f"NO-ORACLE {name}: oracle_sql.json has no key {name!r}")
+            n_noracle += 1
+            continue
         try:
             want = norm(con.sql(sql).df())
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
-        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(spark_files)]))
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(spark_files)]))
+        except Exception as e:
+            print(f"READ-ERR {name}: {e}"); n_bad += 1; continue
         problems = []
         if list(want.columns) != list(got.columns):
             problems.append(f"cols want={list(want.columns)} got={list(got.columns)}")
@@ -49,8 +67,8 @@ def main(sf_dir, out_dir):
                         wv, gv = w.astype(float).values, g.astype(float).values
                         neq = ~((wv == gv) | (pd.isna(wv) & pd.isna(gv)))
                         if neq.any():
-                            d = abs(wv[neq] - gv[neq])
-                            problems.append(f"col {c}: {neq.sum()} diffs, maxabs={d.max():.3e}")
+                            dd = abs(wv[neq] - gv[neq])
+                            problems.append(f"col {c}: {neq.sum()} diffs, maxabs={dd.max():.3e}")
                     else:
                         if not w.astype(str).equals(g.astype(str)):
                             neq = (w.astype(str) != g.astype(str))
@@ -62,7 +80,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL     {name}: " + "; ".join(problems[:4])); n_bad += 1
         else:
             print(f"OK       {name} ({len(want)} rows)"); n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_noracle} no-oracle")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
