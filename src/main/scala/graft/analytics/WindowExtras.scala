@@ -31,7 +31,10 @@ object WindowExtras {
         // same IEEE operation on both engines
         (sum($"v").over(w).cast("double") / count(lit(1)).over(w))
           .as("moving_avg"),
-        sum($"v").over(w).as("moving_sum"),
+        // exact decimal accumulation, double on the wire: pandas reads a
+        // DECIMAL parquet column as Decimal objects while DuckDB's .df()
+        // returns float64 — emit double on both sides (values ≪ 2^53, exact)
+        sum($"v").over(w).cast("double").as("moving_sum"),
         count(lit(1)).over(w).as("frame_n"))
       .orderBy($"user_id", $"ts", $"event_id")
   }
@@ -87,7 +90,7 @@ object WindowExtras {
   val oracle: Map[String, String] = Map(
     "win_moving_avg" -> """SELECT user_id, ts, event_id,
        (sum(value::DECIMAL(12,2)) OVER w)::DOUBLE / (count(*) OVER w) AS moving_avg,
-       sum(value::DECIMAL(12,2)) OVER w AS moving_sum,
+       (sum(value::DECIMAL(12,2)) OVER w)::DOUBLE AS moving_sum,
        count(*) OVER w AS frame_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

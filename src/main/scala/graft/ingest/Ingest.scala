@@ -69,9 +69,17 @@ object Ingest {
     * defaults (`row.get(...)` fallbacks of `etl_pipeline.py:76-90`), JSON
     * attribute pulled out of `props`, domain + range CHECK filters.
     */
-  def cleanse(spark: SparkSession, dir: String): DataFrame = {
+  def cleanse(spark: SparkSession, dir: String): DataFrame =
+    cleanseDf(spark, Tables.events(spark, dir))
+
+  /** Injection point for the null-parity spec: cleanse over any events-shaped
+    * frame. NULL value/user_id rows are KEPT with their defaults (0.0 / -1) —
+    * the filters run on the coalesced values, same as the oracle's
+    * `COALESCE(value, 0.0) >= 0`.
+    */
+  private[graft] def cleanseDf(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
+    events
       .select(
         $"event_id",
         to_date($"ts").as("event_date"),
@@ -219,7 +227,8 @@ FROM feed GROUP BY event_id ORDER BY event_id""",
        CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events
 WHERE event_type IN ('click','view','signup','purchase','error')
-  AND value >= 0 AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 0 AND 100
+  AND COALESCE(value, 0.0) >= 0
+  AND CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 0 AND 100
 ORDER BY event_id""",
 
     "etl_quarantine" -> """WITH feed AS (

@@ -36,7 +36,9 @@ object Sessionize {
     Tables.events(spark, dir)
       .groupBy(session_window($"ts", s"$GapMinutes minutes"), $"user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum($"value".cast("decimal(12,2)")).as("total_value"))
+        // exact decimal accumulation, double on the wire (pandas Decimal vs
+        // DuckDB float64 otherwise hash-mismatch; sums ≪ 2^53 so exact)
+        sum($"value".cast("decimal(12,2)")).cast("double").as("total_value"))
       .select($"user_id", $"session_window.start".as("session_start"),
         $"session_window.end".as("session_end"), $"n_events", $"total_value")
       .orderBy($"user_id", $"session_start")
@@ -46,7 +48,7 @@ object Sessionize {
     "etl_sessionize" -> s"""WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL $GapMinutes MINUTE OR
+                   >= INTERVAL $GapMinutes MINUTE OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events),
@@ -57,7 +59,7 @@ ids AS (
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL $GapMinutes MINUTE AS session_end,
        count(*)::BIGINT AS n_events,
-       sum(value::DECIMAL(12,2)) AS total_value
+       sum(value::DECIMAL(12,2))::DOUBLE AS total_value
 FROM ids GROUP BY user_id, session_id
 ORDER BY user_id, session_start""")
 
@@ -92,7 +94,9 @@ ORDER BY user_id, session_start""")
       for (e <- sorted) {
         val t = e.ts.getTime
         open match {
-          case Some(s) if t - s.last <= gapMs =>
+          // half-open like session_window: an event exactly gap after the
+          // last one starts a NEW session
+          case Some(s) if t - s.last < gapMs =>
             open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
               s.total + e.value))
           case Some(s) =>
