@@ -205,7 +205,7 @@ SELECT df.facility_name, df.facility_type,
 FROM fact_encounters fe
 JOIN dim_facility df ON fe.facility_key = df.facility_key
 GROUP BY df.facility_name, df.facility_type
-ORDER BY total_encounters DESC, df.facility_name
+ORDER BY total_encounters DESC, df.facility_name, df.facility_type
 LIMIT 5""",
 
     "q08_top10_report" -> s"""$prelude

@@ -247,7 +247,8 @@ object Queries {
       .agg(
         countDistinct(col("encounter_key")).as("total_encounters"),
         sum(col("num_procedures")).as("total_procedures"))
-      .orderBy(col("total_encounters").desc, col("facility_name"))
+      .orderBy(col("total_encounters").desc, col("facility_name"),
+        col("facility_type"))
       .limit(5)
   }
 

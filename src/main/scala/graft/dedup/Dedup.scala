@@ -169,9 +169,11 @@ FROM ov
 JOIN sizes sa ON ov.doc_a = sa.doc_id
 JOIN sizes sb ON ov.doc_b = sb.doc_id
 WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.2
-ORDER BY doc_a, doc_b""")
-  // dedup_minhash_lsh / dedup_simhash: deliberately no oracle — their hash
-  // families (seeded xxhash64) are not reproducible in DuckDB SQL; the driver
-  // records a rows-only check and MinHashLshSpec pins recall against the
-  // exact ngramJaccard result.
+ORDER BY doc_a, doc_b""",
+
+    // full-pipeline DuckDB twins (md5-derived hash families — see
+    // MinHashLsh/SimHash scaladoc); DedupSpec additionally pins the
+    // cross-family recall relationships no SQL oracle can express
+    "dedup_minhash_lsh" -> MinHashLsh.oracleSql,
+    "dedup_simhash" -> SimHash.oracleSql)
 }

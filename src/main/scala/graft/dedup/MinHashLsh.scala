@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.functions.Md5Hash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,7 +8,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 /** MinHash + LSH near-duplicate detection — the corpus-scale path.
   *
-  * Pipeline: word-3-gram shingles → k=32 seeded-min-hash signature
+  * Pipeline: word-3-gram shingles → k=32 permutation-min-hash signature
   * (materialized once per corpus) → 8 bands of 4 rows → band-bucket
   * equi-join for candidates → exact Jaccard verify against the shared
   * [[DocIndex]]. With bands of r=4 over k=32, a pair with Jaccard j collides
@@ -16,12 +17,25 @@ import java.util.concurrent.ConcurrentHashMap
   * aligned with [[Dedup.ngramJaccard]] and DedupSpec pins the realized
   * recall.
   *
+  * Hashing: each shingle is hashed ONCE (h = [[Md5Hash.h32]] mod p); the 32
+  * permutations are universal hashes (aᵢ·h + bᵢ) mod p over that single base
+  * hash, with (aᵢ, bᵢ) fixed md5-derived constants interpolated as literals.
+  * Two payoffs vs round 3's nested-HOF xxhash64 kernel:
+  *
+  *  - **codegen**: the signature is explode(shingles) → one hash aggregate
+  *    with 32 `min((aᵢ·h+bᵢ) % p)` columns — whole-stage-codegen'd with
+  *    map-side partial mins, instead of ~32×|shingles| interpreted lambda
+  *    calls with per-call string concat (the single most expensive kernel in
+  *    the round-3 bench);
+  *  - **oracle**: md5 is shared with DuckDB, so signatures / band buckets /
+  *    the final pair set are reproducible in SQL ([[oracleSql]]) and the
+  *    query is hash-checked like any other — round 3 could only spec-pin it.
+  *
   * Scale notes (100 TB): unlike the inverted-index join, candidate fan-out is
-  * bounded by band-bucket collisions (64-bit buckets — no accidental mass
+  * bounded by band-bucket collisions (md5 buckets — no accidental mass
   * collisions), and the signature is a fixed 32×8 bytes per doc regardless of
   * document length. The signature table is computed ONCE and memoized to
-  * parquet ([[sigsForDir]]): the k×|shingles| seeded-hash transform is the
-  * expensive kernel, and the plan references the signature relation three
+  * parquet ([[sigsForDir]]): the plan references the signature relation three
   * times (both sides of the bucket self-join + banding) — round 1 recomputed
   * it per reference, which alone was 78 % of the bench. The verify step joins
   * candidate pairs back to the materialized doc index instead of carrying
@@ -34,16 +48,31 @@ object MinHashLsh {
   val Bands = 8
   val RowsPerBand = 4
 
-  /** doc_id → minhash signature (array of 32 longs); empty-shingle docs drop.
-    * `docs` must carry (doc_id, sh) — pass [[DocIndex.forDir]].
+  /** (aᵢ, bᵢ) universal-hash coefficients, md5-derived (engine-independent
+    * constants): aᵢ ∈ [1, p), bᵢ ∈ [0, p).
     */
-  def signatures(docs: DataFrame): DataFrame =
-    docs
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(1, $NumHashes),
-           |  s -> array_min(transform(sh, x -> xxhash64(concat(cast(s AS STRING), ':', x)))))
-           |""".stripMargin).as("sig"))
+  val Coeffs: IndexedSeq[(Long, Long)] = (0 until NumHashes).map { i =>
+    (Md5Hash.md5Int(s"minhash_a:$i") % (Md5Hash.P - 1) + 1,
+      Md5Hash.md5Int(s"minhash_b:$i") % Md5Hash.P)
+  }
+
+  /** doc_id → minhash signature (array of 32 longs); empty-shingle docs drop
+    * (explode emits nothing for them). `docs` must carry (doc_id, sh) — pass
+    * [[DocIndex.forDir]]. One codegen'd hash aggregate; h is computed once
+    * per (doc, shingle) and all 32 permutation mins fold map-side.
+    */
+  def signatures(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), (Md5Hash.h32(col("tok")) % Md5Hash.P).as("h"))
+    val mins = Coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(Md5Hash.P)).as(s"s$i")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+  }
 
   private val memo = new ConcurrentHashMap[String, DataFrame]()
 
@@ -61,7 +90,10 @@ object MinHashLsh {
       spark.read.parquet(p)
     })
 
-  /** Candidate pairs from band-bucket collisions, then exact-Jaccard verify. */
+  /** Candidate pairs from band-bucket collisions, then exact-Jaccard verify.
+    * Band bucket = md5 of the comma-joined 4 signature values (md5 rather
+    * than xxhash64 so the DuckDB oracle reproduces the buckets exactly).
+    */
   def nearDuplicates(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
@@ -71,7 +103,7 @@ object MinHashLsh {
       explode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |  b -> struct(b AS band,
-           |              xxhash64(concat_ws(',',
+           |              md5(concat_ws(',',
            |                transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand),
            |                          v -> cast(v AS STRING)))) AS bucket))
            |""".stripMargin)).as("bb"))
@@ -96,5 +128,54 @@ object MinHashLsh {
           / size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
       .filter($"jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** DuckDB twin of the full pipeline (shingles → signatures → banding →
+    * candidates → exact-Jaccard verify), re-derived rather than translated:
+    * the same md5-based constants are interpolated into both engines.
+    */
+  def oracleSql: String = {
+    val p = Md5Hash.P
+    val sigCols = Coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS s$i"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
+hashed AS (
+  SELECT doc_id, ${Md5Hash.h32Sql("shingle")} % $p AS h
+  FROM sh),
+sigs AS (
+  SELECT doc_id,
+         $sigCols
+  FROM hashed GROUP BY doc_id),
+banded AS (
+$bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS o
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, o * 1.0 / (sa.n + sb.n - o) AS jaccard
+FROM ov
+JOIN sizes sa ON ov.doc_a = sa.doc_id
+JOIN sizes sb ON ov.doc_b = sb.doc_id
+WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.2
+ORDER BY doc_a, doc_b"""
   }
 }

@@ -42,7 +42,11 @@ object IvfIndex {
       val base = s"${sys.props("java.io.tmpdir")}/graft-ivf/" +
         s"${spark.sparkContext.applicationId}/$safe"
       val (assigned, centroids) = train(spark, dir)
-      assigned.write.mode("overwrite").parquet(s"$base/assigned")
+      // physically partitioned by cell id: a probe's candidate scan prunes to
+      // its nprobe cells' partitions (PlanSpec asserts the PartitionFilters)
+      // instead of reading the whole corpus
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/assigned")
       centroids.write.mode("overwrite").parquet(s"$base/centroids")
       (spark.read.parquet(s"$base/assigned"),
         spark.read.parquet(s"$base/centroids"))

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.Tables
+import graft.functions.Md5Hash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,11 +10,14 @@ import org.apache.spark.sql.functions._
   * neighbors — the scale path next to [[Similarity.bruteForceTopK]].
   *
   * Signature: `Planes` pseudo-random hyperplanes whose components are
-  * hash-derived doubles in [−1, 1] (deterministic — seeded by plane and
-  * dimension index, reproducible across runs and executors with no driver
-  * state or broadcast of plane matrices). Bit p of the signature is
-  * sign(v·h_p). For vectors at angle θ, P[bits agree] = 1 − θ/π — near
-  * duplicates collide with high probability.
+  * md5-derived doubles in [−1, 1): component (p, j) is
+  * `h32("plane<p>:<j>") / 2^31 − 1` with the integer h32 interpolated as a
+  * plan literal (computed once at plan time — NOT per row; round 3 hashed
+  * per (row × plane × dimension), which at a billion vectors re-hashes the
+  * same 256 constants 10¹¹ times) and the division done in-engine, so the
+  * DuckDB oracle reproduces every signature bit-exactly from the same
+  * integers. Bit p of the signature is sign(v·h_p). For vectors at angle θ,
+  * P[bits agree] = 1 − θ/π — near duplicates collide with high probability.
   *
   * Search: corpus is grouped by signature (at scale: written bucketed /
   * partitioned by signature so a probe reads one partition); each probe
@@ -30,20 +34,37 @@ object RandomHyperplaneLsh {
 
   val Planes = 4
 
-  /** v·h_p where h_p[j] = xxhash64("p:j") scaled to [−1,1] — computed inside
-    * the expression, no plane matrix materialized.
+  /** Largest dimension the interpolated oracle supports (testdata is 64);
+    * the Spark side sizes its literal arrays to the actual corpus dim.
     */
-  private def planeDot(emb: String, p: Int): String =
-    s"""aggregate(sequence(0, size($emb) - 1), CAST(0.0 AS DOUBLE),
-       |  (acc, j) -> acc + CAST(element_at($emb, j + 1) AS DOUBLE)
-       |    * (CAST(xxhash64(concat('plane$p:', CAST(j AS STRING))) AS DOUBLE)
-       |       / 9.223372036854775807E18))""".stripMargin
+  val OracleMaxDim = 128
 
-  /** The signature column expression over column `emb`. */
-  def signature(emb: String): Column =
+  /** Hyperplane component integers: h32("plane<p>:<j>") — identical values
+    * on the Scala, Spark, and DuckDB sides by construction.
+    */
+  def planeInts(dim: Int): IndexedSeq[IndexedSeq[Long]] =
+    (0 until Planes).map(p => (0 until dim).map(j =>
+      Md5Hash.md5Int(s"plane$p:$j")))
+
+  /** v·h_p over literal components: zip_with product then strict
+    * left-to-right double accumulation (the oracle-parity summation order).
+    * The literal array constant-folds; only the per-element multiply-add
+    * runs per row.
+    */
+  private def planeDot(emb: String, ints: Seq[Long]): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with($emb, array(${ints.mkString(", ")}),
+         |    (x, c) -> CAST(x AS DOUBLE) * (CAST(c AS DOUBLE) / 2147483648.0 - 1.0)),
+         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  /** The signature column expression over column `emb` of dimension `dim`. */
+  def signature(emb: String, dim: Int): Column = {
+    val planes = planeInts(dim)
     (0 until Planes).map { p =>
-      when(expr(planeDot(emb, p)) > 0, lit(1 << p)).otherwise(lit(0))
+      when(planeDot(emb, planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Signatures at Hamming distance ≤ 1 from `sig` (multi-probe set). */
   private def probeSignatures(sig: Column): Column =
@@ -54,11 +75,13 @@ object RandomHyperplaneLsh {
     import spark.implicits._
     Similarity.register(spark)
     val e = Tables.embeddings(spark, dir)
+    // index-build metadata: one-row scan for the corpus dimensionality
+    val dim = e.select(size($"embedding")).head.getInt(0)
     val corpus = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
-      signature("embedding").as("bucket"))
+      signature("embedding", dim).as("bucket"))
     val probes = e.filter($"vec_id" < Similarity.NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        explode(probeSignatures(signature("embedding"))).as("bucket"))
+        explode(probeSignatures(signature("embedding", dim))).as("bucket"))
     broadcast(probes)
       .join(corpus, "bucket")
       .filter($"query_id" =!= $"neighbor_id")
@@ -70,5 +93,42 @@ object RandomHyperplaneLsh {
       .select($"query_id", $"neighbor_id", $"rank",
         (floor($"cos" * 100 + lit(0.5)) / lit(100.0)).as("cosine_r2"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB twin: same literal plane integers, same in-engine division,
+    * same left-to-right dot accumulation, same multi-probe expansion, then
+    * the proven exact-cosine ranking recipe.
+    */
+  def oracleSql: String = {
+    val planes = planeInts(OracleMaxDim)
+    def dotSql(emb: String, p: Int): String =
+      s"""list_sum(list_transform(range(1, len($emb) + 1),
+         |    i -> CAST($emb[i] AS DOUBLE)
+         |      * ([${planes(p).mkString(", ")}][i] / 2147483648.0 - 1.0)))""".stripMargin
+    val sigSql = (0 until Planes).map { p =>
+      s"CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    val probeBuckets = ("bucket" +: (0 until Planes).map(p =>
+      s"xor(bucket, ${1 << p})")).mkString(", ")
+    s"""WITH sig AS (
+  SELECT vec_id, embedding,
+         $sigSql AS bucket
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         unnest([$probeBuckets]) AS bucket
+  FROM sig WHERE vec_id < ${Similarity.NumProbes}),
+scored AS (
+  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+         ${Similarity.cosSql("p.q_emb", "s.embedding")} AS cos
+  FROM probes p JOIN sig s ON p.bucket = s.bucket AND p.query_id <> s.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ${Similarity.r2("cos")} AS cosine_r2
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank"""
   }
 }

@@ -105,9 +105,10 @@ object Similarity {
       |  i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)))""".stripMargin
   private def dot(a: String, b: String): String =
     dotSql.replace("%A", a).replace("%B", b)
-  private def cosSql(a: String, b: String): String =
+  private[similarity] def cosSql(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  private def r2(x: String): String = s"FLOOR(($x) * 100 + 0.5) / 100.0"
+  private[similarity] def r2(x: String): String =
+    s"FLOOR(($x) * 100 + 0.5) / 100.0"
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_pairs" -> s"""WITH pairs AS (
@@ -121,7 +122,7 @@ ORDER BY vec_a, vec_b""",
     "sim_bruteforce_topk" -> s"""WITH scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          ${cosSql("q.embedding", "n.embedding")} AS cos
-  FROM embeddings q JOIN embeddings n ON q.vec_id < 40 AND q.vec_id <> n.vec_id),
+  FROM embeddings q JOIN embeddings n ON q.vec_id < $NumProbes AND q.vec_id <> n.vec_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -129,7 +130,13 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
 FROM ranked WHERE rank <= 10
-ORDER BY query_id, rank""")
-  // sim_ann_lsh_topk: no oracle (seeded xxhash64 hyperplanes not reproducible
-  // in DuckDB); SimilaritySpec pins its recall against bruteForceTopK.
+ORDER BY query_id, rank""",
+
+    // full-pipeline DuckDB twin (md5-derived hyperplanes — see
+    // RandomHyperplaneLsh scaladoc); SimilaritySpec additionally pins the
+    // never-beats-brute-force recall relationship
+    "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql)
+  // sim_ivf_topk: no oracle — the coarse quantizer is MLlib's distributed
+  // k-means, not reproducible in DuckDB SQL; SimilaritySpec pins candidates
+  // and recall against bruteForceTopK.
 }

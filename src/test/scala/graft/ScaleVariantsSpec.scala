@@ -24,6 +24,24 @@ class ScaleVariantsSpec extends SparkSpec {
     assert(math.abs(apxE - exactE) / exactE < 0.04, s"$apxE vs $exactE")
   }
 
+  test("simhash 16-bit chunks: candidates subset of 8-bit, pigeonhole radius kept") {
+    val c8rows = graft.dedup.SimHash.nearDuplicates(spark, sf).collect()
+    val c8 = c8rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c16rows = graft.dedup.SimHash.nearDuplicates(spark, sf, chunkBits = 16)
+      .collect()
+    val c16 = c16rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a shared 16-bit chunk is two shared 8-bit chunks → strictly coarser
+    assert(c16.subsetOf(c8), s"16-bit candidates must nest: ${c16 -- c8}")
+    // pigeonhole guarantee: with 4 chunks every pair at d <= 3 shares one
+    val d3 = c8rows.filter(_.getInt(2) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d3.subsetOf(c16), s"16-bit chunks missed d<=3 pairs: ${d3 -- c16}")
+    // shared pairs agree on the hamming distance (same fingerprints)
+    val h8 = c8rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    c16rows.foreach(r =>
+      assert(h8((r.getLong(0), r.getLong(1))) == r.getInt(2)))
+  }
+
   test("salted inner join equals the plain join on a skewed key") {
     // skewed left: 90% of lineitem assigned one hot supplier bucket
     val left = Tables.lineitem(spark, sf)

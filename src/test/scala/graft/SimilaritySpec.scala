@@ -76,11 +76,13 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH signatures are deterministic") {
+    val dim = Tables.embeddings(spark, sf)
+      .select(size($"embedding")).head.getInt(0)
     val s1 = Tables.embeddings(spark, sf)
-      .select($"vec_id", RandomHyperplaneLsh.signature("embedding").as("sig"))
+      .select($"vec_id", RandomHyperplaneLsh.signature("embedding", dim).as("sig"))
       .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
     val s2 = Tables.embeddings(spark, sf)
-      .select($"vec_id", RandomHyperplaneLsh.signature("embedding").as("sig"))
+      .select($"vec_id", RandomHyperplaneLsh.signature("embedding", dim).as("sig"))
       .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(s1.sameElements(s2))
     assert(s1.map(_._2).forall(s => s >= 0 && s < (1 << RandomHyperplaneLsh.Planes)))
