@@ -39,18 +39,28 @@ object WindowExtras {
       .orderBy($"user_id", $"ts", $"event_id")
   }
 
-  /** Ranking family: rank / dense_rank / ntile over order totals. */
+  /** Ranking family: rank / dense_rank / ntile / lead over order totals,
+    * PER YEAR. The window partitions on the year so every partition ranks
+    * independently — no global Window.orderBy, which would sort all
+    * surviving rows on a single reducer (the round-3 shape this replaces; at
+    * 100× the data that one task is the job). A truly global rank at scale
+    * is the two-phase form — per-partition rank + offset by the count of
+    * preceding partitions — but the per-time-bucket family is what a
+    * warehouse user actually asks of this data.
+    */
   def rankFamily(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
+    val w = Window.partitionBy($"o_year")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(spark, dir)
       .filter($"o_totalprice" > 400000)
-      .select($"o_orderkey", $"o_totalprice",
+      .select(year($"o_orderdate").as("o_year"), $"o_orderkey", $"o_totalprice")
+      .select($"o_year", $"o_orderkey", $"o_totalprice",
         rank().over(w).as("price_rank"),
         dense_rank().over(w).as("price_dense_rank"),
         ntile(10).over(w).as("decile"),
         lead($"o_orderkey", 1).over(w).as("next_orderkey"))
-      .orderBy($"price_rank")
+      .orderBy($"o_year", $"price_rank")
   }
 
   /** ROLLUP subtotals: encounter counts by (year, quarter) with quarter and
@@ -97,15 +107,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, ts, event_id""",
 
-    "win_rank_family" -> """SELECT o_orderkey, o_totalprice,
+    "win_rank_family" -> """SELECT year(o_orderdate)::INT AS o_year,
+       o_orderkey, o_totalprice,
        rank() OVER w AS price_rank,
        dense_rank() OVER w AS price_dense_rank,
        ntile(10) OVER w AS decile,
        lead(o_orderkey, 1) OVER w AS next_orderkey
 FROM orders
 WHERE o_totalprice > 400000
-WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
-ORDER BY price_rank""",
+WINDOW w AS (PARTITION BY year(o_orderdate)
+             ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_year, price_rank""",
 
     "agg_rollup" -> """SELECT year(o_orderdate)::INT AS y,
        quarter(o_orderdate)::INT AS q,

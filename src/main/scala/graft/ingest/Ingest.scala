@@ -168,22 +168,39 @@ object Ingest {
 
   /** F12: audit-log emission — the reference declares an `audit_log` table
     * with JSONB old/new values that its code never writes
-    * (`sql/01_schema.sql:122-131`); this is that capability: every row the
-    * upsert (S6) would land gets an audit record with the new values as
-    * JSON. `changed_at` is deliberately absent from the checked output
+    * (`sql/01_schema.sql:122-131`); this is that capability, both paths:
+    *
+    *  - INSERT: every row the upsert (S6) would land — `old_values` NULL,
+    *    `new_values` = the landed attributes as JSON;
+    *  - UPDATE: already-staged rows whose incoming copy differs (simulated
+    *    deterministically: every 9th staged event arrives with a corrected
+    *    event_type) — `old_values` carries the prior attributes,
+    *    `new_values` the incoming ones, the reference's JSONB old/new pair.
+    *
+    * `changed_at` is deliberately absent from the checked output
     * (wall-clock is nondeterministic); a real deployment stamps it at the
     * sink.
     */
   def auditLog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    upsertNewKeys(spark, dir)
+    val inserts = upsertNewKeys(spark, dir)
       .select(
         lit("events_staging").as("table_name"),
         lit("INSERT").as("operation"),
         $"event_id".as("record_id"),
         lit("graft_etl").as("changed_by"),
+        lit(null).cast("string").as("old_values"),
         to_json(struct($"user_id", $"event_type")).as("new_values"))
-      .orderBy($"record_id")
+    val updates = Tables.events(spark, dir)
+      .filter(pmod($"event_id", lit(5)) =!= 0 && pmod($"event_id", lit(9)) === 0)
+      .select(
+        lit("events_staging").as("table_name"),
+        lit("UPDATE").as("operation"),
+        $"event_id".as("record_id"),
+        lit("graft_etl").as("changed_by"),
+        to_json(struct($"event_type")).as("old_values"),
+        to_json(struct(lit("corrected").as("event_type"))).as("new_values"))
+    inserts.unionByName(updates).orderBy($"record_id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,10 +218,17 @@ object Ingest {
        'INSERT' AS operation,
        event_id AS record_id,
        'graft_etl' AS changed_by,
+       NULL::VARCHAR AS old_values,
        to_json(struct_pack(user_id := user_id, event_type := event_type))::VARCHAR
          AS new_values
 FROM events
 WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 5 <> 0)
+UNION ALL
+SELECT 'events_staging', 'UPDATE', event_id, 'graft_etl',
+       to_json(struct_pack(event_type := event_type))::VARCHAR,
+       to_json(struct_pack(event_type := 'corrected'))::VARCHAR
+FROM events
+WHERE event_id % 5 <> 0 AND event_id % 9 = 0
 ORDER BY record_id""",
     "etl_staging_dedup_stats" -> """WITH feed AS (
   SELECT * FROM events

@@ -212,14 +212,31 @@ object Warehouse {
     * `populate_warehouse.py` + `refresh_all_warehouse_views()` run
     * (recompute = call again; `overwrite` makes it idempotent, the parquet
     * analog of `ON CONFLICT DO NOTHING` re-runs).
+    *
+    * `partitionFact = true` is the cluster-scale fact layout the scale note
+    * above promises: the fact lands partitioned by `month_key` (yyyyMM of
+    * the encounter date), so date-ranged queries and incremental loads touch
+    * only their months' partitions (WarehouseSpec asserts the pruning). Off
+    * by default at test SFs, where a single parquet file beats many tiny
+    * partition files — partition granularity is itself a scale knob.
     */
-  def materialize(spark: SparkSession, dir: String, workDir: String): Warehouse = {
+  def materialize(spark: SparkSession, dir: String, workDir: String,
+      partitionFact: Boolean = false): Warehouse = {
     val wh = build(spark, dir)
     def mat(name: String, df: DataFrame): DataFrame = {
       val p = s"$workDir/$name"
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
+    def matFact(): DataFrame =
+      if (!partitionFact) mat("fact_encounters", wh.factEncounters)
+      else {
+        val p = s"$workDir/fact_encounters"
+        wh.factEncounters
+          .withColumn("month_key", (col("date_key") / 100).cast("int"))
+          .write.mode("overwrite").partitionBy("month_key").parquet(p)
+        spark.read.parquet(p)
+      }
     // Base tables first; the matviews are then rebuilt FROM the materialized
     // parquet (not the build DAG), so the fact join pipeline runs exactly once
     // — same dependency order as the reference's populate → refresh sequence.
@@ -229,7 +246,7 @@ object Warehouse {
       dimProcedure = mat("dim_procedure", wh.dimProcedure),
       dimDiagnosis = mat("dim_diagnosis", wh.dimDiagnosis),
       dimTime = mat("dim_time", wh.dimTime),
-      factEncounters = mat("fact_encounters", wh.factEncounters),
+      factEncounters = matFact(),
       bridgeProcedure = mat("bridge_encounter_procedure", wh.bridgeProcedure),
       bridgeDiagnosis = mat("bridge_encounter_diagnosis", wh.bridgeDiagnosis),
       mvMonthlyEncounters = null, mvDiagnosisByAgeGroup = null,

@@ -65,6 +65,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe scan prunes the cell-partitioned corpus (dynamic pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = similarity.IvfIndex.topK(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    // the candidate-side scan of the cell-partitioned index must carry a
+    // PartitionFilter on cell (runtime-pruned to the probes' nprobe cells)
+    val pruned = scans.filter(s => s.partitionFilters.exists(
+      _.toString.toLowerCase.contains("cell")))
+    assert(pruned.nonEmpty,
+      s"no cell PartitionFilters; scans: ${scans.map(_.partitionFilters)}")
+    assert(pruned.exists(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning"))),
+      "cell filter should be the runtime (dynamic) pruning of probe cells")
+  }
+
   test("column pruning: a two-column rollup reads only its columns") {
     val s = plan(Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").count()).toString

@@ -82,6 +82,31 @@ class WarehouseSpec extends SparkSpec {
       .count().filter($"count" > 1).count() == 0)
   }
 
+  test("partitioned fact layout: month partitions, same rows, pruned scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val work = java.nio.file.Files.createTempDirectory("graft-whpart").toString
+    val whp = Warehouse.materialize(spark, sf, work, partitionFact = true)
+    // physical layout: one directory per encounter month
+    val dirs = new java.io.File(s"$work/fact_encounters").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("month_key=")), dirs.toSeq)
+    // no rows lost or duplicated vs the flat layout
+    assert(whp.factEncounters.count() == wh.factEncounters.count())
+    assert(whp.factEncounters
+      .filter($"month_key" =!= ($"date_key" / 100).cast("int")).count() == 0)
+    // a month-ranged query reads only its partition (static pruning)
+    val m = whp.factEncounters.select($"month_key").head.getInt(0)
+    val q = whp.factEncounters.filter($"month_key" === m)
+    q.collect()
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"month filter should prune partitions: ${scans.map(_.partitionFilters)}")
+    // and the matviews built over the partitioned fact agree with the flat ones
+    assert(whp.mvMonthlyEncounters.count() == wh.mvMonthlyEncounters.count())
+  }
+
   test("materialize is idempotent (re-run overwrites to the same state)") {
     val work = java.nio.file.Files.createTempDirectory("graft-idem").toString
     val w1 = Warehouse.materialize(spark, sf, work)
