@@ -27,6 +27,9 @@ object Bench {
     dedup.DocIndex.forDir(spark, sfDir)
     dedup.Dedup.pairsForDir(spark, sfDir)
     dedup.MinHashLsh.sigsForDir(spark, sfDir)
+    dedup.SimHash.fpForDir(spark, sfDir)
+    dedup.DupClusters.clusters(spark, sfDir)
+    similarity.IvfIndex.build(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink = full materialization of every output column (count()

@@ -24,7 +24,8 @@ object SparkEntry {
       text.Curate.all ++
       dedup.Dedup.all ++ dedup.DupClusters.all ++ similarity.Similarity.all ++
       multimodal.Multimodal.all ++ sources.Sources.all ++
-      streaming.Sessionize.all ++ analytics.WindowExtras.all
+      streaming.Sessionize.all ++ analytics.WindowExtras.all ++
+      warehouse.Reports.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ ingest.Ingest.oracle ++
@@ -32,5 +33,5 @@ object SparkEntry {
       dedup.DupClusters.oracle ++
       similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++
       sources.Sources.oracle ++ streaming.Sessionize.oracle ++
-      analytics.WindowExtras.oracle
+      analytics.WindowExtras.oracle ++ warehouse.Reports.oracle
 }

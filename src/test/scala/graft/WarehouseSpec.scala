@@ -107,6 +107,20 @@ class WarehouseSpec extends SparkSpec {
     assert(whp.mvMonthlyEncounters.count() == wh.mvMonthlyEncounters.count())
   }
 
+  test("reports entity: one row per document, facility rollup conserves reports") {
+    val dim = warehouse.Reports.dimReport(spark, sf)
+    assert(dim.count() == Tables.documents(spark, sf).count())
+    assert(dim.filter($"impression".isNull || length($"findings") === 0).count() == 0)
+    // every flagged encounter with a landed document appears in exactly one
+    // facility bucket (facility_key is never null for testdata orders)
+    val rolled = warehouse.Reports.textByFacility(spark, sf)
+      .agg(sum($"n_reports")).head().getLong(0)
+    val expected = wh.factEncounters.filter($"has_report")
+      .join(Tables.documents(spark, sf).select($"doc_id"),
+        $"encounter_key" === $"doc_id").count()
+    assert(rolled == expected)
+  }
+
   test("materialize is idempotent (re-run overwrites to the same state)") {
     val work = java.nio.file.Files.createTempDirectory("graft-idem").toString
     val w1 = Warehouse.materialize(spark, sf, work)
