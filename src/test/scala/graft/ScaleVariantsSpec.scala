@@ -42,6 +42,45 @@ class ScaleVariantsSpec extends SparkSpec {
       assert(h8((r.getLong(0), r.getLong(1))) == r.getInt(2)))
   }
 
+  test("bucketed ingest: the order-key join runs with zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the non-broadcast path: the point is big-big shuffle elimination
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      warehouse.Bucketing.writeBucketed(
+        Tables.orders(spark, sf), "orders_bkt", "o_orderkey", 4)
+      warehouse.Bucketing.writeBucketed(
+        Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+        "lineitem_bkt", "l_orderkey", 4)
+      val joined = warehouse.Bucketing.coLocatedOrderJoin(
+        spark, "orders_bkt", "lineitem_bkt")
+      val rows = joined.collect()
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val here = p.collect { case s: ShuffleExchangeExec => s }.size
+        val inner = p.collect {
+          case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        }.sum
+        here + inner
+      }
+      assert(shuffles(joined.queryExecution.executedPlan) == 0,
+        s"bucketed join must not exchange:\n${joined.queryExecution.executedPlan}")
+      // identical result to the plain (shuffling) join
+      val plain = Tables.orders(spark, sf).join(
+          Tables.lineitem(spark, sf).groupBy($"l_orderkey")
+            .agg(count(lit(1)).as("num_procedures"),
+              sum($"l_quantity").as("total_quantity")),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"num_procedures", $"total_quantity")
+      assert(rows.length == plain.count())
+      assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("salted inner join equals the plain join on a skewed key") {
     // skewed left: 90% of lineitem assigned one hot supplier bucket
     val left = Tables.lineitem(spark, sf)
