@@ -106,6 +106,44 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** n-gram Jaccard with a document-frequency cap — the corpus-scale form
+    * of [[ngramJaccard]]. The inverted-index join's fan-out is Σ df² over
+    * shingle document frequencies, so one boilerplate shingle shared by n
+    * docs alone contributes n² candidate rows; capping df at ingest drops
+    * ubiquitous shingles from the CANDIDATE index (the standard trick for
+    * corpora with boilerplate) while the verify still computes exact Jaccard
+    * over the full shingle sets via [[DocIndex]]. Recall trade, explicit and
+    * bounded: only pairs whose every shared shingle is ubiquitous (df >
+    * `dfCap`) can be missed — ScaleVariantsSpec pins the subset/equality
+    * relationships against the uncapped join.
+    */
+  def ngramJaccardCapped(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, dfCap: Long = 1000): DataFrame = {
+    import spark.implicits._
+    val docs = DocIndex.forDir(spark, dir)
+    val inv = docs.select($"doc_id", explode($"sh").as("shingle"))
+    val rare = inv.groupBy($"shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap)
+      .select($"shingle")
+    val capped = inv.join(rare, "shingle")
+    val candidates = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val shB = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")) * lit(1.0)
+          / size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Base threshold of the materialized pair table: the lowest τ any
     * consumer uses, so every consumer's pair set is a filter of this one.
     */

@@ -42,6 +42,23 @@ class ScaleVariantsSpec extends SparkSpec {
       assert(h8((r.getLong(0), r.getLong(1))) == r.getInt(2)))
   }
 
+  test("df-capped jaccard: subset of the uncapped join, exact at high cap") {
+    val exact = graft.dedup.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // cap far above any df on this corpus → identical output
+    val uncapped = graft.dedup.Dedup
+      .ngramJaccardCapped(spark, sf, dfCap = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped == exact)
+    // aggressive cap: candidates shrink but every surviving pair carries the
+    // exact (full-shingle-set) jaccard of the uncapped join
+    val capped = graft.dedup.Dedup
+      .ngramJaccardCapped(spark, sf, dfCap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, j) => assert(j == exact(k)) }
+  }
+
   test("bucketed ingest: the order-key join runs with zero shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
