@@ -30,6 +30,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Md5Hash: Scala md5Int equals the Spark h32 column on arbitrary strings") {
+    // the cross-engine hash base must agree between its Scala form (used for
+    // plan-time constants: hyperplane components, minhash coefficients) and
+    // its Spark column form (used per-row in the signature kernels)
+    val strs = sample(Gen.asciiPrintableStr, 200, 7L)
+      .filter(_.nonEmpty) ++ List("plane0:0", "minhash_a:31", "a b c")
+    val spark_ = strs.toDF("s")
+      .select($"s", functions.Md5Hash.h32($"s").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(spark_(s) == functions.Md5Hash.md5Int(s), s"mismatch on '$s'")
+      assert(spark_(s) >= 0L && spark_(s) < (1L << 32))
+    }
+  }
+
   test("group-min dedup: unique keys, size bound, subset, idempotent (D1)") {
     val feed = sample(Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0, 1000)),
       500, 2L).toDF("k", "v")
