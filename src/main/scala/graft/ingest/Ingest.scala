@@ -203,8 +203,35 @@ object Ingest {
     inserts.unionByName(updates).orderBy($"record_id")
   }
 
+  /** Columns profiled by [[profile]] (the full events staging schema). */
+  private val ProfileCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** D4 generalized: per-column data profile (rows / nulls / exact distinct)
+    * of the staging feed — the ingest-health probe a pipeline runs after
+    * every load. ONE pass: a single wide aggregate row (null counts +
+    * count-distincts computed together; multi-distinct goes through Spark's
+    * expand, ×|columns| map-side rows — the exact form; at corpus scale the
+    * same probe runs approx_count_distinct to drop the expand), then `stack`
+    * pivots the row to long form without re-scanning.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))
+    } :+ count(lit(1)).as("n")
+    val wide = events.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', n, null_$c, dist_$c").mkString(", ")
+    wide.select(expr(
+        s"stack(${ProfileCols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct)"))
+      .orderBy(col("column_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_audit_log" -> (auditLog _),
+    "etl_profile" -> (profile _),
     "etl_staging_dedup_stats" -> (stagingDedupStats _),
     "etl_staging_deduped" -> (stagingDeduped _),
     "etl_cleanse" -> (cleanse _),
@@ -213,7 +240,24 @@ object Ingest {
     "etl_upsert_new_keys" -> (upsertNewKeys _),
     "etl_pipeline_stats" -> (pipelineStats _))
 
+  private val profileOracle: String = {
+    val wideCols = ProfileCols.map { c =>
+      s"""sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_$c,
+         |       count(DISTINCT $c) AS dist_$c""".stripMargin
+    }.mkString(",\n       ")
+    val rows = ProfileCols.map { c =>
+      s"SELECT '$c' AS column_name, n AS n_rows, null_$c AS n_null, dist_$c AS n_distinct FROM w"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+  SELECT count(*)::BIGINT AS n,
+       $wideCols
+  FROM events)
+$rows
+ORDER BY column_name"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_profile" -> profileOracle,
     "etl_audit_log" -> """SELECT 'events_staging' AS table_name,
        'INSERT' AS operation,
        event_id AS record_id,
