@@ -95,6 +95,60 @@ object RandomHyperplaneLsh {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Embedding-space near-duplicate detection at scale — the LSH-bucketed
+    * form of [[Similarity.cosinePairs]]: candidates are the within-bucket
+    * pairs of the signature self-join (≈ n²/2^Planes rows instead of n²),
+    * verified with the exact codegen'd cosine at the SAME τ, so the output
+    * is by construction a subset of the exact pair scan whose surviving
+    * pairs carry identical cosines (SimilaritySpec pins both). Recall is the
+    * S-curve of sign-agreement: vectors at angle θ share all `Planes` bits
+    * with probability (1 − θ/π)^Planes — near-dup pairs (θ→0) essentially
+    * always collide. At a billion vectors the corpus is written partitioned
+    * by bucket and each partition self-joins locally.
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    Similarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size($"embedding")).head.getInt(0)
+    val sigs = e.select($"vec_id", $"embedding",
+      signature("embedding", dim).as("bucket"))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr("graft_cosine(a.embedding, b.embedding)").as("cos"))
+      .filter($"cos" >= threshold)
+      .select($"vec_a", $"vec_b",
+        (floor($"cos" * 100 + lit(0.5)) / lit(100.0)).as("cosine_r2"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** DuckDB twin of [[embeddingNearDups]]. */
+  def embeddingNearDupsOracleSql: String = {
+    val planes = planeInts(OracleMaxDim)
+    def dotSql(emb: String, p: Int): String =
+      s"""list_sum(list_transform(range(1, len($emb) + 1),
+         |    i -> CAST($emb[i] AS DOUBLE)
+         |      * ([${planes(p).mkString(", ")}][i] / 2147483648.0 - 1.0)))""".stripMargin
+    val sigSql = (0 until Planes).map { p =>
+      s"CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH sig AS (
+  SELECT vec_id, embedding,
+         $sigSql AS bucket
+  FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ${Similarity.cosSql("a.embedding", "b.embedding")} AS cos
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, ${Similarity.r2("cos")} AS cosine_r2
+FROM scored WHERE cos >= 0.4
+ORDER BY vec_a, vec_b"""
+  }
+
   /** DuckDB twin: same literal plane integers, same in-engine division,
     * same left-to-right dot accumulation, same multi-probe expansion, then
     * the proven exact-cosine ranking recipe.

@@ -98,7 +98,9 @@ object Similarity {
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.topK(s, d)),
-    "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)))
+    "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)),
+    "dedup_embedding_ann" -> ((s: SparkSession, d: String) =>
+      RandomHyperplaneLsh.embeddingNearDups(s, d)))
 
   private val dotSql =
     """list_sum(list_transform(range(1, len(%A) + 1),
@@ -132,10 +134,11 @@ SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank""",
 
-    // full-pipeline DuckDB twin (md5-derived hyperplanes — see
+    // full-pipeline DuckDB twins (md5-derived hyperplanes — see
     // RandomHyperplaneLsh scaladoc); SimilaritySpec additionally pins the
-    // never-beats-brute-force recall relationship
-    "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql)
+    // never-beats-brute-force / subset-of-exact recall relationships
+    "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql,
+    "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql)
   // sim_ivf_topk: no oracle — the coarse quantizer is MLlib's distributed
   // k-means, not reproducible in DuckDB SQL; SimilaritySpec pins candidates
   // and recall against bruteForceTopK.

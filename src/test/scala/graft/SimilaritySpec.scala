@@ -75,6 +75,21 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids.count() == graft.similarity.IvfIndex.K)
   }
 
+  test("embedding near-dups: subset of the exact pair scan, identical cosines") {
+    val exact = Similarity.cosinePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = RandomHyperplaneLsh.embeddingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // bucketed candidates verify with the same kernel at the same tau:
+    // can only miss, never invent, never disagree on the value
+    assert(ann.keySet.subsetOf(exact.keySet), (ann.keySet -- exact.keySet))
+    ann.foreach { case (k, c) => assert(c == exact(k)) }
+    // near-identical pairs (cos >= 0.9) share all sign bits essentially
+    // always — the pairs an embedding dedup pass must not miss
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    assert(strong.subsetOf(ann.keySet), s"missed: ${strong -- ann.keySet}")
+  }
+
   test("LSH signatures are deterministic") {
     val dim = Tables.embeddings(spark, sf)
       .select(size($"embedding")).head.getInt(0)
