@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of an `array<float>` embedding
+  * with a CONSTANT hyperplane, the signature kernel of the random-hyperplane
+  * LSH family ([[graft.similarity.RandomHyperplaneLsh]]).
+  *
+  * `right` is the md5-derived integer components as a foldable array literal
+  * (`array(hL, ...)`); each is mapped once at plan time to the component
+  * double `h / 2^31 − 1 ∈ [−1, 1)` — the identical exact operations the
+  * DuckDB oracle performs in-engine, so signatures stay bit-reproducible.
+  * Accumulation is double, strictly left-to-right (the cross-engine float
+  * parity order).
+  *
+  * Why a custom `Expression` rather than `aggregate(zip_with(...))`: same
+  * reason as [[CosineSimilarity]] — higher-order functions interpret their
+  * lambda per element outside whole-stage codegen, and the signature is
+  * evaluated `Planes` times per corpus row on every index build; `doGenCode`
+  * emits one fused primitive loop over a referenced `double[]` instead.
+  *
+  * Null if the embedding is null or its length differs from the plane's
+  * (mirrors `zip_with`'s null padding on ragged inputs).
+  */
+case class PlaneDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  // the plane literal folds to a constant; extract + scale it exactly once
+  private lazy val components: Array[Double] =
+    right.eval(null).asInstanceOf[ArrayData].toLongArray()
+      .map(h => h / 2147483648.0 - 1.0)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != components.length) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * components(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("planeComponents", components, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $cs.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * $cs[$i];
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PlaneDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_plane_dot"
+}

@@ -46,17 +46,15 @@ object RandomHyperplaneLsh {
     (0 until Planes).map(p => (0 until dim).map(j =>
       Md5Hash.md5Int(s"plane$p:$j")))
 
-  /** v·h_p over literal components: zip_with product then strict
-    * left-to-right double accumulation (the oracle-parity summation order).
-    * The literal array constant-folds; only the per-element multiply-add
-    * runs per row.
+  /** v·h_p via the native codegen'd [[graft.functions.PlaneDot]] kernel:
+    * the integer components travel as a foldable array literal, are scaled
+    * once at plan time, and the per-row work is one fused primitive loop
+    * with strict left-to-right double accumulation (the oracle-parity
+    * summation order; bit-identical to the interpreted `aggregate(zip_with)`
+    * form it replaces).
     */
   private def planeDot(emb: String, ints: Seq[Long]): Column =
-    expr(
-      s"""aggregate(
-         |  zip_with($emb, array(${ints.mkString(", ")}),
-         |    (x, c) -> CAST(x AS DOUBLE) * (CAST(c AS DOUBLE) / 2147483648.0 - 1.0)),
-         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    expr(s"graft_plane_dot($emb, array(${ints.map(_ + "L").mkString(", ")}))")
 
   /** The signature column expression over column `emb` of dimension `dim`. */
   def signature(emb: String, dim: Int): Column = {

@@ -29,14 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** graft_cosine registered once per session so `expr("graft_cosine(a,b)")`
-    * is usable anywhere (the native-Expression registration path; idempotent).
+  /** graft_cosine / graft_plane_dot registered once per session so
+    * `expr("graft_cosine(a,b)")` is usable anywhere (the native-Expression
+    * registration path; idempotent).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_plane_dot",
+      (args: Seq[Expression]) => graft.functions.PlaneDot(args(0), args(1)),
+      "built-in")
+  }
 
   private def round2(c: org.apache.spark.sql.Column) =
     floor(c * 100 + lit(0.5)) / lit(100.0)

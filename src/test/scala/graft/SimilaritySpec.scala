@@ -91,6 +91,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH signatures are deterministic") {
+    Similarity.register(spark)
     val dim = Tables.embeddings(spark, sf)
       .select(size($"embedding")).head.getInt(0)
     val s1 = Tables.embeddings(spark, sf)
