@@ -119,11 +119,55 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing parameters: character k-grams, window of w gram hashes. */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Rolling-hash document fingerprints, winnowed (Schleimer/Wilkerson/Aiken
+    * MOSS scheme, SIGMOD'03 — public algorithm): hash every character
+    * k-gram of the normalized text, slide a w-hash window, keep each
+    * window's minimum, emit the distinct selected hashes. Guarantees any
+    * shared substring of length ≥ k+w−1 between two documents shares a
+    * selected fingerprint — the partial-overlap detector that whole-text
+    * md5 ([[fingerprint]]) cannot provide. Hashes are [[Md5Hash.h32]] so
+    * the DuckDB oracle reproduces the selection exactly.
+    *
+    * Scale note: per-document map-side work, O(|text|·k) through two HOF
+    * lambdas — fine for the fingerprint-extraction pass of an ingest
+    * pipeline (each doc visited once, output ≪ input); the inner kernel
+    * would move to a native Expression (the [[graft.functions.PlaneDot]]
+    * pattern) if profiling ever put it on a hot path. Docs shorter than
+    * k+w−1 chars emit no fingerprints.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowDf(Tables.documents(spark, dir))
+
+  /** Injection point for the shared-substring spec: winnow any
+    * (doc_id, text) frame.
+    */
+  private[graft] def winnowDf(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      // shorter docs have < w gram hashes — no window, no fingerprints
+      // (also keeps sequence() ascending: sequence(1, 0) counts DOWN)
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1)
+      // materialize gram hashes before the window pass (HOF lambdas
+      // re-evaluate inner subexpressions per element)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(t) - ${WinnowK - 1}),
+           |  i -> cast(conv(substring(md5(substring(t, i, $WinnowK)), 1, 8), 16, 10) AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(hs) - ${WinnowW - 1}),
+           |  j -> array_min(slice(hs, j, $WinnowW)))""".stripMargin))).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_winnow_fingerprints" -> (winnowFingerprints _))
 
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
@@ -166,5 +210,24 @@ FROM documents ORDER BY doc_id"""
     "text_fingerprint" -> """SELECT doc_id,
        md5(lower(trim(text))) AS fingerprint,
        (floor(n_chars / 100) * 100)::BIGINT AS length_bucket
-FROM documents ORDER BY doc_id""")
+FROM documents ORDER BY doc_id""",
+
+    // outer lambda var is g, NOT i — the hex-parse fragment binds i inside
+    "text_winnow_fingerprints" -> s"""WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS t
+  FROM documents
+  WHERE length(lower(trim(text))) >= ${WinnowK + WinnowW - 1}),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) - ${WinnowK - 1} + 1),
+           g -> ${graft.functions.Md5Hash.hexParseSql(s"md5(substr(t, g::INT, $WinnowK))")}) AS hs
+  FROM norm),
+win AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 1} + 1),
+           j -> list_min(hs[j::INT:j::INT + ${WinnowW - 1}]))) AS fps
+  FROM grams)
+SELECT doc_id, unnest(fps) AS fp
+FROM win
+ORDER BY doc_id, fp""")
 }

@@ -45,6 +45,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing: docs sharing a >= k+w-1 substring share a fingerprint") {
+    import graft.text.TextAnalysis.{winnowDf, WinnowK, WinnowW}
+    val shared = "the stolen passage survives winnowing intact"
+    assert(shared.length >= WinnowK + WinnowW - 1)
+    val docs = Seq(
+      (1L, s"alpha preamble text then $shared and an ending"),
+      (2L, s"$shared wrapped in a completely different context body"),
+      (3L, "nothing in common with either neighbor document here"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = winnowDf(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // guarantee: any shared substring of length >= k+w-1 shares a selected
+    // fingerprint (Schleimer et al. theorem 1)
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // sub-(k+w-1) docs emit nothing
+    assert(!fps.contains(4L))
+    // determinism
+    val again = winnowDf(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(again == fps)
+  }
+
   test("group-min dedup: unique keys, size bound, subset, idempotent (D1)") {
     val feed = sample(Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0, 1000)),
       500, 2L).toDF("k", "v")
