@@ -143,22 +143,19 @@ object TextAnalysis {
     winnowDf(Tables.documents(spark, dir))
 
   /** Injection point for the shared-substring spec: winnow any
-    * (doc_id, text) frame.
+    * (doc_id, text) frame. The kernel is the native codegen'd
+    * [[graft.functions.WinnowFingerprints]] (registered here, idempotent);
+    * short docs emit an empty array → explode drops them.
     */
   private[graft] def winnowDf(docs: DataFrame): DataFrame = {
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.WinnowFingerprints(args.head, WinnowK, WinnowW),
+      "built-in")
     docs
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      // shorter docs have < w gram hashes — no window, no fingerprints
-      // (also keeps sequence() ascending: sequence(1, 0) counts DOWN)
-      .filter(length(col("t")) >= WinnowK + WinnowW - 1)
-      // materialize gram hashes before the window pass (HOF lambdas
-      // re-evaluate inner subexpressions per element)
-      .withColumn("hs", expr(
-        s"""transform(sequence(1, length(t) - ${WinnowK - 1}),
-           |  i -> cast(conv(substring(md5(substring(t, i, $WinnowK)), 1, 8), 16, 10) AS BIGINT))""".stripMargin))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""transform(sequence(1, size(hs) - ${WinnowW - 1}),
-           |  j -> array_min(slice(hs, j, $WinnowW)))""".stripMargin))).as("fp"))
+      .select(col("doc_id"), explode(expr("graft_winnow(t)")).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
 
