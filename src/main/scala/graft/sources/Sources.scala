@@ -1,7 +1,8 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Md5Hash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sample/synthetic operators (SURVEY §2.1 S1-S4 + J9) — the
@@ -88,11 +89,202 @@ object Sources {
       .orderBy($"n".desc, $"word")
   }
 
+  // ---------------------------------------------------------------------
+  // S4: Faker-style synthetic VOLUME generator — the reference's
+  // `generate_synthetic_data.py:19-161` (facilities → patients → 1-8
+  // encounters each → 1-3 procedures + 1-2 distinct diagnoses per
+  // encounter, dates over a 2-year window, choices over fixed vocab
+  // lists, facilities = patients/500 per `main()`).
+  //
+  // The reference's row-at-a-time Faker/`random` loop becomes
+  // `spark.range` + md5-derived column expressions: every "choice" is
+  // h32(tag:key) mod |options|, so the generated volume is identical on
+  // every engine, retry, and cluster size — which is what makes a volume
+  // generator USABLE as a distributed source (re-running a failed task
+  // must regenerate the same rows) and lets DuckDB replay the whole
+  // hierarchy for a bit-exact oracle.
+  //
+  // Scale: range sources are embarrassingly parallel (no input, no
+  // shuffle); the per-patient encounter fan-out is bounded (≤8) via
+  // explode(sequence), and the only join is a broadcast of the tiny
+  // facility dimension. Generating 100 TB is `VolumePatients` scaled up —
+  // no architectural change.
+
+  private[graft] val VolumePatients = 2000
+  private[graft] val VolumeFacilities = VolumePatients / 500
+  private val FacilityTypes = Seq("Hospital", "Clinic", "Medical Center", "Urgent Care")
+  private val EncounterTypes = Seq("Inpatient", "Outpatient", "Emergency")
+  private val Modalities = Seq("X-Ray", "CT", "MRI", "Ultrasound")
+  private val Projections = Seq("PA", "AP", "Lateral", "Oblique")
+  // ICD-10 vocabulary from the reference's COMMON_DIAGNOSES
+  // (/root/reference/src/config.py:32-43) — data semantics, codes only.
+  private val DiagnosisCodes = Seq("J18.9", "J98.11", "I50.9", "J81.0",
+    "J44.1", "R91.8", "J96.00", "J18.1", "I27.20", "J84.10")
+
+  /** `random.choice(options)` twin: h32-indexed 1-based list pick. */
+  private def pick(options: Seq[String], h: Column): Column =
+    element_at(array(options.map(lit): _*),
+      (h % options.size).cast("int") + 1)
+
+  /** Patients exploded to encounter grain with the per-encounter derived
+    * counts/choices; facility attrs linked by broadcast join.
+    */
+  private def encounterFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import Md5Hash.h32
+    val facilities = spark.range(VolumeFacilities).select(
+      ($"id" + 1).as("facility_id"),
+      concat(lit("Facility "), $"id" + 1).as("facility_name"),
+      pick(FacilityTypes, h32(concat(lit("ft:"), $"id" + 1))).as("facility_type"))
+    val patients = spark.range(VolumePatients).select(
+      ($"id" + 1).as("patient_id"),
+      (lit(18) + h32(concat(lit("pa:"), $"id" + 1)) % 73).as("age"),
+      pick(Seq("Male", "Female", "Other"),
+        h32(concat(lit("ps:"), $"id" + 1))).as("sex"),
+      (lit(1L) + h32(concat(lit("pe:"), $"id" + 1)) % 8).as("num_encounters"))
+    patients
+      .select($"patient_id", $"age", $"sex",
+        explode(sequence(lit(1L), $"num_encounters")).as("enc_seq"))
+      // dense deterministic surrogate: patient's slot-block + slot
+      .withColumn("encounter_id", ($"patient_id" - 1) * 8 + $"enc_seq")
+      .withColumn("ek", $"encounter_id".cast("string"))
+      .withColumn("facility_id", lit(1L) + h32(concat(lit("ef:"), $"ek")) % VolumeFacilities)
+      .join(broadcast(facilities), "facility_id")
+  }
+
+  /** S4 encounter grain: one row per generated encounter with patient +
+    * facility attributes, a 2-year dated visit, and the encounter's
+    * diagnosis sample (primary always; distinct secondary for the
+    * `random.sample(codes, 2)` case).
+    */
+  def volumeEncounters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import Md5Hash.h32
+    val codes = array(DiagnosisCodes.map(lit): _*)
+    encounterFrame(spark)
+      .withColumn("pidx", h32(concat(lit("d1:"), $"ek")) % 10)
+      .select(
+        $"encounter_id", $"patient_id", $"age", $"sex",
+        date_add(to_date(lit("2022-06-01")),
+          (h32(concat(lit("ed:"), $"ek")) % 731).cast("int")).as("encounter_date"),
+        pick(EncounterTypes, h32(concat(lit("et:"), $"ek"))).as("encounter_type"),
+        $"facility_id", $"facility_name", $"facility_type",
+        (lit(1L) + h32(concat(lit("np:"), $"ek")) % 3).as("num_procedures"),
+        element_at(codes, $"pidx".cast("int") + 1).as("primary_code"),
+        when(h32(concat(lit("nd:"), $"ek")) % 2 === 1,
+          element_at(codes,
+            (($"pidx" + 1 + h32(concat(lit("d2:"), $"ek")) % 9) % 10).cast("int") + 1))
+          .as("secondary_code"))
+      .orderBy($"encounter_id")
+  }
+
+  /** S4 procedure grain: 1-3 imaging procedures per generated encounter,
+    * `'{modality} {projection} Chest'`-named like the reference loop.
+    */
+  def volumeProcedures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import Md5Hash.h32
+    encounterFrame(spark)
+      .withColumn("num_procedures", lit(1L) + h32(concat(lit("np:"), $"ek")) % 3)
+      .select($"encounter_id",
+        explode(sequence(lit(1L), $"num_procedures")).as("proc_seq"))
+      .withColumn("pk", concat($"encounter_id", lit(":"), $"proc_seq"))
+      .withColumn("modality", pick(Modalities, h32(concat(lit("pm:"), $"pk"))))
+      .withColumn("projection", pick(Projections, h32(concat(lit("pp:"), $"pk"))))
+      .select($"encounter_id", $"proc_seq",
+        concat($"modality", lit(" "), $"projection", lit(" Chest")).as("procedure_name"),
+        $"modality", $"projection")
+      .orderBy($"encounter_id", $"proc_seq")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seeded_sample" -> (seededSample _),
     "src_synthetic_events" -> (synthetic _),
     "src_assignment_join" -> (assignmentJoin _),
-    "src_word_frequency" -> (wordFrequency _))
+    "src_word_frequency" -> (wordFrequency _),
+    "src_volume_encounters" -> (volumeEncounters _),
+    "src_volume_procedures" -> (volumeProcedures _))
+
+  /** DuckDB h32 of a VARCHAR expression (shared parity base). */
+  private def H(e: String): String = Md5Hash.h32Sql(e)
+
+  /** The generator hierarchy replayed in DuckDB: same range sources, same
+    * h32-derived choices, same explode (unnest) fan-out.
+    */
+  private def volumeEncSql: String = s"""WITH fac AS (
+  SELECT g + 1 AS facility_id,
+         'Facility ' || (g + 1)::VARCHAR AS facility_name,
+         (['Hospital','Clinic','Medical Center','Urgent Care'])
+           [(${H("'ft:' || (g + 1)::VARCHAR")} % 4)::INT + 1] AS facility_type
+  FROM range($VolumeFacilities) t(g)),
+pts AS (
+  SELECT g + 1 AS patient_id,
+         (18 + ${H("'pa:' || (g + 1)::VARCHAR")} % 73)::BIGINT AS age,
+         (['Male','Female','Other'])
+           [(${H("'ps:' || (g + 1)::VARCHAR")} % 3)::INT + 1] AS sex,
+         (1 + ${H("'pe:' || (g + 1)::VARCHAR")} % 8)::BIGINT AS num_encounters
+  FROM range($VolumePatients) t(g)),
+enc0 AS (
+  SELECT patient_id, age, sex,
+         unnest(range(1, num_encounters + 1)) AS enc_seq
+  FROM pts),
+enc AS (
+  SELECT patient_id, age, sex,
+         (patient_id - 1) * 8 + enc_seq AS encounter_id,
+         ((patient_id - 1) * 8 + enc_seq)::VARCHAR AS ek
+  FROM enc0),
+enc2 AS (
+  SELECT *,
+         (1 + ${H("'ef:' || ek")} % $VolumeFacilities)::BIGINT AS facility_id,
+         (${H("'d1:' || ek")} % 10)::BIGINT AS pidx
+  FROM enc)
+SELECT encounter_id, patient_id, age, sex,
+       DATE '2022-06-01' + (${H("'ed:' || ek")} % 731)::INT AS encounter_date,
+       (['Inpatient','Outpatient','Emergency'])
+         [(${H("'et:' || ek")} % 3)::INT + 1] AS encounter_type,
+       facility_id, facility_name, facility_type,
+       (1 + ${H("'np:' || ek")} % 3)::BIGINT AS num_procedures,
+       (['J18.9','J98.11','I50.9','J81.0','J44.1','R91.8','J96.00','J18.1','I27.20','J84.10'])
+         [pidx::INT + 1] AS primary_code,
+       CASE WHEN ${H("'nd:' || ek")} % 2 = 1 THEN
+         (['J18.9','J98.11','I50.9','J81.0','J44.1','R91.8','J96.00','J18.1','I27.20','J84.10'])
+           [((pidx + 1 + ${H("'d2:' || ek")} % 9) % 10)::INT + 1]
+       END AS secondary_code
+FROM enc2 JOIN fac USING (facility_id)
+ORDER BY encounter_id"""
+
+  private def volumeProcSql: String = s"""WITH pts AS (
+  SELECT g + 1 AS patient_id,
+         (1 + ${H("'pe:' || (g + 1)::VARCHAR")} % 8)::BIGINT AS num_encounters
+  FROM range($VolumePatients) t(g)),
+enc0 AS (
+  SELECT patient_id, unnest(range(1, num_encounters + 1)) AS enc_seq FROM pts),
+enc AS (
+  SELECT (patient_id - 1) * 8 + enc_seq AS encounter_id,
+         ((patient_id - 1) * 8 + enc_seq)::VARCHAR AS ek
+  FROM enc0),
+enc2 AS (
+  SELECT encounter_id,
+         (1 + ${H("'np:' || ek")} % 3)::BIGINT AS num_procedures
+  FROM enc),
+proc0 AS (
+  SELECT encounter_id, unnest(range(1, num_procedures + 1)) AS proc_seq FROM enc2),
+proc AS (
+  SELECT encounter_id, proc_seq,
+         encounter_id::VARCHAR || ':' || proc_seq::VARCHAR AS pk
+  FROM proc0),
+named AS (
+  SELECT encounter_id, proc_seq,
+         (['X-Ray','CT','MRI','Ultrasound'])
+           [(${H("'pm:' || pk")} % 4)::INT + 1] AS modality,
+         (['PA','AP','Lateral','Oblique'])
+           [(${H("'pp:' || pk")} % 4)::INT + 1] AS projection
+  FROM proc)
+SELECT encounter_id, proc_seq,
+       modality || ' ' || projection || ' Chest' AS procedure_name,
+       modality, projection
+FROM named
+ORDER BY encounter_id, proc_seq"""
 
   val oracle: Map[String, String] = Map(
     "src_seeded_sample" -> """SELECT event_id, ts, user_id, event_type, value
@@ -127,5 +319,8 @@ ORDER BY event_id""",
 FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
       FROM documents)
 GROUP BY word
-ORDER BY n DESC, word""")
+ORDER BY n DESC, word""",
+
+    "src_volume_encounters" -> volumeEncSql,
+    "src_volume_procedures" -> volumeProcSql)
 }

@@ -47,6 +47,33 @@ class SourcesSpec extends SparkSpec {
     assert(totalWords == tokenTotal)
   }
 
+  test("S4 volume generator: hierarchy bounds, distinct diagnoses, determinism") {
+    val enc = Sources.volumeEncounters(spark, sf)
+    val rows = enc.collect()
+    // patient grain: 1-8 encounters each, every patient present
+    val perPatient = enc.groupBy($"patient_id").count().collect()
+    assert(perPatient.length == Sources.VolumePatients)
+    assert(perPatient.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 8))
+    // reference domains: age 18-90, 2-year date window, distinct sample(2)
+    assert(rows.forall { r =>
+      val age = r.getAs[Long]("age"); age >= 18 && age <= 90
+    })
+    assert(rows.forall { r =>
+      val sec = r.getAs[String]("secondary_code")
+      sec == null || sec != r.getAs[String]("primary_code")
+    })
+    // procedures: fan-out matches the encounter's declared count
+    val procs = Sources.volumeProcedures(spark, sf)
+      .groupBy($"encounter_id").count()
+    val joined = enc.select($"encounter_id", $"num_procedures")
+      .join(procs, "encounter_id")
+    assert(joined.count() == rows.length)
+    assert(joined.filter($"num_procedures" =!= $"count").count() == 0)
+    // retry-safety: regeneration is bit-identical
+    val again = Sources.volumeEncounters(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("S5 sinks: csv and json roundtrip; parquet partitioned write prunes") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
