@@ -91,13 +91,54 @@ object WindowExtras {
       .orderBy($"user_bucket")
   }
 
+  /** Approximate aggregates — the 100 TB scale path for the exact
+    * COUNT(DISTINCT) family (A2). An exact distinct count shuffles every
+    * distinct (group, key) pair; HyperLogLog++ / quantile sketches are
+    * fixed-width partial aggregates (map-side combine, one small sketch row
+    * per group through the shuffle), which is what turns a 100 TB distinct
+    * count from a shuffle explosion into a scan.
+    *
+    * Verification: sketches aren't reproducible across engines, so the
+    * checked output carries the exact values plus booleans asserting each
+    * sketch landed within its documented error (rsd 1 % → 5 % bound with an
+    * absolute-1 floor; approx median within 0.5 of the exact interpolated
+    * median — the value grid is 0.01-spaced, so the discrete-vs-interpolated
+    * gap is ≪ that). The DuckDB oracle recomputes the exact side and pins
+    * the contract columns to TRUE: the accuracy contract itself is what
+    * gets hash-checked.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users_exact"),
+        approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("p50_approx"))
+      .select($"event_type", $"n_events", $"n_users_exact",
+        (abs($"n_users_approx" - $"n_users_exact") <=
+          greatest($"n_users_exact" * 0.05, lit(1.0))).as("approx_distinct_ok"),
+        (abs($"p50_approx" - $"p50_exact") <= 0.5).as("p50_ok"))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_stats" -> (approxStats _),
     "win_moving_avg" -> (movingAvg _),
     "win_rank_family" -> (rankFamily _),
     "agg_rollup" -> (rollupCounts _),
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
   val oracle: Map[String, String] = Map(
+    "agg_approx_stats" -> """SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users_exact,
+       true AS approx_distinct_ok,
+       true AS p50_ok
+FROM events GROUP BY event_type ORDER BY event_type""",
+
     "win_moving_avg" -> """SELECT user_id, ts, event_id,
        (sum(value::DECIMAL(12,2)) OVER w)::DOUBLE / (count(*) OVER w) AS moving_avg,
        (sum(value::DECIMAL(12,2)) OVER w)::DOUBLE AS moving_sum,

@@ -112,6 +112,59 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Resized payload leaving the resize kernel. */
+  final case class MediaResized(doc_id: Long, media_type: String,
+      n_bytes: Int, cells: Array[Float])
+
+  /** Resize through the same per-partition kernel boundary: area-style
+    * downsample of the payload to a fixed 16-cell grid — cell j averages
+    * the bytes whose position maps to it (nearest-neighbor binning,
+    * `p * 16 / n`). The real-codec analog is thumbnail resize: output width
+    * is constant regardless of input size, so downstream row width (and
+    * shuffle volume) is fixed no matter how large the media payload.
+    * Cells a too-short payload never touches stay 0, like letterboxing.
+    *
+    * Float parity with the oracle: byte sums stay < 2^24 (exact in
+    * float32), and the single float32 division is the same IEEE op in both
+    * engines, so the widened DOUBLE output is bit-identical.
+    */
+  private[graft] def resizeKernel(it: Iterator[MediaIn]): Iterator[MediaResized] = {
+    it.map { m =>
+      val n = m.media.length
+      val sums = new Array[Long](16)
+      val counts = new Array[Long](16)
+      var i = 0
+      while (i < n) {
+        val c = (i.toLong * 16 / n).toInt
+        sums(c) += (m.media(i) & 0xff)
+        counts(c) += 1
+        i += 1
+      }
+      val cells = new Array[Float](16)
+      var j = 0
+      while (j < 16) {
+        cells(j) = sums(j).toFloat / math.max(counts(j), 1L).toFloat
+        j += 1
+      }
+      MediaResized(m.doc_id, m.media_type, n, cells)
+    }
+  }
+
+  /** Driver-checkable resize (scalar r00..r15 doubles, like
+    * [[featurizeChecked]]).
+    */
+  def resizeChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = (0 until 16).map(i =>
+      element_at($"cells", i + 1).cast("double").as(f"r$i%02d"))
+    mediaTable(spark, dir)
+      .as[MediaIn]
+      .mapPartitions(resizeKernel _)
+      .toDF()
+      .select(Seq($"doc_id", $"media_type", $"n_bytes") ++ r: _*)
+      .orderBy($"doc_id")
+  }
+
   /** Frame sampling: slice the payload into fixed 256-byte frames and keep
     * every 4th (the video-keyframe analog). posexplode keeps the lineage
     * columnar; at scale the slice bound keeps row width fixed.
@@ -134,6 +187,7 @@ object Multimodal {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (metadata _),
     "mm_featurize" -> (featurizeChecked _),
+    "mm_resize" -> (resizeChecked _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)))
 
   // DuckDB cannot slice BLOBs, but this corpus is pure ASCII (asserted by
@@ -158,6 +212,34 @@ FROM documents ORDER BY doc_id""",
 SELECT doc_id, media_type, frame_idx::INT AS frame_idx, frame_bytes
 FROM frames WHERE frame_idx % 4 = 0
 ORDER BY doc_id, frame_idx""",
+
+    // Resize twin: positional chars via range-unnest (string_split loses
+    // position), binned by p*16//n; sums < 2^24 keep float32 exact, so the
+    // FLOAT division then DOUBLE widen matches the kernel bit-for-bit.
+    "mm_resize" -> ("""WITH chars AS (
+  SELECT doc_id,
+         ((p * 16) // octet_length(encode(text))) AS cell,
+         ascii(substring(text, p::INT + 1, 1)) AS b
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, octet_length(encode(text)))) AS p)
+  WHERE text <> ''
+), grid AS (
+  SELECT doc_id,
+""" + (0 until 16).map(c =>
+      s"    SUM(CASE WHEN cell = $c THEN b END) AS s$c,\n" +
+      s"    COUNT(CASE WHEN cell = $c THEN 1 END) AS c$c").mkString(",\n") +
+      """
+  FROM chars GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_type,
+  octet_length(encode(d.text))::INT AS n_bytes,
+""" + (0 until 16).map(c =>
+      s"  (COALESCE(g.s$c, 0)::FLOAT / GREATEST(COALESCE(g.c$c, 0), 1)::FLOAT)::DOUBLE AS r${"%02d".format(c)}").mkString(",\n") +
+      """
+FROM documents d LEFT JOIN grid g USING (doc_id)
+ORDER BY d.doc_id"""),
 
     // The decode stub's 16-bin high-nibble byte histogram IS
     // SQL-expressible over this pure-ASCII corpus: per-char unnest, bin by

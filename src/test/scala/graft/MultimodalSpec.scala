@@ -51,6 +51,30 @@ class MultimodalSpec extends SparkSpec {
     assert(docsWithFrame0.size == Tables.documents(spark, sf).count())
   }
 
+  test("resize kernel: fixed grid, block means, letterboxed short payloads") {
+    // 32 bytes of value 10 then 32 of value 30: halves resolve to two bands
+    val bytes = Array.fill[Byte](32)(10) ++ Array.fill[Byte](32)(30)
+    val out = Multimodal.resizeKernel(
+      Iterator(MediaIn(1L, bytes, "image"))).toList.head
+    assert(out.cells.length == 16 && out.n_bytes == 64)
+    assert(out.cells.take(8).forall(_ == 10f) && out.cells.drop(8).forall(_ == 30f))
+    // payload shorter than the grid: untouched cells stay 0 (letterbox)
+    val short = Multimodal.resizeKernel(
+      Iterator(MediaIn(2L, Array[Byte](100, 100), "audio"))).toList.head
+    assert(short.cells.count(_ != 0f) == 2)
+    assert(short.cells.forall(c => c == 0f || c == 100f))
+    // distributed path: fixed width, byte-range domain, deterministic
+    val df = Multimodal.resizeChecked(spark, sf)
+    val rows = df.collect()
+    assert(df.columns.length == 3 + 16)
+    val cellCols = df.columns.filter(_.startsWith("r"))
+    assert(rows.forall(r => cellCols.forall { c =>
+      val v = r.getAs[Double](c); v >= 0.0 && v <= 255.0
+    }))
+    assert(rows.map(_.toString).sameElements(
+      Multimodal.resizeChecked(spark, sf).collect().map(_.toString)))
+  }
+
   test("corpus is pure ASCII (precondition for the VARCHAR-based oracle)") {
     // the DuckDB oracle slices VARCHAR (it cannot slice BLOBs); equality of
     // byte length and char length over the whole corpus is the precondition

@@ -67,6 +67,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx aggregates: sketches land within documented error of exact") {
+    val rows = graft.analytics.WindowExtras.approxStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_distinct_ok")))
+    assert(rows.forall(_.getAs[Boolean]("p50_ok")))
+    // raw sketch error (the checked query exports only the contract bools)
+    val raw = Tables.events(spark, sf).groupBy($"event_type").agg(
+      countDistinct($"user_id").as("e"),
+      approx_count_distinct($"user_id", 0.01).as("a")).collect()
+    assert(raw.forall { r =>
+      math.abs(r.getAs[Long]("a") - r.getAs[Long]("e")) <=
+        math.max(r.getAs[Long]("e") * 0.05, 1.0)
+    })
+  }
+
   test("readme record counts: all four entity tables non-empty (U1)") {
     val counts = Queries.readmeRecordCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
