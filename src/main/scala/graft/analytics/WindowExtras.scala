@@ -43,10 +43,8 @@ object WindowExtras {
     * PER YEAR. The window partitions on the year so every partition ranks
     * independently — no global Window.orderBy, which would sort all
     * surviving rows on a single reducer (the round-3 shape this replaces; at
-    * 100× the data that one task is the job). A truly global rank at scale
-    * is the two-phase form — per-partition rank + offset by the count of
-    * preceding partitions — but the per-time-bucket family is what a
-    * warehouse user actually asks of this data.
+    * 100× the data that one task is the job). When a truly global rank is
+    * needed, use the two-phase [[globalRank]] below.
     */
   def rankFamily(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -61,6 +59,52 @@ object WindowExtras {
         ntile(10).over(w).as("decile"),
         lead($"o_orderkey", 1).over(w).as("next_orderkey"))
       .orderBy($"o_year", $"price_rank")
+  }
+
+  /** Global rank WITHOUT a global window — the two-phase form the
+    * [[rankFamily]] scaladoc names. `ROW_NUMBER() OVER (ORDER BY ...)` with
+    * no partition funnels every row through one reducer (the task that IS
+    * the job at 100 TB); instead:
+    *
+    *   1. bucket rows into ordered value bands of the rank key (band
+    *      boundaries from a one-row min/max aggregate — a pure function of
+    *      the row, unlike `repartitionByRange`, whose sampled boundaries
+    *      can differ between the count job and the rank job and silently
+    *      misalign the offsets),
+    *   2. rank locally inside each band (window partitioned on the band),
+    *   3. add each band's global offset (= rows in earlier bands): one
+    *      count per band, cumulated driver-side over the band ids — the
+    *      same bounded-driver pattern as DupClusters' convergence count —
+    *      and joined back by broadcast.
+    *
+    * local rank + preceding-band count is the row's position in the total
+    * order for ANY ordered non-overlapping banding, and the (price,
+    * orderkey) key is unique, so the result equals a plain global
+    * ROW_NUMBER — which is what makes it oracle-checkable. Bands are 4×
+    * the shuffle parallelism; a skewed key would need salted sub-bands
+    * ([[graft.functions.SkewJoin]]'s trick) but stays correct regardless.
+    */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select($"o_orderkey", $"o_totalprice")
+    val mm = base.agg(min($"o_totalprice"), max($"o_totalprice")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val nb = spark.sessionState.conf.numShufflePartitions * 4
+    val width = math.max((hi - lo) / nb, java.lang.Double.MIN_VALUE)
+    // descending bands: band 0 holds the highest prices
+    val banded = base.withColumn("band",
+      least(floor((lit(hi) - $"o_totalprice") / width), lit(nb - 1)).cast("int"))
+    val w = Window.partitionBy($"band").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val local = banded.withColumn("local_rn", row_number().over(w))
+    val counts = banded.groupBy($"band").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nb).map { b =>
+      (b, (0 until b).map(q => counts.getOrElse(q, 0L)).sum)
+    }.toDF("band", "offset")
+    local.join(broadcast(offsets), "band")
+      .select($"o_orderkey", $"o_totalprice",
+        ($"local_rn" + $"offset").as("global_rank"))
+      .orderBy($"global_rank")
   }
 
   /** ROLLUP subtotals: encounter counts by (year, quarter) with quarter and
@@ -128,6 +172,7 @@ object WindowExtras {
     "agg_approx_stats" -> (approxStats _),
     "win_moving_avg" -> (movingAvg _),
     "win_rank_family" -> (rankFamily _),
+    "win_global_rank" -> (globalRank _),
     "agg_rollup" -> (rollupCounts _),
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
@@ -159,6 +204,11 @@ WHERE o_totalprice > 400000
 WINDOW w AS (PARTITION BY year(o_orderdate)
              ORDER BY o_totalprice DESC, o_orderkey)
 ORDER BY o_year, price_rank""",
+
+    "win_global_rank" -> """SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rank
+FROM orders
+ORDER BY global_rank""",
 
     "agg_rollup" -> """SELECT year(o_orderdate)::INT AS y,
        quarter(o_orderdate)::INT AS q,

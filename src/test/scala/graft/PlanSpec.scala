@@ -21,8 +21,12 @@ class PlanSpec extends SparkSpec {
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)
+    // AdaptiveSparkPlanExec and QueryStageExec wrap their real subplans as
+    // non-child fields, so plain collect() stops at them — descend manually
     val inner = p.collect {
       case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)(pf)
     }.flatten
     here ++ inner
   }
@@ -81,6 +85,48 @@ class PlanSpec extends SparkSpec {
     assert(pruned.exists(_.partitionFilters.exists(
       _.toString.toLowerCase.contains("dynamicpruning"))),
       "cell filter should be the runtime (dynamic) pruning of probe cells")
+  }
+
+  test("global rank runs per-band, never a global window sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = analytics.WindowExtras.globalRank(spark, sf)
+    val windows = collectAll(plan(df)) { case w: WindowExec => w }
+    assert(windows.nonEmpty, "two-phase rank still uses a (partitioned) window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "no window may have an empty partition spec (single-reducer sort)")
+    // and the result equals the single-window form
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val oneWindow = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey")))
+          .cast("bigint").as("global_rank"))
+    assert(df.except(oneWindow).isEmpty && oneWindow.except(df).isEmpty)
+  }
+
+  test("volume generator shuffles nothing except the facility broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = plan(sources.Sources.volumeEncounters(spark, sf))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    // the only exchange allowed is the final presentation orderBy's range
+    // partitioning — generation itself is map-side over the range source
+    assert(shuffles.forall(_.outputPartitioning.toString
+      .toLowerCase.contains("range")),
+      s"generation must not hash-shuffle: ${shuffles.map(_.outputPartitioning)}")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "facility dimension must broadcast")
+  }
+
+  test("winnow fingerprint kernel runs inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = text.TextAnalysis.winnowFingerprints(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val codegenWithKernel = collectAll(df.queryExecution.executedPlan) {
+      case w: WholeStageCodegenExec if w.toString.contains("graft_winnow") => w
+    }
+    assert(codegenWithKernel.nonEmpty,
+      "graft_winnow must run inside a WholeStageCodegen span")
   }
 
   test("column pruning: a two-column rollup reads only its columns") {
