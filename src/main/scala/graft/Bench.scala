@@ -30,6 +30,14 @@ object Bench {
     dedup.SimHash.fpForDir(spark, sfDir)
     dedup.DupClusters.clusters(spark, sfDir)
     similarity.IvfIndex.build(spark, sfDir)
+    // session warmup: one untimed full read of each hot base table so the
+    // alphabetically-first timed query isn't charged the session's one-off
+    // costs (first job scheduling, codegen compiler init, parquet
+    // decompression paths) — at sf0.1 this mis-attributed ~8 s to
+    // agg_approx_stats while its warm cost is ~1 s
+    for (t <- Seq(Tables.events _, Tables.documents _, Tables.orders _,
+        Tables.lineitem _))
+      t(spark, sfDir).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink = full materialization of every output column (count()

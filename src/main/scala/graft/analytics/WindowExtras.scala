@@ -121,6 +121,38 @@ object WindowExtras {
       .orderBy($"g_y", $"g_q", $"y", $"q")
   }
 
+  /** CUBE: every grouping-set combination of (year, order status) —
+    * subtotals along both axes plus the grand total, with GROUPING()
+    * markers (the full-lattice sibling of [[rollupCounts]]).
+    */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("y"), $"o_orderstatus".as("status"))
+      .cube($"y", $"status")
+      .agg(count(lit(1)).as("n"),
+        grouping($"y").cast("int").as("g_y"),
+        grouping($"status").cast("int").as("g_s"))
+      .orderBy($"g_y", $"g_s", $"y", $"status")
+  }
+
+  /** INTERSECT / EXCEPT set semantics (distinct forms), tagged and stacked
+    * into one frame: users who both click and purchase, and users who click
+    * but never purchase. Set ops hash-shuffle on the full row — fine here
+    * (the operands are already-distinct key sets, the shape to keep at
+    * scale: dedup BEFORE the set op, not after).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click").select($"user_id").distinct()
+    val buys = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+    clicks.intersect(buys).withColumn("set_op", lit("intersect"))
+      .unionByName(clicks.except(buys).withColumn("set_op", lit("except")))
+      .select($"set_op", $"user_id")
+      .orderBy($"set_op", $"user_id")
+  }
+
   /** Pivot: per-user-bucket event-type counts as columns (explicit value
     * list so the output schema is fixed).
     */
@@ -174,6 +206,8 @@ object WindowExtras {
     "win_rank_family" -> (rankFamily _),
     "win_global_rank" -> (globalRank _),
     "agg_rollup" -> (rollupCounts _),
+    "agg_cube" -> (cubeCounts _),
+    "setops_intersect_except" -> (setOps _),
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
   val oracle: Map[String, String] = Map(
@@ -218,6 +252,26 @@ ORDER BY global_rank""",
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
 ORDER BY g_y, g_q, y, q""",
+
+    "agg_cube" -> """SELECT year(o_orderdate)::INT AS y,
+       o_orderstatus AS status,
+       count(*)::BIGINT AS n,
+       (CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN 1 ELSE 0 END) AS g_y,
+       (CASE WHEN GROUPING(o_orderstatus) = 1 THEN 1 ELSE 0 END) AS g_s
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+ORDER BY g_y, g_s, y, status""",
+
+    "setops_intersect_except" -> """SELECT 'intersect' AS set_op, user_id
+FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'except' AS set_op, user_id
+FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+ORDER BY set_op, user_id""",
 
     "agg_pivot_event_types" -> """SELECT user_id % 10 AS user_bucket,
        count(*) FILTER (event_type = 'click')::BIGINT AS click,

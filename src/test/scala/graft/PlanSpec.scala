@@ -129,6 +129,15 @@ class PlanSpec extends SparkSpec {
       "graft_winnow must run inside a WholeStageCodegen span")
   }
 
+  test("salted skew join executes as a shuffled hash join, not broadcast") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val p = plan(functions.SkewJoin.skewedTypeJoin(spark, sf))
+    assert(collectAll(p) { case j: ShuffledHashJoinExec => j }.nonEmpty,
+      "the demo must exercise the shuffle path salting exists for")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "a broadcast join would sidestep the skew being demonstrated")
+  }
+
   test("column pruning: a two-column rollup reads only its columns") {
     val s = plan(Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").count()).toString
