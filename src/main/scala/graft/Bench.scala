@@ -38,6 +38,18 @@ object Bench {
     for (t <- Seq(Tables.events _, Tables.documents _, Tables.orders _,
         Tables.lineitem _))
       t(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // ... and the heavyweight aggregate codegen paths (multi-distinct
+    // Expand, exact percentile, HLL sketch) on a 1k-row range, so the
+    // first timed aggregate isn't charged their one-off compilation
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000)
+        .selectExpr("id % 5 AS k", "CAST(id AS DOUBLE) AS v", "id % 97 AS u")
+        .groupBy("k")
+        .agg(countDistinct(col("u")), approx_count_distinct(col("u"), 0.01),
+          expr("percentile(v, 0.5)"), percentile_approx(col("v"), lit(0.5), lit(10000)))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink = full materialization of every output column (count()

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library entry point for SQL users: the graft native functions, installed
+  * at session build time via the standard extensions mechanism —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions())`. After
+  * that, `SELECT graft_cosine(a, b)` / `graft_plane_dot(v, id)` /
+  * `graft_winnow(text)` work from plain SQL with no Scala imports — the
+  * route a mixed SQL/Scala team consumes a function library through.
+  *
+  * The operator modules also self-register these names lazily
+  * (`Similarity.register`, `TextAnalysis.winnowDf`) so the DataFrame API
+  * needs no session configuration; both paths bind the same Expression
+  * classes, so plans are identical either way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) for every native graft Expression. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
+        "graft_cosine"),
+      (args: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("graft_plane_dot"),
+      new ExpressionInfo(classOf[graft.functions.PlaneDot].getName,
+        "graft_plane_dot"),
+      (args: Seq[Expression]) =>
+        graft.functions.PlaneDot(args(0), args(1))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
+        "graft_winnow"),
+      (args: Seq[Expression]) =>
+        graft.functions.WinnowFingerprints(args.head,
+          text.TextAnalysis.WinnowK, text.TextAnalysis.WinnowW)))
+}

@@ -121,6 +121,39 @@ object WindowExtras {
       .orderBy($"g_y", $"g_q", $"y", $"q")
   }
 
+  /** As-of join (attribution): each purchase matched to the user's latest
+    * click at-or-before it. Spark has no native ASOF JOIN; the scalable
+    * composition is NO join at all — tag both sides, union, and take a
+    * running `last(click, ignoreNulls)` over a per-user time window: one
+    * shuffle on user_id, state bounded to one row per event, versus the
+    * range-join form whose per-user candidate fan-out is quadratic in
+    * events-per-user. At equal timestamps the click sorts first (tag
+    * ordering), matching ASOF's `>=` bound; clicks are pre-collapsed to one
+    * per (user, ts) — max event_id — so tie resolution is deterministic on
+    * both engines (DuckDB's ASOF keys on ts alone and would otherwise pick
+    * an arbitrary same-ts click).
+    */
+  def asofClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", lit(0).as("tag"), $"click_id",
+        $"ts".as("click_ts"), lit(null).cast("bigint").as("event_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("tag"),
+        lit(null).cast("bigint").as("click_id"),
+        lit(null).cast("timestamp").as("click_ts"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("prior_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("prior_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id", $"ts", $"prior_click_id", $"prior_click_ts")
+      .orderBy($"event_id")
+  }
+
   /** CUBE: every grouping-set combination of (year, order status) —
     * subtotals along both axes plus the grand total, with GROUPING()
     * markers (the full-lattice sibling of [[rollupCounts]]).
@@ -185,14 +218,20 @@ object WindowExtras {
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy($"event_type")
-      .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct($"user_id").as("n_users_exact"),
-        approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
-        expr("percentile(value, 0.5)").as("p50_exact"),
-        percentile_approx($"value", lit(0.5), lit(10000)).as("p50_approx"))
+    val ev = Tables.events(spark, dir)
+    // two single-purpose aggregates joined on the tiny group key, NOT one
+    // combined agg: mixing a distinct aggregate with the sketch/percentile
+    // buffers makes Catalyst Expand-duplicate every input row through the
+    // wide buffers (measured 3× slower at sf0.1) — and each split scan
+    // prunes to just its own column
+    val distincts = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct($"user_id").as("n_users_exact"),
+      approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+    val percentiles = ev.groupBy($"event_type").agg(
+      expr("percentile(value, 0.5)").as("p50_exact"),
+      percentile_approx($"value", lit(0.5), lit(10000)).as("p50_approx"))
+    distincts.join(broadcast(percentiles), "event_type")
       .select($"event_type", $"n_events", $"n_users_exact",
         (abs($"n_users_approx" - $"n_users_exact") <=
           greatest($"n_users_exact" * 0.05, lit(1.0))).as("approx_distinct_ok"),
@@ -207,6 +246,7 @@ object WindowExtras {
     "win_global_rank" -> (globalRank _),
     "agg_rollup" -> (rollupCounts _),
     "agg_cube" -> (cubeCounts _),
+    "join_asof_attribution" -> (asofClickAttribution _),
     "setops_intersect_except" -> (setOps _),
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
@@ -261,6 +301,17 @@ ORDER BY g_y, g_q, y, q""",
 FROM orders
 GROUP BY CUBE (year(o_orderdate), o_orderstatus)
 ORDER BY g_y, g_s, y, status""",
+
+    "join_asof_attribution" -> """WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_id AS prior_click_id, c.ts AS prior_click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id""",
 
     "setops_intersect_except" -> """SELECT 'intersect' AS set_op, user_id
 FROM (SELECT user_id FROM events WHERE event_type = 'click'

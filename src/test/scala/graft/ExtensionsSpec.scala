@@ -1,0 +1,26 @@
+package graft
+
+/** The SparkSessionExtensions entry point: functions injected at session
+  * build time must resolve from plain SQL with no manual registration call
+  * (TestSpark builds with `.withExtensions(new GraftExtensions())`).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("extension-installed functions are SQL-visible without registration") {
+    val c = spark.sql(
+      "SELECT graft_cosine(array(float(3.0), float(4.0)), " +
+        "array(float(3.0), float(4.0))) AS c").head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+
+    // components h/2^31 - 1: 2147483648 -> 0.0, 0 -> -1.0; dot = 0.0
+    val d = spark.sql(
+      "SELECT graft_plane_dot(array(float(1.0), float(0.0)), " +
+        "array(bigint(2147483648), bigint(0))) AS d").head().getDouble(0)
+    assert(d == 0.0)
+
+    val fps = spark.sql(
+      "SELECT size(graft_winnow('abcdefghijklmnopqrstuvwxyz')) AS n")
+      .head().getInt(0)
+    assert(fps > 0)
+  }
+}
