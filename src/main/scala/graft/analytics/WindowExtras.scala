@@ -154,6 +154,63 @@ object WindowExtras {
       .orderBy($"event_id")
   }
 
+  /** Heavy hitters via Count-Min sketch beside their exact twin. The CMS is
+    * built distributed (one merge-commutative sketch per partition, fixed
+    * seed → deterministic for any partition arrangement); only the fixed-
+    * width sketch and the 10 top-k rows touch the driver. The contract the
+    * oracle hash-checks: CMS never under-counts, and over-counts by at most
+    * eps·N with the configured confidence — `est ∈ [n_exact, n_exact +
+    * eps·N]`. At 100 TB the sketch replaces the exact per-key count's
+    * shuffle with a scan + tiny merge, the same trade as
+    * [[approxStats]]'s HLL.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val eps = 0.001
+    val total = ev.count()
+    val cms = ev.stat.countMinSketch("user_id", eps, 0.99, 42)
+    val topk = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"user_id").limit(10).collect()
+    topk.toSeq.map { r =>
+      val u = r.getLong(0)
+      val n = r.getLong(1)
+      val est = cms.estimateCount(u)
+      (u, n, est >= n && est <= n + (eps * total).toLong)
+    }.toDF("user_id", "n_exact", "cms_ok")
+      .orderBy($"n_exact".desc, $"user_id")
+  }
+
+  /** Banded range join: events classified into value TIERS (disjoint
+    * [lo, hi) intervals that don't align to any convenient modulus). The
+    * naive `point BETWEEN lo AND hi` join has no equi-key, so Spark plans a
+    * BroadcastNestedLoopJoin — every (row × interval) pair evaluated, the
+    * O(n·m) shape that dies when the interval side grows. The scale form:
+    * overlay a fixed grid, explode each interval to the grid cells it
+    * covers (bounded fan-out = interval width / cell width), map each point
+    * to its one cell, hash equi-join on the cell, then refine with the
+    * exact bounds. A PlanSpec gate pins the equi-join. Same technique for
+    * time-interval joins (IP ranges, validity windows, genomic intervals).
+    */
+  def rangeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = 5.0
+    // tiers partition [0, 100): boundaries deliberately off-grid
+    val tiers = Seq(("bronze", 0.0, 17.0), ("silver", 17.0, 38.0),
+      ("gold", 38.0, 61.0), ("platinum", 61.0, 86.0), ("diamond", 86.0, 100.01))
+      .toDF("tier", "lo", "hi")
+    val tierCells = tiers.withColumn("cell",
+      explode(sequence(floor($"lo" / cell).cast("int"),
+        floor(($"hi" - lit(1e-9)) / cell).cast("int"))))
+    Tables.events(spark, dir)
+      .select($"event_id", $"value",
+        floor($"value" / cell).cast("int").as("cell"))
+      .join(broadcast(tierCells), "cell")
+      .filter($"value" >= $"lo" && $"value" < $"hi")
+      .select($"event_id", $"value", $"tier")
+      .orderBy($"event_id")
+  }
+
   /** CUBE: every grouping-set combination of (year, order status) —
     * subtotals along both axes plus the grand total, with GROUPING()
     * markers (the full-lattice sibling of [[rollupCounts]]).
@@ -247,6 +304,8 @@ object WindowExtras {
     "agg_rollup" -> (rollupCounts _),
     "agg_cube" -> (cubeCounts _),
     "join_asof_attribution" -> (asofClickAttribution _),
+    "join_range_banded" -> (rangeBandJoin _),
+    "agg_heavy_hitters" -> (heavyHitters _),
     "setops_intersect_except" -> (setOps _),
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
@@ -312,6 +371,19 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id""",
+
+    "agg_heavy_hitters" -> """SELECT user_id, count(*)::BIGINT AS n_exact,
+       true AS cms_ok
+FROM events GROUP BY user_id
+ORDER BY n_exact DESC, user_id LIMIT 10""",
+
+    "join_range_banded" -> """SELECT e.event_id, e.value, t.tier
+FROM events e
+JOIN (VALUES ('bronze', 0.0, 17.0), ('silver', 17.0, 38.0),
+             ('gold', 38.0, 61.0), ('platinum', 61.0, 86.0),
+             ('diamond', 86.0, 100.01)) AS t(tier, lo, hi)
+  ON e.value >= t.lo AND e.value < t.hi
+ORDER BY e.event_id""",
 
     "setops_intersect_except" -> """SELECT 'intersect' AS set_op, user_id
 FROM (SELECT user_id FROM events WHERE event_type = 'click'

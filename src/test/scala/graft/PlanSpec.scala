@@ -138,6 +138,24 @@ class PlanSpec extends SparkSpec {
       "a broadcast join would sidestep the skew being demonstrated")
   }
 
+  test("banded range join is a hash equi-join, not a nested-loop product") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan(analytics.WindowExtras.rangeBandJoin(spark, sf))
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty
+      && collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "interval matching must go through the cell equi-join")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty)
+    // the naive BETWEEN form really does plan a nested loop — the shape
+    // the banding exists to avoid
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val naive = Tables.events(spark, sf).select($"event_id", $"value")
+      .join(Seq(("bronze", 0.0, 100.01)).toDF("tier", "lo", "hi"),
+        $"value" >= $"lo" && $"value" < $"hi")
+    assert(collectAll(plan(naive)) {
+      case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+  }
+
   test("column pruning: a two-column rollup reads only its columns") {
     val s = plan(Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").count()).toString
