@@ -82,6 +82,38 @@ class QueriesSpec extends SparkSpec {
     })
   }
 
+  test("as-of attribution: every purchase once, matched click at-or-before") {
+    val df = graft.analytics.WindowExtras.asofClickAttribution(spark, sf)
+    val rows = df.collect()
+    val nPurchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(rows.length == nPurchases, "left semantics: one row per purchase")
+    assert(rows.forall { r =>
+      r.isNullAt(r.fieldIndex("prior_click_ts")) ||
+        !r.getTimestamp(r.fieldIndex("prior_click_ts"))
+          .after(r.getTimestamp(r.fieldIndex("ts")))
+    }, "matched click must not be later than the purchase")
+  }
+
+  test("banded range join: total and exclusive over the tier partition") {
+    val df = graft.analytics.WindowExtras.rangeBandJoin(spark, sf)
+    // tiers partition the value domain: every event lands in exactly one
+    val n = Tables.events(spark, sf)
+      .filter($"value" >= 0.0 && $"value" < 100.01).count()
+    assert(df.count() == n)
+    assert(df.groupBy($"event_id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("heavy hitters: 10 rows, sketch contract holds, exact counts real") {
+    val rows = graft.analytics.WindowExtras.heavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Boolean]("cms_ok")))
+    val top = Tables.events(spark, sf).groupBy($"user_id").count()
+      .orderBy($"count".desc, $"user_id").limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).sameElements(top))
+  }
+
   test("readme record counts: all four entity tables non-empty (U1)") {
     val counts = Queries.readmeRecordCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
