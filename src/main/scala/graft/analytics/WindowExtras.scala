@@ -168,8 +168,8 @@ object WindowExtras {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
     val eps = 0.001
-    val total = ev.count()
     val cms = ev.stat.countMinSketch("user_id", eps, 0.99, 42)
+    val total = cms.totalCount() // N rides along in the sketch — no extra scan
     val topk = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
       .orderBy($"n_exact".desc, $"user_id").limit(10).collect()
     topk.toSeq.map { r =>

@@ -78,4 +78,42 @@ object IncrementalIngest {
   /** Batch view of a staged directory (what downstream transforms consume). */
   def staged(spark: SparkSession, stagingDir: String): DataFrame =
     spark.read.schema(eventSchema).parquet(stagingDir)
+
+  /** Stream-stream join: purchases matched to the same user's clicks within
+    * the preceding hour — the streaming sibling of the batch as-of join
+    * ([[graft.analytics.WindowExtras.asofClickAttribution]]). Both sides are
+    * watermarked and the join condition is time-BOUNDED (`[ts-1h, ts]`), so
+    * each side's buffered state is evictable once the watermark passes the
+    * bound — the two requirements that make an unbounded stream×stream join
+    * feasible: without the time bound every past click must be retained
+    * forever. Inner join: purchases with no in-window click simply don't
+    * emit (the outer form waits for watermark closure; StreamingSpec checks
+    * against the equivalent batch join on closed data).
+    */
+  def streamAttribution(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val clicks = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""c_user = p_user AND
+             |click_ts <= purchase_ts AND
+             |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

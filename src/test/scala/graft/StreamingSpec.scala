@@ -47,6 +47,34 @@ class StreamingSpec extends SparkSpec {
     assert(staged.select($"event_id").distinct().count() == n0)
   }
 
+  test("stream-stream interval join matches the equivalent batch join") {
+    val src = Files.createTempDirectory("stream-src3")
+    val out = tmp("stream-out3")
+    val ckpt = tmp("stream-ckpt3")
+    landEvents(src, "batch1")
+
+    IncrementalIngest.streamAttribution(spark, src.toString + "/*", out, ckpt)
+      .awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+    val batch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"), $"event_id".as("purchase_id"))
+      .join(clicks, $"c_user" === $"user_id" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+      .select($"purchase_id", $"user_id", $"purchase_ts", $"click_id", $"click_ts")
+    // inner time-bounded join: every pair is emitted once the watermark
+    // closes it; AvailableNow over a single finite batch closes everything
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0)
+  }
+
   test("windowed counts match the equivalent batch rollup for closed windows") {
     val src = Files.createTempDirectory("stream-src2")
     val out = tmp("stream-out")
