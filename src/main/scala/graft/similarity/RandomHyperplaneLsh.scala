@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * integers. Bit p of the signature is sign(v·h_p). For vectors at angle θ,
   * P[bits agree] = 1 − θ/π — near duplicates collide with high probability.
   *
-  * Search: corpus is grouped by signature (at scale: written bucketed /
-  * partitioned by signature so a probe reads one partition); each probe
+  * Search: the signature index is memoized to parquet partitioned by
+  * bucket ([[index]]) so a probe's candidate scan prunes to its probe
+  * buckets' partitions instead of the full corpus; each probe
   * scans its own bucket plus all buckets at Hamming distance 1 (multi-probe
   * — recovers most of the recall lost to boundary flips for tiny extra
   * fan-out), then exact-ranks candidates with the codegen'd cosine kernel.
@@ -69,17 +70,37 @@ object RandomHyperplaneLsh {
     array((sig +: (0 until Planes).map(p =>
       sig.bitwiseXOR(lit(1 << p)))): _*)
 
+  // signature index built once per (application, corpus) and persisted as
+  // parquet PARTITIONED BY bucket — signatures are a build step, probes only
+  // read, and a probe's candidate scan prunes to its probe buckets'
+  // partitions instead of the full corpus (same layout as IvfIndex's cells)
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def index(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      Similarity.register(spark)
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-rhlsh/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      val e = Tables.embeddings(spark, dir)
+      // index-build metadata: one-row scan for the corpus dimensionality
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      e.select(col("vec_id"), col("embedding"),
+          signature("embedding", dim).as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(base)
+      spark.read.parquet(base)
+    })
+
   def topK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     Similarity.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    // index-build metadata: one-row scan for the corpus dimensionality
-    val dim = e.select(size($"embedding")).head.getInt(0)
-    val corpus = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
-      signature("embedding", dim).as("bucket"))
-    val probes = e.filter($"vec_id" < Similarity.NumProbes)
+    val idx = index(spark, dir)
+    val corpus = idx.select($"vec_id".as("neighbor_id"),
+      $"embedding".as("n_emb"), $"bucket")
+    val probes = idx.filter($"vec_id" < Similarity.NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        explode(probeSignatures(signature("embedding", dim))).as("bucket"))
+        explode(probeSignatures($"bucket")).as("bucket"))
     broadcast(probes)
       .join(corpus, "bucket")
       .filter($"query_id" =!= $"neighbor_id")
@@ -108,10 +129,7 @@ object RandomHyperplaneLsh {
       threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
     Similarity.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val dim = e.select(size($"embedding")).head.getInt(0)
-    val sigs = e.select($"vec_id", $"embedding",
-      signature("embedding", dim).as("bucket"))
+    val sigs = index(spark, dir)
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.bucket") === col("b.bucket")

@@ -87,6 +87,19 @@ class PlanSpec extends SparkSpec {
       "cell filter should be the runtime (dynamic) pruning of probe cells")
   }
 
+  test("LSH probe scan prunes the bucket-partitioned signature index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = similarity.RandomHyperplaneLsh.topK(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    val pruned = scans.filter(s => s.partitionFilters.exists(
+      _.toString.toLowerCase.contains("bucket")))
+    assert(pruned.nonEmpty,
+      s"no bucket PartitionFilters; scans: ${scans.map(_.partitionFilters)}")
+  }
+
   test("global rank runs per-band, never a global window sort") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = analytics.WindowExtras.globalRank(spark, sf)
