@@ -207,19 +207,27 @@ object Ingest {
   private val ProfileCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
-  /** D4 generalized: per-column data profile (rows / nulls / exact distinct)
-    * of the staging feed — the ingest-health probe a pipeline runs after
-    * every load. ONE pass: a single wide aggregate row (null counts +
-    * count-distincts computed together; multi-distinct goes through Spark's
-    * expand, ×|columns| map-side rows — the exact form; at corpus scale the
-    * same probe runs approx_count_distinct to drop the expand), then `stack`
-    * pivots the row to long form without re-scanning.
+  /** D4 generalized: per-column data profile (rows / nulls / distinct) of
+    * the staging feed — the ingest-health probe a pipeline runs after every
+    * load. ONE pass: a single wide aggregate row (null counts +
+    * count-distincts computed together), then `stack` pivots the row to
+    * long form without re-scanning.
+    *
+    * `approxDistinct = false` is the exact (oracle-checked) form;
+    * multi-distinct goes through Spark's expand, ×|columns| map-side rows.
+    * `approxDistinct = true` is the corpus-scale form: HLL sketches are
+    * plain (non-distinct) aggregates, so the expand disappears and each
+    * row passes the aggregate once — spec-pinned within 5 % of exact.
     */
-  def profile(spark: SparkSession, dir: String): DataFrame = {
+  def profile(spark: SparkSession, dir: String,
+      approxDistinct: Boolean = false): DataFrame = {
     val events = Tables.events(spark, dir)
+    def dist(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c), 0.01)
+      else countDistinct(col(c))
     val aggs = ProfileCols.flatMap { c =>
       Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
-        countDistinct(col(c)).as(s"dist_$c"))
+        dist(c).as(s"dist_$c"))
     } :+ count(lit(1)).as("n")
     val wide = events.agg(aggs.head, aggs.tail: _*)
     val stackArgs = ProfileCols
@@ -231,7 +239,7 @@ object Ingest {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_audit_log" -> (auditLog _),
-    "etl_profile" -> (profile _),
+    "etl_profile" -> ((s: SparkSession, d: String) => profile(s, d)),
     "etl_staging_dedup_stats" -> (stagingDedupStats _),
     "etl_staging_deduped" -> (stagingDeduped _),
     "etl_cleanse" -> (cleanse _),

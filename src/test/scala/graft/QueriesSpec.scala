@@ -114,6 +114,21 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).sameElements(top))
   }
 
+  test("approx profile: no expand, nulls exact, distincts within 5% of exact") {
+    import graft.ingest.Ingest
+    val exact = Ingest.profile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val approx = Ingest.profile(spark, sf, approxDistinct = true)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "HLL form must not expand input rows")
+    approx.collect().foreach { r =>
+      val (nullsExact, distExact) = exact(r.getString(0))
+      assert(r.getLong(2) == nullsExact, s"${r.getString(0)}: null count must stay exact")
+      assert(math.abs(r.getLong(3) - distExact) <= math.max(distExact * 0.05, 1.0),
+        s"${r.getString(0)}: sketch outside 5% of $distExact")
+    }
+  }
+
   test("readme record counts: all four entity tables non-empty (U1)") {
     val counts = Queries.readmeRecordCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
