@@ -43,6 +43,26 @@ object Bucketing {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * size-targeted files. Streaming ingest appends one file set per
+    * micro-batch — at 100 TB that accretes into millions of small files,
+    * and scan cost becomes dominated by per-file open/footer overhead and
+    * tiny row groups rather than bytes. Compaction is the periodic
+    * maintenance job that restores the layout: count once, rewrite into
+    * ceil(n / targetRowsPerFile) even files. The rewrite is a round-robin
+    * repartition (no key, no sort — pure file-count control, the cheapest
+    * shuffle) into an overwrite of a NEW directory so a failed compaction
+    * never corrupts the live one; callers swap directories on success.
+    */
+  def compact(spark: SparkSession, srcDir: String, outDir: String,
+      targetRowsPerFile: Long = 1000000L): Long = {
+    val df = spark.read.parquet(srcDir)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(files.toInt).write.mode("overwrite").parquet(outDir)
+    files
+  }
+
   /** The fact-build join shape over pre-bucketed sides: orders ⋈ per-order
     * lineitem rollup, joined on the bucket key with no exchange.
     */

@@ -74,6 +74,25 @@ class SourcesSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("compaction: fewer files, identical rows, target respected") {
+    import graft.warehouse.Bucketing
+    val base = Files.createTempDirectory("compact").toString
+    val events = Tables.events(spark, sf)
+    // simulate micro-batch accretion: 64 tiny files
+    events.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val nSmall = new java.io.File(s"$base/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nSmall == 64)
+    Bucketing.compact(spark, s"$base/small", s"$base/big",
+      targetRowsPerFile = events.count() / 4 + 1)
+    val nBig = new java.io.File(s"$base/big").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nBig <= 4 && nBig >= 1, s"expected <=4 files, saw $nBig")
+    val back = spark.read.parquet(s"$base/big")
+    assert(back.count() == events.count())
+    assert(back.except(events).count() == 0 && events.except(back).count() == 0)
+  }
+
   test("S5 sinks: csv and json roundtrip; parquet partitioned write prunes") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
