@@ -26,23 +26,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity gate: a named, actionable error at analysis time instead of a
+    * raw IndexOutOfBounds from a blind `args(i)`.
+    */
+  private def arity(name: String, n: Int, usage: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}; usage: $usage")
+      build(args)
+    }
+
   /** (identifier, info, builder) for every native graft Expression. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
         "graft_cosine"),
-      (args: Seq[Expression]) =>
-        graft.functions.CosineSimilarity(args(0), args(1))),
+      arity("graft_cosine", 2, "graft_cosine(array<float>, array<float>)") {
+        args => graft.functions.CosineSimilarity(args(0), args(1)) }),
     (FunctionIdentifier("graft_plane_dot"),
       new ExpressionInfo(classOf[graft.functions.PlaneDot].getName,
         "graft_plane_dot"),
-      (args: Seq[Expression]) =>
-        graft.functions.PlaneDot(args(0), args(1))),
+      arity("graft_plane_dot", 2,
+        "graft_plane_dot(array<float>, array<bigint> plane literal)") {
+        args => graft.functions.PlaneDot(args(0), args(1)) }),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
         "graft_winnow"),
-      (args: Seq[Expression]) =>
-        graft.functions.WinnowFingerprints(args.head,
-          text.TextAnalysis.WinnowK, text.TextAnalysis.WinnowW)))
+      arity("graft_winnow", 1, "graft_winnow(string)") {
+        args => graft.functions.WinnowFingerprints(args.head,
+          text.TextAnalysis.WinnowK, text.TextAnalysis.WinnowW) }))
 }

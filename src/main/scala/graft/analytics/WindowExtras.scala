@@ -88,6 +88,8 @@ object WindowExtras {
     import spark.implicits._
     val base = Tables.orders(spark, dir).select($"o_orderkey", $"o_totalprice")
     val mm = base.agg(min($"o_totalprice"), max($"o_totalprice")).head()
+    if (mm.isNullAt(0)) // empty input: min/max of zero rows is null
+      return base.withColumn("global_rank", lit(0L)).limit(0)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val nb = spark.sessionState.conf.numShufflePartitions * 4
     val width = math.max((hi - lo) / nb, java.lang.Double.MIN_VALUE)

@@ -52,10 +52,15 @@ object Md5Hash {
     * coefficients, hyperplane components) that are interpolated as literals
     * into BOTH engines' plans.
     */
-  def md5Int(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+  def md5Int(s: String): Long =
+    fold(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")))
+
+  /** The single h32 byte-fold: first 4 md5 bytes big-endian — shared by
+    * [[md5Int]] and the per-row kernels ([[WinnowFps]]) so the parity
+    * definition lives in exactly one place.
+    */
+  def fold(d: Array[Byte]): Long =
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
 }

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native winnowing kernel: normalized text → array of selected rolling-hash
@@ -25,6 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
+
+  // analysis-time type gate: a named error instead of a runtime
+  // ClassCastException from SQL like graft_winnow(123)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects STRING, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -50,15 +58,28 @@ object WinnowFps {
     */
   def compute(t: UTF8String, k: Int, w: Int): ArrayData = {
     val s = t.toString
-    val n = s.length - k + 1
+    // CODE-POINT offsets, not UTF-16 units: SQL substring()/length() (the
+    // definition the DuckDB oracle replays) count characters, and a k-gram
+    // must never split a surrogate pair. off(i) = char index of the i-th
+    // code point; gram i = chars [off(i), off(i+k)).
+    val nCp = s.codePointCount(0, s.length)
+    val n = nCp - k + 1
     if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val off = new Array[Int](nCp + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < nCp) {
+      off(cp) = ci
+      ci = s.offsetByCodePoints(ci, 1)
+      cp += 1
+    }
+    off(nCp) = s.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val d = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
-      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val d = md.digest(s.substring(off(i), off(i + k)).getBytes("UTF-8"))
+      hs(i) = Md5Hash.fold(d)
       md.reset()
       i += 1
     }

@@ -132,11 +132,11 @@ object TextAnalysis {
     * md5 ([[fingerprint]]) cannot provide. Hashes are [[Md5Hash.h32]] so
     * the DuckDB oracle reproduces the selection exactly.
     *
-    * Scale note: per-document map-side work, O(|text|·k) through two HOF
-    * lambdas — fine for the fingerprint-extraction pass of an ingest
-    * pipeline (each doc visited once, output ≪ input); the inner kernel
-    * would move to a native Expression (the [[graft.functions.PlaneDot]]
-    * pattern) if profiling ever put it on a hot path. Docs shorter than
+    * Scale note: per-document map-side work, O(|text|·k), executed by the
+    * native codegen'd [[graft.functions.WinnowFingerprints]] kernel (one
+    * compiled loop per row — profiling put the earlier two-HOF interpreted
+    * form at the top of the bench, so it got the
+    * [[graft.functions.PlaneDot]] treatment). Docs shorter than
     * k+w−1 chars emit no fingerprints.
     */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =

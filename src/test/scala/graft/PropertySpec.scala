@@ -65,6 +65,19 @@ class PropertySpec extends SparkSpec {
     val again = winnowDf(docs).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     assert(again == fps)
+
+    // non-BMP safety: k-grams step by CODE POINTS (SQL substring
+    // semantics), never splitting a surrogate pair — the shared-substring
+    // guarantee must hold across docs where the overlap sits beside
+    // supplementary characters (e.g. emoji)
+    val emojiShared = "the stolen passage survives winnowing intact"
+    val emojiDocs = Seq(
+      (10L, s"🙂🚀 prefix $emojiShared suffix 🎉"),
+      (11L, s"other 💩 context $emojiShared more text here")
+    ).toDF("doc_id", "text")
+    val efps = winnowDf(emojiDocs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((efps(10L) & efps(11L)).nonEmpty)
   }
 
   test("group-min dedup: unique keys, size bound, subset, idempotent (D1)") {
