@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: cosine similarity of two `array<float>`
   * embedding columns, accumulated in double.
@@ -27,8 +27,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
-  // inputs must be array<float> — constructed only by graft code / the
-  // graft_cosine registration, both of which feed embedding columns
+
+  // analysis-time type gate: graft_cosine is SQL-reachable (GraftExtensions),
+  // so bad input must be a named error, not a runtime ClassCastException
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = ArrayType(FloatType, containsNull = false)
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects (${want.catalogString}, ${want.catalogString}), " +
+          s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def dataType: DataType = DoubleType
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: dot product of an `array<float>` embedding
   * with a CONSTANT hyperplane, the signature kernel of the random-hyperplane
@@ -27,6 +27,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class PlaneDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // analysis-time type gate: graft_plane_dot is SQL-reachable
+  // (GraftExtensions) — reject wrong types and a non-foldable plane with a
+  // named error instead of a runtime ClassCastException / wrong constant
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        if (right.foldable) TypeCheckSuccess
+        else TypeCheckFailure(
+          "graft_plane_dot's plane must be a foldable array literal")
+      case (l, r) => TypeCheckFailure(
+        "graft_plane_dot expects (array<float>, array<bigint> literal), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
 
   override def dataType: DataType = DoubleType
 

@@ -23,4 +23,25 @@ class ExtensionsSpec extends SparkSpec {
       .head().getInt(0)
     assert(fps > 0)
   }
+
+  test("bad SQL input fails at analysis with a named error, not a CCE") {
+    val wrongType = intercept[Exception] {
+      spark.sql("SELECT graft_winnow(123)").collect()
+    }
+    assert(wrongType.getMessage.contains("graft_winnow"), wrongType.getMessage)
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(float(1.0)))").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_cosine"), wrongArity.getMessage)
+    val wrongCos = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(1, 2)").collect()
+    }
+    assert(wrongCos.getMessage.contains("graft_cosine"), wrongCos.getMessage)
+    val unfoldablePlane = intercept[Exception] {
+      spark.sql("SELECT graft_plane_dot(array(float(1.0)), array(id)) " +
+        "FROM range(1)").collect()
+    }
+    assert(unfoldablePlane.getMessage.contains("graft_plane_dot"),
+      unfoldablePlane.getMessage)
+  }
 }
