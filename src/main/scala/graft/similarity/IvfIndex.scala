@@ -1,11 +1,10 @@
 package graft.similarity
 
 import graft.Tables
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
 
 /** IVF (inverted-file) approximate nearest neighbors: coarse-quantize the
   * corpus with k-means, search only the probe's `nprobe` nearest cells, then
@@ -14,22 +13,51 @@ import org.apache.spark.sql.functions._
   * Complements [[RandomHyperplaneLsh]]: LSH cells are data-oblivious
   * hyperplane signs; IVF cells adapt to the data distribution (k-means
   * centroids), which is what production vector indexes (FAISS IVF*) use.
-  * Spark-first: training is MLlib's distributed k-means (seeded —
-  * deterministic for a given corpus), assignment is the model transform, and
-  * the search is a broadcast join of probes×cells against the cell-bucketed
-  * corpus.
+  *
+  * The coarse quantizer is spherical k-means (assign = argmax cosine, the
+  * similarity the search itself ranks by), trained with [[LloydRounds]]
+  * distributed Lloyd iterations. Each iteration is one broadcast join
+  * (corpus × k centroids, map-side) plus one aggregation shuffle for the
+  * centroid update — the textbook distributed Lloyd; only the k×dim centroid
+  * table ever reaches the driver, exactly like MLlib's implementation.
+  *
+  * Determinism — the property MLlib's trainer cannot give us — comes from two
+  * choices, and buys a full DuckDB oracle ([[oracleSql]]) where round 3 could
+  * only spec-pin this query:
+  *
+  *  - **seeding**: initial centroids are the k corpus vectors with the
+  *    lowest `md5("ivf_seed:" || vec_id)` — exact stored floats, engine-
+  *    independent (the seeded-sample oracle pattern), no RNG;
+  *  - **fixed-point centroid accumulation**: a float mean computed with
+  *    floating-point `sum()` depends on the order partial aggregates merge,
+  *    which varies run-to-run with partitioning — unacceptable for a
+  *    hash-compared result AND for cluster-rerun reproducibility. Each
+  *    component is instead quantized to a long (`floor(x·10⁷ + ½)`), summed
+  *    exactly (long addition is associative — order-independent at ANY
+  *    parallelism), and divided back once: `(Σq / (n·10⁷))` in double,
+  *    rounded to float. Both engines perform the identical IEEE operations,
+  *    so centroids — and therefore cell assignments, probe routing, and the
+  *    final ranking — are bit-reproducible everywhere.
   *
   * Scale notes (100 TB): the corpus is written partitioned by cell id, so a
-  * probe reads `nprobe` partitions instead of the full corpus; the centroid
-  * table (k×dim) is broadcast. k scales as √n (k=16 fits the 500-2000-vector
-  * test corpus; a billion vectors wants k≈30k plus product quantization for
-  * the residuals — same search shape).
+  * probe reads `nprobe` partitions instead of the full corpus (PlanSpec
+  * asserts the dynamic pruning); the centroid table (k×dim) is broadcast.
+  * k scales as √n (k=16 fits the 500-2000-vector test corpus; a billion
+  * vectors wants k≈30k plus product quantization for the residuals — same
+  * search shape). The fixed-point trick also holds at scale: quantized
+  * components are ≤10⁷ in magnitude, so a cell of 10¹¹ vectors still sums
+  * inside a signed long.
   */
 object IvfIndex {
 
   val K = 16
   val NProbe = 2
-  val Seed = 42L
+  val LloydRounds = 2
+
+  /** Fixed-point quantum for the centroid mean (10⁷ ≈ float's 24-bit
+    * mantissa precision for unit-scale embedding components).
+    */
+  val FxScale = 10000000L
 
   // index built once per (application, corpus) and persisted as parquet —
   // training is a build step, probes only read
@@ -52,20 +80,67 @@ object IvfIndex {
         spark.read.parquet(s"$base/centroids"))
     })
 
+  private val centroidSchema = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** Nearest-cell assignment under `centroids` (argmax cosine; cell-id
+    * tiebreak for determinism). One broadcast join, no corpus shuffle.
+    */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", expr("graft_cosine(embedding, centroid)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_sim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+  /** One Lloyd update: per-cell component means via exact fixed-point sums
+    * (see object doc); cells that lost every member keep their previous
+    * centroid. Collects only the k×dim centroid table to the driver — the
+    * same driver round-trip every distributed k-means makes per iteration.
+    */
+  private def updateCentroids(spark: SparkSession, assigned: DataFrame,
+      prev: Seq[Row]): Seq[Row] = {
+    val means = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * lit(FxScale) + lit(0.5))
+        .cast("long")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", (col("s").cast("double")
+        / (col("cnt") * lit(FxScale)).cast("double")).cast("float"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+      .collect()
+    val got = means.map(_.getInt(0)).toSet
+    val kept = prev.filterNot(r => got.contains(r.getInt(0)))
+    (means.toSeq ++ kept).sortBy(_.getInt(0))
+  }
+
+  private def centroidDf(spark: SparkSession, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.getInt(0), r.getSeq[Float](1))), 1), centroidSchema)
+
   /** (corpus with cell assignments, centroid table). */
   private def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("features", array_to_vector($"embedding"))
-    val model = new KMeans().setK(K).setSeed(Seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(e)
-    val assigned = model.transform(e)
-      .select($"vec_id", $"embedding", $"cell")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "centroid")
-    (assigned, centroids)
+    Similarity.register(spark)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // deterministic seeds: the K corpus vectors with lowest md5 rank
+    var c: Seq[Row] = e
+      .withColumn("r", md5(concat(lit("ivf_seed:"), col("vec_id").cast("string"))))
+      .withColumn("cell", (row_number().over(Window.orderBy(col("r"))) - 1)
+        .cast("int"))
+      .filter(col("cell") < K)
+      .select(col("cell"), col("embedding").cast("array<float>").as("centroid"))
+      .collect().toSeq
+    for (_ <- 0 until LloydRounds)
+      c = updateCentroids(spark, assign(e, centroidDf(spark, c)), c)
+    val centroids = centroidDf(spark, c)
+    (assign(e, centroids), centroids)
   }
 
   def topK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
@@ -93,5 +168,77 @@ object IvfIndex {
       .select($"query_id", $"neighbor_id", $"rank",
         (floor($"cos" * 100 + lit(0.5)) / lit(100.0)).as("cosine_r2"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB twin of the FULL pipeline — seeding, every Lloyd round (unrolled
+    * as CTEs), final assignment, probe routing, and exact re-rank — made
+    * possible by the md5 seeds and the exact fixed-point centroid update.
+    */
+  def oracleSql: String = {
+    val cos = Similarity.cosSql _
+    def assignSql(name: String, cN: String) =
+      s"""$name AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
+                                       c.cell) AS rk
+    FROM embeddings e CROSS JOIN $cN c)
+  WHERE rk = 1)"""
+    def updateSql(sums: String, means: String, cNext: String, aN: String,
+        cN: String) =
+      s"""$sums AS (
+  SELECT cell, pos,
+         sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * $FxScale + 0.5)
+             AS BIGINT))::BIGINT AS s,
+         count(*) AS cnt
+  FROM $aN, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos)
+  GROUP BY cell, pos),
+$means AS (
+  SELECT cell,
+         list(CAST(CAST(s AS DOUBLE) / CAST(cnt * $FxScale AS DOUBLE) AS FLOAT)
+              ORDER BY pos) AS centroid
+  FROM $sums GROUP BY cell),
+$cNext AS (
+  SELECT * FROM $means
+  UNION ALL
+  SELECT cell, centroid FROM $cN
+  WHERE cell NOT IN (SELECT cell FROM $means))"""
+    val rounds = (0 until LloydRounds).map { i =>
+      assignSql(s"a$i", s"c$i") + ",\n" +
+        updateSql(s"s$i", s"m$i", s"c${i + 1}", s"a$i", s"c$i")
+    }.mkString(",\n")
+    s"""WITH c0 AS (
+  SELECT cell, embedding AS centroid FROM (
+    SELECT row_number() OVER (
+             ORDER BY md5('ivf_seed:' || CAST(vec_id AS VARCHAR))) - 1 AS cell,
+           embedding
+    FROM embeddings)
+  WHERE cell < $K),
+$rounds,
+${assignSql("af", s"c$LloydRounds")},
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < ${Similarity.NumProbes}),
+pc AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT p.query_id, p.q_emb, c.cell,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY ${cos("p.q_emb", "c.centroid")} DESC,
+                                       c.cell) AS rk
+    FROM probes p CROSS JOIN c$LloydRounds c)
+  WHERE rk <= $NProbe),
+scored AS (
+  SELECT DISTINCT pc.query_id, a.vec_id AS neighbor_id,
+         ${cos("pc.q_emb", "a.embedding")} AS cos
+  FROM pc JOIN af a ON pc.cell = a.cell AND pc.query_id <> a.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ${Similarity.r2("cos")} AS cosine_r2
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank"""
   }
 }

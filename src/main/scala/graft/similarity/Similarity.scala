@@ -140,12 +140,11 @@ SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank""",
 
-    // full-pipeline DuckDB twins (md5-derived hyperplanes — see
-    // RandomHyperplaneLsh scaladoc); SimilaritySpec additionally pins the
-    // never-beats-brute-force / subset-of-exact recall relationships
+    // full-pipeline DuckDB twins (md5-derived hyperplanes / seeds, exact
+    // fixed-point k-means — see RandomHyperplaneLsh and IvfIndex scaladocs);
+    // SimilaritySpec additionally pins the never-beats-brute-force /
+    // subset-of-exact recall relationships
     "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql,
+    "sim_ivf_topk" -> IvfIndex.oracleSql,
     "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql)
-  // sim_ivf_topk: no oracle — the coarse quantizer is MLlib's distributed
-  // k-means, not reproducible in DuckDB SQL; SimilaritySpec pins candidates
-  // and recall against bruteForceTopK.
 }
