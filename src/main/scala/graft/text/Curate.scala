@@ -2,7 +2,9 @@ package graft.text
 
 import graft.Tables
 import graft.dedup.Dedup
+import graft.functions.Md5Hash
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composed training-data pipeline the
@@ -87,10 +89,81 @@ object Curate {
       .orderBy($"train_id", $"test_id")
   }
 
+  /** Rate buckets for the demo mix policy: target rate = (bucket+1)/4 with
+    * bucket = h32("mix:"+source) mod 4 — a stand-in for the per-source
+    * weights a real data-mixing config supplies. The GATE is the operator:
+    * keep a doc iff its own uniform hash clears the source's rate.
+    */
+  val MixRateBuckets = 4
+
+  /** Deterministic stratified down-sampling to a per-source target mix —
+    * the reweighting step that turns a raw crawl into a training mixture.
+    * Both sides of the decision are pure hash functions: the source's target
+    * rate and the per-doc uniform draw (`h32 < rate·2³²`, integer-exact — no
+    * float thresholds), so the sample is reproducible across engines,
+    * retries, and cluster sizes, and any table carrying the ids can recompute
+    * membership without a join. Map-side except the per-source stats rollup.
+    */
+  def sampleMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = Md5Hash.h32(concat(lit("mix:"), $"source")) % MixRateBuckets
+    // (b+1)/4 of the 2^32 hash space: threshold (b+1)·2^30, all integers
+    val keep = Md5Hash.h32(concat(lit("mixdoc:"), $"doc_id".cast("string"))) <
+      (bucket + 1) * lit(1073741824L)
+    Tables.documents(spark, dir)
+      .withColumn("target_rate", (bucket + 1) / lit(MixRateBuckets.toDouble))
+      .groupBy($"source", $"target_rate")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("realized_rate", $"n_sampled" * lit(1.0) / $"n_docs")
+      .orderBy($"source")
+  }
+
+  /** Shards for sequence packing — at cluster scale O(total cores), each
+    * shard packs independently (embarrassingly parallel, no global order).
+    */
+  val PackShards = 8
+
+  /** Token budget per packed training sequence. */
+  val SeqBudget = 256
+
+  /** Token-budget sequence packing — the concat-and-chunk layout LLM
+    * pretraining uses: documents are placed on a deterministic per-shard
+    * stream (md5 order), token counts accumulate, and every [[SeqBudget]]
+    * tokens starts a new training sequence (documents may span a boundary —
+    * `n_seqs` counts the sequences a doc touches). The cumulative sum is a
+    * running window within each shard: ONE shuffle on shard id, exact long
+    * arithmetic (`div`, not float division — still exact past 2⁵³ tokens),
+    * and no global sort anywhere.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(split(trim($"text"), "\\s+")).as("n_tokens"),
+      (Md5Hash.h32(concat(lit("packshard:"), $"doc_id".cast("string")))
+        % PackShards).cast("int").as("shard"),
+      md5(concat(lit("packord:"), $"doc_id".cast("string"))).as("ord"))
+    val w = Window.partitionBy($"shard").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before",
+        coalesce(sum($"n_tokens".cast("long")).over(w), lit(0L)))
+      .select($"doc_id", $"shard", $"n_tokens",
+        expr(s"cum_before div $SeqBudget").as("seq_id"),
+        ($"cum_before" % SeqBudget).as("seq_offset"),
+        (expr(s"(cum_before + n_tokens - 1) div $SeqBudget")
+          - expr(s"cum_before div $SeqBudget") + 1).as("n_seqs"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> (curatedStats _),
     "curate_train_val_split" -> (trainValSplit _),
-    "curate_decontaminate" -> (decontaminate _))
+    "curate_decontaminate" -> (decontaminate _),
+    "curate_sample_mix" -> (sampleMix _),
+    "curate_pack_sequences" -> (packSequences _))
 
   val oracle: Map[String, String] = Map(
     "curate_corpus" -> s"""WITH toks AS (
@@ -164,5 +237,42 @@ bucketed AS (
 SELECT x AS train_id, y AS test_id, jaccard
 FROM bucketed
 WHERE bx <= 14 AND by = 15
-ORDER BY train_id, test_id""")
+ORDER BY train_id, test_id""",
+
+    "curate_sample_mix" -> s"""WITH gated AS (
+  SELECT source,
+         (${Md5Hash.h32Sql("'mix:' || source")}) % $MixRateBuckets AS b,
+         CASE WHEN (${Md5Hash.h32Sql("'mixdoc:' || CAST(doc_id AS VARCHAR)")})
+                   < ((${Md5Hash.h32Sql("'mix:' || source")}) % $MixRateBuckets + 1)
+                     * 1073741824 THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT source,
+       (b + 1) / ${MixRateBuckets.toDouble} AS target_rate,
+       count(*)::BIGINT AS n_docs,
+       sum(keep)::BIGINT AS n_sampled,
+       sum(keep)::BIGINT * 1.0 / count(*)::BIGINT AS realized_rate
+FROM gated
+GROUP BY source, b
+ORDER BY source""",
+
+    "curate_pack_sequences" -> s"""WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+'))::INT AS n_tokens,
+         ((${Md5Hash.h32Sql("'packshard:' || CAST(doc_id AS VARCHAR)")})
+           % $PackShards)::INT AS shard,
+         md5('packord:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens::BIGINT) OVER (
+           PARTITION BY shard ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM d)
+SELECT doc_id, shard, n_tokens,
+       (cum_before // $SeqBudget)::BIGINT AS seq_id,
+       (cum_before % $SeqBudget)::BIGINT AS seq_offset,
+       ((cum_before + n_tokens - 1) // $SeqBudget
+         - cum_before // $SeqBudget + 1)::BIGINT AS n_seqs
+FROM c ORDER BY doc_id""")
 }

@@ -159,12 +159,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** Repetition quality signals (the Gopher-rules family, Rae et al. 2021 —
+    * public heuristics): duplicate-token fraction and the most-frequent-
+    * bigram fraction. High values mark degenerate/boilerplate text a
+    * training-corpus filter drops. (The corpus has no newlines, so the
+    * line-level variants collapse to these token-level forms.)
+    *
+    * Shape at scale: the token stats are map-side; the bigram mode needs one
+    * (doc_id, bigram) aggregation — map-side partial combine does most of the
+    * work since repeated bigrams collapse locally — then a (doc_id) rollup.
+    * Both shuffles carry counts, never text.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower($"text")), "\\s+"))
+    val tokStats = docs.select($"doc_id",
+      size($"toks").as("n_tokens"),
+      size(array_distinct($"toks")).as("n_distinct_tokens"))
+    val top = docs.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("n_bigrams"))
+    tokStats.join(top, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        (lit(1.0) - $"n_distinct_tokens" * lit(1.0) / $"n_tokens")
+          .as("dup_token_ratio"),
+        coalesce($"top_c" * lit(1.0) / $"n_bigrams", lit(0.0))
+          .as("top_bigram_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
-    "text_winnow_fingerprints" -> (winnowFingerprints _))
+    "text_winnow_fingerprints" -> (winnowFingerprints _),
+    "text_repetition" -> (repetition _))
 
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
@@ -208,6 +242,27 @@ FROM documents ORDER BY doc_id"""
        md5(lower(trim(text))) AS fingerprint,
        (floor(n_chars / 100) * 100)::BIGINT AS length_bucket
 FROM documents ORDER BY doc_id""",
+
+    "text_repetition" -> """WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+tok_stats AS (
+  SELECT doc_id, len(t)::INT AS n_tokens,
+         len(list_distinct(t))::INT AS n_distinct_tokens
+  FROM toks),
+bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, max(c)::BIGINT AS top_c, sum(c)::BIGINT AS n_bigrams
+  FROM cnt GROUP BY doc_id)
+SELECT ts.doc_id, ts.n_tokens,
+       1.0 - ts.n_distinct_tokens * 1.0 / ts.n_tokens AS dup_token_ratio,
+       coalesce(t.top_c * 1.0 / t.n_bigrams, 0.0) AS top_bigram_ratio
+FROM tok_stats ts LEFT JOIN top t ON ts.doc_id = t.doc_id
+ORDER BY ts.doc_id""",
 
     // outer lambda var is g, NOT i — the hex-parse fragment binds i inside
     "text_winnow_fingerprints" -> s"""WITH norm AS (

@@ -1,0 +1,62 @@
+package graft
+
+import graft.text.{Curate, TextAnalysis}
+
+/** Semantic invariants of the corpus-curation extras: repetition quality
+  * signals, deterministic mix sampling, and token-budget sequence packing
+  * (each also hash-checked against its DuckDB twin by Verify).
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("repetition ratios are well-formed fractions") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getDouble(2)
+      val top = r.getDouble(3)
+      assert(dup >= 0.0 && dup < 1.0, s"dup_token_ratio out of range: $r")
+      assert(top >= 0.0 && top <= 1.0, s"top_bigram_ratio out of range: $r")
+    }
+    // the signal discriminates: this small-vocab corpus has repeating docs
+    assert(rows.exists(_.getDouble(2) > 0.0))
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
+
+  test("mix sampling: rates from the policy lattice, rate-1 strata keep everything") {
+    val rows = Curate.sampleMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lattice = (1 to Curate.MixRateBuckets)
+      .map(_.toDouble / Curate.MixRateBuckets).toSet
+    rows.foreach { r =>
+      val (target, nDocs, nSampled) =
+        (r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(lattice.contains(target), s"target_rate off-lattice: $r")
+      assert(nSampled <= nDocs)
+      // h32 < 2^32 always: a rate-1.0 stratum is a no-op filter
+      if (target == 1.0) assert(nSampled == nDocs, s"rate-1 stratum dropped docs: $r")
+    }
+  }
+
+  test("sequence packing: per-shard positions form an exact gapless prefix sum") {
+    val rows = Curate.packSequences(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      // reconstruct each doc's stream position from (seq_id, seq_offset)
+      val placed = docs.map { case (_, nTok, seqId, off, nSeqs) =>
+        assert(off >= 0 && off < Curate.SeqBudget)
+        assert(nSeqs >= 1)
+        val start = seqId * Curate.SeqBudget + off
+        // n_seqs is exactly the count of budget windows [start, start+nTok) touches
+        val lastSeq = (start + nTok - 1) / Curate.SeqBudget
+        assert(nSeqs == lastSeq - seqId + 1, s"shard $shard span miscount")
+        (start, nTok.toLong)
+      }.sortBy(_._1)
+      // the shard's stream is gapless: doc k+1 starts where doc k ended
+      placed.foldLeft(0L) { case (expected, (start, nTok)) =>
+        assert(start == expected, s"shard $shard gap: doc at $start, expected $expected")
+        start + nTok
+      }
+    }
+  }
+}
