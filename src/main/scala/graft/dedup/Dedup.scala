@@ -175,6 +175,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       pairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => MinHashLsh.nearDuplicates(s, d)),
+    "dedup_incremental" -> ((s: SparkSession, d: String) =>
+      MinHashLsh.incrementalNearDuplicates(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => SimHash.nearDuplicates(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -213,5 +215,6 @@ ORDER BY doc_a, doc_b""",
     // MinHashLsh/SimHash scaladoc); DedupSpec additionally pins the
     // cross-family recall relationships no SQL oracle can express
     "dedup_minhash_lsh" -> MinHashLsh.oracleSql,
+    "dedup_incremental" -> MinHashLsh.incrementalOracleSql,
     "dedup_simhash" -> SimHash.oracleSql)
 }

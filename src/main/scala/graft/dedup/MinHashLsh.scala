@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.Md5Hash
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.util.concurrent.ConcurrentHashMap
@@ -90,16 +90,12 @@ object MinHashLsh {
       spark.read.parquet(p)
     })
 
-  /** Candidate pairs from band-bucket collisions, then exact-Jaccard verify.
-    * Band bucket = md5 of the comma-joined 4 signature values (md5 rather
-    * than xxhash64 so the DuckDB oracle reproduces the buckets exactly).
+  /** (doc_id, band, bucket) rows of a signature table. Band bucket = md5 of
+    * the comma-joined 4 signature values (md5 rather than xxhash64 so the
+    * DuckDB oracle reproduces the buckets exactly).
     */
-  def nearDuplicates(spark: SparkSession, dir: String,
-      threshold: Double = 0.2): DataFrame = {
-    import spark.implicits._
-    val sigs = sigsForDir(spark, dir)
-
-    val banded = sigs.select($"doc_id",
+  private def bandedOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |  b -> struct(b AS band,
@@ -107,34 +103,84 @@ object MinHashLsh {
            |                transform(slice(sig, b * $RowsPerBand + 1, $RowsPerBand),
            |                          v -> cast(v AS STRING)))) AS bucket))
            |""".stripMargin)).as("bb"))
-      .select($"doc_id", $"bb.band", $"bb.bucket")
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
+  /** Exact-Jaccard verify of a (doc_a, doc_b) candidate set against the
+    * shared doc index (cheap parquet re-read), not a shingle column smuggled
+    * through the bucket join.
+    */
+  private def verifyPairs(spark: SparkSession, dir: String,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val idx = DocIndex.forDir(spark, dir)
+    val shA = idx.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = idx.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")) * lit(1.0)
+          / size(array_union($"sh_a", $"sh_b")))
+      .filter($"jaccard" >= threshold)
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Candidate pairs from band-bucket collisions, then exact-Jaccard verify. */
+  def nearDuplicates(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val banded = bandedOf(sigsForDir(spark, dir))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-
-    // Exact verify against the shared doc index (cheap parquet re-read), not
-    // a shingle column smuggled through the bucket join.
-    val idx = DocIndex.forDir(spark, dir)
-    val shA = idx.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = idx.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates
-      .join(shA, "doc_a").join(shB, "doc_b")
-      .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")) * lit(1.0)
-          / size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
-      .filter($"jaccard" >= threshold)
+    verifyPairs(spark, dir, candidates, threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** DuckDB twin of the full pipeline (shingles → signatures → banding →
-    * candidates → exact-Jaccard verify), re-derived rather than translated:
-    * the same md5-based constants are interpolated into both engines.
+  /** Membership predicate of the simulated NEW BATCH (a deterministic ~1/16
+    * of the corpus: first md5 hex digit of "batch:"+id is 'f') — stands in
+    * for the arrival-time predicate a real ingest carries.
     */
-  def oracleSql: String = {
+  private def isNewBatch(id: Column): Column =
+    substring(md5(concat(lit("batch:"), id.cast("string"))), 1, 1) === "f"
+
+  /** Incremental near-duplicate detection — the operator that keeps dedup
+    * affordable at 100 TB: when a batch lands, its signatures join the
+    * ALREADY-MATERIALIZED signature index ([[sigsForDir]]); nothing
+    * re-scans or re-pairs the existing corpus. Candidate cost is
+    * |batch bands| × bucket occupancy, independent of corpus-pair count.
+    * Emits batch-internal pairs once (least/greatest normalization) and
+    * every (batch doc ↔ corpus doc) collision, each tagged `pair_type`,
+    * verified with the same exact Jaccard at the same τ — so the result is
+    * by construction the τ-pair set of [[nearDuplicates]] restricted to
+    * pairs touching the batch (DedupSpec pins the equality).
+    */
+  def incrementalNearDuplicates(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val banded = bandedOf(sigsForDir(spark, dir))
+    val candidates = banded.filter(isNewBatch($"doc_id")).as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairs(spark, dir, candidates, threshold)
+      .select($"doc_a", $"doc_b", $"jaccard",
+        when(isNewBatch($"doc_a") && isNewBatch($"doc_b"), "batch_internal")
+          .otherwise("vs_corpus").as("pair_type"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Shared oracle CTE prefix: shingles → signatures → band buckets — the
+    * exact pipeline both [[oracleSql]] and [[incrementalOracleSql]] candidate
+    * joins read from (one definition, like the Spark side's [[bandedOf]]).
+    */
+  private def pipelineSqlPrefix: String = {
     val p = Md5Hash.P
     val sigCols = Coeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $p) AS s$i"
@@ -144,7 +190,7 @@ object MinHashLsh {
         .mkString(" || ',' || ")
       s"  SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents),
 sh AS (
@@ -159,23 +205,53 @@ sigs AS (
          $sigCols
   FROM hashed GROUP BY doc_id),
 banded AS (
-$bandSelects),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+$bandSelects)"""
+  }
+
+  /** Shared oracle verify tail: exact Jaccard over a `cand(doc_a, doc_b)`
+    * CTE, τ-filtered.
+    */
+  private def verifySqlTail(extraCols: String = ""): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 ov AS (
   SELECT c.doc_a, c.doc_b, count(*) AS o
   FROM cand c
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
   GROUP BY 1, 2)
-SELECT doc_a, doc_b, o * 1.0 / (sa.n + sb.n - o) AS jaccard
+SELECT doc_a, doc_b, o * 1.0 / (sa.n + sb.n - o) AS jaccard$extraCols
 FROM ov
 JOIN sizes sa ON ov.doc_a = sa.doc_id
 JOIN sizes sb ON ov.doc_b = sb.doc_id
 WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.2
 ORDER BY doc_a, doc_b"""
+
+  /** DuckDB twin of the full pipeline (shingles → signatures → banding →
+    * candidates → exact-Jaccard verify), re-derived rather than translated:
+    * the same md5-based constants are interpolated into both engines.
+    */
+  def oracleSql: String =
+    s"""WITH $pipelineSqlPrefix,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+${verifySqlTail()}"""
+
+  /** DuckDB twin of [[incrementalNearDuplicates]]. */
+  def incrementalOracleSql: String = {
+    def isNew(id: String) =
+      s"substring(md5('batch:' || CAST($id AS VARCHAR)), 1, 1) = 'f'"
+    s"""WITH $pipelineSqlPrefix,
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE ${isNew("a.doc_id")}),
+${verifySqlTail(
+      s""",
+       CASE WHEN ${isNew("ov.doc_a")} AND ${isNew("ov.doc_b")}
+            THEN 'batch_internal' ELSE 'vs_corpus' END AS pair_type""")}"""
   }
 }

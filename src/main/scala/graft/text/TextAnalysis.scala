@@ -192,13 +192,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** PII patterns with Java-regex/RE2 parity (plain character classes — no
+    * lookaround, no backrefs — evaluate identically on both engines).
+    */
+  val EmailRx = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val PhoneRx = "[0-9]{3}-[0-9]{4}"
+
+  /** PII-bearing feed derived from `documents` — the testdata carries no
+    * PII, so every 7th doc gets a deterministic contact line appended (the
+    * [[graft.dedup.Dedup]] dupFeed pattern: a labeled, reproducible stand-in
+    * for what a raw crawl contains).
+    */
+  private def piiFeed(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+
+  /** PII scrubbing: count and redact email/phone occurrences with fixed
+    * placeholder tokens — the policy-driven redaction pass a training corpus
+    * runs before anything else reads the text. Pure map-side column
+    * expressions (regexes chosen for cross-engine parity, see [[EmailRx]]);
+    * at 100 TB this runs in the ingest scan with zero shuffles.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    piiFeed(Tables.documents(spark, dir))
+      .select(
+        $"doc_id",
+        regexp_count($"text", lit(EmailRx)).as("n_emails"),
+        regexp_count($"text", lit(PhoneRx)).as("n_phones"),
+        regexp_replace(regexp_replace($"text", EmailRx, "<EMAIL>"),
+          PhoneRx, "<PHONE>").as("scrubbed"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_winnow_fingerprints" -> (winnowFingerprints _),
-    "text_repetition" -> (repetition _))
+    "text_repetition" -> (repetition _),
+    "text_pii_scrub" -> (piiScrub _))
 
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
@@ -242,6 +280,21 @@ FROM documents ORDER BY doc_id"""
        md5(lower(trim(text))) AS fingerprint,
        (floor(n_chars / 100) * 100)::BIGINT AS length_bucket
 FROM documents ORDER BY doc_id""",
+
+    "text_pii_scrub" -> s"""WITH feed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '$EmailRx'))::INT AS n_emails,
+       len(regexp_extract_all(text, '$PhoneRx'))::INT AS n_phones,
+       regexp_replace(regexp_replace(text, '$EmailRx', '<EMAIL>', 'g'),
+                      '$PhoneRx', '<PHONE>', 'g') AS scrubbed
+FROM feed ORDER BY doc_id""",
 
     "text_repetition" -> """WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -46,6 +46,28 @@ class DedupSpec extends SparkSpec {
       s"missed strong pairs: ${strong -- lsh.keySet}")
   }
 
+  test("incremental near-dup equals the full LSH pair set restricted to the batch") {
+    def isNew(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"batch:$id".getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0) == 'f'
+    }
+    val full = MinHashLsh.nearDuplicates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = MinHashLsh.incrementalNearDuplicates(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getString(3)))
+    assert(inc.nonEmpty, "the 1/16 batch should collide with something")
+    // same banding, same verify: the incremental set IS the full τ-pair set
+    // filtered to pairs touching the batch — no more, no less
+    val expected = full.keySet.filter { case (a, b) => isNew(a) || isNew(b) }
+    assert(inc.map(_._1).toSet == expected)
+    inc.foreach { case (k, j, tag) =>
+      assert(math.abs(j - full(k)) < 1e-12)
+      val want = if (isNew(k._1) && isNew(k._2)) "batch_internal" else "vs_corpus"
+      assert(tag == want, s"pair $k mis-tagged $tag")
+    }
+  }
+
   test("SimHash flags near-identical pairs (j >= 0.95) within its Hamming radius") {
     val sim = SimHash.nearDuplicates(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
