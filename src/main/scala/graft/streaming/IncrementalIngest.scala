@@ -79,6 +79,38 @@ object IncrementalIngest {
   def staged(spark: SparkSession, stagingDir: String): DataFrame =
     spark.read.schema(eventSchema).parquet(stagingDir)
 
+  private def docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, " +
+      "ingest_ts TIMESTAMP")
+
+  /** Streaming CONTENT dedup — the streaming form of
+    * [[graft.dedup.Dedup.exact]]: drop any document whose normalized-text
+    * fingerprint already landed within the watermark horizon. Where [[stage]]
+    * dedups on the staging KEY, a corpus ingest must dedup on what the text
+    * IS — re-crawls and re-deliveries arrive under fresh ids.
+    * `dropDuplicatesWithinWatermark` keeps one state row per fingerprint and
+    * EVICTS it once the watermark passes (re-crawls cluster in time; the
+    * horizon is the re-delivery window), so state is bounded by horizon
+    * cardinality, not corpus history — the property that lets this run
+    * forever on a 100 TB/day feed. Cross-horizon duplicates are the batch
+    * families' job ([[graft.dedup.MinHashLsh.incrementalNearDuplicates]]).
+    */
+  def dedupDocs(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(docSchema)
+      .parquet(srcDir)
+      .withColumn("fingerprint", md5(lower(trim(col("text")))))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream join: purchases matched to the same user's clicks within
     * the preceding hour — the streaming sibling of the batch as-of join
     * ([[graft.analytics.WindowExtras.asofClickAttribution]]). Both sides are

@@ -63,10 +63,31 @@ class PlanSpec extends SparkSpec {
   test("near-dup joins are equi-joins, never pairwise products") {
     for (df <- Seq(Dedup.ngramJaccard(spark, sf),
         dedup.MinHashLsh.nearDuplicates(spark, sf),
+        dedup.MinHashLsh.incrementalNearDuplicates(spark, sf),
         dedup.SimHash.nearDuplicates(spark, sf))) {
       val cartesian = collectAll(plan(df)) { case c: CartesianProductExec => c }
       assert(cartesian.isEmpty, "candidate generation must stay equi-join")
     }
+  }
+
+  test("sequence packing windows are shard-partitioned, never a global sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = collectAll(plan(text.Curate.packSequences(spark, sf))) {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "the running token sum must partition by shard (no single-reducer window)")
+  }
+
+  test("pii scrub is map-side: no exchange except the presentation orderBy") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = collectAll(plan(text.TextAnalysis.piiScrub(spark, sf))) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.forall(_.outputPartitioning.toString
+      .toLowerCase.contains("range")),
+      s"redaction must not hash-shuffle: ${shuffles.map(_.outputPartitioning)}")
   }
 
   test("IVF probe scan prunes the cell-partitioned corpus (dynamic pruning)") {

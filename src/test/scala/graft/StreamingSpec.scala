@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpec {
     assert(staged.select($"event_id").distinct().count() == n0)
   }
 
+  test("streaming content dedup drops in-horizon re-deliveries under fresh ids") {
+    val src = Files.createTempDirectory("stream-src4")
+    val out = tmp("stream-out4")
+    val ckpt = tmp("stream-ckpt4")
+    // deterministic ingest time; re-delivered copies arrive under FRESH ids
+    // but the SAME ingest time (in-horizon re-crawl)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ingest_ts",
+        (lit(1704067200L) + pmod($"doc_id", lit(1000000L))).cast("timestamp"))
+    val feed = docs.unionByName(
+      docs.filter(pmod($"doc_id", lit(10)) === 0)
+        .withColumn("doc_id", $"doc_id" + lit(1000000L)))
+    feed.write.mode("overwrite").parquet(src.resolve("batch1").toString)
+
+    IncrementalIngest.dedupDocs(spark, src.toString + "/*", out, ckpt)
+      .awaitTermination()
+    val landed = spark.read.parquet(out)
+    val n = Tables.documents(spark, sf).count()
+    // key-based dedup would keep every re-delivery (fresh doc_ids);
+    // content dedup drops them all
+    assert(landed.count() == n)
+    assert(landed.select($"fingerprint").distinct().count() == n)
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val src = Files.createTempDirectory("stream-src3")
     val out = tmp("stream-out3")
