@@ -99,12 +99,43 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Symmetric per-vector int8 quantization ledger — the storage format a
+    * 100 TB embedding store actually keeps (4× smaller than float32, and the
+    * candidate scans of the ANN paths read int8 just as happily). Per vector:
+    * scale = 127/max|v|, q_i = ⌊v_i·scale + ½⌋ ∈ [−127, 127]; the output is
+    * the audit row per vector — scale, quant range, and the max absolute
+    * dequantization error (≤ ½/scale by construction, which the spec pins).
+    * One posexplode + per-vector window max + one rollup; every arithmetic
+    * step is an identical IEEE op in the DuckDB twin (max is order-
+    * independent, so no float-accumulation hazard anywhere).
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val w = Window.partitionBy($"vec_id")
+    e.withColumn("max_abs", max(abs($"v")).over(w))
+      .filter($"max_abs" > 0) // zero vectors are unquantizable (none here)
+      .withColumn("scale", lit(127.0) / $"max_abs")
+      .withColumn("q", floor($"v" * $"scale" + 0.5).cast("int"))
+      .withColumn("err", abs($"q" / $"scale" - $"v"))
+      .groupBy($"vec_id")
+      .agg(
+        max($"scale").as("scale"),
+        min($"q").as("min_q"),
+        max($"q").as("max_q"),
+        max($"err").as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.topK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)),
+    "sim_quantize_int8" -> ((s: SparkSession, d: String) => quantizeInt8(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.embeddingNearDups(s, d)))
 
@@ -146,5 +177,25 @@ ORDER BY query_id, rank""",
     // subset-of-exact recall relationships
     "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql,
     "sim_ivf_topk" -> IvfIndex.oracleSql,
-    "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql)
+    "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql,
+
+    "sim_quantize_int8" -> """WITH e AS (
+  SELECT vec_id, CAST(embedding[pos] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos)),
+m AS (
+  SELECT vec_id, max(abs(v)) AS max_abs FROM e GROUP BY vec_id),
+q AS (
+  SELECT e.vec_id, v,
+         127.0 / max_abs AS scale,
+         CAST(floor(v * (127.0 / max_abs) + 0.5) AS INT) AS qv
+  FROM e JOIN m USING (vec_id)
+  WHERE max_abs > 0)
+SELECT vec_id,
+       max(scale) AS scale,
+       min(qv) AS min_q,
+       max(qv) AS max_q,
+       max(abs(qv / scale - v)) AS max_abs_err
+FROM q
+GROUP BY vec_id
+ORDER BY vec_id""")
 }

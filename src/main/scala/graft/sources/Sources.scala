@@ -197,13 +197,42 @@ object Sources {
       .orderBy($"encounter_id", $"proc_seq")
   }
 
+  private val jsonlMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** JSONL corpus ingest — the de-facto LLM training-corpus interchange
+    * format. The testdata ships parquet, so the operator first LANDS the
+    * documents table as JSONL once per (app, corpus) (the sink half of the
+    * format support), then reads it back with an EXPLICIT schema — never
+    * schema inference, which at 100 TB is a full extra pass over the corpus
+    * before the real one — and re-emits the table. The DuckDB oracle is the
+    * original parquet table itself: the round trip must be lossless, field
+    * for field (JSON string escaping, 64-bit ids, column order all exercised).
+    */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val path = jsonlMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = s"${sys.props("java.io.tmpdir")}/graft-jsonl/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        Tables.documents(spark, dir).write.mode("overwrite").json(p)
+        p
+      })
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+      .json(path)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seeded_sample" -> (seededSample _),
     "src_synthetic_events" -> (synthetic _),
     "src_assignment_join" -> (assignmentJoin _),
     "src_word_frequency" -> (wordFrequency _),
     "src_volume_encounters" -> (volumeEncounters _),
-    "src_volume_procedures" -> (volumeProcedures _))
+    "src_volume_procedures" -> (volumeProcedures _),
+    "src_jsonl_roundtrip" -> (jsonlIngest _))
 
   /** DuckDB h32 of a VARCHAR expression (shared parity base). */
   private def H(e: String): String = Md5Hash.h32Sql(e)
@@ -287,6 +316,10 @@ FROM named
 ORDER BY encounter_id, proc_seq"""
 
   val oracle: Map[String, String] = Map(
+    // the JSONL round trip must reproduce the parquet table losslessly
+    "src_jsonl_roundtrip" -> """SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id""",
+
     "src_seeded_sample" -> """SELECT event_id, ts, user_id, event_type, value
 FROM events
 WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'

@@ -75,6 +75,19 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids.count() == graft.similarity.IvfIndex.K)
   }
 
+  test("int8 quantization: values in [-127,127], error within the half-step bound") {
+    val rows = Similarity.quantizeInt8(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (scale, minQ, maxQ, err) =
+        (r.getDouble(1), r.getInt(2), r.getInt(3), r.getDouble(4))
+      assert(minQ >= -127 && maxQ <= 127, s"quant range overflow: $r")
+      // round-half-up quantization: dequant error is at most half a step
+      assert(err <= 0.5 / scale + 1e-12, s"error exceeds half-step bound: $r")
+      assert(scale > 0)
+    }
+  }
+
   test("embedding near-dups: subset of the exact pair scan, identical cosines") {
     val exact = Similarity.cosinePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
