@@ -100,9 +100,10 @@ object WindowExtras {
     val local = banded.withColumn("local_rn", row_number().over(w))
     val counts = banded.groupBy($"band").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until nb).map { b =>
-      (b, (0 until b).map(q => counts.getOrElse(q, 0L)).sum)
-    }.toDF("band", "offset")
+    // linear prefix sum over band ids (nb grows with cluster parallelism —
+    // a nested re-sum would be O(nb²) driver work)
+    val offsets = (0 until nb).scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+      .take(nb).zipWithIndex.map { case (off, b) => (b, off) }.toDF("band", "offset")
     local.join(broadcast(offsets), "band")
       .select($"o_orderkey", $"o_totalprice",
         ($"local_rn" + $"offset").as("global_rank"))

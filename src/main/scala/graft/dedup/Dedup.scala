@@ -86,7 +86,7 @@ object Dedup {
     * product anywhere — only docs sharing at least one shingle ever meet.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = BaseTau): DataFrame = {
     import spark.implicits._
     val docs = DocIndex.forDir(spark, dir)
     val sizes = docs.select($"doc_id", size($"sh").as("n"))
@@ -118,7 +118,7 @@ object Dedup {
     * relationships against the uncapped join.
     */
   def ngramJaccardCapped(spark: SparkSession, dir: String,
-      threshold: Double = 0.2, dfCap: Long = 1000): DataFrame = {
+      threshold: Double = BaseTau, dfCap: Long = 1000): DataFrame = {
     import spark.implicits._
     val docs = DocIndex.forDir(spark, dir)
     val inv = docs.select($"doc_id", explode($"sh").as("shingle"))
@@ -133,21 +133,39 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val shB = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    candidates
-      .join(shA, "doc_a").join(shB, "doc_b")
-      .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")) * lit(1.0)
-          / size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
-      .filter($"jaccard" >= threshold)
+    jaccardVerify(spark, dir, candidates, threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
   /** Base threshold of the materialized pair table: the lowest τ any
     * consumer uses, so every consumer's pair set is a filter of this one.
+    * Interpolated into BOTH engines (Spark defaults and the oracle SQL), so
+    * the two can never silently desynchronize on the τ literal.
     */
   val BaseTau = 0.2
+
+  /** Exact-Jaccard verify of a (doc_a, doc_b) candidate set against the
+    * shared [[DocIndex]] (cheap parquet re-read) — THE verify tail of every
+    * near-dup family (n-gram capped, MinHash-LSH, incremental). One
+    * definition so a fix to the Jaccard formula or null/empty-set handling
+    * lands everywhere. Candidates travel as bare (doc_a, doc_b) id pairs;
+    * shingle arrays only join in here, after candidate generation.
+    */
+  private[dedup] def jaccardVerify(spark: SparkSession, dir: String,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val idx = DocIndex.forDir(spark, dir)
+    val shA = idx.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val shB = idx.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")) * lit(1.0)
+          / size(array_union($"sh_a", $"sh_b")))
+      .filter($"jaccard" >= threshold)
+      .drop("sh_a", "sh_b")
+  }
 
   private val pairMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

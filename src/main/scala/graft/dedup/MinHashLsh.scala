@@ -105,28 +105,12 @@ object MinHashLsh {
            |""".stripMargin)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
-  /** Exact-Jaccard verify of a (doc_a, doc_b) candidate set against the
-    * shared doc index (cheap parquet re-read), not a shingle column smuggled
-    * through the bucket join.
+  /** Candidate pairs from band-bucket collisions, then the shared
+    * exact-Jaccard verify ([[Dedup.jaccardVerify]] — ids only through the
+    * bucket join, shingles join in at verify time).
     */
-  private def verifyPairs(spark: SparkSession, dir: String,
-      candidates: DataFrame, threshold: Double): DataFrame = {
-    import spark.implicits._
-    val idx = DocIndex.forDir(spark, dir)
-    val shA = idx.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = idx.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates
-      .join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect($"sh_a", $"sh_b")) * lit(1.0)
-          / size(array_union($"sh_a", $"sh_b")))
-      .filter($"jaccard" >= threshold)
-      .drop("sh_a", "sh_b")
-  }
-
-  /** Candidate pairs from band-bucket collisions, then exact-Jaccard verify. */
   def nearDuplicates(spark: SparkSession, dir: String,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = Dedup.BaseTau): DataFrame = {
     import spark.implicits._
     val banded = bandedOf(sigsForDir(spark, dir))
     val candidates = banded.as("a")
@@ -135,7 +119,7 @@ object MinHashLsh {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(spark, dir, candidates, threshold)
+    Dedup.jaccardVerify(spark, dir, candidates, threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -159,7 +143,7 @@ object MinHashLsh {
     * pairs touching the batch (DedupSpec pins the equality).
     */
   def incrementalNearDuplicates(spark: SparkSession, dir: String,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = Dedup.BaseTau): DataFrame = {
     import spark.implicits._
     val banded = bandedOf(sigsForDir(spark, dir))
     val candidates = banded.filter(isNewBatch($"doc_id")).as("a")
@@ -169,7 +153,7 @@ object MinHashLsh {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    verifyPairs(spark, dir, candidates, threshold)
+    Dedup.jaccardVerify(spark, dir, candidates, threshold)
       .select($"doc_a", $"doc_b", $"jaccard",
         when(isNewBatch($"doc_a") && isNewBatch($"doc_b"), "batch_internal")
           .otherwise("vs_corpus").as("pair_type"))
@@ -223,7 +207,7 @@ SELECT doc_a, doc_b, o * 1.0 / (sa.n + sb.n - o) AS jaccard$extraCols
 FROM ov
 JOIN sizes sa ON ov.doc_a = sa.doc_id
 JOIN sizes sb ON ov.doc_b = sb.doc_id
-WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.2
+WHERE o * 1.0 / (sa.n + sb.n - o) >= ${Dedup.BaseTau}
 ORDER BY doc_a, doc_b"""
 
   /** DuckDB twin of the full pipeline (shingles → signatures → banding →

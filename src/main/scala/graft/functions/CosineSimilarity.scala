@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * here (`doGenCode` emits the loop straight into the generated stage).
   *
   * Semantics: null if either side is null, either array is empty, lengths
-  * differ, or a norm is zero. Array elements are assumed non-null (embedding
-  * vectors; a null element reads as 0.0f via `ArrayData.toFloatArray`
-  * contract — Spark's primitive accessor).
+  * differ, a norm is zero, or ANY element of either array is null (the
+  * `zip_with` null-propagation contract — a primitive `getFloat` on a null
+  * slot would otherwise silently read 0.0 from UnsafeArrayData and produce a
+  * wrong cosine instead of a null).
   *
   * The reference declares `VECTOR(768)` for future embedding similarity and
   * never implements it (`/root/reference/sql/01_schema.sql:95`, `README.md:330`)
@@ -57,6 +58,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -81,12 +83,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  int $i = 0;
+         |  for (; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) break;
          |    final double $x = (double) $a.getFloat($i);
          |    final double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
+         |  if ($i < $n || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

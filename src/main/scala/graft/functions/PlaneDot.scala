@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * evaluated `Planes` times per corpus row on every index build; `doGenCode`
   * emits one fused primitive loop over a referenced `double[]` instead.
   *
-  * Null if the embedding is null or its length differs from the plane's
-  * (mirrors `zip_with`'s null padding on ragged inputs).
+  * Null if the embedding is null, its length differs from the plane's, the
+  * plane literal is null or carries a null element, or any embedding element
+  * is null (mirrors `zip_with`'s null propagation).
   */
 case class PlaneDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,18 +50,34 @@ case class PlaneDot(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  // the plane literal folds to a constant; extract + scale it exactly once
-  private lazy val components: Array[Double] =
-    right.eval(null).asInstanceOf[ArrayData].toLongArray()
-      .map(h => h / 2147483648.0 - 1.0)
+  // the plane literal folds to a constant; extract + scale it exactly once.
+  // A null plane literal or a plane containing a null element folds to null
+  // components → the expression is constant-null (zip_with's null semantics),
+  // NOT an NPE at codegen time (the type gate can't see literal VALUES).
+  private lazy val components: Array[Double] = {
+    val v = right.eval(null)
+    if (v == null) null
+    else {
+      val ad = v.asInstanceOf[ArrayData]
+      var i = 0
+      var hasNull = false
+      while (i < ad.numElements() && !hasNull) {
+        hasNull = ad.isNullAt(i); i += 1
+      }
+      if (hasNull) null
+      else ad.toLongArray().map(h => h / 2147483648.0 - 1.0)
+    }
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
+    if (components == null) return null
     val a = l.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != components.length) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       dot += a.getFloat(i).toDouble * components(i)
       i += 1
     }
@@ -68,6 +85,8 @@ case class PlaneDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (components == null)
+      return nullSafeCodeGen(ctx, ev, (_, _) => s"${ev.isNull} = true;")
     val cs = ctx.addReferenceObj("planeComponents", components, "double[]")
     nullSafeCodeGen(ctx, ev, (a, _) => {
       val i = ctx.freshName("i")
@@ -79,10 +98,16 @@ case class PlaneDot(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  int $i = 0;
+         |  for (; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) break;
          |    $dot += ((double) $a.getFloat($i)) * $cs[$i];
          |  }
-         |  ${ev.value} = $dot;
+         |  if ($i < $n) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

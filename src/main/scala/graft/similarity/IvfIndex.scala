@@ -129,14 +129,20 @@ object IvfIndex {
   private def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     Similarity.register(spark)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    // deterministic seeds: the K corpus vectors with lowest md5 rank
+    // deterministic seeds: the K corpus vectors with lowest md5 rank, cell id
+    // = rank order. orderBy + limit plans as a distributed
+    // TakeOrderedAndProject (per-partition top-K, tiny driver merge) — NOT a
+    // global row_number window, which would funnel the whole corpus through
+    // one reducer just to pick K=16 rows
     var c: Seq[Row] = e
       .withColumn("r", md5(concat(lit("ivf_seed:"), col("vec_id").cast("string"))))
-      .withColumn("cell", (row_number().over(Window.orderBy(col("r"))) - 1)
-        .cast("int"))
-      .filter(col("cell") < K)
-      .select(col("cell"), col("embedding").cast("array<float>").as("centroid"))
+      .orderBy(col("r"))
+      .limit(K)
+      .select(col("r"), col("embedding").cast("array<float>").as("centroid"))
       .collect().toSeq
+      .sortBy(_.getString(0))
+      .zipWithIndex
+      .map { case (row, cell) => Row(cell, row.getSeq[Float](1)) }
     for (_ <- 0 until LloydRounds)
       c = updateCentroids(spark, assign(e, centroidDf(spark, c)), c)
     val centroids = centroidDf(spark, c)

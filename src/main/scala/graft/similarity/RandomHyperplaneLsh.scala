@@ -35,6 +35,11 @@ object RandomHyperplaneLsh {
 
   val Planes = 4
 
+  /** Near-dup cosine threshold, interpolated into BOTH engines (Spark
+    * default and the oracle SQL) so the τ literal can't desynchronize.
+    */
+  val EmbeddingTau = 0.4
+
   /** Largest dimension the interpolated oracle supports (testdata is 64);
     * the Spark side sizes its literal arrays to the actual corpus dim.
     */
@@ -126,7 +131,7 @@ object RandomHyperplaneLsh {
     * by bucket and each partition self-joins locally.
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = EmbeddingTau): DataFrame = {
     import spark.implicits._
     Similarity.register(spark)
     val sigs = index(spark, dir)
@@ -142,16 +147,23 @@ object RandomHyperplaneLsh {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** DuckDB dot-product twin of [[planeDot]] for plane `p` — ONE definition
+    * shared by both oracles (a scaling/layout change edited in one oracle but
+    * not the other would silently break the un-edited one while the edited
+    * one stays green).
+    */
+  private def dotSql(emb: String, p: Int): String =
+    s"""list_sum(list_transform(range(1, len($emb) + 1),
+       |    i -> CAST($emb[i] AS DOUBLE)
+       |      * ([${planeInts(OracleMaxDim)(p).mkString(", ")}][i] / 2147483648.0 - 1.0)))""".stripMargin
+
+  /** DuckDB signature twin of [[signature]] over column `embedding`. */
+  private lazy val sigSql: String = (0 until Planes).map { p =>
+    s"CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END"
+  }.mkString("\n         + ")
+
   /** DuckDB twin of [[embeddingNearDups]]. */
-  def embeddingNearDupsOracleSql: String = {
-    val planes = planeInts(OracleMaxDim)
-    def dotSql(emb: String, p: Int): String =
-      s"""list_sum(list_transform(range(1, len($emb) + 1),
-         |    i -> CAST($emb[i] AS DOUBLE)
-         |      * ([${planes(p).mkString(", ")}][i] / 2147483648.0 - 1.0)))""".stripMargin
-    val sigSql = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END"
-    }.mkString("\n         + ")
+  def embeddingNearDupsOracleSql: String =
     s"""WITH sig AS (
   SELECT vec_id, embedding,
          $sigSql AS bucket
@@ -161,23 +173,14 @@ scored AS (
          ${Similarity.cosSql("a.embedding", "b.embedding")} AS cos
   FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, ${Similarity.r2("cos")} AS cosine_r2
-FROM scored WHERE cos >= 0.4
+FROM scored WHERE cos >= $EmbeddingTau
 ORDER BY vec_a, vec_b"""
-  }
 
   /** DuckDB twin: same literal plane integers, same in-engine division,
     * same left-to-right dot accumulation, same multi-probe expansion, then
     * the proven exact-cosine ranking recipe.
     */
   def oracleSql: String = {
-    val planes = planeInts(OracleMaxDim)
-    def dotSql(emb: String, p: Int): String =
-      s"""list_sum(list_transform(range(1, len($emb) + 1),
-         |    i -> CAST($emb[i] AS DOUBLE)
-         |      * ([${planes(p).mkString(", ")}][i] / 2147483648.0 - 1.0)))""".stripMargin
-    val sigSql = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END"
-    }.mkString("\n         + ")
     val probeBuckets = ("bucket" +: (0 until Planes).map(p =>
       s"xor(bucket, ${1 << p})")).mkString(", ")
     s"""WITH sig AS (

@@ -24,6 +24,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(fps > 0)
   }
 
+  test("null planes and null elements propagate null, never NPE or garbage") {
+    // foldable NULL plane literal: type-checks (array<bigint>), folds to null
+    // components — constant-null result, not an NPE at codegen time
+    val nullPlane = spark.sql(
+      "SELECT graft_plane_dot(array(float(1.0)), CAST(NULL AS ARRAY<BIGINT>)) AS d")
+      .head()
+    assert(nullPlane.isNullAt(0))
+    // plane literal with a null element
+    val nullElemPlane = spark.sql(
+      "SELECT graft_plane_dot(array(float(1.0), float(2.0)), " +
+        "array(bigint(1), CAST(NULL AS BIGINT))) AS d").head()
+    assert(nullElemPlane.isNullAt(0))
+    // embedding with a null element: null result (zip_with propagation), not
+    // a silent 0.0 read from the primitive accessor
+    val nullElemEmb = spark.sql(
+      "SELECT graft_plane_dot(array(float(1.0), CAST(NULL AS FLOAT)), " +
+        "array(bigint(2147483648), bigint(2147483648))) AS d").head()
+    assert(nullElemEmb.isNullAt(0))
+    val nullElemCos = spark.sql(
+      "SELECT graft_cosine(array(float(1.0), CAST(NULL AS FLOAT)), " +
+        "array(float(1.0), float(2.0))) AS c").head()
+    assert(nullElemCos.isNullAt(0))
+  }
+
   test("bad SQL input fails at analysis with a named error, not a CCE") {
     val wrongType = intercept[Exception] {
       spark.sql("SELECT graft_winnow(123)").collect()
