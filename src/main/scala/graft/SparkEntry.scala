@@ -25,7 +25,7 @@ object SparkEntry {
       dedup.Dedup.all ++ dedup.DupClusters.all ++ similarity.Similarity.all ++
       multimodal.Multimodal.all ++ sources.Sources.all ++
       streaming.Sessionize.all ++ analytics.WindowExtras.all ++
-      warehouse.Reports.all ++ functions.SkewJoin.all
+      warehouse.Reports.all ++ warehouse.Scd2.all ++ functions.SkewJoin.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ ingest.Ingest.oracle ++
@@ -34,5 +34,5 @@ object SparkEntry {
       similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++
       sources.Sources.oracle ++ streaming.Sessionize.oracle ++
       analytics.WindowExtras.oracle ++ warehouse.Reports.oracle ++
-      functions.SkewJoin.oracle
+      warehouse.Scd2.oracle ++ functions.SkewJoin.oracle
 }

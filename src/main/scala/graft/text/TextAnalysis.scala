@@ -229,7 +229,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** A token is "rare" when its corpus share is under 1/[[RareDenom]] —
+    * an integer-exact test (`tf * RareDenom < total`, all BIGINT; no float
+    * threshold to drift between engines).
+    */
+  val RareDenom = 1000L
+
+  /** Corpus-statistics token-frequency scoring — the two-pass unigram-LM
+    * quality-filter shape (score each document by how typical its tokens are
+    * of the corpus): pass 1 builds the term-frequency table, pass 2 joins it
+    * back and aggregates per doc. Deliberately NO `log`: Java's `Math.log`
+    * is only 1-ulp-accurate (not correctly rounded), so a log-prob column
+    * could hash-mismatch DuckDB on rare values; mean token probability and
+    * rare-token fraction carry the same filtering signal through exact
+    * integer sums and correctly-rounded IEEE divisions only.
+    *
+    * Scale notes (100 TB): pass 1 is a map-side-combined count per token;
+    * the per-token join is a shuffle on `tok` (or a broadcast when the vocab
+    * fits — AQE decides); per-doc aggregation is exact long arithmetic, so
+    * accumulation order never matters. The normalization constant (total
+    * corpus tokens) is one scalar off the vocab table — the same driver
+    * round-trip every LM normalization makes.
+    */
+  def tokenFreqScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("tok"))
+    val tf = toks.groupBy($"tok").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum($"tf")).head.getLong(0)
+    toks.join(tf, "tok")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum($"tf").as("sum_tf"),
+        min($"tf").as("min_tf"),
+        sum(when($"tf" * lit(RareDenom) < lit(total), 1L).otherwise(0L))
+          .as("n_rare"))
+      .select($"doc_id", $"n_tokens", $"min_tf",
+        ($"sum_tf".cast("double") / $"n_tokens" / lit(total.toDouble))
+          .as("mean_token_p"),
+        ($"n_rare" * lit(1.0) / $"n_tokens").as("rare_frac"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_freq_score" -> (tokenFreqScore _),
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
     "text_lang_id" -> (langId _),
@@ -241,6 +285,23 @@ object TextAnalysis {
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_token_freq_score" -> s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+tf AS (SELECT tok, count(*)::BIGINT AS tf FROM toks GROUP BY tok),
+total AS (SELECT sum(tf)::BIGINT AS total FROM tf),
+j AS (SELECT t.doc_id, f.tf FROM toks t JOIN tf f ON t.tok = f.tok)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       min(tf)::BIGINT AS min_tf,
+       CAST(sum(tf)::BIGINT AS DOUBLE) / count(*)
+         / (SELECT CAST(total AS DOUBLE) FROM total) AS mean_token_p,
+       sum(CASE WHEN tf * $RareDenom < (SELECT total FROM total)
+                THEN 1 ELSE 0 END)::BIGINT * 1.0 / count(*) AS rare_frac
+FROM j
+GROUP BY doc_id
+ORDER BY doc_id""",
+
     "text_token_stats" -> """SELECT doc_id,
        length(text)::INT AS n_chars,
        length(string_split_regex(trim(text), '\s+'))::INT AS n_tokens,

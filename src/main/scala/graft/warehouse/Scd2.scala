@@ -1,0 +1,128 @@
+package graft.warehouse
+
+import graft.analytics.OracleSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 merge — the dimension-versioning
+  * operator every warehouse ingest eventually needs (the reference refreshes
+  * `dim_patient` in place, `src/populate_warehouse.py:56-81`; an auditable
+  * warehouse keeps history instead: each attribute change closes the old row
+  * and appends a new version with validity dates).
+  *
+  * The change batch is synthesized deterministically (md5 gate — the same
+  * engine-shared device as the seeded sample / mix sampler): ~4/16 of
+  * patients relocate (update path) and ~1/16 arrive as new keys (insert
+  * path), so one run exercises every MERGE branch.
+  *
+  * Merge shape, Spark-first:
+  *  - ONE pass over the big dimension: left join against the change-batch
+  *    KEYS (broadcast — a change batch is small by nature) tags each
+  *    existing row; tagged rows close (valid_to = change date,
+  *    is_current = false), untagged stay current. No second scan for the
+  *    closed set.
+  *  - the new-version rows come from the change batch itself, left-joined
+  *    against the dimension's key column to decide version 2 (key existed)
+  *    vs version 1 (fresh insert) — a keys-only lookup join.
+  *  - surrogate keys are derived (`patient_id·10 + version`), NOT a
+  *    sequence/`monotonically_increasing_id` — deterministic under retries
+  *    and any partitioning, which is what makes the result hash-checkable
+  *    and the merge idempotent at 100 TB.
+  */
+object Scd2 {
+
+  /** Initial-load effective date (v1 rows). */
+  val V1From = "1992-01-01"
+
+  /** Effective date of the change batch. */
+  val ChangeDate = "1998-06-01"
+
+  /** Open-row sentinel (the standard SCD2 convention — current rows carry a
+    * far-future valid_to rather than NULL, so BETWEEN-style as-of lookups
+    * need no null branch).
+    */
+  val OpenEnd = "9999-12-31"
+
+  /** Deterministic change batch over the current dimension: updates
+    * (relocations) for gate digits 0-3, inserts (new keys, +10M offset —
+    * far above any custkey) for gate digit f.
+    */
+  private def changeBatch(dim: DataFrame): DataFrame = {
+    val gate = substring(
+      md5(concat(lit("scd:"), col("patient_id").cast("string"))), 1, 1)
+    val upd = dim.filter(gate.isin("0", "1", "2", "3"))
+      .select(col("patient_id"), col("age_group"), col("sex"),
+        concat(lit("RELOCATED-"), col("location")).as("location"))
+    val ins = dim.filter(gate === "f")
+      .select((col("patient_id") + lit(10000000L)).as("patient_id"),
+        lit("Unknown").as("age_group"), col("sex"),
+        lit("NEW-ARRIVAL").as("location"))
+    upd.unionByName(ins)
+  }
+
+  def scd2Patient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Warehouse.forDir(spark, dir).dimPatient
+      .select($"patient_id", $"age_group", $"sex", $"location")
+    val changes = changeBatch(dim)
+    val chgKeys = changes.select($"patient_id").withColumn("chg", lit(true))
+    // one pass over the dimension: close matched rows, keep the rest current
+    val existing = dim.join(broadcast(chgKeys), Seq("patient_id"), "left")
+      .select($"patient_id", $"age_group", $"sex", $"location",
+        lit(1).as("version"),
+        lit(V1From).cast("date").as("valid_from"),
+        when($"chg", lit(ChangeDate)).otherwise(lit(OpenEnd)).cast("date")
+          .as("valid_to"),
+        $"chg".isNull.as("is_current"))
+    // new versions: v2 where the key existed, v1 for fresh inserts
+    val existedKeys = dim.select($"patient_id").withColumn("existed", lit(true))
+    val newVers = changes.join(existedKeys, Seq("patient_id"), "left")
+      .select($"patient_id", $"age_group", $"sex", $"location",
+        when($"existed", lit(2)).otherwise(lit(1)).as("version"),
+        lit(ChangeDate).cast("date").as("valid_from"),
+        lit(OpenEnd).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    existing.unionByName(newVers)
+      .withColumn("scd_key", $"patient_id" * 10 + $"version")
+      .select($"scd_key", $"patient_id", $"age_group", $"sex", $"location",
+        $"version", $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"patient_id", $"version")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_scd2_patient" -> (scd2Patient _))
+
+  val oracle: Map[String, String] = Map(
+    "wh_scd2_patient" -> s"""${OracleSql.prelude},
+gated AS (
+  SELECT patient_id, age_group, sex, location,
+         substring(md5('scd:' || CAST(patient_id AS VARCHAR)), 1, 1) AS g
+  FROM dim_patient),
+changes AS (
+  SELECT patient_id, age_group, sex, 'RELOCATED-' || location AS location
+  FROM gated WHERE g IN ('0', '1', '2', '3')
+  UNION ALL
+  SELECT patient_id + 10000000 AS patient_id, 'Unknown' AS age_group, sex,
+         'NEW-ARRIVAL' AS location
+  FROM gated WHERE g = 'f'),
+existing AS (
+  SELECT d.patient_id, d.age_group, d.sex, d.location,
+         1 AS version, DATE '$V1From' AS valid_from,
+         CASE WHEN c.patient_id IS NOT NULL THEN DATE '$ChangeDate'
+              ELSE DATE '$OpenEnd' END AS valid_to,
+         c.patient_id IS NULL AS is_current
+  FROM dim_patient d
+  LEFT JOIN (SELECT patient_id FROM changes) c ON d.patient_id = c.patient_id),
+newv AS (
+  SELECT c.patient_id, c.age_group, c.sex, c.location,
+         CASE WHEN d.patient_id IS NOT NULL THEN 2 ELSE 1 END AS version,
+         DATE '$ChangeDate' AS valid_from, DATE '$OpenEnd' AS valid_to,
+         true AS is_current
+  FROM changes c
+  LEFT JOIN (SELECT patient_id FROM dim_patient) d ON c.patient_id = d.patient_id)
+SELECT (patient_id * 10 + version)::BIGINT AS scd_key,
+       patient_id, age_group, sex, location,
+       version::INT AS version, valid_from, valid_to, is_current
+FROM (SELECT * FROM existing UNION ALL SELECT * FROM newv)
+ORDER BY patient_id, version""")
+}
