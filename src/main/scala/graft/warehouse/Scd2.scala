@@ -89,12 +89,45 @@ object Scd2 {
       .orderBy($"patient_id", $"version")
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "wh_scd2_patient" -> (scd2Patient _))
+  /** Point-in-time (as-of) lookup against the versioned dimension — the
+    * query SCD2 exists to serve: each encounter resolves the patient version
+    * whose [valid_from, valid_to) interval contains its date. The half-open
+    * intervals partition time, so every encounter matches EXACTLY one
+    * version (spec-pinned). Plan shape at scale: equi hash join on the
+    * patient key (dim broadcast — a versioned dimension is still
+    * dimension-sized) with the interval bounds as a residual predicate —
+    * never a nested-loop range join.
+    */
+  def scd2AsofLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Warehouse.forDir(spark, dir).factEncounters
+      .select($"encounter_key", $"patient_key", $"encounter_date")
+    val dim = scd2Patient(spark, dir)
+      .select($"patient_id", $"version", $"location",
+        $"valid_from", $"valid_to")
+    fact.join(broadcast(dim),
+        $"patient_key" === $"patient_id" &&
+          $"encounter_date" >= $"valid_from" && $"encounter_date" < $"valid_to")
+      .groupBy($"version")
+      .agg(
+        count(lit(1)).as("n_encounters"),
+        countDistinct($"patient_id").as("n_patients"),
+        sum(when($"location".startsWith("RELOCATED-"), 1L).otherwise(0L))
+          .as("n_relocated"),
+        min($"encounter_date").as("first_date"),
+        max($"encounter_date").as("last_date"))
+      .orderBy($"version")
+  }
 
-  val oracle: Map[String, String] = Map(
-    "wh_scd2_patient" -> s"""${OracleSql.prelude},
-gated AS (
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_scd2_patient" -> (scd2Patient _),
+    "wh_scd2_asof_lookup" -> (scd2AsofLookup _))
+
+  /** The versioned-dimension CTE chain, shared by both oracles (one
+    * definition of the merge semantics in SQL, like [[scd2Patient]] is the
+    * one definition on the Spark side).
+    */
+  private def scdCtes: String = s"""gated AS (
   SELECT patient_id, age_group, sex, location,
          substring(md5('scd:' || CAST(patient_id AS VARCHAR)), 1, 1) AS g
   FROM dim_patient),
@@ -119,10 +152,31 @@ newv AS (
          DATE '$ChangeDate' AS valid_from, DATE '$OpenEnd' AS valid_to,
          true AS is_current
   FROM changes c
-  LEFT JOIN (SELECT patient_id FROM dim_patient) d ON c.patient_id = d.patient_id)
+  LEFT JOIN (SELECT patient_id FROM dim_patient) d ON c.patient_id = d.patient_id),
+scd AS (SELECT * FROM existing UNION ALL SELECT * FROM newv)"""
+
+  val oracle: Map[String, String] = Map(
+    "wh_scd2_patient" -> s"""${OracleSql.prelude},
+$scdCtes
 SELECT (patient_id * 10 + version)::BIGINT AS scd_key,
        patient_id, age_group, sex, location,
        version::INT AS version, valid_from, valid_to, is_current
-FROM (SELECT * FROM existing UNION ALL SELECT * FROM newv)
-ORDER BY patient_id, version""")
+FROM scd
+ORDER BY patient_id, version""",
+
+    "wh_scd2_asof_lookup" -> s"""${OracleSql.prelude},
+$scdCtes
+SELECT s.version::INT AS version,
+       count(*)::BIGINT AS n_encounters,
+       count(DISTINCT s.patient_id)::BIGINT AS n_patients,
+       sum(CASE WHEN s.location LIKE 'RELOCATED-%' THEN 1 ELSE 0 END)::BIGINT
+         AS n_relocated,
+       min(fe.encounter_date) AS first_date,
+       max(fe.encounter_date) AS last_date
+FROM fact_encounters fe
+JOIN scd s ON fe.patient_key = s.patient_id
+          AND fe.encounter_date >= s.valid_from
+          AND fe.encounter_date < s.valid_to
+GROUP BY s.version
+ORDER BY version""")
 }

@@ -42,6 +42,15 @@ class Scd2Spec extends SparkSpec {
       || $"valid_from" =!= lit(Scd2.ChangeDate).cast("date")).count() == 0)
   }
 
+  test("scd2 as-of lookup: every encounter resolves exactly one version") {
+    val fact = graft.warehouse.Warehouse.forDir(spark, sf).factEncounters
+    val looked = Scd2.scd2AsofLookup(spark, sf)
+      .agg(sum($"n_encounters")).head.getLong(0)
+    // half-open validity intervals partition time → join is lossless and
+    // never duplicates a fact row
+    assert(looked == fact.count())
+  }
+
   test("token_freq_score: probabilities and fractions stay in range") {
     val s = TextAnalysis.tokenFreqScore(spark, sf).cache()
     assert(s.filter($"mean_token_p" <= 0 || $"mean_token_p" > 1).count() == 0)
