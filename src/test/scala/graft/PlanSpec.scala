@@ -70,6 +70,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scd2 as-of lookup is a broadcast equi-join with residual bounds") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan(warehouse.Scd2.scd2AsofLookup(spark, sf))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "versioned dim must broadcast-hash-join on the patient key")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty
+      && collectAll(p) { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      "interval bounds must stay residual predicates, not a range join")
+  }
+
+  test("token frequency scoring never degenerates to a pairwise product") {
+    val p = plan(text.TextAnalysis.tokenFreqScore(spark, sf))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("sequence packing windows are shard-partitioned, never a global sort") {
     import org.apache.spark.sql.execution.window.WindowExec
     val windows = collectAll(plan(text.Curate.packSequences(spark, sf))) {
