@@ -272,7 +272,38 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Context-window chunking parameters: windows of [[ChunkW]] tokens
+    * every [[ChunkS]] tokens (overlap = W − S), the sliding layout
+    * RAG indexing and long-document pretraining prep use.
+    */
+  val ChunkW = 64
+  val ChunkS = 48
+
+  /** Overlapping token-window chunking: each document explodes into windows
+    * of [[ChunkW]] tokens starting every [[ChunkS]] (the final windows may
+    * be short; every doc emits at least one chunk). Pure map-side — a
+    * sequence() of starts + slice() per row, no shuffle except the
+    * presentation orderBy — so at 100 TB it runs at scan speed over any
+    * partitioning. Chunk ids are derived (`start / stride`), deterministic
+    * under retries.
+    */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower($"text")), "\\s+"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), size($"toks") - 1, lit(ChunkS))).as("start_tok"))
+      .select($"doc_id",
+        ($"start_tok" / ChunkS).cast("int").as("chunk_id"),
+        $"start_tok",
+        least(size($"toks") - $"start_tok", lit(ChunkW)).as("n_chunk_tokens"),
+        array_join(slice($"toks", $"start_tok" + 1, lit(ChunkW)), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_windows" -> (chunkWindows _),
     "text_token_freq_score" -> (tokenFreqScore _),
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
@@ -285,6 +316,17 @@ object TextAnalysis {
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_chunk_windows" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents)
+SELECT doc_id,
+       (start_tok // $ChunkS)::INT AS chunk_id,
+       start_tok::INT AS start_tok,
+       least(len(t) - start_tok, $ChunkW)::INT AS n_chunk_tokens,
+       array_to_string(t[start_tok + 1 : start_tok + $ChunkW], ' ') AS chunk_text
+FROM toks, LATERAL (SELECT unnest(range(0, len(t), $ChunkS)) AS start_tok)
+ORDER BY doc_id, chunk_id""",
+
     "text_token_freq_score" -> s"""WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
   FROM documents),

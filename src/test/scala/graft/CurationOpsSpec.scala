@@ -8,6 +8,30 @@ import graft.text.{Curate, TextAnalysis}
   */
 class CurationOpsSpec extends SparkSpec {
 
+  test("chunk windows tile every document: stride segments reconstruct it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val chunks = TextAnalysis.chunkWindows(spark, sf)
+    // chunk sizes bounded by the window, positive, ids = start/stride
+    assert(chunks.filter($"n_chunk_tokens" < 1
+      || $"n_chunk_tokens" > TextAnalysis.ChunkW
+      || $"chunk_id" * TextAnalysis.ChunkS =!= $"start_tok").count() == 0)
+    // taking the first `stride` tokens of each chunk in order reconstructs
+    // the full document exactly (no token lost or duplicated by the overlap)
+    val rebuilt = chunks
+      .withColumn("head_toks",
+        slice(split($"chunk_text", " "), 1, TextAnalysis.ChunkS))
+      .groupBy($"doc_id")
+      .agg(array_join(flatten(array_sort(collect_list(
+        struct($"chunk_id", $"head_toks"))).getField("head_toks")), " ")
+        .as("rebuilt"))
+    val orig = graft.Tables.documents(spark, sf)
+      .select($"doc_id", array_join(split(trim(lower($"text")), "\\s+"), " ")
+        .as("orig"))
+    assert(rebuilt.join(orig, "doc_id")
+      .filter($"rebuilt" =!= $"orig").count() == 0)
+  }
+
   test("repetition ratios are well-formed fractions") {
     val rows = TextAnalysis.repetition(spark, sf).collect()
     assert(rows.nonEmpty)
