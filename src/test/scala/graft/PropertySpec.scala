@@ -15,6 +15,25 @@ class PropertySpec extends SparkSpec {
   private def sample[T](g: Gen[T], n: Int, seed: Long): List[T] =
     Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
 
+  test("results are invariant to shuffle parallelism (order-independent accumulation)") {
+    // the determinism claim behind every hash-checked float: partial
+    // aggregates merge in a different order under different parallelism, so
+    // any order-dependent accumulation (raw double sums) would flip bits here
+    val names = Seq("text_token_freq_score", "win_moving_avg", "curate_sample_mix")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (name <- names) {
+        val q = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = q(spark, sf).collect().map(_.toString).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val b = q(spark, sf).collect().map(_.toString).toSeq
+        assert(a == b, s"$name differs across shuffle parallelism")
+        assert(a.nonEmpty, s"$name returned no rows")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("age bucketing is total and respects its boundaries (F1)") {
     val doubles = sample(Gen.chooseNum(-10000.0, 20000.0), 300, 1L) ++
       List(-0.005, 0.0, 2499.999, 2500.0, 4999.999, 5000.0, 7499.999, 7500.0)
