@@ -85,11 +85,35 @@ object DupClusters {
       .orderBy($"cluster_id")
   }
 
+  /** Keep-best curation policy per duplicate family: the canonical survivor
+    * is the highest-QUALITY member (longest text, doc_id tiebreak), not the
+    * min id — dropping a long original in favor of a truncated re-crawl is
+    * the classic dedup mistake this policy prevents. One keyed window per
+    * cluster (cluster-partitioned — never global) over the label table the
+    * fixpoint loop already materialized.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    clusters(spark, dir).join(docs, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(
+        max(when($"rk" === 1, $"doc_id")).as("kept_doc"),
+        max(when($"rk" === 1, $"n_chars")).as("kept_chars"),
+        count(lit(1)).as("n_members"))
+      .withColumn("n_dropped", $"n_members" - 1)
+      .orderBy($"cluster_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // re-assert total order after the memoized parquet round-trip
     "dedup_clusters" -> ((s: SparkSession, d: String) =>
       clusters(s, d).orderBy(col("doc_id"))),
-    "dedup_cluster_sizes" -> ((s: SparkSession, d: String) => clusterSizes(s, d)))
+    "dedup_cluster_sizes" -> ((s: SparkSession, d: String) => clusterSizes(s, d)),
+    "dedup_keep_best" -> (keepBest _))
 
   private val pairCte = """WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -123,5 +147,18 @@ SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""",
 
     "dedup_cluster_sizes" -> s"""$pairCte
 SELECT cluster_id, count(*)::BIGINT AS n_docs
-FROM labels GROUP BY cluster_id ORDER BY cluster_id""")
+FROM labels GROUP BY cluster_id ORDER BY cluster_id""",
+
+    "dedup_keep_best" -> s"""$pairCte,
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id) AS rk
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+SELECT cluster_id,
+       max(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS kept_doc,
+       max(CASE WHEN rk = 1 THEN n_chars END)::INT AS kept_chars,
+       count(*)::BIGINT AS n_members,
+       (count(*) - 1)::BIGINT AS n_dropped
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")
 }

@@ -79,6 +79,23 @@ class DedupSpec extends SparkSpec {
     sim.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("keep-best survivor is the longest member of its own cluster") {
+    import graft.dedup.DupClusters
+    val best = DupClusters.keepBest(spark, sf)
+    val labeled = DupClusters.clusters(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select($"doc_id", $"n_chars"), "doc_id")
+    val check = best.as("b").join(labeled.as("l"),
+      $"b.kept_doc" === $"l.doc_id" && $"b.cluster_id" === $"l.cluster_id")
+    // every survivor is a member of its cluster…
+    assert(check.count() == best.count())
+    // …and carries that cluster's maximum length
+    val maxes = labeled.groupBy($"cluster_id").agg(max($"n_chars").as("mx"))
+    assert(best.join(maxes, "cluster_id")
+      .filter($"kept_chars" =!= $"mx").count() == 0)
+    // clusters only contain documents with at least one near-dup partner
+    assert(best.filter($"n_members" < 2).count() == 0)
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val idx = graft.dedup.DocIndex.forDir(spark, sf)
     val f1 = SimHash.fingerprints(idx)
