@@ -158,7 +158,54 @@ object Curate {
       .orderBy($"doc_id")
   }
 
+  /** Global token budget for [[budgetMix]]. */
+  val TokenBudget = 20000L
+
+  /** Token-budget mixing — the allocation step a training run makes before
+    * sampling: a GLOBAL token budget splits into per-source quotas
+    * proportional to the md5-lattice weights (the [[sampleMix]] policy),
+    * and each source greedily fills its quota in deterministic md5 order
+    * (a doc is kept iff it fits entirely: cumulative tokens before it plus
+    * its own stay within the quota). Every decision is integer arithmetic —
+    * `quota = B·w div Σw` over integer quarter-weights, long token cumsums —
+    * so the allocation is bit-reproducible at any parallelism.
+    *
+    * Scale notes (100 TB): the weight rollup touches only distinct sources
+    * (driver scalar, like every allocation constant); the fill is ONE keyed
+    * window per source (shuffle on source, running long sum); the emitted
+    * ledger is one row per source. Skewed sources are the caveat at
+    * cluster scale — a giant source's window serializes on one reducer, so
+    * there the fill key becomes (source, shard) with per-shard sub-quotas,
+    * the [[packSequences]] device.
+    */
+  def budgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // integer quarter-weights from the same md5 policy lattice as sampleMix
+    val wq = (Md5Hash.h32(concat(lit("mix:"), $"source")) % MixRateBuckets) + 1
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val sumWq = docs.select($"source").distinct()
+      .select(sum(wq).as("s")).head.getLong(0)
+    val ord = md5(concat(lit("budget:"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"source").orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("wq", wq)
+      .withColumn("quota", expr(s"$TokenBudget * wq div $sumWq"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("kept", $"cum_before" + $"n_tokens" <= $"quota")
+      .groupBy($"source")
+      .agg(
+        max($"quota").as("quota"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"n_tokens").otherwise(0L)).as("tokens_used"))
+      .withColumn("utilization", $"tokens_used" * lit(1.0) / $"quota")
+      .orderBy($"source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_budget_mix" -> (budgetMix _),
     "curate_corpus" -> (curatedStats _),
     "curate_train_val_split" -> (trainValSplit _),
     "curate_decontaminate" -> (decontaminate _),
@@ -166,6 +213,34 @@ object Curate {
     "curate_pack_sequences" -> (packSequences _))
 
   val oracle: Map[String, String] = Map(
+    "curate_budget_mix" -> s"""WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         ((${Md5Hash.h32Sql("'mix:' || source")}) % $MixRateBuckets + 1)
+           ::BIGINT AS wq,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents),
+sw AS (SELECT sum(wq)::BIGINT AS s FROM (SELECT DISTINCT source, wq FROM d)),
+q AS (
+  SELECT *,
+         ($TokenBudget * wq) // (SELECT s FROM sw) AS quota,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM d)
+SELECT source,
+       max(quota)::BIGINT AS quota,
+       sum(CASE WHEN cum_before + n_tokens <= quota THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       sum(CASE WHEN cum_before + n_tokens <= quota THEN n_tokens ELSE 0 END)
+         ::BIGINT AS tokens_used,
+       sum(CASE WHEN cum_before + n_tokens <= quota THEN n_tokens ELSE 0 END)
+         ::BIGINT * 1.0 / max(quota) AS utilization
+FROM q
+GROUP BY source
+ORDER BY source""",
+
     "curate_corpus" -> s"""WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents),

@@ -32,6 +32,20 @@ class CurationOpsSpec extends SparkSpec {
       .filter($"rebuilt" =!= $"orig").count() == 0)
   }
 
+  test("budget mix: fills stay within quota and quotas within the budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Curate.budgetMix(spark, sf)
+    // no source overfills its quota, ledger fractions are sane
+    assert(rows.filter($"tokens_used" > $"quota"
+      || $"utilization" < 0 || $"utilization" > 1).count() == 0)
+    // floor-division allocation never exceeds the global budget
+    val totalQuota = rows.agg(sum($"quota")).head.getLong(0)
+    assert(totalQuota <= Curate.TokenBudget)
+    // the greedy fill actually keeps something somewhere
+    assert(rows.agg(sum($"n_kept")).head.getLong(0) > 0)
+  }
+
   test("repetition ratios are well-formed fractions") {
     val rows = TextAnalysis.repetition(spark, sf).collect()
     assert(rows.nonEmpty)
