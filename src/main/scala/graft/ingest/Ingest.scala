@@ -237,7 +237,43 @@ object Ingest {
       .orderBy(col("column_name"))
   }
 
+  /** Corpus snapshot diff — the added/removed/changed ledger between two
+    * crawl snapshots, the first question an incremental re-processing run
+    * asks (reprocess only the delta, not the corpus). V2 is synthesized
+    * deterministically from V1 by md5 gate: digit 'f' docs are deleted,
+    * digit '0' docs are revised, digit '1' docs return re-keyed as
+    * additions — one run exercises every branch.
+    *
+    * The diff itself is ONE full-outer join on the doc key comparing
+    * content fingerprints (md5 of the text, not the text itself, so the
+    * shuffle carries 32-byte fingerprints instead of documents — the shape
+    * that matters when rows are megabytes). At 100 TB both snapshots
+    * bucketed by doc_id make this a zero-shuffle zipper merge.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val gate = substring(md5(concat(lit("snap:"), $"doc_id".cast("string"))), 1, 1)
+    val v1 = docs.select($"doc_id", md5($"text").as("fp1"))
+    val v2 = docs.filter(gate =!= "f")
+      .select($"doc_id",
+        md5(when(gate === "0", concat($"text", lit(" [revised]")))
+          .otherwise($"text")).as("fp2"))
+      .unionByName(docs.filter(gate === "1")
+        .select(($"doc_id" + lit(2000000L)).as("doc_id"), md5($"text").as("fp2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("change_type",
+        when($"fp1".isNull, "added")
+          .when($"fp2".isNull, "removed")
+          .when($"fp1" =!= $"fp2", "changed")
+          .otherwise("unchanged"))
+      .filter($"change_type" =!= "unchanged")
+      .select($"doc_id", $"change_type")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff" -> (snapshotDiff _),
     "etl_audit_log" -> (auditLog _),
     "etl_profile" -> ((s: SparkSession, d: String) => profile(s, d)),
     "etl_staging_dedup_stats" -> (stagingDedupStats _),
@@ -265,6 +301,30 @@ ORDER BY column_name"""
   }
 
   val oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" -> """WITH gated AS (
+  SELECT doc_id, text,
+         substring(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 1) AS g
+  FROM documents),
+v1 AS (SELECT doc_id, md5(text) AS fp1 FROM gated),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN g = '0' THEN text || ' [revised]' ELSE text END) AS fp2
+  FROM gated WHERE g <> 'f'
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, md5(text) AS fp2
+  FROM gated WHERE g = '1')
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE (CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+ORDER BY doc_id""",
+
     "etl_profile" -> profileOracle,
     "etl_audit_log" -> """SELECT 'events_staging' AS table_name,
        'INSERT' AS operation,

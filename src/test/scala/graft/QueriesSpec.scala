@@ -129,6 +129,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff: ledger matches the mutation gates exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val diff = ingest.Ingest.snapshotDiff(spark, sf)
+    val byType = diff.groupBy($"change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gate = substring(md5(concat(lit("snap:"), $"doc_id".cast("string"))), 1, 1)
+    val gates = Tables.documents(spark, sf)
+      .groupBy(gate.as("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every mutated gate population lands in exactly its diff class
+    assert(byType.getOrElse("added", 0L) == gates.getOrElse("1", 0L))
+    assert(byType.getOrElse("removed", 0L) == gates.getOrElse("f", 0L))
+    assert(byType.getOrElse("changed", 0L) == gates.getOrElse("0", 0L))
+    assert(!byType.contains("unchanged"))
+  }
+
   test("readme record counts: all four entity tables non-empty (U1)") {
     val counts = Queries.readmeRecordCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
