@@ -254,18 +254,25 @@ object Ingest {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir)
     val gate = substring(md5(concat(lit("snap:"), $"doc_id".cast("string"))), 1, 1)
-    val v1 = docs.select($"doc_id", md5($"text").as("fp1"))
+    // presence flags, NOT fingerprint nullity, decide added/removed: a
+    // NULL-text doc has a null md5 on both sides, and fingerprint-nullity
+    // classification would call it 'added' while present in both snapshots.
+    // The fingerprint compare itself is null-safe (<=> / IS DISTINCT FROM)
+    // for the same reason — both engines share one semantics.
+    val v1 = docs.select($"doc_id", md5($"text").as("fp1"),
+      lit(true).as("in_v1"))
     val v2 = docs.filter(gate =!= "f")
       .select($"doc_id",
         md5(when(gate === "0", concat($"text", lit(" [revised]")))
           .otherwise($"text")).as("fp2"))
       .unionByName(docs.filter(gate === "1")
         .select(($"doc_id" + lit(2000000L)).as("doc_id"), md5($"text").as("fp2")))
+      .withColumn("in_v2", lit(true))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .withColumn("change_type",
-        when($"fp1".isNull, "added")
-          .when($"fp2".isNull, "removed")
-          .when($"fp1" =!= $"fp2", "changed")
+        when($"in_v1".isNull, "added")
+          .when($"in_v2".isNull, "removed")
+          .when(!($"fp1" <=> $"fp2"), "changed")
           .otherwise("unchanged"))
       .filter($"change_type" =!= "unchanged")
       .select($"doc_id", $"change_type")
@@ -316,12 +323,12 @@ v2 AS (
 SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
        CASE WHEN v1.doc_id IS NULL THEN 'added'
             WHEN v2.doc_id IS NULL THEN 'removed'
-            WHEN fp1 <> fp2 THEN 'changed'
+            WHEN fp1 IS DISTINCT FROM fp2 THEN 'changed'
             ELSE 'unchanged' END AS change_type
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 WHERE (CASE WHEN v1.doc_id IS NULL THEN 'added'
             WHEN v2.doc_id IS NULL THEN 'removed'
-            WHEN fp1 <> fp2 THEN 'changed'
+            WHEN fp1 IS DISTINCT FROM fp2 THEN 'changed'
             ELSE 'unchanged' END) <> 'unchanged'
 ORDER BY doc_id""",
 

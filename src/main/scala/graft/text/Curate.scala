@@ -164,11 +164,15 @@ object Curate {
   /** Token-budget mixing — the allocation step a training run makes before
     * sampling: a GLOBAL token budget splits into per-source quotas
     * proportional to the md5-lattice weights (the [[sampleMix]] policy),
-    * and each source greedily fills its quota in deterministic md5 order
-    * (a doc is kept iff it fits entirely: cumulative tokens before it plus
-    * its own stay within the quota). Every decision is integer arithmetic —
-    * `quota = B·w div Σw` over integer quarter-weights, long token cumsums —
-    * so the allocation is bit-reproducible at any parallelism.
+    * and each source keeps the longest PREFIX of its deterministic
+    * md5-ordered document stream that fits the quota (the stream is cut at
+    * the first document that would overflow — a later smaller document does
+    * NOT re-enter, which keeps the decision a pure function of the prefix
+    * sum; a skip-and-continue greedy would need a sequential per-source
+    * scan whose decisions depend on earlier keeps). Every decision is
+    * integer arithmetic — `quota = B·w div Σw` over integer
+    * quarter-weights, long token cumsums — so the allocation is
+    * bit-reproducible at any parallelism.
     *
     * Scale notes (100 TB): the weight rollup touches only distinct sources
     * (driver scalar, like every allocation constant); the fill is ONE keyed
