@@ -47,6 +47,50 @@ class StreamingSpec extends SparkSpec {
     assert(staged.select($"event_id").distinct().count() == n0)
   }
 
+  test("streaming scd2 maintenance: foreachBatch merge versions once, replays are no-ops") {
+    import graft.streaming.DimMaintain
+    import java.sql.Date
+    val src = Files.createTempDirectory("dimstream-src")
+    val dimDir = tmp("dimstream-dim")
+    val ckpt = tmp("dimstream-ckpt")
+    def changes(rows: Seq[(Long, String, String, String, String)]) =
+      rows.toDF("patient_id", "age_group", "sex", "location", "d")
+        .withColumn("effective_date", $"d".cast("date")).drop("d")
+
+    // batch 1: three fresh keys
+    changes(Seq((1L, "18-30", "F", "EUROPE", "1995-01-01"),
+      (2L, "31-50", "M", "ASIA", "1995-01-01"),
+      (3L, "51-70", "F", "AFRICA", "1995-01-01")))
+      .write.mode("overwrite").parquet(src.resolve("b1").toString)
+    DimMaintain.maintain(spark, src.toString + "/*", dimDir, ckpt).awaitTermination()
+    val d1 = DimMaintain.dim(spark, dimDir)
+    assert(d1.count() == 3 && d1.filter($"is_current" && $"version" === 1).count() == 3)
+
+    // batch 2: key 1 relocates, key 4 arrives, key 2 re-delivers UNCHANGED
+    val b2 = changes(Seq((1L, "18-30", "F", "AMERICA", "1996-06-01"),
+      (4L, "71+", "M", "EUROPE", "1996-06-01"),
+      (2L, "31-50", "M", "ASIA", "1996-06-01")))
+    b2.write.mode("overwrite").parquet(src.resolve("b2").toString)
+    DimMaintain.maintain(spark, src.toString + "/*", dimDir, ckpt).awaitTermination()
+    val d2 = DimMaintain.dim(spark, dimDir)
+    assert(d2.count() == 5) // 3 + insert(4) + new version of 1
+    val k1 = d2.filter($"patient_id" === 1).orderBy($"version").collect()
+    assert(k1.length == 2)
+    assert(!k1(0).getBoolean(7) && k1(0).getDate(6) == Date.valueOf("1996-06-01"))
+    assert(k1(1).getBoolean(7) && k1(1).getInt(4) == 2
+      && k1(1).getString(3) == "AMERICA")
+    // unchanged re-delivery did NOT version key 2
+    assert(d2.filter($"patient_id" === 2).count() == 1)
+
+    // checkpoint: re-running with no new files changes nothing
+    DimMaintain.maintain(spark, src.toString + "/*", dimDir, ckpt).awaitTermination()
+    assert(DimMaintain.dim(spark, dimDir).count() == 5)
+    // crash-replay: applying the SAME batch again directly is a no-op
+    DimMaintain.mergeBatch(spark, b2, dimDir, 99L)
+    val d3 = DimMaintain.dim(spark, dimDir)
+    assert(d3.count() == 5 && d3.filter($"is_current").count() == 4)
+  }
+
   test("streaming content dedup drops in-horizon re-deliveries under fresh ids") {
     val src = Files.createTempDirectory("stream-src4")
     val out = tmp("stream-out4")
