@@ -299,7 +299,38 @@ object WindowExtras {
       .orderBy($"event_type")
   }
 
+  /** Rolling distinct actives (trailing 7-day DAU/WAU): COUNT(DISTINCT) over
+    * a sliding date window. Spark's window frames cannot hold a DISTINCT
+    * aggregate, and the naive day-range self-join fans out |days|×|days|/2.
+    * The scale shape is: dedup FIRST to (day, user) pairs (the big shuffle,
+    * but on pre-shrunk data), then each pair contributes to exactly 7 target
+    * days (bounded explode — fan-out is the window length, a constant), then
+    * one distinct-count per target day. Works identically for 30/90-day
+    * windows and at any corpus size; the explode factor is the window
+    * length, never the data.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val observed = du.select($"day").distinct()
+    val daily = du.groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_active_1d"))
+    val contrib = du
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("g"),
+        $"day")
+      .select($"user_id", date_add($"day", $"g").as("day"))
+      // only emit observed days (a trailing window needs no future padding)
+      .join(broadcast(observed), Seq("day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_active_7d"))
+    daily.join(contrib, Seq("day"))
+      .select($"day", $"n_active_1d", $"n_active_7d")
+      .orderBy($"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rolling_active_users" -> (rollingActiveUsers _),
     "agg_approx_stats" -> (approxStats _),
     "win_moving_avg" -> (movingAvg _),
     "win_rank_family" -> (rankFamily _),
@@ -313,6 +344,23 @@ object WindowExtras {
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
   val oracle: Map[String, String] = Map(
+    "agg_rolling_active_users" -> """WITH du AS (
+  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+observed AS (SELECT DISTINCT day FROM du),
+daily AS (
+  SELECT day, count(DISTINCT user_id)::BIGINT AS n_active_1d
+  FROM du GROUP BY day),
+contrib AS (
+  SELECT (du.day + g::INT * INTERVAL 1 DAY)::DATE AS day, du.user_id
+  FROM du, LATERAL (SELECT unnest(range(0, 7)) AS g)),
+rolling AS (
+  SELECT c.day, count(DISTINCT c.user_id)::BIGINT AS n_active_7d
+  FROM contrib c JOIN observed o ON c.day = o.day
+  GROUP BY c.day)
+SELECT d.day, d.n_active_1d, r.n_active_7d
+FROM daily d JOIN rolling r ON d.day = r.day
+ORDER BY d.day""",
+
     "agg_approx_stats" -> """SELECT event_type,
        count(*)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users_exact,

@@ -129,6 +129,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("rolling actives: window dominates daily, spot-day equals brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = analytics.WindowExtras.rollingActiveUsers(spark, sf).cache()
+    assert(r.filter($"n_active_7d" < $"n_active_1d").count() == 0)
+    // brute-force one day: distinct users with any event in [day-6, day]
+    val probe = r.orderBy($"day".desc).head
+    val day = probe.getDate(0)
+    val brute = Tables.events(spark, sf)
+      .filter(to_date($"ts").between(date_sub(lit(day), 6), lit(day)))
+      .select($"user_id").distinct().count()
+    assert(probe.getLong(2) == brute)
+  }
+
   test("snapshot diff: ledger matches the mutation gates exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
