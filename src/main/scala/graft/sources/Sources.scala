@@ -36,6 +36,29 @@ object Sources {
       .orderBy($"event_id")
   }
 
+  /** Exact-N per stratum for [[stratifiedSample]]. */
+  val StratumN = 20
+
+  /** Exact-N stratified sample: exactly min(N, |stratum|) documents per
+    * source, chosen as the N lowest md5 ranks within the stratum — the
+    * eval-set construction primitive (rate-based sampling like
+    * [[seededSample]] can't promise a count; a seeded global shuffle can't
+    * promise reproducibility across engines). One keyed window per stratum
+    * (partitioned — never a global sort); the rank is a pure function of
+    * the id, so membership is recomputable anywhere.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat(lit("strat:"), $"doc_id".cast("string"))))
+    Tables.documents(spark, dir)
+      .withColumn("rank_in_stratum", row_number().over(w))
+      .filter($"rank_in_stratum" <= StratumN)
+      .select($"source", $"rank_in_stratum", $"doc_id", $"lang", $"n_chars")
+      .orderBy($"source", $"rank_in_stratum")
+  }
+
   /** S3: synthetic fallback source — `spark.range` + deterministic column
     * expressions replaces the Faker row loop (the driver-testdata generator
     * plays the reference's `generate_synthetic_data.py` role; this operator
@@ -227,6 +250,7 @@ object Sources {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seeded_sample" -> (seededSample _),
+    "src_stratified_sample" -> (stratifiedSample _),
     "src_synthetic_events" -> (synthetic _),
     "src_assignment_join" -> (assignmentJoin _),
     "src_word_frequency" -> (wordFrequency _),
@@ -324,6 +348,16 @@ FROM documents ORDER BY doc_id""",
 FROM events
 WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2'
 ORDER BY event_id""",
+
+    "src_stratified_sample" -> s"""SELECT source, rank_in_stratum, doc_id, lang, n_chars
+FROM (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) AS rank_in_stratum
+  FROM documents)
+WHERE rank_in_stratum <= $StratumN
+ORDER BY source, rank_in_stratum""",
 
     "src_synthetic_events" -> """SELECT i AS event_id,
        TIMESTAMP '2024-01-01 00:00:00' + to_minutes(i) AS ts,

@@ -21,6 +21,21 @@ class SourcesSpec extends SparkSpec {
     assert(s1.length > n / 16 && s1.length < n / 4, s"${s1.length} of $n")
   }
 
+  test("stratified sample: exactly min(N, stratum size) per source, stable") {
+    import graft.sources.Sources
+    val s = Sources.stratifiedSample(spark, sf)
+    val perSource = s.groupBy($"source").count()
+    val sizes = Tables.documents(spark, sf).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.collect().foreach { r =>
+      val want = math.min(Sources.StratumN.toLong, sizes(r.getString(0)))
+      assert(r.getLong(1) == want, s"stratum ${r.getString(0)}")
+    }
+    // membership is a pure function of the id — two runs agree exactly
+    val again = Sources.stratifiedSample(spark, sf)
+    assert(s.exceptAll(again).count() == 0 && again.exceptAll(s).count() == 0)
+  }
+
   test("synthetic source: schema, cardinality, domains") {
     val df = Sources.syntheticEvents(spark, 1000)
     assert(df.columns.toSeq == Seq("event_id", "ts", "user_id", "event_type", "value"))
