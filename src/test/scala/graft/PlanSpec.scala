@@ -95,6 +95,22 @@ class PlanSpec extends SparkSpec {
       "the running token sum must partition by shard (no single-reducer window)")
   }
 
+  test("every windowed extension keeps a non-empty partition spec") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the no-global-window promise, enforced across the newer windowed ops
+    // (a regression to Window.orderBy with no partition = one-reducer sort)
+    val dfs = Seq(
+      text.Curate.budgetMix(spark, sf),
+      sources.Sources.stratifiedSample(spark, sf),
+      dedup.DupClusters.keepBest(spark, sf),
+      warehouse.Scd2.scd2Patient(spark, sf))
+    for (df <- dfs) {
+      val windows = collectAll(plan(df)) { case w: WindowExec => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"global window in:\n${df.queryExecution.executedPlan.toString.take(400)}")
+    }
+  }
+
   test("pii scrub is map-side: no exchange except the presentation orderBy") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val shuffles = collectAll(plan(text.TextAnalysis.piiScrub(spark, sf))) {
