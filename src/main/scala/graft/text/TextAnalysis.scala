@@ -302,7 +302,44 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Exact-decile quality gate: drop the shortest ~10 % of documents
+    * corpus-wide. The threshold is an ORDER STATISTIC computed by counting —
+    * value histogram → cumulative → smallest value reaching ceil(n/10) —
+    * not by float interpolation (`percentile`'s (1−f)·a+f·b arithmetic is
+    * not guaranteed to match another engine bit-for-bit; an order statistic
+    * is an integer-exact corpus value). The histogram is value-DOMAIN-sized
+    * (distinct n_chars), so collecting it is the same bounded-driver
+    * pattern as [[graft.analytics.WindowExtras.globalRank]]'s band counts;
+    * an unbounded domain would grid-bucket first (the
+    * [[graft.analytics.WindowExtras.rangeBandJoin]] device). Ties at the
+    * threshold drop with it (ledger reports the realized count).
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val target = (n + 9) / 10
+    val hist = docs.groupBy($"n_chars").count()
+      .orderBy($"n_chars").collect()
+    var cum = 0L
+    var thr = Long.MaxValue
+    for (r <- hist if thr == Long.MaxValue) {
+      cum += r.getLong(1)
+      if (cum >= target) thr = r.getAs[Number](0).longValue()
+    }
+    docs
+      .withColumn("dropped", $"n_chars" <= thr)
+      .groupBy($"lang")
+      .agg(
+        lit(thr).as("p10_chars"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"),
+        min(when(!$"dropped", $"n_chars")).as("min_kept_chars"))
+      .orderBy($"lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_gate" -> (qualityGate _),
     "text_chunk_windows" -> (chunkWindows _),
     "text_token_freq_score" -> (tokenFreqScore _),
     "text_token_stats" -> (tokenStats _),
@@ -316,6 +353,23 @@ object TextAnalysis {
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_quality_gate" -> """WITH nn AS (SELECT count(*) AS n FROM documents),
+hist AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum FROM hist),
+thr AS (
+  SELECT min(n_chars) AS t FROM cum
+  WHERE cum >= ((SELECT n FROM nn) + 9) // 10)
+SELECT lang,
+       (SELECT t FROM thr)::INT AS p10_chars,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_chars <= (SELECT t FROM thr) THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped,
+       min(CASE WHEN n_chars > (SELECT t FROM thr) THEN n_chars END)::INT
+         AS min_kept_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang""",
+
     "text_chunk_windows" -> s"""WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents)

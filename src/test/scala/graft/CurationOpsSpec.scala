@@ -32,6 +32,21 @@ class CurationOpsSpec extends SparkSpec {
       .filter($"rebuilt" =!= $"orig").count() == 0)
   }
 
+  test("quality gate: drops at least the decile, keeps only above-threshold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val g = TextAnalysis.qualityGate(spark, sf)
+    val total = g.agg(sum($"n_docs")).head.getLong(0)
+    val dropped = g.agg(sum($"n_dropped")).head.getLong(0)
+    // the order statistic guarantees ≥ ceil(n/10) dropped (ties drop with it)
+    assert(dropped >= (total + 9) / 10)
+    // every kept doc sits strictly above the threshold
+    assert(g.filter($"min_kept_chars".isNotNull &&
+      $"min_kept_chars" <= $"p10_chars").count() == 0)
+    // one corpus-wide threshold
+    assert(g.select($"p10_chars").distinct().count() == 1)
+  }
+
   test("budget mix: fills stay within quota and quotas within the budget") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
