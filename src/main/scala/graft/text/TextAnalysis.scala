@@ -317,10 +317,11 @@ object TextAnalysis {
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val n = docs.count()
-    val target = (n + 9) / 10
     val hist = docs.groupBy($"n_chars").count()
       .orderBy($"n_chars").collect()
+    // n comes off the histogram — no second scan of the table
+    val n = hist.map(_.getLong(1)).sum
+    val target = (n + 9) / 10
     var cum = 0L
     var thr = Long.MaxValue
     for (r <- hist if thr == Long.MaxValue) {

@@ -102,10 +102,12 @@ class PlanSpec extends SparkSpec {
     val dfs = Seq(
       text.Curate.budgetMix(spark, sf),
       sources.Sources.stratifiedSample(spark, sf),
-      dedup.DupClusters.keepBest(spark, sf),
-      warehouse.Scd2.scd2Patient(spark, sf))
+      dedup.DupClusters.keepBest(spark, sf))
     for (df <- dfs) {
       val windows = collectAll(plan(df)) { case w: WindowExec => w }
+      // nonEmpty first: a plan with no window at all would make the
+      // partition-spec check vacuous
+      assert(windows.nonEmpty, "expected a windowed plan")
       assert(windows.forall(_.partitionSpec.nonEmpty),
         s"global window in:\n${df.queryExecution.executedPlan.toString.take(400)}")
     }

@@ -89,6 +89,20 @@ class StreamingSpec extends SparkSpec {
     DimMaintain.mergeBatch(spark, b2, dimDir, 99L)
     val d3 = DimMaintain.dim(spark, dimDir)
     assert(d3.count() == 5 && d3.filter($"is_current").count() == 4)
+
+    // malformed (null date) and out-of-order (stale) changes are rejected:
+    // key 1's current version starts 1996-06-01; a 1995 change must not
+    // close it, and a null-date change must not version anything
+    val bad = Seq(
+      (1L, "18-30", "F", "ATLANTIS", Some("1995-01-01")),
+      (2L, "31-50", "M", "NOWHERE", None))
+      .toDF("patient_id", "age_group", "sex", "location", "d")
+      .withColumn("effective_date", $"d".cast("date")).drop("d")
+    DimMaintain.mergeBatch(spark, bad, dimDir, 100L)
+    val d4 = DimMaintain.dim(spark, dimDir)
+    assert(d4.count() == 5 && d4.filter($"is_current").count() == 4)
+    assert(d4.filter($"patient_id" === 1 && $"is_current").head.getString(3)
+      == "AMERICA")
   }
 
   test("streaming content dedup drops in-horizon re-deliveries under fresh ids") {
