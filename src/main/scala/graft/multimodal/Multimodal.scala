@@ -184,7 +184,50 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Bytes per audio frame for [[audioEnergy]]. */
+  val FrameBytes = 256
+
+  /** One audio frame leaving the energy kernel. */
+  final case class AudioFrame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
+      energy: Long, peak: Int)
+
+  /** Per-frame energy over the audio-typed payloads: fixed-size byte frames,
+    * energy = sum of unsigned byte values (the |PCM| magnitude analog that
+    * is computable without codecs — a real decoder would map samples, not
+    * bytes), peak = max byte. Completes the modality triple beside image
+    * resize and video frame sampling. Same per-partition kernel boundary as
+    * [[decodeKernel]] (decoder init amortized once per partition), and the
+    * output is fixed-width per frame regardless of payload size — the
+    * property that keeps downstream shuffle volume bounded at 100 TB.
+    */
+  private[graft] def audioKernel(it: Iterator[MediaIn]): Iterator[AudioFrame] =
+    it.flatMap { m =>
+      m.media.grouped(FrameBytes).zipWithIndex.map { case (frame, idx) =>
+        var e = 0L
+        var p = 0
+        var i = 0
+        while (i < frame.length) {
+          val v = frame(i) & 0xff
+          e += v
+          if (v > p) p = v
+          i += 1
+        }
+        AudioFrame(m.doc_id, idx, frame.length, e, p)
+      }
+    }
+
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter($"media_type" === "audio")
+      .as[MediaIn]
+      .mapPartitions(audioKernel _)
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_energy" -> (audioEnergy _),
     "mm_metadata" -> (metadata _),
     "mm_featurize" -> (featurizeChecked _),
     "mm_resize" -> (resizeChecked _),
@@ -193,6 +236,25 @@ object Multimodal {
   // DuckDB cannot slice BLOBs, but this corpus is pure ASCII (asserted by
   // MultimodalSpec), so char-wise VARCHAR ops equal Spark's byte-wise ops.
   val oracle: Map[String, String] = Map(
+    // the corpus text is ASCII, so byte values = ascii(char) in DuckDB —
+    // the same identity the featurize oracle relies on
+    "mm_audio_energy" -> s"""WITH audio AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+frames AS (
+  SELECT doc_id, f::INT AS frame_idx,
+         substring(text, f::INT * $FrameBytes + 1, $FrameBytes) AS fr
+  FROM audio, LATERAL (
+    SELECT unnest(range(0,
+      (octet_length(encode(text)) + ${FrameBytes - 1}) // $FrameBytes)) AS f))
+SELECT doc_id, frame_idx,
+       octet_length(encode(fr))::INT AS frame_bytes,
+       list_sum(list_transform(string_split(fr, ''), c -> ascii(c)))::BIGINT
+         AS energy,
+       list_max(list_transform(string_split(fr, ''), c -> ascii(c)))::INT
+         AS peak
+FROM frames
+ORDER BY doc_id, frame_idx""",
+
     "mm_metadata" -> """SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
          AS media_type,

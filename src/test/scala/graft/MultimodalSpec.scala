@@ -39,6 +39,29 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach(r => assert(meta(r.doc_id) == r.n_bytes))
   }
 
+  test("audio energy: frames tile the payload and conserve total byte mass") {
+    import org.apache.spark.sql.functions._
+    val frames = Multimodal.audioEnergy(spark, sf)
+    // frame math: per doc, count = ceil(n_bytes / FrameBytes) and the byte
+    // lengths sum back to the payload
+    val meta = Multimodal.metadata(spark, sf)
+      .filter($"media_type" === "audio")
+      .select($"doc_id", $"n_bytes").as[(Long, Int)].collect().toMap
+    val perDoc = frames.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum($"frame_bytes").as("b"),
+        sum($"energy").as("e"), max($"peak").as("p"))
+      .collect()
+    assert(perDoc.length == meta.size)
+    perDoc.foreach { r =>
+      val n = meta(r.getLong(0))
+      assert(r.getLong(1) == (n + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes)
+      assert(r.getLong(2) == n)
+      // ASCII text payload: every byte in [32, 127), so energy bounds hold
+      assert(r.getLong(3) >= 32L * n && r.getLong(3) < 127L * n)
+      assert(r.getInt(4) < 127)
+    }
+  }
+
   test("frame sampling keeps every 4th fixed-size frame and covers the payload") {
     val frames = Multimodal.frameSample(spark, sf).collect()
     assert(frames.nonEmpty)
