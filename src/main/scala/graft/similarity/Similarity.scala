@@ -129,7 +129,31 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** L2-normalization ledger — the normalize-at-ingest step a vector store
+    * runs once so every later cosine collapses to a plain dot product (one
+    * fused multiply-add loop per pair instead of three accumulators).
+    * Emits per vector the norm and the first 8 normalized components as
+    * scalar doubles (the driver comparator cannot hash array columns; the
+    * array form is a trivial `transform` away for internal consumers).
+    * Float parity: the squared-norm accumulates left-to-right over the
+    * array on both engines (the same in-order contract every cosine oracle
+    * here already proves), and sqrt/divide are correctly-rounded IEEE ops.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sq = expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+      (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+    val comps = (0 until 8).map(i =>
+      (element_at($"embedding", i + 1).cast("double") / $"norm").as(f"n$i%02d"))
+    Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(sq))
+      .filter($"norm" > 0) // zero vectors are unnormalizable (none here)
+      .select(Seq($"vec_id", $"norm") ++ comps: _*)
+      .orderBy($"vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
@@ -150,6 +174,16 @@ object Similarity {
     s"FLOOR(($x) * 100 + 0.5) / 100.0"
 
   val oracle: Map[String, String] = Map(
+    "sim_normalize" -> s"""WITH n AS (
+  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS norm
+  FROM embeddings)
+SELECT vec_id, norm,
+${(0 until 8).map(i =>
+      s"       CAST(embedding[${i + 1}] AS DOUBLE) / norm AS n${"%02d".format(i)}")
+      .mkString(",\n")}
+FROM n WHERE norm > 0
+ORDER BY vec_id""",
+
     "sim_cosine_pairs" -> s"""WITH pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -339,7 +339,33 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** Top bigrams per language: corpus-level n-gram reporting (the
+    * repetition/boilerplate dashboard every corpus build keeps). Count per
+    * (lang, bigram) with map-side partial aggregation, then top-10 per
+    * language via a LANG-partitioned window over the already-aggregated
+    * counts — the window input is vocabulary-sized, not corpus-sized, and
+    * never global.
+    */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy($"n".desc, $"bigram")
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower($"text")), "\\s+"))
+      .filter(size($"toks") >= 2)
+      .select($"lang", explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""".stripMargin))
+        .as("bigram"))
+      .groupBy($"lang", $"bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .orderBy($"lang", $"rk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_bigrams" -> (topBigrams _),
     "text_quality_gate" -> (qualityGate _),
     "text_chunk_windows" -> (chunkWindows _),
     "text_token_freq_score" -> (tokenFreqScore _),
@@ -354,6 +380,22 @@ object TextAnalysis {
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_top_bigrams" -> """WITH toks AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+bg AS (
+  SELECT lang, array_to_string(t[i:i+1], ' ') AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2),
+cnt AS (SELECT lang, bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram)::INT
+           AS rk
+  FROM cnt)
+SELECT lang, bigram, n, rk FROM ranked WHERE rk <= 10
+ORDER BY lang, rk""",
+
     "text_quality_gate" -> """WITH nn AS (SELECT count(*) AS n FROM documents),
 hist AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
 cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum FROM hist),

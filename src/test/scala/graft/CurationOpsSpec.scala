@@ -32,6 +32,19 @@ class CurationOpsSpec extends SparkSpec {
       .filter($"rebuilt" =!= $"orig").count() == 0)
   }
 
+  test("top bigrams: at most 10 per language, counts descending within each") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = TextAnalysis.topBigrams(spark, sf)
+    assert(t.filter($"rk" < 1 || $"rk" > 10).count() == 0)
+    assert(t.groupBy($"lang").count().filter($"count" > 10).count() == 0)
+    // within a language, count never increases as rank grows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"rk")
+    assert(t.withColumn("prev", lag($"n", 1).over(w))
+      .filter($"prev".isNotNull && $"n" > $"prev").count() == 0)
+  }
+
   test("quality gate: drops at least the decile, keeps only above-threshold") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

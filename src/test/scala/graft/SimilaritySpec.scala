@@ -75,6 +75,25 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids.count() == graft.similarity.IvfIndex.K)
   }
 
+  test("normalize: unit norm after scaling, components bounded by 1") {
+    import org.apache.spark.sql.functions._
+    val n = graft.similarity.Similarity.normalize(spark, sf)
+    assert(n.count() == Tables.embeddings(spark, sf).count())
+    // first-8 normalized components can never exceed the unit ball
+    val comps = (0 until 8).map(i => col(f"n$i%02d"))
+    assert(n.filter(comps.map(c => abs(c) > 1.0).reduce(_ || _)).count() == 0)
+    // the FULL normalized vector (not just the 8 reported components) has
+    // unit norm: rescale in place and re-accumulate
+    val unit = Tables.embeddings(spark, sf)
+      .withColumn("norm", sqrt(expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")))
+      .withColumn("unit2", expr(
+        """aggregate(transform(embedding, x -> CAST(x AS DOUBLE) / norm),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"""))
+    assert(unit.filter(abs(col("unit2") - 1.0) > 1e-9).count() == 0)
+  }
+
   test("int8 quantization: values in [-127,127], error within the half-step bound") {
     val rows = Similarity.quantizeInt8(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())
