@@ -149,7 +149,7 @@ object IvfIndex {
     (assign(e, centroids), centroids)
   }
 
-  def topK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def topK(spark: SparkSession, dir: String, k: Int = Similarity.TopK): DataFrame = {
     import spark.implicits._
     Similarity.register(spark)
     val (assigned, centroids) = build(spark, dir)
@@ -244,7 +244,7 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank, ${Similarity.r2("cos")} AS cosine_r2
-FROM ranked WHERE rank <= 10
+FROM ranked WHERE rank <= ${Similarity.TopK}
 ORDER BY query_id, rank"""
   }
 }

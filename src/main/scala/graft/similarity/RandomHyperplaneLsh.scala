@@ -97,7 +97,7 @@ object RandomHyperplaneLsh {
       spark.read.parquet(base)
     })
 
-  def topK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def topK(spark: SparkSession, dir: String, k: Int = Similarity.TopK): DataFrame = {
     import spark.implicits._
     Similarity.register(spark)
     val idx = index(spark, dir)
@@ -201,7 +201,7 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank, ${Similarity.r2("cos")} AS cosine_r2
-FROM ranked WHERE rank <= 10
+FROM ranked WHERE rank <= ${Similarity.TopK}
 ORDER BY query_id, rank"""
   }
 }

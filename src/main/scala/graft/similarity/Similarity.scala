@@ -81,7 +81,13 @@ object Similarity {
     */
   val NumProbes = 40
 
-  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** Neighbors returned per probe — ONE definition interpolated into every
+    * Spark default and oracle (a top-k literal edited on one side only would
+    * silently desynchronize the twins).
+    */
+  val TopK = 10
+
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     import spark.implicits._
     register(spark)
     val e = Tables.embeddings(spark, dir)
@@ -202,7 +208,7 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
-FROM ranked WHERE rank <= 10
+FROM ranked WHERE rank <= $TopK
 ORDER BY query_id, rank""",
 
     // full-pipeline DuckDB twins (md5-derived hyperplanes / seeds, exact
