@@ -165,12 +165,13 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** Frame sampling: slice the payload into fixed 256-byte frames and keep
-    * every 4th (the video-keyframe analog). posexplode keeps the lineage
-    * columnar; at scale the slice bound keeps row width fixed.
+  /** Frame sampling: slice the payload into fixed [[FrameBytes]]-byte
+    * frames and keep every 4th (the video-keyframe analog). posexplode
+    * keeps the lineage columnar; at scale the slice bound keeps row width
+    * fixed.
     */
   def frameSample(spark: SparkSession, dir: String,
-      frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+      frameBytes: Int = FrameBytes, stride: Int = 4): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .select($"doc_id", $"media_type",
@@ -184,7 +185,10 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
-  /** Bytes per audio frame for [[audioEnergy]]. */
+  /** Bytes per media frame — ONE definition shared by [[frameSample]],
+    * [[audioEnergy]], and both their oracles (a frame-size literal edited
+    * on one side only would silently desynchronize the twins).
+    */
   val FrameBytes = 256
 
   /** One audio frame leaving the energy kernel. */
@@ -262,15 +266,15 @@ ORDER BY doc_id, frame_idx""",
        hex(encode(substring(text, 1, 4))) AS magic_hex
 FROM documents ORDER BY doc_id""",
 
-    "mm_frame_sample" -> """WITH frames AS (
+    "mm_frame_sample" -> s"""WITH frames AS (
   SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
            AS media_type,
          i AS frame_idx,
-         octet_length(encode(substring(text, i * 256 + 1, 256)))::INT AS frame_bytes
+         octet_length(encode(substring(text, i * $FrameBytes + 1, $FrameBytes)))::INT AS frame_bytes
   FROM documents,
        LATERAL (SELECT unnest(range(0,
-         CAST(floor((octet_length(encode(text)) - 1) / 256) AS INT) + 1)) AS i))
+         CAST(floor((octet_length(encode(text)) - 1) / $FrameBytes) AS INT) + 1)) AS i))
 SELECT doc_id, media_type, frame_idx::INT AS frame_idx, frame_bytes
 FROM frames WHERE frame_idx % 4 = 0
 ORDER BY doc_id, frame_idx""",

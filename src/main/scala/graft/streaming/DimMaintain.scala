@@ -20,19 +20,23 @@ import org.apache.spark.sql.types.StructType
   *    replay after a crash);
   *  - **replay no-op merge** — an insert is skipped when the key already
   *    exists, an update is skipped when the current attributes already
-  *    equal the incoming ones or the change is not strictly newer than the
-  *    current version's valid_from (which also rejects out-of-order late
-  *    changes that would invert validity intervals); malformed change rows
+  *    equal the incoming ones or the change predates the current version's
+  *    valid_from (out-of-order late changes would invert validity
+  *    intervals; same-date corrections DO apply); malformed change rows
   *    (null key or null effective date) are dropped at the door;
   *  - **atomic publication** — each merge writes a complete snapshot
-  *    `snap_<batchId>` and readers resolve the LATEST snapshot carrying the
-  *    `_SUCCESS` marker (written last by the Hadoop commit protocol). There
-  *    is no in-place overwrite of a "current" directory, so no crash window
-  *    can lose the dimension: an interrupted write has no marker and is
-  *    invisible; the replay rewrites it. Older snapshots are pruned after a
-  *    successful publish (idempotent deletes). Filesystem access goes
-  *    through the Hadoop FileSystem API, so the same code addresses HDFS/S3
-  *    paths, not only local disk.
+  *    `snap_<id>` (ids self-allocated latest+1, immune to checkpoint-reset
+  *    batch-id restarts) and readers resolve the LATEST snapshot carrying
+  *    the engine-owned `_GRAFT_BATCH` marker, written only after the
+  *    parquet commit succeeds — independent of the committer's `_SUCCESS`
+  *    configuration. No in-place overwrite of a "current" directory exists,
+  *    so no crash window can lose the dimension: an interrupted write has
+  *    no marker and is invisible; the replay (detected by the marker's
+  *    recorded batch id) rewrites or skips it. Retention keeps the newest
+  *    two snapshots so a reader that just resolved the prior one can still
+  *    finish its scan; older ones are pruned with idempotent deletes.
+  *    Filesystem access goes through the Hadoop FileSystem API, so the same
+  *    code addresses HDFS/S3 paths, not only local disk.
   *
   * Scale notes (100 TB): the change batch is small by nature and is
   * broadcast into one pass over the dimension snapshot; versions are derived
@@ -53,26 +57,44 @@ object DimMaintain {
   private def fileSystem(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest COMPLETE snapshot (highest batch id whose directory carries the
-    * _SUCCESS marker), if any.
+  /** Engine-owned completeness marker written LAST inside a snapshot — the
+    * publication commit point. Deliberately not `_SUCCESS`: that file is
+    * under the committer's control (`marksuccessfuljobs` is often disabled
+    * on object stores) and must not double as our visibility protocol. The
+    * file's content is the source batch id, which is also the crash-replay
+    * detector.
     */
-  private def latestSnap(spark: SparkSession, dimDir: String): Option[Path] = {
+  private val Marker = "_GRAFT_BATCH"
+
+  private val SnapName = "snap_([0-9]+)".r
+
+  /** (path, snapshot id, source batch id) of every PUBLISHED snapshot
+    * (marker present); non-numeric `snap_*` names are ignored, not errors.
+    */
+  private def publishedSnaps(spark: SparkSession,
+      dimDir: String): Seq[(Path, Long, Long)] = {
     val fs = fileSystem(spark, dimDir)
     val root = new Path(dimDir)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap_"))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .sortBy(_.getPath.getName.stripPrefix("snap_").toLong)
-      .lastOption.map(_.getPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case SnapName(id) if s.isDirectory
+            && fs.exists(new Path(s.getPath, Marker)) =>
+          val in = fs.open(new Path(s.getPath, Marker))
+          val src = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+          finally in.close()
+          Some((s.getPath, id.toLong, src))
+        case _ => None
+      }
+    }.sortBy(_._2)
   }
 
   /** The versioned dimension as of the last published snapshot (empty frame
     * before the first).
     */
   def dim(spark: SparkSession, dimDir: String): DataFrame =
-    latestSnap(spark, dimDir) match {
-      case Some(p) => spark.read.parquet(p.toString)
+    publishedSnaps(spark, dimDir).lastOption match {
+      case Some((p, _, _)) => spark.read.parquet(p.toString)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], dimSchema)
     }
@@ -81,27 +103,32 @@ object DimMaintain {
     * Deterministic: duplicate keys within a batch collapse to the
     * lexicographically-greatest (effective_date, attrs) tuple; closes and
     * inserts derive purely from (current row, incoming row).
+    *
+    * Snapshot ids are self-allocated (latest + 1), NOT the batch id — batch
+    * ids restart at 0 when a checkpoint is rebuilt, and a merge must never
+    * become invisible behind a higher-numbered stale snapshot. The marker
+    * records which batch produced each snapshot, so a crash-replay of the
+    * same batch is detected by content, not by name.
     */
   def mergeBatch(spark: SparkSession, batch0: DataFrame, dimDir: String,
       batchId: Long): Unit = {
-    import spark.implicits._
     if (batch0.isEmpty) return
-    // crash-replay short-circuit: if this batch's snapshot is already the
-    // published latest, the merge already happened — recomputing would also
-    // mean overwriting the very snapshot being read. Only the retention
-    // pass (below) may still be owed.
-    val alreadyPublished =
-      latestSnap(spark, dimDir).exists(_.getName == s"snap_$batchId")
-    if (!alreadyPublished) mergeInto(spark, batch0, dimDir, batchId)
-    val fsRet = fileSystem(spark, dimDir)
-    fsRet.listStatus(new Path(dimDir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap_"))
-      .filter(_.getPath.getName.stripPrefix("snap_").toLong < batchId)
-      .foreach(s => fsRet.delete(s.getPath, true))
+    val snaps = publishedSnaps(spark, dimDir)
+    // crash-replay short-circuit: the latest snapshot already came from
+    // this batch — only the retention pass may still be owed
+    if (!snaps.lastOption.exists(_._3 == batchId))
+      mergeInto(spark, batch0, dimDir,
+        snaps.lastOption.map(_._2 + 1).getOrElse(0L), batchId)
+    // retention: keep the newest TWO published snapshots — the prior one
+    // stays readable for any consumer that resolved it just before this
+    // publish; deletes are idempotent under replay
+    val after = publishedSnaps(spark, dimDir)
+    val fs = fileSystem(spark, dimDir)
+    after.dropRight(2).foreach { case (p, _, _) => fs.delete(p, true) }
   }
 
   private def mergeInto(spark: SparkSession, batch0: DataFrame,
-      dimDir: String, batchId: Long): Unit = {
+      dimDir: String, snapId: Long, batchId: Long): Unit = {
     import spark.implicits._
     val batch = batch0
       // malformed changes (no key / no effective date) never reach the merge
@@ -121,12 +148,15 @@ object DimMaintain {
         lit(1).as("version"), $"effective_date".as("valid_from"),
         lit(Scd2.OpenEnd).cast("date").as("valid_to"),
         lit(true).as("is_current"))
-    // only REAL attribute changes that are STRICTLY NEWER than the current
-    // version take effect: equal attrs = replay no-op; effective_date ≤
-    // current valid_from = out-of-order late change, rejected rather than
-    // closing a row with an inverted validity interval
+    // only REAL attribute changes at-or-after the current version's start
+    // take effect: equal attrs = replay no-op; effective_date < current
+    // valid_from = out-of-order late change, rejected rather than closing a
+    // row with an inverted validity interval. Same-date corrections apply
+    // (the closed row gets a zero-length interval — "never effective");
+    // disambiguating a correction from a re-delivered STALE same-date value
+    // needs change sequence ids, which this feed does not carry.
     val changed = b.filter($"c_ver".isNotNull &&
-      $"effective_date" > $"c_from" &&
+      $"effective_date" >= $"c_from" &&
       (!($"age_group" <=> $"c_ag") || !($"sex" <=> $"c_sex")
         || !($"location" <=> $"c_loc")))
     val newVers = changed
@@ -143,9 +173,16 @@ object DimMaintain {
           .as("valid_to"),
         ($"is_current" && $"eff".isNull).as("is_current"))
     val out = updated.unionByName(inserts).unionByName(newVers)
-    // atomic publication: the _SUCCESS marker (committed last) makes the
-    // snapshot visible; readers never see a partial write
-    out.write.mode("overwrite").parquet(s"$dimDir/snap_$batchId")
+    // atomic publication: the snapshot becomes visible only when the engine-
+    // owned marker (written after the parquet commit succeeds) appears; a
+    // crash mid-write leaves an unmarked, invisible directory that the
+    // replay simply overwrites
+    val snap = new Path(s"$dimDir/snap_$snapId")
+    out.write.mode("overwrite").parquet(snap.toString)
+    val fs = fileSystem(spark, dimDir)
+    val outStream = fs.create(new Path(snap, Marker), true)
+    try outStream.write(batchId.toString.getBytes("UTF-8"))
+    finally outStream.close()
   }
 
   /** Watch `srcDir` for change-record parquet files and keep the versioned

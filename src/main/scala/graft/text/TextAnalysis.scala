@@ -346,6 +346,10 @@ object TextAnalysis {
     * counts — the window input is vocabulary-sized, not corpus-sized, and
     * never global.
     */
+  /** Bigrams reported per language — shared by the Spark filter and the
+    * oracle (one definition, no one-sided edits). */
+  val TopNgrams = 10
+
   def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
@@ -360,7 +364,7 @@ object TextAnalysis {
       .groupBy($"lang", $"bigram")
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 10)
+      .filter($"rk" <= TopNgrams)
       .orderBy($"lang", $"rk")
   }
 
@@ -380,8 +384,8 @@ object TextAnalysis {
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
-    "text_top_bigrams" -> """WITH toks AS (
-  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS t
+    "text_top_bigrams" -> s"""WITH toks AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents),
 bg AS (
   SELECT lang, array_to_string(t[i:i+1], ' ') AS bigram
@@ -393,7 +397,7 @@ ranked AS (
          row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram)::INT
            AS rk
   FROM cnt)
-SELECT lang, bigram, n, rk FROM ranked WHERE rk <= 10
+SELECT lang, bigram, n, rk FROM ranked WHERE rk <= $TopNgrams
 ORDER BY lang, rk""",
 
     "text_quality_gate" -> """WITH nn AS (SELECT count(*) AS n FROM documents),
