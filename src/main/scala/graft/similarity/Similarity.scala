@@ -159,6 +159,8 @@ object Similarity {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_codes" -> ((s: SparkSession, d: String) =>
+      ProductQuantizer.codes(s, d)),
     "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
@@ -180,6 +182,7 @@ object Similarity {
     s"FLOOR(($x) * 100 + 0.5) / 100.0"
 
   val oracle: Map[String, String] = Map(
+    "sim_pq_codes" -> ProductQuantizer.oracleSql,
     "sim_normalize" -> s"""WITH n AS (
   SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS norm
   FROM embeddings)

@@ -75,6 +75,20 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids.count() == graft.similarity.IvfIndex.K)
   }
 
+  test("pq codes: in range, errors non-negative, assignment deterministic") {
+    import graft.similarity.ProductQuantizer
+    import org.apache.spark.sql.functions._
+    val c = ProductQuantizer.codes(spark, sf)
+    assert(c.count() == Tables.embeddings(spark, sf).count())
+    val codeCols = (0 until ProductQuantizer.M).map(s => col(s"c$s"))
+    assert(c.filter(codeCols.map(cc =>
+      cc < 0 || cc >= ProductQuantizer.K).reduce(_ || _)).count() == 0)
+    assert(c.filter(col("sq_err") < 0).count() == 0)
+    // codebooks and assignment are pure functions of the corpus
+    val again = ProductQuantizer.codes(spark, sf)
+    assert(c.exceptAll(again).count() == 0 && again.exceptAll(c).count() == 0)
+  }
+
   test("normalize: unit norm after scaling, components bounded by 1") {
     import org.apache.spark.sql.functions._
     val n = graft.similarity.Similarity.normalize(spark, sf)
