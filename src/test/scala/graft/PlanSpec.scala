@@ -102,7 +102,8 @@ class PlanSpec extends SparkSpec {
     val dfs = Seq(
       text.Curate.budgetMix(spark, sf),
       sources.Sources.stratifiedSample(spark, sf),
-      dedup.DupClusters.keepBest(spark, sf))
+      dedup.DupClusters.keepBest(spark, sf),
+      similarity.ProductQuantizer.codes(spark, sf))
     for (df <- dfs) {
       val windows = collectAll(plan(df)) { case w: WindowExec => w }
       // nonEmpty first: a plan with no window at all would make the
