@@ -30,6 +30,7 @@ object Bench {
     dedup.SimHash.fpForDir(spark, sfDir)
     dedup.DupClusters.clusters(spark, sfDir)
     similarity.IvfIndex.build(spark, sfDir)
+    similarity.IvfPq.postings(spark, sfDir)
     similarity.RandomHyperplaneLsh.index(spark, sfDir)
     // session warmup: one untimed full read of each hot base table so the
     // alphabetically-first timed query isn't charged the session's one-off

@@ -176,11 +176,13 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
-  /** DuckDB twin of the FULL pipeline — seeding, every Lloyd round (unrolled
-    * as CTEs), final assignment, probe routing, and exact re-rank — made
-    * possible by the md5 seeds and the exact fixed-point centroid update.
+  /** The index+routing CTE chain (md5 seeding `c0`, every Lloyd round
+    * unrolled, final assignment `af`, probe set `probes`, nprobe routing
+    * `pc`) — shared between [[oracleSql]] and the IVF-PQ twin
+    * ([[IvfPq.oracleSql]]) so the coarse quantizer has exactly one oracle
+    * definition.
     */
-  def oracleSql: String = {
+  private[similarity] def searchCtes: String = {
     val cos = Similarity.cosSql _
     def assignSql(name: String, cN: String) =
       s"""$name AS (
@@ -214,7 +216,7 @@ $cNext AS (
       assignSql(s"a$i", s"c$i") + ",\n" +
         updateSql(s"s$i", s"m$i", s"c${i + 1}", s"a$i", s"c$i")
     }.mkString(",\n")
-    s"""WITH c0 AS (
+    s"""c0 AS (
   SELECT cell, embedding AS centroid FROM (
     SELECT row_number() OVER (
              ORDER BY md5('ivf_seed:' || CAST(vec_id AS VARCHAR))) - 1 AS cell,
@@ -233,7 +235,16 @@ pc AS (
                               ORDER BY ${cos("p.q_emb", "c.centroid")} DESC,
                                        c.cell) AS rk
     FROM probes p CROSS JOIN c$LloydRounds c)
-  WHERE rk <= $NProbe),
+  WHERE rk <= $NProbe)"""
+  }
+
+  /** DuckDB twin of the FULL pipeline — seeding, every Lloyd round (unrolled
+    * as CTEs), final assignment, probe routing, and exact re-rank — made
+    * possible by the md5 seeds and the exact fixed-point centroid update.
+    */
+  def oracleSql: String = {
+    val cos = Similarity.cosSql _
+    s"""WITH $searchCtes,
 scored AS (
   SELECT DISTINCT pc.query_id, a.vec_id AS neighbor_id,
          ${cos("pc.q_emb", "a.embedding")} AS cos

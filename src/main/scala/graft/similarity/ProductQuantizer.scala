@@ -38,12 +38,12 @@ object ProductQuantizer {
   /** Codes per subspace codebook. */
   val K = 8
 
-  private def subDim(dim: Int) = dim / M
+  private[similarity] def subDim(dim: Int) = dim / M
 
   /** In-order squared L2 distance between two float arrays (HOF form whose
     * accumulation order matches DuckDB's list_sum).
     */
-  private def d2(a: String, b: String) = expr(
+  private[similarity] def d2(a: String, b: String) = expr(
     s"""aggregate(zip_with($a, $b,
        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
        |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
@@ -53,7 +53,7 @@ object ProductQuantizer {
     * subvectors with lowest md5 rank (TakeOrderedAndProject per subspace —
     * distributed, no global window), code id = rank order.
     */
-  private def codebook(spark: SparkSession, dir: String, dim: Int): DataFrame = {
+  private[similarity] def codebook(spark: SparkSession, dir: String, dim: Int): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val sd = subDim(dim)
@@ -103,11 +103,18 @@ object ProductQuantizer {
       .orderBy($"vec_id")
   }
 
-  /** DuckDB twin: same md5 seeds, same slices, same in-order distance
-    * accumulation, same argmin tiebreak, same fixed-order error sum.
+  /** Oracle-side subvector width (the testdata dimensionality is
+    * interpolated as a literal; the Spark side sizes from the actual corpus).
     */
-  def oracleSql: String = {
-    val sd = 64 / M // oracle interpolates the testdata dimensionality
+  private[similarity] val OracleSubDim = 64 / M
+
+  /** The code-assignment CTE chain (codebooks `cb0..cb{M−1}`+`cb`, subvector
+    * melt `subs`, distances `dist`, argmin `best`, per-vector wide codes
+    * `px`) — shared between [[oracleSql]] and the IVF-PQ search twin
+    * ([[IvfPq.oracleSql]]), so one definition can't desynchronize the two.
+    */
+  private[similarity] def codesCtes: String = {
+    val sd = OracleSubDim
     def cbSql(s: Int) =
       s"""cb$s AS (
   SELECT $s AS s, row_number() OVER (
@@ -118,7 +125,7 @@ object ProductQuantizer {
     val subSelects = (0 until M).map(s =>
       s"  SELECT vec_id, $s AS s, embedding[${s * sd + 1}:${s * sd + sd}] AS sub FROM embeddings")
       .mkString("\n  UNION ALL\n")
-    s"""WITH ${(0 until M).map(cbSql).mkString(",\n")},
+    s"""${(0 until M).map(cbSql).mkString(",\n")},
 cb AS (${(0 until M).map(s => s"SELECT * FROM cb$s").mkString(" UNION ALL ")}),
 subs AS (
 $subSelects),
@@ -138,10 +145,16 @@ ${(0 until M).map(s =>
       s"         max(CASE WHEN s = $s THEN code END)::INT AS c$s,").mkString("\n")}
 ${(0 until M).map(s =>
       s"         max(CASE WHEN s = $s THEN d END) AS e$s").mkString(",\n")}
-  FROM best WHERE rk = 1 GROUP BY vec_id)
+  FROM best WHERE rk = 1 GROUP BY vec_id)"""
+  }
+
+  /** DuckDB twin: same md5 seeds, same slices, same in-order distance
+    * accumulation, same argmin tiebreak, same fixed-order error sum.
+    */
+  def oracleSql: String =
+    s"""WITH $codesCtes
 SELECT vec_id, ${(0 until M).map(s => s"c$s").mkString(", ")},
        ${(0 until M).map(s => s"e$s").mkString(" + ")} AS sq_err
 FROM px
 ORDER BY vec_id"""
-  }
 }

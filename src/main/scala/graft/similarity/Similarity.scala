@@ -167,6 +167,7 @@ object Similarity {
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.topK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)),
+    "sim_ivf_pq_topk" -> ((s: SparkSession, d: String) => IvfPq.topK(s, d)),
     "sim_quantize_int8" -> ((s: SparkSession, d: String) => quantizeInt8(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.embeddingNearDups(s, d)))
@@ -220,6 +221,7 @@ ORDER BY query_id, rank""",
     // subset-of-exact recall relationships
     "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql,
     "sim_ivf_topk" -> IvfIndex.oracleSql,
+    "sim_ivf_pq_topk" -> IvfPq.oracleSql,
     "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql,
 
     "sim_quantize_int8" -> """WITH e AS (

@@ -103,7 +103,8 @@ class PlanSpec extends SparkSpec {
       text.Curate.budgetMix(spark, sf),
       sources.Sources.stratifiedSample(spark, sf),
       dedup.DupClusters.keepBest(spark, sf),
-      similarity.ProductQuantizer.codes(spark, sf))
+      similarity.ProductQuantizer.codes(spark, sf),
+      similarity.IvfPq.topK(spark, sf))
     for (df <- dfs) {
       val windows = collectAll(plan(df)) { case w: WindowExec => w }
       // nonEmpty first: a plan with no window at all would make the
@@ -140,6 +141,20 @@ class PlanSpec extends SparkSpec {
     assert(pruned.exists(_.partitionFilters.exists(
       _.toString.toLowerCase.contains("dynamicpruning"))),
       "cell filter should be the runtime (dynamic) pruning of probe cells")
+  }
+
+  test("IVF-PQ candidate scan prunes the cell-partitioned postings") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = similarity.IvfPq.topK(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    // the code-table scan must carry a cell PartitionFilter (probe routing
+    // prunes to nprobe cells — the IVF-PQ layout's whole point)
+    assert(scans.exists(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("cell"))),
+      s"no cell PartitionFilters; scans: ${scans.map(_.partitionFilters)}")
   }
 
   test("LSH probe scan prunes the bucket-partitioned signature index") {

@@ -75,6 +75,27 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids.count() == graft.similarity.IvfIndex.K)
   }
 
+  test("IVF-PQ top-k: approximation chain never beats its parents") {
+    // the shortlist re-ranks a SUBSET of the IVF candidate set, which is a
+    // subset of the corpus — so best-cosine orders: pq <= ivf <= brute
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ivf = graft.similarity.IvfIndex.topK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val pq = graft.similarity.IvfPq.topK(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(pq.nonEmpty && pq.keySet == ivf.keySet)
+    pq.foreach { case (q, c) =>
+      assert(c <= ivf(q) + 1e-9, s"probe $q: pq beat exact-reranked ivf")
+      assert(c <= brute(q) + 1e-9, s"probe $q: pq beat brute force")
+    }
+    // every probe gets contiguous ranks 1..k
+    val full = graft.similarity.IvfPq.topK(spark, sf).collect()
+    full.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(2)).sorted.sameElements(1 to g.length))
+    }
+  }
+
   test("pq codes: in range, errors non-negative, assignment deterministic") {
     import graft.similarity.ProductQuantizer
     import org.apache.spark.sql.functions._
