@@ -150,6 +150,50 @@ object Ingest {
       .orderBy($"event_id")
   }
 
+  /** S6 completed: full MERGE semantics (SCD type-1 upsert) — the half of
+    * `ON CONFLICT` the reference's DO-NOTHING path leaves on the table
+    * (`etl_pipeline.py` loads with conflict-skip; a warehouse also needs
+    * conflict-UPDATE). One FULL OUTER hash join on the key resolves all
+    * three MERGE branches in a single distributed pass:
+    *
+    *  - matched → incoming attributes win (update-in-place semantics),
+    *  - not matched by source → staged row kept,
+    *  - not matched by target → incoming row inserted,
+    *
+    * with the branch recorded in `merge_op` (the ledger a Delta/Iceberg
+    * MERGE emits as its operation metrics). Simulated feeds, deterministic:
+    * staged = 80 % of keys (the upsert fixture), incoming = every 3rd event
+    * with every 9th key arriving corrected and all values re-priced +1.0.
+    *
+    * Scale shape: both sides shuffle once on the join key (co-partitioned
+    * hash join, no broadcast — batch and table are both big); the branch
+    * resolution is a map-side CASE after the join. Nothing collects.
+    */
+  def mergeScd1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val staged = events.filter(pmod($"event_id", lit(5)) =!= 0)
+      .select($"event_id", $"user_id".as("s_user"),
+        $"event_type".as("s_type"), $"value".as("s_value"),
+        lit(true).as("in_s"))
+    val incoming = events.filter(pmod($"event_id", lit(3)) === 0)
+      .select($"event_id", $"user_id".as("i_user"),
+        when(pmod($"event_id", lit(9)) === 0, lit("corrected"))
+          .otherwise($"event_type").as("i_type"),
+        ($"value" + lit(1.0)).as("i_value"),
+        lit(true).as("in_i"))
+    staged.join(incoming, Seq("event_id"), "full_outer")
+      .select(
+        $"event_id",
+        when($"in_i", $"i_user").otherwise($"s_user").as("user_id"),
+        when($"in_i", $"i_type").otherwise($"s_type").as("event_type"),
+        when($"in_i", $"i_value").otherwise($"s_value").as("value"),
+        when($"in_s".isNull, lit("INSERTED"))
+          .when($"in_i".isNull, lit("KEPT"))
+          .otherwise(lit("UPDATED")).as("merge_op"))
+      .orderBy($"event_id")
+  }
+
   /** D4: pipeline stats probe — processed/unprocessed split with per-group
     * time bounds (`get_pipeline_stats`, `etl_pipeline.py:205-234`).
     */
@@ -289,6 +333,7 @@ object Ingest {
     "etl_quarantine" -> (quarantine _),
     "etl_incremental_batch" -> ((s: SparkSession, d: String) => incrementalBatch(s, d)),
     "etl_upsert_new_keys" -> (upsertNewKeys _),
+    "etl_merge_scd1" -> (mergeScd1 _),
     "etl_pipeline_stats" -> (pipelineStats _))
 
   private val profileOracle: String = {
@@ -403,6 +448,27 @@ LIMIT 500""",
     "etl_upsert_new_keys" -> """SELECT event_id, user_id, event_type, value
 FROM events
 WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 5 <> 0)
+ORDER BY event_id""",
+
+    "etl_merge_scd1" -> """WITH staged AS (
+  SELECT event_id, user_id, event_type, value
+  FROM events WHERE event_id % 5 <> 0),
+incoming AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 9 = 0 THEN 'corrected' ELSE event_type END
+           AS event_type,
+         value + 1.0 AS value
+  FROM events WHERE event_id % 3 = 0)
+SELECT coalesce(s.event_id, i.event_id) AS event_id,
+       CASE WHEN i.event_id IS NOT NULL THEN i.user_id ELSE s.user_id END
+         AS user_id,
+       CASE WHEN i.event_id IS NOT NULL THEN i.event_type ELSE s.event_type END
+         AS event_type,
+       CASE WHEN i.event_id IS NOT NULL THEN i.value ELSE s.value END AS value,
+       CASE WHEN s.event_id IS NULL THEN 'INSERTED'
+            WHEN i.event_id IS NULL THEN 'KEPT'
+            ELSE 'UPDATED' END AS merge_op
+FROM staged s FULL OUTER JOIN incoming i ON s.event_id = i.event_id
 ORDER BY event_id""",
 
     "etl_pipeline_stats" -> """SELECT (event_id % 3 = 0) AS processed,
