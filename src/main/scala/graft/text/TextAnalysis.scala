@@ -368,7 +368,52 @@ object TextAnalysis {
       .orderBy($"lang", $"rk")
   }
 
+  /** Keyword-search query terms and result size — ONE definition
+    * interpolated into both the Spark pipeline and the DuckDB oracle.
+    */
+  val SearchTerms = Seq("join", "vector", "scan")
+  val SearchTopK = 10
+
+  /** Keyword search: tf–idf top-k over the corpus — the retrieval shape an
+    * inverted index serves. Per document, the term frequency of each (plan-
+    * constant) query term is a map-side `filter` count over the token
+    * array; document frequencies and corpus size are ONE single-row global
+    * aggregate (integer sums — partial-aggregated, order-independent)
+    * broadcast back to every row; the score is the FIXED expression
+    * `tf0·idf0 + tf1·idf1 + …` (never a float shuffle agg, the
+    * `sim_pq_codes` parity rule), idf the exact IEEE quotient N/df.
+    * Top-k plans as TakeOrderedAndProject (per-partition heads, tiny driver
+    * merge — no global sort).
+    *
+    * Scale: tf extraction is embarrassingly map-side; the stats row is
+    * O(|terms|) bytes; at 100 TB the same query runs against a prebuilt
+    * inverted index (term → postings) instead of re-tokenizing, but the
+    * scoring and ranking algebra — and this oracle — are unchanged.
+    */
+  def keywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+    val tf = toks.select(Seq($"doc_id") ++ SearchTerms.indices.map(i =>
+      expr(s"size(filter(toks, x -> x = '${SearchTerms(i)}'))")
+        .cast("long").as(s"tf$i")): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++ SearchTerms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(aggs.head, aggs.tail: _*)
+    tf.crossJoin(broadcast(stats))
+      .withColumn("score", SearchTerms.indices.map(i =>
+        col(s"tf$i").cast("double")
+          * (col("n").cast("double") / col(s"df$i").cast("double")))
+        .reduce(_ + _))
+      .filter($"score" > 0)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(SearchTopK)
+      .select(Seq($"doc_id") ++ SearchTerms.indices.map(i => col(s"tf$i"))
+        :+ $"score": _*)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyword_search" -> (keywordSearch _),
     "text_top_bigrams" -> (topBigrams _),
     "text_quality_gate" -> (qualityGate _),
     "text_chunk_windows" -> (chunkWindows _),
@@ -383,7 +428,39 @@ object TextAnalysis {
 
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
+  private val keywordSearchOracle: String = {
+    val tfCols = SearchTerms.indices.map(i =>
+      s"         length(list_filter(toks, x -> x = '${SearchTerms(i)}'))::BIGINT AS tf$i")
+      .mkString(",\n")
+    val dfCols = SearchTerms.indices.map(i =>
+      s"         sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i")
+      .mkString(",\n")
+    val scoreExpr = SearchTerms.indices.map(i =>
+      s"CAST(tf$i AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df$i AS DOUBLE))")
+      .mkString("\n         + ")
+    s"""WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+$tfCols
+  FROM t),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+$dfCols
+  FROM tf),
+sc AS (
+  SELECT doc_id, ${SearchTerms.indices.map(i => s"tf$i").mkString(", ")},
+         $scoreExpr AS score
+  FROM tf, s)
+SELECT * FROM sc
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT $SearchTopK"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_keyword_search" -> keywordSearchOracle,
     "text_top_bigrams" -> s"""WITH toks AS (
   SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents),

@@ -115,6 +115,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("keyword search top-k is TakeOrderedAndProject, never a global sort") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    val p = plan(text.TextAnalysis.keywordSearch(spark, sf))
+    assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "LIMIT over ORDER BY must plan as distributed top-k")
+    assert(collectAll(p) { case s: SortExec => s }.isEmpty,
+      "no full sort may appear for a k-row result")
+  }
+
   test("pii scrub is map-side: no exchange except the presentation orderBy") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val shuffles = collectAll(plan(text.TextAnalysis.piiScrub(spark, sf))) {
