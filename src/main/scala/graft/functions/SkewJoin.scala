@@ -53,8 +53,51 @@ object SkewJoin {
       .orderBy($"event_id")
   }
 
+  /** Selective-order price cut — ONE definition interpolated into the Spark
+    * filter and the oracle SQL.
+    */
+  val PriceCut = 450000.0
+
+  /** Runtime bloom-filter join pruning — the 100 TB mechanism for "big fact
+    * ⋈ selectively-filtered dimension" when the dimension is too large to
+    * broadcast: Catalyst's `InjectRuntimeFilter` builds a Bloom filter from
+    * the filtered creation side and pushes `might_contain` into the fact
+    * scan, so non-matching fact rows die map-side BEFORE paying the shuffle.
+    * Spark only arms this path for genuinely big inputs, so the thresholds
+    * are lowered on a CHILD session (config changes cannot leak into the
+    * rest of the suite) to demonstrate the exact plan a cluster run gets:
+    * broadcast denied (the at-scale premise), application-side scan floor 0.
+    *
+    * Correctness is config-independent — the bloom filter only prunes and
+    * the exact join keeps semantics — so the oracle is the plain join. The
+    * plan gate (PlanSpec) asserts `bloom_filter_might_contain` really is in
+    * the fact-side plan.
+    */
+  def bloomPrunedJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // the at-scale premise: orders doesn't fit a broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // arm injection at test scale (defaults gate on 10 GB scans)
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    import spark.implicits._
+    val highValue = graft.Tables.orders(spark, dir)
+      .filter($"o_totalprice" > PriceCut)
+    graft.Tables.lineitem(spark, dir)
+      .join(highValue, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_skew_salted" -> (skewedTypeJoin _))
+    "join_skew_salted" -> (skewedTypeJoin _),
+    "join_bloom_prune" -> (bloomPrunedJoin _))
 
   val oracle: Map[String, String] = Map(
     "join_skew_salted" -> """SELECT event_id, event_type,
@@ -64,5 +107,13 @@ FROM events
 JOIN (VALUES ('click', 1.0), ('view', 0.5), ('signup', 5.0),
              ('purchase', 10.0), ('error', 0.0))
   AS dim(event_type, type_weight) USING (event_type)
-ORDER BY event_id""")
+ORDER BY event_id""",
+
+    "join_bloom_prune" -> s"""SELECT l_returnflag,
+       count(*)::BIGINT AS n_lines,
+       count(DISTINCT o_orderkey)::BIGINT AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > $PriceCut
+GROUP BY l_returnflag
+ORDER BY l_returnflag""")
 }

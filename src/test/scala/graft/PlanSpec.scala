@@ -230,6 +230,18 @@ class PlanSpec extends SparkSpec {
       "a broadcast join would sidestep the skew being demonstrated")
   }
 
+  test("bloom-prune join: runtime filter reaches the fact side pre-shuffle") {
+    val df = functions.SkewJoin.bloomPrunedJoin(spark, sf)
+    // the injected filter lives in the logical optimized plan (and executes
+    // as a subquery feeding might_contain on the lineitem branch)
+    val s = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(s.contains("bloom") && s.contains("might_contain"),
+      s"runtime bloom filter not injected:\n${s.take(600)}")
+    // and the child-session config knobs must not leak into this session
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "config leaked out of the query's child session")
+  }
+
   test("banded range join is a hash equi-join, not a nested-loop product") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val p = plan(analytics.WindowExtras.rangeBandJoin(spark, sf))
