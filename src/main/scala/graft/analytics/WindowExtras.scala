@@ -329,7 +329,55 @@ object WindowExtras {
       .orderBy($"day")
   }
 
+  /** Outlier threshold in standard deviations — ONE definition for the
+    * Spark flag and the oracle SQL.
+    */
+  val OutlierZ = 2.0
+
+  /** Volume-anomaly ledger: every day's event count z-scored against the
+    * corpus mean, outliers flagged at |z| > [[OutlierZ]] — the ingest-
+    * monitoring probe that catches a collapsed feed or a duplicate-replay
+    * spike. Emits the full ledger (flag, not filter) so quiet corpora still
+    * verify.
+    *
+    * Float parity (the hash-compare discipline): mean and variance derive
+    * ONLY from integer sums (Σc, Σc², n — associative, any parallelism),
+    * combined in one fixed expression order; sqrt is correctly rounded by
+    * IEEE spec. No float ever crosses a shuffle. Zero-variance corpora emit
+    * z = 0 explicitly rather than a 0/0 NaN (NaN stringification differs
+    * across engines).
+    *
+    * Scale: daily counts are one map-side-combined shuffle on date_key;
+    * the stats row is O(1) and broadcasts back; at 100 TB this is a scan
+    * plus a |days|-row ledger.
+    */
+  def outlierDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select(date_format($"ts", "yyyyMMdd").cast("int").as("date_key"))
+      .groupBy($"date_key")
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum($"n_events").as("s1"),
+      sum($"n_events" * $"n_events").as("s2"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("mean_events", $"s1".cast("double") / $"n_days".cast("double"))
+      .withColumn("std_events", sqrt(
+        ($"s2".cast("double")
+          - $"s1".cast("double") * $"s1".cast("double") / $"n_days".cast("double"))
+          / $"n_days".cast("double")))
+      .withColumn("z", when($"std_events" > 0,
+        ($"n_events".cast("double") - $"mean_events") / $"std_events")
+        .otherwise(lit(0.0)))
+      .select($"date_key", $"n_events", $"mean_events", $"std_events", $"z",
+        (abs($"z") > OutlierZ).as("is_outlier"))
+      .orderBy($"date_key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_outlier_days" -> (outlierDays _),
     "agg_rolling_active_users" -> (rollingActiveUsers _),
     "agg_approx_stats" -> (approxStats _),
     "win_moving_avg" -> (movingAvg _),
@@ -344,6 +392,33 @@ object WindowExtras {
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
   val oracle: Map[String, String] = Map(
+    "agg_outlier_days" -> s"""WITH daily AS (
+  SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS date_key,
+         count(*)::BIGINT AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1),
+stats AS (
+  SELECT count(*)::BIGINT AS n_days,
+         sum(n_events)::BIGINT AS s1,
+         sum(n_events * n_events)::BIGINT AS s2
+  FROM daily),
+z AS (
+  SELECT date_key, n_events,
+         CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_events,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+              / CAST(n_days AS DOUBLE)) AS std_events
+  FROM daily, stats)
+SELECT date_key, n_events, mean_events, std_events,
+       CASE WHEN std_events > 0
+            THEN (CAST(n_events AS DOUBLE) - mean_events) / std_events
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN std_events > 0
+            THEN (CAST(n_events AS DOUBLE) - mean_events) / std_events
+            ELSE 0.0 END) > $OutlierZ AS is_outlier
+FROM z
+ORDER BY date_key""",
+
     "agg_rolling_active_users" -> """WITH du AS (
   SELECT DISTINCT ts::DATE AS day, user_id FROM events),
 observed AS (SELECT DISTINCT day FROM du),

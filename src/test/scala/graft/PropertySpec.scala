@@ -20,7 +20,8 @@ class PropertySpec extends SparkSpec {
     // aggregates merge in a different order under different parallelism, so
     // any order-dependent accumulation (raw double sums) would flip bits here
     val names = Seq("text_token_freq_score", "win_moving_avg",
-      "curate_sample_mix", "sim_ivf_pq_topk")
+      "curate_sample_mix", "sim_ivf_pq_topk", "agg_outlier_days",
+      "text_keyword_search")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
