@@ -124,6 +124,30 @@ object WindowExtras {
       .orderBy($"g_y", $"g_q", $"y", $"q")
   }
 
+  /** GROUPING SETS — the heterogeneous-sets aggregate ROLLUP/CUBE cannot
+    * express: `((y, q), (status), ())` computes a time breakdown, a status
+    * breakdown, and the grand total in ONE pass. Goes through the SQL entry
+    * point (the Dataset API deliberately exposes only rollup/cube); plans
+    * as a single Expand + one aggregate, so all three groupings share one
+    * scan and one shuffle — at 100 TB that is 3 dashboard queries for the
+    * price of 1. Per-column GROUPING flags disambiguate super-aggregate
+    * NULLs and give the deterministic sort the oracle mirrors.
+    */
+  def groupingSetsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("y"), quarter($"o_orderdate").as("q"),
+        $"o_orderstatus".as("status"))
+      .createOrReplaceTempView("graft_orders_gs")
+    spark.sql("""SELECT y, q, status, count(*) AS n,
+       CAST(grouping(y) AS INT) AS g_y,
+       CAST(grouping(q) AS INT) AS g_q,
+       CAST(grouping(status) AS INT) AS g_s
+FROM graft_orders_gs
+GROUP BY GROUPING SETS ((y, q), (status), ())
+ORDER BY g_y, g_q, g_s, y, q, status""")
+  }
+
   /** As-of join (attribution): each purchase matched to the user's latest
     * click at-or-before it. Spark has no native ASOF JOIN; the scalable
     * composition is NO join at all — tag both sides, union, and take a
@@ -385,6 +409,7 @@ object WindowExtras {
     "win_global_rank" -> (globalRank _),
     "agg_rollup" -> (rollupCounts _),
     "agg_cube" -> (cubeCounts _),
+    "agg_grouping_sets" -> (groupingSetsCounts _),
     "join_asof_attribution" -> (asofClickAttribution _),
     "join_range_banded" -> (rangeBandJoin _),
     "agg_heavy_hitters" -> (heavyHitters _),
@@ -477,6 +502,18 @@ ORDER BY global_rank""",
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
 ORDER BY g_y, g_q, y, q""",
+
+    "agg_grouping_sets" -> """SELECT year(o_orderdate)::INT AS y,
+       quarter(o_orderdate)::INT AS q,
+       o_orderstatus AS status,
+       count(*)::BIGINT AS n,
+       (CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN 1 ELSE 0 END) AS g_y,
+       (CASE WHEN GROUPING(quarter(o_orderdate)) = 1 THEN 1 ELSE 0 END) AS g_q,
+       (CASE WHEN GROUPING(o_orderstatus) = 1 THEN 1 ELSE 0 END) AS g_s
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), quarter(o_orderdate)),
+                        (o_orderstatus), ())
+ORDER BY g_y, g_q, g_s, y, q, status""",
 
     "agg_cube" -> """SELECT year(o_orderdate)::INT AS y,
        o_orderstatus AS status,

@@ -247,6 +247,51 @@ object Ingest {
     inserts.unionByName(updates).orderBy($"record_id")
   }
 
+  /** Declarative data-quality rules: (name, violation predicate). The
+    * predicate is ONE SQL string evaluated by `expr()` on the Spark side
+    * and interpolated verbatim into the DuckDB oracle — a rule edited on
+    * one side only cannot desynchronize the twins. Uniqueness (not a
+    * row-local predicate) is handled as a dedicated aggregate below.
+    */
+  private[graft] val DqRules: Seq[(String, String)] = Seq(
+    "event_id_null" -> "event_id IS NULL",
+    "ts_null" -> "ts IS NULL",
+    "ts_out_of_range" ->
+      ("ts IS NOT NULL AND (ts < TIMESTAMP '2000-01-01' " +
+        "OR ts >= TIMESTAMP '2100-01-01')"),
+    "value_negative" -> "value IS NOT NULL AND value < 0",
+    "event_type_unknown" ->
+      ("event_type IS NULL OR event_type NOT IN " +
+        "('click','view','signup','purchase','error')"),
+    "user_id_nonpositive" -> "user_id IS NULL OR user_id <= 0")
+
+  /** P7 generalized: rule-driven data-quality summary — the declarative DQ
+    * gate (dbt-test / Deequ shape) a pipeline runs after every load, where
+    * [[cleanse]]/[[quarantine]] act row-by-row. ONE pass over the feed: all
+    * rule-violation counts are conditional integer sums in a single wide
+    * aggregate (map-side partial, any parallelism), plus the uniqueness
+    * check as `count − count(DISTINCT key)`; `stack` pivots the one-row
+    * result to the per-rule ledger without a rescan. At 100 TB this is one
+    * scan for the whole rulebook.
+    */
+  def dqSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ruleNames = DqRules.map(_._1) :+ "event_id_duplicate"
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      DqRules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(expr(pred), 1L).otherwise(0L)).as(s"v$i")
+      } :+ (count(lit(1)) - countDistinct($"event_id"))
+        .as(s"v${DqRules.size}")
+    val wide = Tables.events(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ruleNames.zipWithIndex
+      .map { case (nm, i) => s"'$nm', v$i" }.mkString(", ")
+    wide.selectExpr("n",
+        s"stack(${ruleNames.size}, $stackArgs) AS (rule, n_violations)")
+      .select($"rule", $"n".as("n_checked"), $"n_violations",
+        ($"n_violations" === 0).as("pass"))
+      .orderBy($"rule")
+  }
+
   /** Columns profiled by [[profile]] (the full events staging schema). */
   private val ProfileCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -334,7 +379,25 @@ object Ingest {
     "etl_incremental_batch" -> ((s: SparkSession, d: String) => incrementalBatch(s, d)),
     "etl_upsert_new_keys" -> (upsertNewKeys _),
     "etl_merge_scd1" -> (mergeScd1 _),
+    "etl_dq_summary" -> (dqSummary _),
     "etl_pipeline_stats" -> (pipelineStats _))
+
+  private val dqSummaryOracle: String = {
+    val vCols = (DqRules.map(_._2).zipWithIndex.map { case (pred, i) =>
+      s"         sum(CASE WHEN $pred THEN 1 ELSE 0 END)::BIGINT AS v$i"
+    } :+ s"         (count(*) - count(DISTINCT event_id))::BIGINT AS v${DqRules.size}")
+      .mkString(",\n")
+    val ruleNames = DqRules.map(_._1) :+ "event_id_duplicate"
+    val rows = ruleNames.zipWithIndex.map { case (nm, i) =>
+      s"SELECT '$nm' AS rule, n AS n_checked, v$i AS n_violations, v$i = 0 AS pass FROM w"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+  SELECT count(*)::BIGINT AS n,
+$vCols
+  FROM events)
+$rows
+ORDER BY rule"""
+  }
 
   private val profileOracle: String = {
     val wideCols = ProfileCols.map { c =>
@@ -378,6 +441,7 @@ WHERE (CASE WHEN v1.doc_id IS NULL THEN 'added'
 ORDER BY doc_id""",
 
     "etl_profile" -> profileOracle,
+    "etl_dq_summary" -> dqSummaryOracle,
     "etl_audit_log" -> """SELECT 'events_staging' AS table_name,
        'INSERT' AS operation,
        event_id AS record_id,

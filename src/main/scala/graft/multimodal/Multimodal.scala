@@ -230,7 +230,45 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Perceptual-hash media dedup (aHash): hash = one bit per resize-grid
+    * cell, set when the cell exceeds the grid mean — visually-identical
+    * payloads (re-encodes, small crops) collide even when their bytes
+    * differ, which is exactly what exact fingerprint dedup
+    * ([[graft.dedup.Dedup]]) cannot catch on media. Buckets on the 16-bit
+    * hash, keeps the lowest doc_id per bucket (the curation keep-policy),
+    * and emits the per-doc ledger (flag, not filter, so unique corpora
+    * still verify).
+    *
+    * Float parity: grid cells are the [[resizeKernel]] float32 values
+    * widened to double (exact); the mean is the FIXED left-associated sum
+    * `r0 + r1 + … + r15` over exact values divided by 16; bit tests compare
+    * identical doubles — so the DuckDB twin reproduces every hash.
+    *
+    * Scale: the kernel is the same per-partition decode boundary; the hash
+    * is map-side; the bucket groupBy shuffles 2-byte hashes, not media.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val resized = mediaTable(spark, dir)
+      .as[MediaIn]
+      .mapPartitions(resizeKernel _)
+      .toDF()
+    val cell = (i: Int) => element_at($"cells", i + 1).cast("double")
+    val ph = resized
+      .withColumn("m", (0 until 16).map(cell).reduce(_ + _) / lit(16.0))
+      .withColumn("phash", (0 until 16).map(i =>
+        when(cell(i) > $"m", lit(1 << i)).otherwise(lit(0))).reduce(_ + _))
+      .select($"doc_id", $"media_type", $"phash")
+    val buckets = ph.groupBy($"phash")
+      .agg(count(lit(1)).as("n_group"), min($"doc_id").as("keeper"))
+    ph.join(buckets, "phash")
+      .select($"doc_id", $"media_type", $"phash", $"n_group",
+        ($"doc_id" === $"keeper").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> (phashDedup _),
     "mm_audio_energy" -> (audioEnergy _),
     "mm_metadata" -> (metadata _),
     "mm_featurize" -> (featurizeChecked _),
@@ -282,7 +320,39 @@ ORDER BY doc_id, frame_idx""",
     // Resize twin: positional chars via range-unnest (string_split loses
     // position), binned by p*16//n; sums < 2^24 keep float32 exact, so the
     // FLOAT division then DOUBLE widen matches the kernel bit-for-bit.
-    "mm_resize" -> ("""WITH chars AS (
+    "mm_resize" -> resizeOracle,
+
+    // aHash twin over the shared resize chain: fixed-order grid mean,
+    // one bit per above-mean cell, bucket stats by hash
+    "mm_phash_dedup" -> s"""WITH resized AS (
+$resizeOracle
+),
+ph AS (
+  SELECT doc_id, media_type,
+         ${(0 until 16).map(c =>
+        s"(CASE WHEN r${"%02d".format(c)} > m THEN ${1 << c} ELSE 0 END)")
+        .mkString("\n         + ")} AS phash
+  FROM (SELECT *,
+          (${(0 until 16).map(c => s"r${"%02d".format(c)}").mkString(" + ")})
+            / 16.0 AS m
+        FROM resized)),
+buckets AS (
+  SELECT phash, count(*)::BIGINT AS n_group, min(doc_id) AS keeper
+  FROM ph GROUP BY phash)
+SELECT p.doc_id, p.media_type, p.phash, b.n_group,
+       p.doc_id = b.keeper AS keep
+FROM ph p JOIN buckets b USING (phash)
+ORDER BY p.doc_id""",
+
+    // The decode stub's 16-bin high-nibble byte histogram IS
+    // SQL-expressible over this pure-ASCII corpus: per-char unnest, bin by
+    // ascii//16, then float32 division widened to DOUBLE matches the
+    // kernel's float arithmetic bit-for-bit (counts < 2^24 stay exact in
+    // float32). The `text <> ''` guard exists because string_split('','')
+    // yields [''] (ascii 0) in DuckDB; no empty docs ship, but stay safe.
+    "mm_featurize" -> featurizeOracle)
+
+  private lazy val resizeOracle: String = ("""WITH chars AS (
   SELECT doc_id,
          ((p * 16) // octet_length(encode(text))) AS cell,
          ascii(substring(text, p::INT + 1, 1)) AS b
@@ -305,15 +375,9 @@ SELECT d.doc_id,
       s"  (COALESCE(g.s$c, 0)::FLOAT / GREATEST(COALESCE(g.c$c, 0), 1)::FLOAT)::DOUBLE AS r${"%02d".format(c)}").mkString(",\n") +
       """
 FROM documents d LEFT JOIN grid g USING (doc_id)
-ORDER BY d.doc_id"""),
+ORDER BY d.doc_id""")
 
-    // The decode stub's 16-bin high-nibble byte histogram IS
-    // SQL-expressible over this pure-ASCII corpus: per-char unnest, bin by
-    // ascii//16, then float32 division widened to DOUBLE matches the
-    // kernel's float arithmetic bit-for-bit (counts < 2^24 stay exact in
-    // float32). The `text <> ''` guard exists because string_split('','')
-    // yields [''] (ascii 0) in DuckDB; no empty docs ship, but stay safe.
-    "mm_featurize" -> ("""WITH chars AS (
+  private lazy val featurizeOracle: String = ("""WITH chars AS (
   SELECT doc_id, ascii(c) // 16 AS bin
   FROM documents, UNNEST(string_split(text, '')) AS t(c)
   WHERE text <> ''
@@ -332,5 +396,5 @@ SELECT d.doc_id,
       s"  (COALESCE(h.c$b, 0)::FLOAT / GREATEST(octet_length(encode(d.text)), 1)::FLOAT)::DOUBLE AS f${"%02d".format(b)}").mkString(",\n") +
       """
 FROM documents d LEFT JOIN hist h USING (doc_id)
-ORDER BY d.doc_id"""))
+ORDER BY d.doc_id""")
 }

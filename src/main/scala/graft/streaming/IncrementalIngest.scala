@@ -111,6 +111,30 @@ object IncrementalIngest {
       .start()
   }
 
+  /** Stream-static enrichment: each micro-batch of the event stream joins
+    * a STATIC dimension (here the event-type weights; in the warehouse, any
+    * dim table) — the most common streaming join in practice, and the cheap
+    * one: the static side holds NO streaming state and needs NO watermark
+    * (nothing buffers waiting for late rows); it is simply re-planned per
+    * micro-batch, so a dim updated between batches is picked up on the next
+    * trigger. Broadcast keeps the stream side shuffle-free. LEFT join so
+    * unknown types still land (nulls, not drops) — enrichment must never
+    * lose fact rows.
+    */
+  def enrich(spark: SparkSession, srcDir: String, dim: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(srcDir)
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream join: purchases matched to the same user's clicks within
     * the preceding hour — the streaming sibling of the batch as-of join
     * ([[graft.analytics.WindowExtras.asofClickAttribution]]). Both sides are

@@ -129,6 +129,26 @@ class StreamingSpec extends SparkSpec {
     assert(landed.select($"fingerprint").distinct().count() == n)
   }
 
+  test("stream-static enrichment equals the batch left join") {
+    val src = Files.createTempDirectory("enrich-src")
+    val out = tmp("enrich-out")
+    val ckpt = tmp("enrich-ckpt")
+    landEvents(src, "batch1")
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("signup", 5.0))
+      .toDF("event_type", "type_weight")
+    IncrementalIngest.enrich(spark, src.toString + "/*", dim, out, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+    val want = Tables.events(spark, sf).join(dim, Seq("event_type"), "left")
+    // same rows (unknown types kept with null weight), nothing duplicated
+    assert(got.count() == Tables.events(spark, sf).count())
+    assert(got.selectExpr("event_id", "event_type", "type_weight")
+      .exceptAll(want.selectExpr("event_id", "event_type", "type_weight"))
+      .isEmpty)
+    assert(got.filter($"type_weight".isNull && $"event_type".isin("click", "view", "signup"))
+      .isEmpty, "known types must enrich")
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val src = Files.createTempDirectory("stream-src3")
     val out = tmp("stream-out3")
