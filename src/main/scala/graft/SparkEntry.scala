@@ -20,7 +20,8 @@ object SparkEntry {
     analytics.Queries.q02TopDiagnosesByAgeGroup(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Queries.all ++ ingest.Ingest.all ++ text.TextAnalysis.all ++
+    analytics.Queries.all ++ analytics.TpchQueries.all ++
+      ingest.Ingest.all ++ text.TextAnalysis.all ++
       text.Curate.all ++
       dedup.Dedup.all ++ dedup.DupClusters.all ++ similarity.Similarity.all ++
       multimodal.Multimodal.all ++ sources.Sources.all ++
@@ -28,7 +29,8 @@ object SparkEntry {
       warehouse.Reports.all ++ warehouse.Scd2.all ++ functions.SkewJoin.all
 
   def oracleSql: Map[String, String] =
-    analytics.OracleSql.all ++ ingest.Ingest.oracle ++
+    analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
+      ingest.Ingest.oracle ++
       text.TextAnalysis.oracle ++ text.Curate.oracle ++ dedup.Dedup.oracle ++
       dedup.DupClusters.oracle ++
       similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++

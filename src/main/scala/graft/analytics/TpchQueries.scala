@@ -1,0 +1,148 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The classic TPC-H trio (Q1 pricing summary, Q3 shipping priority, Q6
+  * forecast revenue — public-domain TPC specification queries) over the
+  * lineitem/orders/customer testdata, included as the canonical OLAP
+  * plan-shape probes beside the reference's own 12 queries: Q1 is the
+  * wide-aggregate scan, Q3 the filtered star-join top-k, Q6 the selective
+  * single-pass filter-agg.
+  *
+  * Money math is DECIMAL end-to-end, cast to DOUBLE only at output: float
+  * `sum()` through a shuffle is merge-order-dependent (the one hash-compare
+  * hazard this repo bans), while decimal sums are EXACT integers underneath
+  * — associative at any parallelism, and the at-scale-correct way to
+  * aggregate currency. Every decimal width/scale is mirrored verbatim in
+  * the DuckDB twins, so intermediates are exact on both engines and the
+  * final DOUBLE cast lands identical bits. Filters and constants are shared
+  * Scala values interpolated into both engines.
+  */
+object TpchQueries {
+
+  /** Q1 ships-on-or-before cutoff. */
+  val Q1Cutoff = "2000-12-01"
+
+  /** Q3 segment + date split. */
+  val Q3Segment = "BUILDING"
+  val Q3Date = "1998-01-01"
+
+  /** Q6 window + band. */
+  val Q6YearLo = "1997-01-01"
+  val Q6YearHi = "1998-01-01"
+  val Q6DiscLo = "0.02"
+  val Q6DiscHi = "0.04"
+  val Q6QtyMax = 24
+
+  // shared decimal kernels (identical text on both engines)
+  private val QtyD = "CAST(l_quantity AS DECIMAL(12,2))"
+  private val ExtD = "CAST(l_extendedprice AS DECIMAL(14,2))"
+  private val DiscD = "CAST(l_discount AS DECIMAL(4,2))"
+  private val TaxD = "CAST(l_tax AS DECIMAL(4,2))"
+  private val DiscPrice = s"$ExtD * (CAST(1 AS DECIMAL(3,2)) - $DiscD)"
+  private val Charge = s"($DiscPrice) * (CAST(1 AS DECIMAL(3,2)) + $TaxD)"
+
+  /** Q1: pricing summary report — one scan, map-side partial aggregation
+    * into 4 groups; the throughput benchmark for the aggregate path.
+    */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(expr(s"l_shipdate <= TIMESTAMP '$Q1Cutoff'"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        expr(s"CAST(sum($QtyD) AS DOUBLE)").as("sum_qty"),
+        expr(s"CAST(sum($ExtD) AS DOUBLE)").as("sum_base_price"),
+        expr(s"CAST(sum($DiscPrice) AS DOUBLE)").as("sum_disc_price"),
+        expr(s"CAST(sum($Charge) AS DOUBLE)").as("sum_charge"),
+        expr(s"CAST(sum($QtyD) AS DOUBLE) / CAST(count(*) AS DOUBLE)")
+          .as("avg_qty"),
+        expr(s"CAST(sum($ExtD) AS DOUBLE) / CAST(count(*) AS DOUBLE)")
+          .as("avg_price"),
+        expr(s"CAST(sum($DiscD) AS DOUBLE) / CAST(count(*) AS DOUBLE)")
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Q3: shipping-priority top-10 — segment-filtered customer broadcasts
+    * into orders, the fact join co-shuffles on orderkey, and the LIMIT
+    * plans as TakeOrderedAndProject.
+    */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === Q3Segment)
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate < TIMESTAMP '$Q3Date'"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val line = Tables.lineitem(spark, dir)
+      .filter(expr(s"l_shipdate > TIMESTAMP '$Q3Date'"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    line.join(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(expr(s"CAST(sum($DiscPrice) AS DOUBLE)").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  /** Q6: forecast revenue change — the selective filter-agg; at scale this
+    * is the query whose filters must reach the parquet scan.
+    */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(expr(
+        s"""l_shipdate >= TIMESTAMP '$Q6YearLo'
+           |AND l_shipdate < TIMESTAMP '$Q6YearHi'
+           |AND l_discount BETWEEN $Q6DiscLo AND $Q6DiscHi
+           |AND l_quantity < $Q6QtyMax""".stripMargin))
+      .agg(
+        expr(s"CAST(sum($ExtD * $DiscD) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> (q1 _),
+    "tpch_q3" -> (q3 _),
+    "tpch_q6" -> (q6 _))
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q1" -> s"""SELECT l_returnflag, l_linestatus,
+       CAST(sum($QtyD) AS DOUBLE) AS sum_qty,
+       CAST(sum($ExtD) AS DOUBLE) AS sum_base_price,
+       CAST(sum($DiscPrice) AS DOUBLE) AS sum_disc_price,
+       CAST(sum($Charge) AS DOUBLE) AS sum_charge,
+       CAST(sum($QtyD) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(sum($ExtD) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+       CAST(sum($DiscD) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '$Q1Cutoff'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+    "tpch_q3" -> s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum($DiscPrice) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '$Q3Segment'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '$Q3Date'
+  AND l_shipdate > TIMESTAMP '$Q3Date'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""",
+
+    "tpch_q6" -> s"""SELECT CAST(sum($ExtD * $DiscD) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '$Q6YearLo'
+  AND l_shipdate < TIMESTAMP '$Q6YearHi'
+  AND l_discount BETWEEN $Q6DiscLo AND $Q6DiscHi
+  AND l_quantity < $Q6QtyMax""")
+}

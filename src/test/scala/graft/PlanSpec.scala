@@ -260,6 +260,29 @@ class PlanSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
   }
 
+  test("tpch q6: every selective predicate is pushed to the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the simple plan string truncates the filter list, so read the scan
+    // node's own (untruncated) metadata
+    val scans = collectAll(plan(analytics.TpchQueries.q6(spark, sf))) {
+      case f: FileSourceScanExec => f
+    }
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    for (frag <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(frag), s"missing pushdown $frag in: $pushed")
+  }
+
+  test("tpch q3: filtered customer broadcasts; top-10 is TakeOrdered") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p = plan(analytics.TpchQueries.q3(spark, sf))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "segment-filtered customer must broadcast into orders")
+    assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "LIMIT 10 over ORDER BY must plan as distributed top-k")
+  }
+
   test("column pruning: a two-column rollup reads only its columns") {
     val s = plan(Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").count()).toString
