@@ -1,6 +1,7 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table ingest — the shuffle-elimination layout the warehouse
   * scale notes promise ("at 1000 executors both sides would be bucketed by
@@ -61,6 +62,54 @@ object Bucketing {
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
     df.repartition(files.toInt).write.mode("overwrite").parquet(outDir)
     files
+  }
+
+  /** Bits per dimension in the Morton (Z-order) value. 16 bits × 2 dims
+    * fit a long with room to spare; resolution beyond file count is wasted,
+    * so 65k cells per axis covers any practical file layout.
+    */
+  val ZBits = 16
+
+  /** Morton / Z-order value over two columns: each value is min-max scaled
+    * to [[ZBits]] bits and the bits are interleaved, so rows close in the
+    * Z-value are close in BOTH dimensions. Sorting a write by this one
+    * value gives every output file a tight min/max envelope on EITHER
+    * column — parquet/Delta-style data skipping then prunes files for
+    * predicates on either (a single-column sort localizes only itself;
+    * the second column's per-file range stays the full domain).
+    * Bounds arrive as plan-time literals: at scale they come from ingest
+    * metadata, not a data pass.
+    */
+  def zValue(a: Column, b: Column, aMin: Long, aMax: Long,
+      bMin: Long, bMax: Long): Column = {
+    val top = (1L << ZBits) - 1
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      floor((c - lit(lo)).cast("double") * lit(top.toDouble)
+        / lit(math.max(hi - lo, 1L).toDouble)).cast("long")
+    val (sa, sb) = (scaled(a, aMin, aMax), scaled(b, bMin, bMax))
+    (0 until ZBits).map { i =>
+      val bitA = shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val bitB = shiftleft(shiftright(sb, i).bitwiseAND(lit(1L)), 2 * i)
+      bitA.bitwiseOR(bitB)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Land `df` Z-ordered on `(colA, colB)` into `nFiles` range-partitioned,
+    * internally sorted files. ScaleVariantsSpec asserts the skipping
+    * property: per-file spread shrinks on BOTH columns vs a single-column
+    * sort of the same data.
+    */
+  def writeZordered(df: DataFrame, colA: String, colB: String,
+      outDir: String, nFiles: Int = 16): Unit = {
+    val bounds = df.agg(
+      min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    val z = zValue(col(colA), col(colB),
+      bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
   }
 
   /** The fact-build join shape over pre-bucketed sides: orders ⋈ per-order

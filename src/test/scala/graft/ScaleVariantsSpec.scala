@@ -59,6 +59,32 @@ class ScaleVariantsSpec extends SparkSpec {
     capped.foreach { case (k, j) => assert(j == exact(k)) }
   }
 
+  test("z-order layout localizes BOTH columns; single-column sort only one") {
+    import java.nio.file.Files
+    val src = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val zDir = Files.createTempDirectory("zorder").toString
+    val linDir = Files.createTempDirectory("linear").toString
+    warehouse.Bucketing.writeZordered(src, "l_orderkey", "l_partkey", zDir)
+    src.repartitionByRange(16, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+    // per-file min/max envelope width — what parquet/Delta skipping prunes on
+    def meanSpread(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("s"))
+        .agg(avg($"s")).head().getDouble(0)
+    // the linear layout localizes its own sort key...
+    assert(meanSpread(linDir, "l_orderkey") < meanSpread(zDir, "l_orderkey"),
+      "a dedicated sort should beat z-order on its own key")
+    // ...but leaves the other column's per-file range at ~the full domain;
+    // z-order halves it (16 files → 4×4 grid → ~1/4 per axis)
+    val zSpread = meanSpread(zDir, "l_partkey")
+    val linSpread = meanSpread(linDir, "l_partkey")
+    assert(zSpread < linSpread * 0.5,
+      s"z-order should localize l_partkey: z=$zSpread linear=$linSpread")
+  }
+
   test("bucketed ingest: the order-key join runs with zero shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
