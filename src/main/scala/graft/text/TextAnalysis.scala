@@ -412,7 +412,40 @@ object TextAnalysis {
         :+ $"score": _*)
   }
 
+  /** Vocabulary cap — ONE definition for both engines. */
+  val VocabSize = 1000
+
+  /** Vocabulary build — the tokenizer-prep step of a training pipeline:
+    * the [[VocabSize]] most frequent corpus tokens, each with its corpus
+    * count and document frequency, ids assigned in rank order
+    * (count desc, token — total order, so ids are stable across runs and
+    * engines).
+    *
+    * Shape at scale: token counting is one map-side-combined shuffle on
+    * the token (vocabulary-sized, not corpus-sized, after the combine);
+    * the top-K cut plans as TakeOrderedAndProject; only the id-assignment
+    * window runs unpartitioned, over ≤[[VocabSize]] rows — bounded by a
+    * plan constant, never by the data.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(split(trim(lower($"text")), "\\s+")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n_occurrences".desc, $"token")
+      .limit(VocabSize)
+    top.withColumn("token_id", row_number().over(
+        Window.orderBy($"n_occurrences".desc, $"token")).cast("bigint"))
+      .select($"token_id", $"token", $"n_occurrences", $"n_docs")
+      .orderBy($"token_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> (vocab _),
     "text_keyword_search" -> (keywordSearch _),
     "text_top_bigrams" -> (topBigrams _),
     "text_quality_gate" -> (qualityGate _),
@@ -460,6 +493,21 @@ LIMIT $SearchTopK"""
   }
 
   val oracle: Map[String, String] = Map(
+    "text_vocab" -> s"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+v AS (
+  SELECT token, count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM toks GROUP BY token),
+top AS (
+  SELECT * FROM v ORDER BY n_occurrences DESC, token LIMIT $VocabSize)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
+       token, n_occurrences, n_docs
+FROM top
+ORDER BY token_id""",
+
     "text_keyword_search" -> keywordSearchOracle,
     "text_top_bigrams" -> s"""WITH toks AS (
   SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS t
