@@ -124,6 +124,59 @@ object WindowExtras {
       .orderBy($"g_y", $"g_q", $"y", $"q")
   }
 
+  /** Conversion funnel: how many users clicked, then signed up AFTER their
+    * first click, then purchased AFTER that signup — the ordered-stage
+    * analytics every event pipeline ships. ONE pass: per-user first-touch
+    * timestamps of each stage are conditional `min`s in a single aggregate
+    * (map-side combined), the stage predicates are ordered comparisons on
+    * those, and the final rollup is one tiny second aggregate. No joins, no
+    * windows, no per-stage scans — at 100 TB this is exactly two shuffles
+    * (user rollup, then a 1-row reduce).
+    *
+    * Ties: a same-timestamp later stage counts (`<=`), matching the oracle;
+    * `min(ts)` on timestamps is order-independent so the hash-compare is
+    * safe.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when($"t_click".isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+      sum(when($"t_click".isNotNull && $"t_signup".isNotNull
+        && $"t_click" <= $"t_signup", 1L).otherwise(0L)).as("n_signed_up"),
+      sum(when($"t_click".isNotNull && $"t_signup".isNotNull
+        && $"t_click" <= $"t_signup" && $"t_purchase".isNotNull
+        && $"t_signup" <= $"t_purchase", 1L).otherwise(0L)).as("n_purchased"))
+  }
+
+  /** Retention cohorts: users grouped by first-activity day, distinct
+    * actives per (cohort, days-since-cohort) — the retention triangle. The
+    * first-touch day is a per-user `min` (one aggregate, no window); the
+    * cohort matrix is a second groupBy over (cohort_key, day_offset). All
+    * integers; `datediff` on the DATE-truncated timestamps matches DuckDB's
+    * date subtraction exactly.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select($"user_id", to_date($"ts").as("day"))
+    val first = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .groupBy(
+        date_format($"cohort_day", "yyyyMMdd").cast("int").as("cohort_key"),
+        datediff($"day", $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_key", $"day_offset")
+  }
+
   /** GROUPING SETS — the heterogeneous-sets aggregate ROLLUP/CUBE cannot
     * express: `((y, q), (status), ())` computes a time breakdown, a status
     * breakdown, and the grand total in ONE pass. Goes through the SQL entry
@@ -410,6 +463,8 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
     "agg_rollup" -> (rollupCounts _),
     "agg_cube" -> (cubeCounts _),
     "agg_grouping_sets" -> (groupingSetsCounts _),
+    "agg_funnel" -> (funnel _),
+    "agg_retention_cohorts" -> (retentionCohorts _),
     "join_asof_attribution" -> (asofClickAttribution _),
     "join_range_banded" -> (rangeBandJoin _),
     "agg_heavy_hitters" -> (heavyHitters _),
@@ -502,6 +557,36 @@ ORDER BY global_rank""",
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
 ORDER BY g_y, g_q, y, q""",
+
+    "agg_funnel" -> """WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id)
+SELECT count(*)::BIGINT AS n_users,
+       sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_clicked,
+       sum(CASE WHEN t_click IS NOT NULL AND t_signup IS NOT NULL
+                 AND t_click <= t_signup THEN 1 ELSE 0 END)::BIGINT
+         AS n_signed_up,
+       sum(CASE WHEN t_click IS NOT NULL AND t_signup IS NOT NULL
+                 AND t_click <= t_signup AND t_purchase IS NOT NULL
+                 AND t_signup <= t_purchase THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchased
+FROM per_user""",
+
+    "agg_retention_cohorts" -> """WITH ev AS (
+  SELECT user_id, ts::DATE AS day FROM events WHERE ts IS NOT NULL),
+first_touch AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT CAST(strftime(cohort_day, '%Y%m%d') AS INT) AS cohort_key,
+       (day - cohort_day)::INT AS day_offset,
+       count(DISTINCT ev.user_id)::BIGINT AS n_active
+FROM ev JOIN first_touch USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_key, day_offset""",
 
     "agg_grouping_sets" -> """SELECT year(o_orderdate)::INT AS y,
        quarter(o_orderdate)::INT AS q,

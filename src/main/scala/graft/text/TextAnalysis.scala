@@ -444,8 +444,39 @@ object TextAnalysis {
       .orderBy($"token_id")
   }
 
+  /** Tokens encoded per document — ONE definition for both engines. */
+  val EncodeLen = 8
+
+  /** Token-id encoding: each document's first [[EncodeLen]] tokens mapped
+    * through the [[vocab]] table to ids (OOV and padding → 0) — the final
+    * tokenizer step that turns text into the fixed-width integer form a
+    * training pipeline feeds downstream. The checked output is the
+    * scalar-column form t00..t07 (the driver comparator cannot hash
+    * arrays); internal consumers would keep the array.
+    *
+    * Shape at scale: the vocab is vocabulary-sized and broadcasts; the
+    * position explode is bounded by the [[EncodeLen]] constant; encoding is
+    * map-side except the per-doc re-assembly groupBy.
+    */
+  def encodeIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = vocab(spark, dir).select($"token", $"token_id")
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(
+        slice(split(trim(lower($"text")), "\\s+"), 1, EncodeLen))
+        .as(Seq("pos", "token")))
+    val ids = toks.join(broadcast(v), Seq("token"), "left")
+      .select($"doc_id", $"pos", coalesce($"token_id", lit(0L)).as("id"))
+    val cols = (0 until EncodeLen).map(i =>
+      coalesce(max(when($"pos" === i, $"id")), lit(0L)).as(f"t$i%02d"))
+    ids.groupBy($"doc_id")
+      .agg(cols.head, cols.tail: _*)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab" -> (vocab _),
+    "text_encode_ids" -> (encodeIds _),
     "text_keyword_search" -> (keywordSearch _),
     "text_top_bigrams" -> (topBigrams _),
     "text_quality_gate" -> (qualityGate _),
@@ -492,8 +523,7 @@ ORDER BY score DESC, doc_id
 LIMIT $SearchTopK"""
   }
 
-  val oracle: Map[String, String] = Map(
-    "text_vocab" -> s"""WITH toks AS (
+  private val vocabOracle: String = s"""WITH toks AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents),
@@ -506,7 +536,33 @@ top AS (
 SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
        token, n_occurrences, n_docs
 FROM top
-ORDER BY token_id""",
+ORDER BY token_id"""
+
+  private val encodeIdsOracle: String = {
+    val tCols = (0 until EncodeLen).map(i =>
+      s"       coalesce(max(CASE WHEN pos = $i THEN id END), 0)::BIGINT AS t${"%02d".format(i)}")
+      .mkString(",\n")
+    s"""WITH vocab AS (
+$vocabOracle
+),
+toks0 AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+pos_toks AS (
+  SELECT doc_id, p::INT AS pos, t[p + 1] AS token
+  FROM toks0, LATERAL (SELECT unnest(range(0, least(len(t), $EncodeLen))) AS p)),
+j AS (
+  SELECT doc_id, pos, COALESCE(v.token_id, 0)::BIGINT AS id
+  FROM pos_toks LEFT JOIN vocab v USING (token))
+SELECT doc_id,
+$tCols
+FROM j GROUP BY doc_id
+ORDER BY doc_id"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_vocab" -> vocabOracle,
+    "text_encode_ids" -> encodeIdsOracle,
 
     "text_keyword_search" -> keywordSearchOracle,
     "text_top_bigrams" -> s"""WITH toks AS (
