@@ -59,6 +59,27 @@ class ScaleVariantsSpec extends SparkSpec {
     capped.foreach { case (k, j) => assert(j == exact(k)) }
   }
 
+  test("bucket pruning: a point lookup on the bucket key reads one bucket") {
+    warehouse.Bucketing.writeBucketed(
+      Tables.orders(spark, sf), "orders_bkt_point", "o_orderkey", 4)
+    val key = spark.table("orders_bkt_point")
+      .selectExpr("min(o_orderkey)").head().getLong(0)
+    // autoBucketedScan would drop the bucketed layout for a bare filter (no
+    // exchange to elide); pruning needs the scan to stay bucket-aware
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = spark.table("orders_bkt_point").filter($"o_orderkey" === key)
+      // the reference's B-tree point lookup maps to bucket pruning: the scan
+      // must touch 1 of the 4 buckets, not the table
+      val s = q.queryExecution.executedPlan.toString
+      assert(s.contains("SelectedBucketsCount: 1 out of 4"),
+        s"expected single-bucket scan:\n${s.take(600)}")
+      assert(q.count() >= 1)
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
+  }
+
   test("z-order layout localizes BOTH columns; single-column sort only one") {
     import java.nio.file.Files
     val src = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
