@@ -194,6 +194,63 @@ object Ingest {
       .orderBy($"event_id")
   }
 
+  /** CDC changelog apply — [[mergeScd1]] extended to the full
+    * insert/update/DELETE grammar a change-data-capture feed carries
+    * (Debezium-style op column + source sequence number). The reference's
+    * pipeline is insert-only (`ON CONFLICT DO NOTHING`); a warehouse fed by
+    * CDC must also retract. Two deterministic changelog batches over the
+    * events snapshot (keys ∉ 3ℤ):
+    *
+    *  - seq 1, every 5th key: `D` for keys ∈ 10ℤ, else `U` re-pricing +100,
+    *  - seq 2, every 7th key: `I` re-typing to `cdc_insert`, re-pricing +7
+    *    (keys ∈ 35ℤ get both — the latest-wins proof rows).
+    *
+    * Apply = (a) latest change per key — ONE shuffle on the key, map-side
+    * `max_by(struct(seq, …))` partials so each partition forwards at most
+    * one candidate per key, no window sort; (b) FULL OUTER join with the
+    * snapshot; (c) branch CASE: no change → KEPT, `D` → row retracted,
+    * `U`/`I` → changelog attributes win (upsert semantics for orphan `U`s,
+    * matching Delta's `whenNotMatched insert`). At 100 TB the changelog
+    * batch is ≪ the snapshot, so (b) is broadcast-able; both-big falls back
+    * to the co-partitioned hash join, same as [[mergeScd1]].
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val snapshot = events.filter(pmod($"event_id", lit(3)) =!= 0)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        lit(true).as("in_snap"))
+    val batch1 = events.filter(pmod($"event_id", lit(5)) === 0)
+      .select($"event_id", lit(1L).as("seq"),
+        when(pmod($"event_id", lit(10)) === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        $"user_id".as("c_user"), $"event_type".as("c_type"),
+        ($"value" + lit(100.0)).as("c_value"))
+    val batch2 = events.filter(pmod($"event_id", lit(7)) === 0)
+      .select($"event_id", lit(2L).as("seq"), lit("I").as("op"),
+        $"user_id".as("c_user"), lit("cdc_insert").as("c_type"),
+        ($"value" + lit(7.0)).as("c_value"))
+    // latest-wins per key WITHOUT a window sort: max_by keeps one struct per
+    // key and aggregates partially map-side (seq is unique per key, so the
+    // pick is deterministic)
+    val latest = batch1.unionByName(batch2)
+      .groupBy($"event_id")
+      .agg(max_by(struct($"op", $"c_user", $"c_type", $"c_value"), $"seq")
+        .as("c"))
+      .select($"event_id", $"c.op".as("op"), $"c.c_user".as("c_user"),
+        $"c.c_type".as("c_type"), $"c.c_value".as("c_value"))
+    snapshot.join(latest, Seq("event_id"), "full_outer")
+      .filter(!($"op" <=> lit("D")))
+      .select(
+        $"event_id",
+        when($"op".isNotNull, $"c_user").otherwise($"user_id").as("user_id"),
+        when($"op".isNotNull, $"c_type").otherwise($"event_type")
+          .as("event_type"),
+        when($"op".isNotNull, $"c_value").otherwise($"value").as("value"),
+        coalesce($"op", lit("KEPT")).as("last_op"))
+      .orderBy($"event_id")
+  }
+
   /** D4: pipeline stats probe — processed/unprocessed split with per-group
     * time bounds (`get_pipeline_stats`, `etl_pipeline.py:205-234`).
     */
@@ -379,6 +436,7 @@ object Ingest {
     "etl_incremental_batch" -> ((s: SparkSession, d: String) => incrementalBatch(s, d)),
     "etl_upsert_new_keys" -> (upsertNewKeys _),
     "etl_merge_scd1" -> (mergeScd1 _),
+    "etl_cdc_apply" -> (cdcApply _),
     "etl_dq_summary" -> (dqSummary _),
     "etl_pipeline_stats" -> (pipelineStats _))
 
@@ -533,6 +591,33 @@ SELECT coalesce(s.event_id, i.event_id) AS event_id,
             WHEN i.event_id IS NULL THEN 'KEPT'
             ELSE 'UPDATED' END AS merge_op
 FROM staged s FULL OUTER JOIN incoming i ON s.event_id = i.event_id
+ORDER BY event_id""",
+
+    "etl_cdc_apply" -> """WITH snapshot AS (
+  SELECT event_id, user_id, event_type, value
+  FROM events WHERE event_id % 3 <> 0),
+changelog AS (
+  SELECT event_id, 1 AS seq,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         user_id AS c_user, event_type AS c_type, value + 100.0 AS c_value
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id, 2 AS seq, 'I' AS op,
+         user_id AS c_user, 'cdc_insert' AS c_type, value + 7.0 AS c_value
+  FROM events WHERE event_id % 7 = 0),
+latest AS (
+  SELECT event_id, op, c_user, c_type, c_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY seq DESC)
+          AS rn
+        FROM changelog) WHERE rn = 1)
+SELECT coalesce(s.event_id, l.event_id) AS event_id,
+       CASE WHEN l.op IS NOT NULL THEN l.c_user ELSE s.user_id END AS user_id,
+       CASE WHEN l.op IS NOT NULL THEN l.c_type ELSE s.event_type END
+         AS event_type,
+       CASE WHEN l.op IS NOT NULL THEN l.c_value ELSE s.value END AS value,
+       coalesce(l.op, 'KEPT') AS last_op
+FROM snapshot s FULL OUTER JOIN latest l ON s.event_id = l.event_id
+WHERE l.op IS DISTINCT FROM 'D'
 ORDER BY event_id""",
 
     "etl_pipeline_stats" -> """SELECT (event_id % 3 = 0) AS processed,

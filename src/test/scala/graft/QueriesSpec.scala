@@ -160,6 +160,31 @@ class QueriesSpec extends SparkSpec {
     assert(!byType.contains("unchanged"))
   }
 
+  test("cdc apply: deletes retract, latest change wins, untouched rows kept") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val applied = ingest.Ingest.cdcApply(spark, sf)
+    val ops = applied.groupBy($"last_op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("KEPT", "U", "I").subsetOf(ops.keySet) && !ops.contains("D"))
+    // a seq-1 delete with no seq-2 re-insert is gone from the result
+    val deleted = applied.filter($"event_id" % 10 === 0 && $"event_id" % 7 =!= 0)
+    assert(deleted.count() == 0)
+    // keys hit by both batches resolve to the seq-2 insert (latest wins)
+    val both = applied.filter($"event_id" % 35 === 0)
+    assert(both.count() > 0)
+    assert(both.filter($"last_op" =!= "I" || $"event_type" =!= "cdc_insert")
+      .count() == 0)
+    // KEPT rows are bit-identical to the snapshot they came from
+    val kept = applied.filter($"last_op" === "KEPT")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val snap = Tables.events(spark, sf)
+      .filter($"event_id" % 3 =!= 0 && $"event_id" % 5 =!= 0 &&
+        $"event_id" % 7 =!= 0)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(kept.exceptAll(snap).count() == 0 && snap.exceptAll(kept).count() == 0)
+  }
+
   test("readme record counts: all four entity tables non-empty (U1)") {
     val counts = Queries.readmeRecordCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
