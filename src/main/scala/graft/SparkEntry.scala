@@ -26,7 +26,8 @@ object SparkEntry {
       dedup.Dedup.all ++ dedup.DupClusters.all ++ similarity.Similarity.all ++
       multimodal.Multimodal.all ++ sources.Sources.all ++
       streaming.Sessionize.all ++ analytics.WindowExtras.all ++
-      warehouse.Reports.all ++ warehouse.Scd2.all ++ functions.SkewJoin.all
+      warehouse.Reports.all ++ warehouse.Scd2.all ++ functions.SkewJoin.all ++
+      functions.BottomK.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -36,5 +37,6 @@ object SparkEntry {
       similarity.Similarity.oracle ++ multimodal.Multimodal.oracle ++
       sources.Sources.oracle ++ streaming.Sessionize.oracle ++
       analytics.WindowExtras.oracle ++ warehouse.Reports.oracle ++
-      warehouse.Scd2.oracle ++ functions.SkewJoin.oracle
+      warehouse.Scd2.oracle ++ functions.SkewJoin.oracle ++
+      functions.BottomK.oracle
 }

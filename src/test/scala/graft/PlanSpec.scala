@@ -283,6 +283,21 @@ class PlanSpec extends SparkSpec {
       "LIMIT 10 over ORDER BY must plan as distributed top-k")
   }
 
+  test("bottom-k aggregator runs partial/final, no window sort") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(functions.BottomK.bottomKSample(spark, sf))
+    // ScalaAggregator is a TypedImperativeAggregate → ObjectHashAggregate,
+    // and it must appear TWICE (map-side partial + reduce-side final) so the
+    // shuffle carries k-element sketches, not the row set a ranked window
+    // would move
+    val aggs = collectAll(p) { case a: ObjectHashAggregateExec => a }
+    assert(aggs.size >= 2,
+      s"expected partial+final object-hash aggregate, saw ${aggs.size}")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "bottom-k must not degrade to a ranked window")
+  }
+
   test("column pruning: a two-column rollup reads only its columns") {
     val s = plan(Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").count()).toString
