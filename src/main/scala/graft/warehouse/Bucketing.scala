@@ -64,6 +64,38 @@ object Bucketing {
     files
   }
 
+  /** Partition-preserving compaction — [[compact]] for a hive-partitioned
+    * directory (`dir/part=v/…`), the layout streaming ingest actually
+    * accretes small files into. One distributed pass, no per-partition
+    * driver loop: per-partition-value row counts (one tiny aggregate)
+    * broadcast back onto the rows to derive each row's target file index
+    * `pmod(hash(uniqueCol), ceil(count/target))`, then ONE shuffle on
+    * (partition, fileIdx) and a `partitionBy` overwrite of the new root.
+    * Each partition value ends with between 1 and ceil(count/target) files
+    * (hash collisions can only merge target files, never split them), so a
+    * partition's file count never exceeds its size-derived bound.
+    *
+    * Returns the per-partition (value, rows, target file bound) ledger —
+    * the maintenance job's audit record.
+    */
+  def compactPartitioned(spark: SparkSession, srcDir: String, outDir: String,
+      partCol: String, uniqueCol: String,
+      targetRowsPerFile: Long = 1000000L): DataFrame = {
+    val df = spark.read.parquet(srcDir)
+    val ledger = df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_files",
+        ceil(col("n_rows").cast("double") / lit(targetRowsPerFile.toDouble))
+          .cast("int"))
+    val total = ledger.agg(sum(col("n_files"))).head().getLong(0).toInt
+    df.join(broadcast(ledger.select(col(partCol), col("n_files"))), partCol)
+      .withColumn("__f", pmod(xxhash64(col(uniqueCol)), col("n_files")))
+      .repartition(math.max(total, 1), col(partCol), col("__f"))
+      .drop("__f", "n_files")
+      .write.mode("overwrite").partitionBy(partCol).parquet(outDir)
+    ledger.orderBy(col(partCol))
+  }
+
   /** Bits per dimension in the Morton (Z-order) value. 16 bits × 2 dims
     * fit a long with room to spare; resolution beyond file count is wasted,
     * so 65k cells per axis covers any practical file layout.

@@ -108,6 +108,34 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(events).count() == 0 && events.except(back).count() == 0)
   }
 
+  test("partitioned compaction: per-partition file bounds, layout kept") {
+    import graft.warehouse.Bucketing
+    val base = Files.createTempDirectory("compactp").toString
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // micro-batch accretion into a hive-partitioned root: many files/dir
+    events.repartition(16)
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$base/small")
+    val total = events.count()
+    val ledger = Bucketing.compactPartitioned(spark, s"$base/small",
+      s"$base/big", "event_type", "event_id",
+      targetRowsPerFile = total / 10 + 1)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(ledger.nonEmpty)
+    // every partition dir survives with no more files than its size bound
+    for ((etype, bound) <- ledger) {
+      val dir = new java.io.File(s"$base/big/event_type=$etype")
+      assert(dir.isDirectory, s"partition dir missing for $etype")
+      val n = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= bound, s"$etype: $n files, bound $bound")
+    }
+    val back = spark.read.parquet(s"$base/big")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    assert(back.count() == total)
+    assert(back.except(events).count() == 0 && events.except(back).count() == 0)
+  }
+
   test("S5 sinks: csv and json roundtrip; parquet partitioned write prunes") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
