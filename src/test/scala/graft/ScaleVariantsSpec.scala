@@ -106,6 +106,44 @@ class ScaleVariantsSpec extends SparkSpec {
       s"z-order should localize l_partkey: z=$zSpread linear=$linSpread")
   }
 
+  test("file manifest: footer stats exact; range read skips files, same rows") {
+    import java.nio.file.Files
+    val src = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val dir = Files.createTempDirectory("manifest").toString
+    warehouse.Bucketing.writeZordered(src, "l_orderkey", "l_partkey", dir)
+    val m = warehouse.FileManifest
+      .build(spark, dir, Seq("l_orderkey", "l_partkey")).cache()
+    // footer envelopes must equal a full data-scan cross-check, per file
+    val byFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val mrows = m.filter($"column" === "l_orderkey").collect()
+    assert(mrows.length == byFile.size && mrows.nonEmpty)
+    mrows.foreach { r =>
+      val (lo, hi, n) = byFile(r.getString(0))
+      assert(r.getLong(2) == lo && r.getLong(3) == hi && r.getLong(4) == n,
+        s"footer stats diverge for ${r.getString(0)}")
+    }
+    // a narrow partkey range must open a strict subset of files yet return
+    // exactly the full scan's rows (skipping is sound AND useful)
+    val b = src.agg(min($"l_partkey"), max($"l_partkey")).head()
+    val lo = b.getLong(0); val hi = lo + (b.getLong(1) - lo) / 10
+    val keep = warehouse.FileManifest.filesForRange(m, "l_partkey", lo, hi)
+    val nFiles = m.select($"file").distinct().count()
+    assert(keep.nonEmpty && keep.size < nFiles,
+      s"expected pruning: ${keep.size} of $nFiles files")
+    val pruned = spark.read.parquet(keep.map(f => s"$dir/$f"): _*)
+      .filter($"l_partkey".between(lo, hi))
+    val full = spark.read.parquet(dir).filter($"l_partkey".between(lo, hi))
+    assert(pruned.exceptAll(full).count() == 0 &&
+      full.exceptAll(pruned).count() == 0)
+    m.unpersist()
+  }
+
   test("bucketed ingest: the order-key join runs with zero shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
