@@ -298,6 +298,24 @@ class PlanSpec extends SparkSpec {
       "bottom-k must not degrade to a ranked window")
   }
 
+  test("query metrics ledger: scan rows exact, shuffle volume visible") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val q = events.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val (ledger, prof) = observability.QueryMetrics.profile(q)
+    assert(prof.outputRows == 5)
+    assert(prof.scanRows == events.count(), "scan metric must count every row")
+    assert(prof.scanFiles >= 1 && prof.scanBytes > 0)
+    assert(prof.shuffleWriteBytes > 0 && prof.shuffleRecordsWritten > 0,
+      "the groupBy exchange must be visible in the ledger")
+    // partial aggregation bound: the shuffle moves per-partition group rows,
+    // never the raw row set
+    assert(prof.shuffleRecordsWritten < prof.scanRows / 10)
+    assert(prof.spillBytes == 0, "a 5-group rollup must not spill")
+    assert(ledger.filter($"metric" === "shuffle bytes written").count() > 0)
+  }
+
   test("column pruning: a two-column rollup reads only its columns") {
     val s = plan(Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").count()).toString
