@@ -138,6 +138,64 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Prefix-filtered Jaccard join (PPJoin-style) — the EXACT corpus-scale
+    * form of [[ngramJaccard]]. The plain inverted index pays Σ df² candidate
+    * fan-out over every shingle; prefix filtering indexes only each
+    * document's `|d| − ⌈τ·|d|⌉ + 1` RAREST shingles under one global
+    * (df, shingle) order. Any pair with Jaccard ≥ τ provably shares at
+    * least one shingle inside both prefixes, so candidate recall is 100% —
+    * unlike the df-cap heuristic ([[ngramJaccardCapped]]) this is a pure
+    * win: identical output to the full join, fan-out shrunk to Σ df² over
+    * prefix entries, and the boilerplate (high-df) shingles that dominate
+    * the quadratic term are exactly the ones the prefixes exclude.
+    *
+    * The companion length filter drops candidate pairs whose sizes alone
+    * bound Jaccard below τ (|A∩B| ≤ min ⇒ J ≤ min/max < τ when
+    * min < τ·max) before the verify join. Survivors go through the shared
+    * exact [[jaccardVerify]].
+    *
+    * Scale shape: df counting and prefix construction are one shuffle each
+    * on shingle/doc; the candidate join is an equi-join on the (small)
+    * prefix index; no global rank window — the (df, shingle) pair IS the
+    * order, carried as data.
+    */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String,
+      threshold: Double = BaseTau): DataFrame = {
+    import spark.implicits._
+    jaccardVerify(spark, dir, prefixCandidates(spark, dir, threshold), threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Candidate pairs from the prefix index — exposed for the spec's
+    * fan-out comparison against the full inverted-index join.
+    */
+  private[graft] def prefixCandidates(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val inv = DocIndex.forDir(spark, dir)
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val dfCounts = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val prefixes = inv.join(dfCounts, "shingle")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("ord"),
+        count(lit(1)).as("n"))
+      .withColumn("plen",
+        ($"n" - ceil($"n" * lit(threshold)) + 1).cast("int"))
+      .select($"doc_id", $"n",
+        expr("transform(slice(ord, 1, plen), x -> x.shingle)").as("prefix"))
+    val pinv = prefixes.select($"doc_id", $"n", explode($"prefix").as("shingle"))
+    pinv.as("a")
+      .join(pinv.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          // size bound: min ≥ τ·max, else J < τ regardless of overlap
+          && col("a.n") * lit(1.0) >= lit(threshold) * col("b.n")
+          && col("b.n") * lit(1.0) >= lit(threshold) * col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Base threshold of the materialized pair table: the lowest τ any
     * consumer uses, so every consumer's pair set is a filter of this one.
     * Interpolated into BOTH engines (Spark defaults and the oracle SQL), so
@@ -192,26 +250,15 @@ object Dedup {
     // re-assert total order after the memoized parquet round-trip
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       pairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_prefix_jaccard" -> ((s: SparkSession, d: String) =>
+      ngramJaccardPrefix(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => MinHashLsh.nearDuplicates(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) =>
       MinHashLsh.incrementalNearDuplicates(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => SimHash.nearDuplicates(s, d)))
 
-  val oracle: Map[String, String] = Map(
-    "dedup_exact" -> """WITH feed AS (
-  SELECT * FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 10 = 0)
-SELECT md5(lower(trim(text))) AS fingerprint,
-       min(doc_id) AS canonical_id,
-       count(*)::BIGINT AS n_copies
-FROM feed
-GROUP BY 1 HAVING count(*) > 1
-ORDER BY canonical_id""",
-
-    "dedup_ngram_jaccard" -> """WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  private val jaccardOracleSql: String = s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -226,8 +273,28 @@ SELECT doc_a, doc_b, o * 1.0 / (sa.n + sb.n - o) AS jaccard
 FROM ov
 JOIN sizes sa ON ov.doc_a = sa.doc_id
 JOIN sizes sb ON ov.doc_b = sb.doc_id
-WHERE o * 1.0 / (sa.n + sb.n - o) >= 0.2
-ORDER BY doc_a, doc_b""",
+WHERE o * 1.0 / (sa.n + sb.n - o) >= $BaseTau
+ORDER BY doc_a, doc_b"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> """WITH feed AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT md5(lower(trim(text))) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*)::BIGINT AS n_copies
+FROM feed
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY canonical_id""",
+
+    "dedup_ngram_jaccard" -> jaccardOracleSql,
+
+    // prefix filtering is EXACT (candidate recall 100%), so its oracle is
+    // the identical thresholded pair table — the strongest possible check
+    // that the pruned index loses nothing
+    "dedup_prefix_jaccard" -> jaccardOracleSql,
 
     // full-pipeline DuckDB twins (md5-derived hash families — see
     // MinHashLsh/SimHash scaladoc); DedupSpec additionally pins the

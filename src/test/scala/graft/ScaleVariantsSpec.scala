@@ -59,6 +59,24 @@ class ScaleVariantsSpec extends SparkSpec {
     capped.foreach { case (k, j) => assert(j == exact(k)) }
   }
 
+  test("prefix-filtered jaccard: identical pairs from a smaller candidate set") {
+    val full = dedup.Dedup.ngramJaccard(spark, sf).collect().map(_.toString)
+    val pref = dedup.Dedup.ngramJaccardPrefix(spark, sf).collect().map(_.toString)
+    assert(pref.sameElements(full),
+      "prefix filtering must lose no pair (exact algorithm)")
+    val nPref = dedup.Dedup
+      .prefixCandidates(spark, sf, dedup.Dedup.BaseTau).count()
+    val inv = dedup.DocIndex.forDir(spark, sf)
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val nFull = inv.as("a")
+      .join(inv.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(nPref < nFull,
+      s"prefix index should prune the candidate set: $nPref vs $nFull")
+    assert(nPref >= full.length.toLong, "candidates must cover all true pairs")
+  }
+
   test("bucket pruning: a point lookup on the bucket key reads one bucket") {
     warehouse.Bucketing.writeBucketed(
       Tables.orders(spark, sf), "orders_bkt_point", "o_orderkey", 4)
