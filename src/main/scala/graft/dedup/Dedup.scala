@@ -138,6 +138,40 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Containment threshold — interpolated into Spark + oracle (parity rule). */
+  val ContainTau = 0.8
+
+  /** Asymmetric containment near-dup: |A∩B| / |A| ≥ [[ContainTau]] flags A
+    * as (near-)contained in B. Jaccard misses subset duplication when
+    * lengths mismatch — a 40-shingle doc fully embedded in a 400-shingle
+    * doc has J ≈ 0.1 but containment 1.0; quote farms, wrapper pages, and
+    * doc+boilerplate reassemblies are exactly this shape, and a curation
+    * pass wants them as (contained, container) DIRECTED pairs. Same
+    * inverted-index equi-join as [[ngramJaccard]] (no pairwise product);
+    * emitted per direction, smaller side first when both contain.
+    */
+  def containment(spark: SparkSession, dir: String,
+      threshold: Double = ContainTau): DataFrame = {
+    import spark.implicits._
+    val docs = DocIndex.forDir(spark, dir)
+    val sizes = docs.select($"doc_id", size($"sh").as("n"))
+    val inv = docs.select($"doc_id", explode($"sh").as("shingle"))
+    val overlap = inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("contained_id"),
+        col("b.doc_id").as("container_id"))
+      .agg(count(lit(1)).as("overlap"))
+    overlap
+      .join(sizes.select($"doc_id".as("contained_id"), $"n".as("n_a")),
+        "contained_id")
+      .select($"contained_id", $"container_id",
+        ($"overlap" * lit(1.0) / $"n_a").as("containment"))
+      .filter($"containment" >= threshold)
+      .orderBy($"contained_id", $"container_id")
+  }
+
   /** Prefix-filtered Jaccard join (PPJoin-style) — the EXACT corpus-scale
     * form of [[ngramJaccard]]. The plain inverted index pays Σ df² candidate
     * fan-out over every shingle; prefix filtering indexes only each
@@ -245,6 +279,29 @@ object Dedup {
       spark.read.parquet(p)
     })
 
+  /** Cross-source duplication matrix — near-dup pair counts per unordered
+    * source pair, the leakage report a corpus curator reads before fixing
+    * mixture weights (duplication INSIDE a source inflates its effective
+    * weight; duplication ACROSS train-relevant sources is contamination).
+    * Pure reuse of the materialized [[pairsForDir]] table: two id-joins to
+    * the (doc_id, source) projection — at 100 TB the pair table is orders
+    * of magnitude smaller than the corpus, so this is a cheap follow-up
+    * query, not a re-scan. `least/greatest` canonicalize the pair so the
+    * matrix is one triangle.
+    */
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    pairsForDir(spark, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("s_a")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("s_b")), "doc_b")
+      .select(least($"s_a", $"s_b").as("source_x"),
+        greatest($"s_a", $"s_b").as("source_y"))
+      .groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_x", $"source_y")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     // re-assert total order after the memoized parquet round-trip
@@ -252,6 +309,8 @@ object Dedup {
       pairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_prefix_jaccard" -> ((s: SparkSession, d: String) =>
       ngramJaccardPrefix(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
+    "dedup_cross_source" -> (crossSourceMatrix _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => MinHashLsh.nearDuplicates(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) =>
       MinHashLsh.incrementalNearDuplicates(s, d)),
@@ -295,6 +354,50 @@ ORDER BY canonical_id""",
     // the identical thresholded pair table — the strongest possible check
     // that the pruned index loses nothing
     "dedup_prefix_jaccard" -> jaccardOracleSql,
+
+    "dedup_cross_source" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM ov
+  JOIN sizes sa ON ov.doc_a = sa.doc_id
+  JOIN sizes sb ON ov.doc_b = sb.doc_id
+  WHERE o * 1.0 / (sa.n + sb.n - o) >= $BaseTau)
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       count(*)::BIGINT AS n_pairs
+FROM pairs
+JOIN documents da ON pairs.doc_a = da.doc_id
+JOIN documents db ON pairs.doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY source_x, source_y""",
+
+    "dedup_containment" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS o
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT contained_id, container_id, o * 1.0 / sa.n AS containment
+FROM ov JOIN sizes sa ON ov.contained_id = sa.doc_id
+WHERE o * 1.0 / sa.n >= $ContainTau
+ORDER BY contained_id, container_id""",
 
     // full-pipeline DuckDB twins (md5-derived hash families — see
     // MinHashLsh/SimHash scaladoc); DedupSpec additionally pins the

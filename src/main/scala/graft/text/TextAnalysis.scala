@@ -444,6 +444,29 @@ object TextAnalysis {
       .orderBy($"token_id")
   }
 
+  /** Vocabulary coverage curve: cumulative share of corpus token
+    * occurrences captured by the top-k vocab ranks — the tokenizer-sizing
+    * question ("how big must the vocab be to cover 95% of tokens?") asked
+    * directly of the [[vocab]] table. Integer occurrence counts running-sum
+    * over the rank order, divided ONCE by the total (long/1.0 division —
+    * bit-exact cross-engine). The running-sum window orders ≤[[VocabSize]]
+    * rows (a plan constant, same bound as vocab's id window); the total is
+    * a broadcast scalar.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("token"))
+    val totalDf = toks.agg(count(lit(1)).as("t"))
+    vocab(spark, dir).crossJoin(broadcast(totalDf))
+      .withColumn("cum", sum($"n_occurrences").over(Window.orderBy($"token_id")))
+      .select($"token_id", $"token", $"n_occurrences",
+        ($"n_occurrences" * lit(1.0) / $"t").as("share"),
+        ($"cum" * lit(1.0) / $"t").as("cum_share"))
+      .orderBy($"token_id")
+  }
+
   /** Tokens encoded per document — ONE definition for both engines. */
   val EncodeLen = 8
 
@@ -476,6 +499,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab" -> (vocab _),
+    "text_vocab_coverage" -> (vocabCoverage _),
     "text_encode_ids" -> (encodeIds _),
     "text_keyword_search" -> (keywordSearch _),
     "text_top_bigrams" -> (topBigrams _),
@@ -562,6 +586,26 @@ ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "text_vocab" -> vocabOracle,
+    "text_vocab_coverage" -> s"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+total AS (SELECT count(*)::BIGINT AS t FROM toks),
+v AS (
+  SELECT token, count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM toks GROUP BY token),
+top AS (
+  SELECT * FROM v ORDER BY n_occurrences DESC, token LIMIT $VocabSize),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
+         token, n_occurrences
+  FROM top)
+SELECT token_id, token, n_occurrences,
+       n_occurrences * 1.0 / t AS share,
+       (sum(n_occurrences) OVER (ORDER BY token_id)) * 1.0 / t AS cum_share
+FROM ranked, total
+ORDER BY token_id""",
     "text_encode_ids" -> encodeIdsOracle,
 
     "text_keyword_search" -> keywordSearchOracle,

@@ -21,7 +21,8 @@ class PropertySpec extends SparkSpec {
     // any order-dependent accumulation (raw double sums) would flip bits here
     val names = Seq("text_token_freq_score", "win_moving_avg",
       "curate_sample_mix", "sim_ivf_pq_topk", "agg_outlier_days",
-      "text_keyword_search", "etl_cdc_apply")
+      "text_keyword_search", "etl_cdc_apply", "dedup_containment",
+      "text_vocab_coverage")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
