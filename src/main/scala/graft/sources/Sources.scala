@@ -248,6 +248,24 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** Schema-evolution union: land batches whose schemas drifted (columns
+    * added over time) as ONE frame. `unionByName(allowMissingColumns)`
+    * aligns by NAME (positional union would silently misassign columns —
+    * the classic evolved-feed corruption), null-fills history, then each
+    * declared default back-fills its column so downstream code never sees
+    * evolution nulls. The reference's fixed DDL sidesteps this; a long-kept
+    * parquet feed cannot. Lazy and map-side: no shuffle, defaults are
+    * column expressions, and parquet `mergeSchema` reads of the same
+    * batches plan the identical union.
+    */
+  def unionEvolved(batches: Seq[DataFrame],
+      defaults: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val unioned = batches.reduce(_.unionByName(_, allowMissingColumns = true))
+    defaults.foldLeft(unioned) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), d))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seeded_sample" -> (seededSample _),
     "src_stratified_sample" -> (stratifiedSample _),

@@ -201,6 +201,51 @@ class ScaleVariantsSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew handling splits the hot partition of a sort-merge join") {
+    // the runtime complement to explicit salting: AQE detects the oversized
+    // shuffle partition AFTER the map stage and splits it, no code change.
+    // Child session so the lowered detection thresholds (tuned to test-scale
+    // bytes) cannot leak into other suites.
+    val s2 = spark.newSession()
+    Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      // test-scale bytes: the hot partition is a few KB compressed, so the
+      // detection floor and split advisory must sit well below it
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      .foreach { case (k, v) => s2.conf.set(k, v) }
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s2, sf)
+    // 80% of rows share one key — the salting fixture's shape, worse
+    val keyed = ev.select($"event_id",
+      when($"event_id" % 10 < 8, "hot")
+        .otherwise(concat(lit("k"), ($"event_id" % 10).cast("string")))
+        .as("k"))
+      // ≥2 map tasks feeding the join shuffle: AQE splits a skewed reduce
+      // partition along MAP-output boundaries, so a single-mapper stage
+      // (one tiny parquet file) is unsplittable no matter how skewed
+      .repartition(8)
+    // literal dim (not distinct(): a final aggregate between the sort and
+    // the shuffle stage breaks OptimizeSkewedJoin's SMJ(sort+shuffle,
+    // sort+shuffle) pattern and silently disables the split)
+    import s2.implicits._
+    val dim = (Seq("hot") ++ (8 to 9).map(i => s"k$i"))
+      .toDF("k").withColumn("w", lit(1.0))
+    val joined = keyed.join(dim, "k")
+    // execute joined's OWN plan (count() would plan a different query and
+    // leave this one un-finalized under AQE)
+    val n = joined.queryExecution.executedPlan.execute().count()
+    assert(n == ev.count(), "skew split must not change rows")
+    val s = joined.queryExecution.executedPlan.toString
+    assert(s.contains("skewed"),
+      s"expected an AQEShuffleRead with skew splits:\n${s.take(900)}")
+  }
+
   test("salted inner join equals the plain join on a skewed key") {
     // skewed left: 90% of lineitem assigned one hot supplier bucket
     val left = Tables.lineitem(spark, sf)

@@ -136,6 +136,37 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(events).count() == 0 && events.except(back).count() == 0)
   }
 
+  test("schema evolution: name-aligned union, defaults back-fill history") {
+    val base = Files.createTempDirectory("evolve").toString
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // batch 1: the original feed schema; batch 2: a later feed that ADDED
+    // a quality column and REORDERED the survivors
+    val b1 = events.filter($"event_id" % 2 === 0)
+    val b2 = events.filter($"event_id" % 2 === 1)
+      .select($"value", $"event_type", $"user_id", $"event_id",
+        (($"event_id" % 5) + 1).cast("int").as("quality"))
+    b1.write.mode("overwrite").parquet(s"$base/b1")
+    b2.write.mode("overwrite").parquet(s"$base/b2")
+    // mergeSchema read: one frame, evolved column nullable over history
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/b1", s"$base/b2")
+    assert(merged.columns.contains("quality"))
+    assert(merged.count() == events.count())
+    assert(merged.filter($"quality".isNull).count() == b1.count(),
+      "history rows must surface the evolved column as null")
+    // unionEvolved: same frame with the default back-filled — and the
+    // name alignment must have kept every value with its column
+    val evolved = sources.Sources.unionEvolved(
+      Seq(spark.read.parquet(s"$base/b1"), spark.read.parquet(s"$base/b2")),
+      Map("quality" -> lit(0)))
+    assert(evolved.filter($"quality".isNull).count() == 0)
+    assert(evolved.filter($"quality" === 0).count() == b1.count())
+    val back = evolved.select($"event_id", $"user_id", $"event_type", $"value")
+    assert(back.except(events).count() == 0 && events.except(back).count() == 0,
+      "name-aligned union must not misassign reordered columns")
+  }
+
   test("S5 sinks: csv and json roundtrip; parquet partitioned write prunes") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", $"value")
