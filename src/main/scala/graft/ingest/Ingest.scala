@@ -251,6 +251,41 @@ object Ingest {
       .orderBy($"event_id")
   }
 
+  /** Late-arriving dimension handling — the inferred-member pattern. The
+    * reference's FK constraints (`sql/01_schema.sql:36,47`) make a fact
+    * unloadable until its dimension row exists; a streaming warehouse can't
+    * wait, so facts referencing unknown keys get a PLACEHOLDER dimension
+    * row (attributes UNKNOWN, provenance flagged) that a later dim delivery
+    * backfills in place. Fixture: v1 dim withholds keys ∈ 4ℤ (the late
+    * quarter); the late delivery brings back keys ∈ 8ℤ, so the output
+    * carries all three provenance states — `original`, `backfilled`
+    * (placeholder healed), `inferred` (still waiting).
+    *
+    * Shape: distinct referenced keys (one map-side-combined aggregate on
+    * the fact), a LEFT ANTI join to find the unknowns, a LEFT join to the
+    * late delivery. All key-joins; the dim sides broadcast at scale.
+    */
+  def lateArrivingDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+    val referenced = Tables.orders(spark, dir)
+      .select($"o_custkey".as("custkey")).distinct()
+    val v1 = customer.filter($"c_custkey" % 4 =!= 0)
+      .select($"c_custkey".as("custkey"), $"c_name".as("name"))
+    val late = customer
+      .filter($"c_custkey" % 4 === 0 && $"c_custkey" % 8 === 0)
+      .select($"c_custkey".as("custkey"), $"c_name".as("name"))
+    val placeholders = referenced.join(v1, Seq("custkey"), "left_anti")
+    val healed = placeholders.join(late, Seq("custkey"), "left")
+      .select($"custkey",
+        coalesce($"name", lit("UNKNOWN")).as("name"),
+        when($"name".isNotNull, lit("backfilled")).otherwise(lit("inferred"))
+          .as("status"))
+    v1.withColumn("status", lit("original"))
+      .unionByName(healed)
+      .orderBy($"custkey")
+  }
+
   /** D4: pipeline stats probe — processed/unprocessed split with per-group
     * time bounds (`get_pipeline_stats`, `etl_pipeline.py:205-234`).
     */
@@ -437,6 +472,7 @@ object Ingest {
     "etl_upsert_new_keys" -> (upsertNewKeys _),
     "etl_merge_scd1" -> (mergeScd1 _),
     "etl_cdc_apply" -> (cdcApply _),
+    "etl_late_arriving_dim" -> (lateArrivingDim _),
     "etl_dq_summary" -> (dqSummary _),
     "etl_pipeline_stats" -> (pipelineStats _))
 
@@ -592,6 +628,26 @@ SELECT coalesce(s.event_id, i.event_id) AS event_id,
             ELSE 'UPDATED' END AS merge_op
 FROM staged s FULL OUTER JOIN incoming i ON s.event_id = i.event_id
 ORDER BY event_id""",
+
+    "etl_late_arriving_dim" -> """WITH referenced AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders),
+v1 AS (
+  SELECT c_custkey AS custkey, c_name AS name
+  FROM customer WHERE c_custkey % 4 <> 0),
+late AS (
+  SELECT c_custkey AS custkey, c_name AS name
+  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 8 = 0),
+placeholders AS (
+  SELECT r.custkey FROM referenced r
+  WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.custkey = r.custkey))
+SELECT custkey, name, 'original' AS status FROM v1
+UNION ALL
+SELECT p.custkey,
+       coalesce(l.name, 'UNKNOWN') AS name,
+       CASE WHEN l.name IS NOT NULL THEN 'backfilled' ELSE 'inferred' END
+         AS status
+FROM placeholders p LEFT JOIN late l ON p.custkey = l.custkey
+ORDER BY custkey""",
 
     "etl_cdc_apply" -> """WITH snapshot AS (
   SELECT event_id, user_id, event_type, value
