@@ -106,10 +106,36 @@ object TpchQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q13 exclusion predicate on the outer side (stands in for the spec's
+    * `o_comment NOT LIKE` — this orders table has no comment column).
+    */
+  val Q13Excluded = "1-URGENT"
+
+  /** Q13: customer order-count distribution — the outer-join histogram
+    * shape: LEFT join so zero-order customers survive with c_count = 0,
+    * a count over the join key, then a histogram of the counts. At scale
+    * the join co-shuffles customer and filtered orders on custkey with a
+    * map-side partial count; the second aggregate is histogram-sized.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= Q13Excluded)
+      .select($"o_custkey", $"o_orderkey")
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (q1 _),
     "tpch_q3" -> (q3 _),
-    "tpch_q6" -> (q6 _))
+    "tpch_q6" -> (q6 _),
+    "tpch_q13" -> (q13 _))
 
   val oracle: Map[String, String] = Map(
     "tpch_q1" -> s"""SELECT l_returnflag, l_linestatus,
@@ -144,5 +170,18 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '$Q6YearLo'
   AND l_shipdate < TIMESTAMP '$Q6YearHi'
   AND l_discount BETWEEN $Q6DiscLo AND $Q6DiscHi
-  AND l_quantity < $Q6QtyMax""")
+  AND l_quantity < $Q6QtyMax""",
+
+    "tpch_q13" -> s"""WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT OUTER JOIN (
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderpriority <> '$Q13Excluded') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""")
 }
