@@ -453,7 +453,65 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"date_key")
   }
 
+  /** Gap-fill user sample gate — one definition for both engines. */
+  val GapFillUserMod = 10
+
+  /** Calendar densification + LOCF gap fill: per-user daily activity over
+    * the corpus's FULL date span, missing days materialized and filled with
+    * the last observed value (last-observation-carried-forward) — the
+    * sparse-to-dense step before any per-entity time-series model. Three
+    * bounded pieces: a daily count aggregate (integer, shuffle-safe), a
+    * `sequence()`-generated calendar cross-joined per user (the dim_time
+    * trick, span arrives as a broadcast scalar row — no driver round-trip),
+    * and an `ignoreNulls` running `last` per user. The LOCF window is
+    * user-partitioned, never global; counts are integers so nothing
+    * float-drifts through the shuffle.
+    */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .filter($"user_id" % GapFillUserMod === 0 && $"ts".isNotNull)
+    val daily = events.groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = events.agg(to_date(min($"ts")).as("d0"), to_date(max($"ts")).as("d1"))
+    val calendar = daily.select($"user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce(last($"n_events", ignoreNulls = true).over(w), lit(0L))
+          .as("n_events_filled"),
+        $"n_events".isNull.as("was_gap"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Histogram bin width (value units) — one definition, both engines. */
+  val HistBinWidth = 25.0
+
+  /** Fixed-width value histogram: floor-bucket the measure, count per bin,
+    * carry the bin edges. One map-side floor + one histogram-sized
+    * aggregate — the distribution profile (Q13 is the distribution of
+    * COUNTS; this is the distribution of VALUES). Bin index from one IEEE
+    * division + floor, identical text both engines, so the bucketing can't
+    * drift cross-engine even at bin boundaries.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(floor($"value" / HistBinWidth).cast("bigint").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"))
+      .select($"bin", ($"bin" * HistBinWidth).as("bin_lo"),
+        (($"bin" + 1) * HistBinWidth).as("bin_hi"), $"n")
+      .orderBy($"bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_value_histogram" -> (valueHistogram _),
+    "win_gap_fill_locf" -> (gapFillLocf _),
     "agg_outlier_days" -> (outlierDays _),
     "agg_rolling_active_users" -> (rollingActiveUsers _),
     "agg_approx_stats" -> (approxStats _),
@@ -472,6 +530,36 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
     "agg_pivot_event_types" -> (pivotEventTypes _))
 
   val oracle: Map[String, String] = Map(
+    "agg_value_histogram" -> s"""WITH b AS (
+  SELECT CAST(floor(value / $HistBinWidth) AS BIGINT) AS bin
+  FROM events)
+SELECT bin, bin * $HistBinWidth AS bin_lo,
+       (bin + 1) * $HistBinWidth AS bin_hi,
+       count(*)::BIGINT AS n
+FROM b GROUP BY bin
+ORDER BY bin""",
+
+    "win_gap_fill_locf" -> s"""WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id % $GapFillUserMod = 0 AND ts IS NOT NULL),
+daily AS (
+  SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM ev GROUP BY 1, 2),
+span AS (SELECT min(ts)::DATE AS d0, max(ts)::DATE AS d1 FROM ev),
+calendar AS (
+  SELECT u.user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+           AS day
+  FROM (SELECT DISTINCT user_id FROM daily) u, span)
+SELECT c.user_id, c.day,
+       coalesce(last_value(d.n_events IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)::BIGINT
+         AS n_events_filled,
+       d.n_events IS NULL AS was_gap
+FROM calendar c
+LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+ORDER BY c.user_id, c.day""",
+
     "agg_outlier_days" -> s"""WITH daily AS (
   SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS date_key,
          count(*)::BIGINT AS n_events
