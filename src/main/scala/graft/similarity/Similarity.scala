@@ -158,7 +158,38 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** ANN accuracy dashboard: recall@k of each approximate index (LSH,
+    * IVF) against the exact brute-force top-k, per probe — the number an
+    * ANN deployment watches when tuning bands/probes ("measure, don't
+    * guess" applied to index QUALITY, not just speed). Semi-join of the
+    * exact neighbor set against each index's answer set on (query,
+    * neighbor), integer hit counts, one division by the shared [[TopK]].
+    * Probes with zero hits are restored via a left join so a broken index
+    * reads 0.0, not absent. At scale every input here is a top-k result
+    * (probes × k rows) — dashboard-sized, whatever the corpus.
+    */
+  def recallReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = bruteForceTopK(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    val probeIds = brute.select($"query_id").distinct()
+    def recallOf(ann: DataFrame, family: String): DataFrame = {
+      val hits = brute
+        .join(ann.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+      probeIds.join(hits, Seq("query_id"), "left")
+        .select(lit(family).as("family"), $"query_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"))
+    }
+    recallOf(RandomHyperplaneLsh.topK(spark, dir), "lsh")
+      .unionByName(recallOf(IvfIndex.topK(spark, dir), "ivf"))
+      .withColumn("recall_at_k", $"n_hits" * lit(1.0) / lit(TopK))
+      .orderBy($"family", $"query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_report" -> (recallReport _),
     "sim_pq_codes" -> ((s: SparkSession, d: String) =>
       ProductQuantizer.codes(s, d)),
     "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
@@ -182,7 +213,41 @@ object Similarity {
   private[similarity] def r2(x: String): String =
     s"FLOOR(($x) * 100 + 0.5) / 100.0"
 
+  private val bruteForceOracleSql: String = s"""WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ${cosSql("q.embedding", "n.embedding")} AS cos
+  FROM embeddings q JOIN embeddings n ON q.vec_id < $NumProbes AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
+
   val oracle: Map[String, String] = Map(
+    "sim_recall_report" -> s"""WITH brute AS (
+  SELECT query_id, neighbor_id FROM (${bruteForceOracleSql}) b),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (${RandomHyperplaneLsh.oracleSql}) l),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (${IvfIndex.oracleSql}) i),
+probes AS (SELECT DISTINCT query_id FROM brute),
+hits AS (
+  SELECT 'lsh' AS family, b.query_id, count(*)::BIGINT AS n_hits
+  FROM brute b JOIN lsh a USING (query_id, neighbor_id) GROUP BY b.query_id
+  UNION ALL
+  SELECT 'ivf' AS family, b.query_id, count(*)::BIGINT AS n_hits
+  FROM brute b JOIN ivf a USING (query_id, neighbor_id) GROUP BY b.query_id)
+SELECT f.family, p.query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) * 1.0 / $TopK AS recall_at_k
+FROM (VALUES ('lsh'), ('ivf')) f(family)
+CROSS JOIN probes p
+LEFT JOIN hits h ON h.family = f.family AND h.query_id = p.query_id
+ORDER BY f.family, p.query_id""",
+
     "sim_pq_codes" -> ProductQuantizer.oracleSql,
     "sim_normalize" -> s"""WITH n AS (
   SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS norm
@@ -202,18 +267,7 @@ SELECT vec_a, vec_b, ${r2("cos")} AS cosine_r2
 FROM pairs WHERE cos >= 0.4
 ORDER BY vec_a, vec_b""",
 
-    "sim_bruteforce_topk" -> s"""WITH scored AS (
-  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         ${cosSql("q.embedding", "n.embedding")} AS cos
-  FROM embeddings q JOIN embeddings n ON q.vec_id < $NumProbes AND q.vec_id <> n.vec_id),
-ranked AS (
-  SELECT query_id, neighbor_id, cos,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
-FROM ranked WHERE rank <= $TopK
-ORDER BY query_id, rank""",
+    "sim_bruteforce_topk" -> bruteForceOracleSql,
 
     // full-pipeline DuckDB twins (md5-derived hyperplanes / seeds, exact
     // fixed-point k-means — see RandomHyperplaneLsh and IvfIndex scaladocs);

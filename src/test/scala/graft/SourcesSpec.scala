@@ -136,6 +136,35 @@ class SourcesSpec extends SparkSpec {
     assert(back.except(events).count() == 0 && events.except(back).count() == 0)
   }
 
+  test("jsonl corrupt-record handling: bad lines quarantined, good survive") {
+    val base = Files.createTempDirectory("jsonlbad").toString
+    // a feed with malformed lines interleaved — the real-crawl JSONL shape
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha", "n_chars": 5}""",
+      """{"doc_id": 2, "text": "beta", """, // truncated JSON
+      """not json at all""",
+      """{"doc_id": 3, "text": "gamma", "n_chars": 5}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/feed.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, n_chars BIGINT, _corrupt_record STRING")
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$base/feed.jsonl")
+      .cache() // required by Spark for corrupt-record queries on raw JSON
+    val good = read.filter($"_corrupt_record".isNull)
+    val bad = read.filter($"_corrupt_record".isNotNull)
+    assert(good.count() == 2 && bad.count() == 2)
+    assert(good.select($"doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    // the quarantine keeps the raw line for replay/debugging
+    assert(bad.select($"_corrupt_record").collect()
+      .forall(r => r.getString(0).nonEmpty))
+    read.unpersist()
+  }
+
   test("schema evolution: name-aligned union, defaults back-fill history") {
     val base = Files.createTempDirectory("evolve").toString
     val events = Tables.events(spark, sf)
