@@ -302,6 +302,38 @@ object Dedup {
       .orderBy($"source_x", $"source_y")
   }
 
+  /** Dedup family agreement matrix — pair counts per family and overlap
+    * with the exact n-gram Jaccard set, the one-look answer to "do the
+    * approximate families (MinHash-LSH banding, SimHash Hamming buckets)
+    * find the same duplicates the exact join finds?". Every input is a
+    * memoized pair table (ids only), so at 100 TB this is a report over
+    * dashboards-sized artifacts, not a corpus pass. `precision_vs_exact`
+    * is an integer-ratio division (shuffle-order-proof).
+    */
+  def familyAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = pairsForDir(spark, dir).select($"doc_a", $"doc_b")
+    val fams = Seq(
+      "ngram_exact" -> exact,
+      "minhash_lsh" -> MinHashLsh.nearDuplicates(spark, dir)
+        .select($"doc_a", $"doc_b"),
+      "simhash" -> SimHash.nearDuplicates(spark, dir)
+        .select($"doc_a", $"doc_b"))
+    val tagged = fams
+      .map { case (f, df) => df.withColumn("family", lit(f)) }
+      .reduce(_ unionByName _)
+    tagged
+      .join(exact.withColumn("in_exact", lit(true)),
+        Seq("doc_a", "doc_b"), "left")
+      .groupBy($"family")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"in_exact", lit(1L)).otherwise(lit(0L)))
+          .as("n_shared_with_exact"))
+      .withColumn("precision_vs_exact",
+        $"n_shared_with_exact" * lit(1.0) / $"n_pairs")
+      .orderBy($"family")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     // re-assert total order after the memoized parquet round-trip
@@ -311,6 +343,7 @@ object Dedup {
       ngramJaccardPrefix(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
     "dedup_cross_source" -> (crossSourceMatrix _),
+    "dedup_family_agreement" -> (familyAgreement _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => MinHashLsh.nearDuplicates(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) =>
       MinHashLsh.incrementalNearDuplicates(s, d)),
@@ -354,6 +387,26 @@ ORDER BY canonical_id""",
     // the identical thresholded pair table — the strongest possible check
     // that the pruned index loses nothing
     "dedup_prefix_jaccard" -> jaccardOracleSql,
+
+    "dedup_family_agreement" -> s"""WITH fam_exact AS (
+  SELECT doc_a, doc_b FROM ($jaccardOracleSql) e),
+fam_mh AS (
+  SELECT doc_a, doc_b FROM (${MinHashLsh.oracleSql}) m),
+fam_sh AS (
+  SELECT doc_a, doc_b FROM (${SimHash.oracleSql}) s),
+fams AS (
+  SELECT 'ngram_exact' AS family, doc_a, doc_b FROM fam_exact
+  UNION ALL SELECT 'minhash_lsh' AS family, doc_a, doc_b FROM fam_mh
+  UNION ALL SELECT 'simhash' AS family, doc_a, doc_b FROM fam_sh)
+SELECT f.family, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_shared_with_exact,
+       sum(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS precision_vs_exact
+FROM fams f
+LEFT JOIN fam_exact e ON f.doc_a = e.doc_a AND f.doc_b = e.doc_b
+GROUP BY f.family
+ORDER BY f.family""",
 
     "dedup_cross_source" -> s"""WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
