@@ -286,6 +286,37 @@ object Ingest {
       .orderBy($"custkey")
   }
 
+  /** Source↔warehouse reconciliation — the post-load consistency audit
+    * every pipeline runs before publishing: recompute each headline fact
+    * measure from the RAW source tables and compare against the
+    * materialized warehouse. The reference eyeballs this with its pipeline
+    * stats report (`run_analytics.py`); here it's a ledger the oracle
+    * hash-checks — the Spark side reads warehouse parquet, the DuckDB twin
+    * recomputes expectations from source, so ANY drift in the fact build
+    * (lost rows, double-counted bridges, broken has_report flags) fails
+    * the round, not just this query. All measures are integer counts/sums;
+    * both sides align per check row.
+    */
+  def reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = graft.warehouse.Warehouse.forDir(spark, dir).factEncounters
+    val wide = fact.agg(
+      count(lit(1)).as("fact_rows"),
+      sum($"num_procedures").as("sum_procedures"),
+      sum($"num_diagnoses").as("sum_diagnoses"),
+      countDistinct($"patient_key").as("distinct_patients"),
+      sum($"has_report".cast("long")).as("reports_flagged"))
+    wide.select(expr(
+      """stack(5,
+        |  'distinct_patients', distinct_patients,
+        |  'fact_rows', fact_rows,
+        |  'reports_flagged', reports_flagged,
+        |  'sum_diagnoses', sum_diagnoses,
+        |  'sum_procedures', sum_procedures)
+        |  AS (check_name, warehouse_value)""".stripMargin))
+      .orderBy($"check_name")
+  }
+
   /** D4: pipeline stats probe — processed/unprocessed split with per-group
     * time bounds (`get_pipeline_stats`, `etl_pipeline.py:205-234`).
     */
@@ -473,6 +504,7 @@ object Ingest {
     "etl_merge_scd1" -> (mergeScd1 _),
     "etl_cdc_apply" -> (cdcApply _),
     "etl_late_arriving_dim" -> (lateArrivingDim _),
+    "etl_reconciliation" -> (reconciliation _),
     "etl_dq_summary" -> (dqSummary _),
     "etl_pipeline_stats" -> (pipelineStats _))
 
@@ -628,6 +660,23 @@ SELECT coalesce(s.event_id, i.event_id) AS event_id,
             ELSE 'UPDATED' END AS merge_op
 FROM staged s FULL OUTER JOIN incoming i ON s.event_id = i.event_id
 ORDER BY event_id""",
+
+    // the DuckDB side recomputes every expectation from SOURCE tables —
+    // matching hashes prove the warehouse build preserved them
+    "etl_reconciliation" -> """SELECT 'distinct_patients' AS check_name,
+       count(DISTINCT o_custkey)::BIGINT AS warehouse_value FROM orders
+UNION ALL
+SELECT 'fact_rows', count(*)::BIGINT FROM orders
+UNION ALL
+SELECT 'reports_flagged',
+       count(*)::BIGINT FROM orders
+WHERE o_orderkey IN (SELECT doc_id FROM documents)
+UNION ALL
+SELECT 'sum_diagnoses', count(*)::BIGINT
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+UNION ALL
+SELECT 'sum_procedures', count(*)::BIGINT FROM lineitem
+ORDER BY check_name""",
 
     "etl_late_arriving_dim" -> """WITH referenced AS (
   SELECT DISTINCT o_custkey AS custkey FROM orders),

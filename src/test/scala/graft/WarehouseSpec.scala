@@ -130,4 +130,34 @@ class WarehouseSpec extends SparkSpec {
     assert(w2.factEncounters.count() == c1)
     assert(w2.factEncounters.agg(sum($"num_procedures")).head().getLong(0) == s1)
   }
+
+  test("write-audit-publish: failed audit invisible, publish atomic, time travel") {
+    import graft.warehouse.Publish
+    val dir = java.nio.file.Files.createTempDirectory("wap").toString
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val rowCountAudit: org.apache.spark.sql.DataFrame => Boolean =
+      df => df.count() > 0
+    val noNegatives: org.apache.spark.sql.DataFrame => Boolean =
+      df => df.filter($"value" < 0).count() == 0
+
+    // v1 publishes
+    val v1 = Publish.writeAuditPublish(events, dir, Seq(rowCountAudit, noNegatives))
+    assert(v1.contains(1) && Publish.currentVersion(spark, dir) == 1)
+    assert(Publish.read(spark, dir).count() == events.count())
+
+    // a bad batch (negative values) FAILS its audit: pointer untouched,
+    // readers still see v1
+    val bad = events.withColumn("value", -$"value" - 1)
+    val rejected = Publish.writeAuditPublish(bad, dir, Seq(rowCountAudit, noNegatives))
+    assert(rejected.isEmpty && Publish.currentVersion(spark, dir) == 1)
+    assert(Publish.read(spark, dir).filter($"value" < 0).count() == 0)
+
+    // v2 (a filtered rewrite) publishes; v1 remains readable (time travel)
+    val v2data = events.filter($"event_id" % 2 === 0)
+    val v2 = Publish.writeAuditPublish(v2data, dir, Seq(rowCountAudit, noNegatives))
+    assert(v2.contains(2) && Publish.currentVersion(spark, dir) == 2)
+    assert(Publish.read(spark, dir).count() == v2data.count())
+    assert(Publish.readVersion(spark, dir, 1).count() == events.count())
+  }
 }
