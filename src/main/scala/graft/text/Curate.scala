@@ -89,6 +89,37 @@ object Curate {
       .orderBy($"train_id", $"test_id")
   }
 
+  /** Curation funnel ledger — documents surviving each pipeline stage
+    * (raw → quality gate → near-dup removal → decontamination), the
+    * one-table answer to "where did the corpus go?" that accompanies any
+    * curation run. Each stage is the already-verified operator's predicate;
+    * counts are single integer aggregates unioned into a 4-row ledger, so
+    * at scale this costs one corpus scan per stage over id/metadata columns
+    * (and the stages share the materialized pair table — nothing
+    * re-derives Jaccard).
+    */
+  def funnelLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val quality = docs.filter($"n_chars" >= MinChars)
+    val dropIds = Dedup.pairsForDir(spark, dir)
+      .filter($"jaccard" >= NearDupTau)
+      .select($"doc_b".as("drop_id")).distinct()
+    val deduped = quality
+      .join(broadcast(dropIds), $"doc_id" === $"drop_id", "left_anti")
+    val contaminated = decontaminate(spark, dir)
+      .select($"train_id".as("cid")).distinct()
+    val fin = deduped
+      .join(broadcast(contaminated), $"doc_id" === $"cid", "left_anti")
+    Seq("1_raw" -> docs, "2_quality" -> quality,
+      "3_near_dedup" -> deduped, "4_decontaminated" -> fin)
+      .map { case (s, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(s).as("stage"), $"n_docs")
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"stage")
+  }
+
   /** Rate buckets for the demo mix policy: target rate = (bucket+1)/4 with
     * bucket = h32("mix:"+source) mod 4 — a stand-in for the per-source
     * weights a real data-mixing config supplies. The GATE is the operator:
@@ -211,12 +242,57 @@ object Curate {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_budget_mix" -> (budgetMix _),
     "curate_corpus" -> (curatedStats _),
+    "curate_funnel" -> (funnelLedger _),
     "curate_train_val_split" -> (trainValSplit _),
     "curate_decontaminate" -> (decontaminate _),
     "curate_sample_mix" -> (sampleMix _),
     "curate_pack_sequences" -> (packSequences _))
 
+  /** DuckDB twin of [[bucketOf]] over a bigint column expression. */
+  private def bucketSql(c: String): String =
+    s"""CASE WHEN ascii(substring(md5(CAST($c AS VARCHAR)), 1, 1)) < 58
+       |     THEN ascii(substring(md5(CAST($c AS VARCHAR)), 1, 1)) - 48
+       |     ELSE ascii(substring(md5(CAST($c AS VARCHAR)), 1, 1)) - 87
+       |END""".stripMargin
+
+  private val funnelOracleSql: String = s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, o * 1.0 / (sa.n + sb.n - o) AS jaccard
+  FROM ov JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE o * 1.0 / (sa.n + sb.n - o) >= ${Dedup.BaseTau}),
+drops AS (
+  SELECT DISTINCT doc_b AS drop_id FROM pairs WHERE jaccard >= $NearDupTau),
+quality AS (SELECT doc_id FROM documents WHERE n_chars >= $MinChars),
+dedup AS (
+  SELECT doc_id FROM quality
+  WHERE doc_id NOT IN (SELECT drop_id FROM drops)),
+edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+contam AS (
+  SELECT DISTINCT x AS cid FROM edges
+  WHERE ${bucketSql("x")} <= 14 AND ${bucketSql("y")} = 15),
+fin AS (
+  SELECT doc_id FROM dedup WHERE doc_id NOT IN (SELECT cid FROM contam))
+SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs FROM documents
+UNION ALL SELECT '2_quality', count(*)::BIGINT FROM quality
+UNION ALL SELECT '3_near_dedup', count(*)::BIGINT FROM dedup
+UNION ALL SELECT '4_decontaminated', count(*)::BIGINT FROM fin
+ORDER BY stage"""
+
   val oracle: Map[String, String] = Map(
+    "curate_funnel" -> funnelOracleSql,
     "curate_budget_mix" -> s"""WITH d AS (
   SELECT doc_id, source,
          len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
