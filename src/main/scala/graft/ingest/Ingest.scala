@@ -100,23 +100,61 @@ object Ingest {
     */
   def quarantine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    dirtyDlq(spark, dir)
+      .select($"event_id", $"event_type", $"value", $"reason")
+      .orderBy($"event_id")
+  }
+
+  /** The deterministic dirty feed + reason-tagged reject rows shared by
+    * [[quarantine]] and [[deadLetterReplay]]: every 13th value negated,
+    * every 17th event type corrupted (the raw testdata is clean — the
+    * reject path must be genuinely exercised).
+    */
+  private def dirtyDlq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val k = get_json_object($"props", "$.k").cast("int")
-    // the raw testdata is clean — dirty it deterministically (every 13th
-    // value negated, every 17th event type corrupted) so the reject path is
-    // genuinely exercised
-    val feed = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .withColumn("value",
         when(pmod($"event_id", lit(13)) === 0, -$"value").otherwise($"value"))
       .withColumn("event_type",
         when(pmod($"event_id", lit(17)) === 0, lit("unknown"))
           .otherwise($"event_type"))
-    feed
       .withColumn("reason",
         when(!$"event_type".isin(EventTypes: _*), "bad_event_type")
           .when($"value" < 0, "negative_value")
           .when(k.isNull || !k.between(0, 100), "bad_k"))
       .filter($"reason".isNotNull)
-      .select($"event_id", $"event_type", $"value", $"reason")
+  }
+
+  /** Repair fallback for unrecognized event types. */
+  val RepairDefaultType = "error"
+
+  /** Dead-letter replay — the second half of the quarantine story: a DLQ
+    * is only useful if rows come BACK. Each reject is repaired by policy
+    * (domain-violating type → [[RepairDefaultType]], negative value →
+    * `abs`) and re-validated against the same CHECK predicates `cleanse`
+    * enforces; rows whose defect has no repair (malformed `props.k`) stay
+    * `dead`. Repairs fix EVERY defect on the row, not just the tagged
+    * reason — a row can be both type-corrupt and value-negative, and a
+    * replay that heals only the tag would re-quarantine it. The
+    * `passes_revalidation` column is the proof, hash-checked: true for
+    * every repaired row, false for every dead one. Map-side end to end
+    * (one scan + the presentation sort).
+    */
+  def deadLetterReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = get_json_object($"props", "$.k").cast("int")
+    val kOk = k.isNotNull && k.between(0, 100)
+    dirtyDlq(spark, dir)
+      .withColumn("action", when(!kOk, lit("dead")).otherwise(lit("repaired")))
+      .withColumn("event_type",
+        when(!$"event_type".isin(EventTypes: _*), lit(RepairDefaultType))
+          .otherwise($"event_type"))
+      .withColumn("value", abs($"value"))
+      .withColumn("passes_revalidation",
+        $"event_type".isin(EventTypes: _*) && $"value" >= 0 && kOk)
+      .select($"event_id", $"reason", $"action", $"event_type", $"value",
+        $"passes_revalidation")
       .orderBy($"event_id")
   }
 
@@ -505,6 +543,7 @@ object Ingest {
     "etl_cdc_apply" -> (cdcApply _),
     "etl_late_arriving_dim" -> (lateArrivingDim _),
     "etl_reconciliation" -> (reconciliation _),
+    "etl_dead_letter_replay" -> (deadLetterReplay _),
     "etl_dq_summary" -> (dqSummary _),
     "etl_pipeline_stats" -> (pipelineStats _))
 
@@ -627,6 +666,33 @@ judged AS (
   FROM feed)
 SELECT event_id, event_type, value, reason
 FROM judged WHERE reason IS NOT NULL
+ORDER BY event_id""",
+
+    "etl_dead_letter_replay" -> s"""WITH feed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 13 = 0 THEN -value ELSE value END AS value,
+         CAST(json_extract_string(props, '$$.k') AS INT) AS k
+  FROM events),
+dlq AS (
+  SELECT *,
+         (k IS NOT NULL AND k BETWEEN 0 AND 100) AS k_ok,
+         CASE WHEN event_type NOT IN ('click','view','signup','purchase','error')
+                THEN 'bad_event_type'
+              WHEN value < 0 THEN 'negative_value'
+              WHEN k IS NULL OR k NOT BETWEEN 0 AND 100 THEN 'bad_k'
+         END AS reason
+  FROM feed)
+SELECT event_id, reason,
+       CASE WHEN NOT k_ok THEN 'dead' ELSE 'repaired' END AS action,
+       CASE WHEN event_type NOT IN ('click','view','signup','purchase','error')
+            THEN '$RepairDefaultType' ELSE event_type END AS event_type,
+       abs(value) AS value,
+       (CASE WHEN event_type NOT IN ('click','view','signup','purchase','error')
+             THEN '$RepairDefaultType' ELSE event_type END
+          IN ('click','view','signup','purchase','error')
+        AND abs(value) >= 0 AND k_ok) AS passes_revalidation
+FROM dlq WHERE reason IS NOT NULL
 ORDER BY event_id""",
 
     "etl_incremental_batch" -> """SELECT event_id, ts, user_id, event_type, value
