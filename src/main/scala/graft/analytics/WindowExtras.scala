@@ -488,6 +488,31 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"user_id", $"day")
   }
 
+  /** Exact per-group percentiles as ORDER STATISTICS (k-th smallest, k =
+    * ⌈q·n⌉) — no interpolation, so the emitted values are actual data
+    * points and the float hash-compare is trivially safe (selection, not
+    * arithmetic). One group-partitioned ranking window + a broadcast of
+    * the 5-row group sizes; the per-group sort is the honest cost of exact
+    * group quantiles (the approximate path for wide groups is
+    * `agg_approx_stats`' sketches — both live side by side deliberately).
+    */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val ranked = events.select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+    val sizes = events.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(sizes), "event_type")
+      .withColumn("k50", ceil($"n" * lit(0.5)).cast("bigint"))
+      .withColumn("k90", ceil($"n" * lit(0.9)).cast("bigint"))
+      .filter($"rn" === $"k50" || $"rn" === $"k90")
+      .groupBy($"event_type", $"n")
+      .agg(min(when($"rn" === $"k50", $"value")).as("p50_exact"),
+        min(when($"rn" === $"k90", $"value")).as("p90_exact"))
+      .orderBy($"event_type")
+  }
+
   /** Histogram bin width (value units) — one definition, both engines. */
   val HistBinWidth = 25.0
 
@@ -511,6 +536,7 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_value_histogram" -> (valueHistogram _),
+    "win_group_percentiles" -> (groupPercentiles _),
     "win_gap_fill_locf" -> (gapFillLocf _),
     "agg_outlier_days" -> (outlierDays _),
     "agg_rolling_active_users" -> (rollingActiveUsers _),
@@ -538,6 +564,23 @@ SELECT bin, bin * $HistBinWidth AS bin_lo,
        count(*)::BIGINT AS n
 FROM b GROUP BY bin
 ORDER BY bin""",
+
+    "win_group_percentiles" -> """WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id)::BIGINT AS rn
+  FROM events),
+sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1)
+SELECT r.event_type, s.n,
+       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END)
+         AS p50_exact,
+       min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END)
+         AS p90_exact
+FROM ranked r JOIN sizes s USING (event_type)
+WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+   OR rn = CAST(ceil(n * 0.9) AS BIGINT)
+GROUP BY r.event_type, s.n
+ORDER BY r.event_type""",
 
     "win_gap_fill_locf" -> s"""WITH ev AS (
   SELECT user_id, ts FROM events
