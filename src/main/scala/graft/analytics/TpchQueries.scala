@@ -131,11 +131,41 @@ object TpchQueries {
       .orderBy($"custdist".desc, $"c_count".desc)
   }
 
+  /** Q18 large-order quantity floor. */
+  val Q18Qty = 300
+
+  /** Q18: large-volume customers — the aggregate-driven SEMI-JOIN shape:
+    * a big groupBy produces the qualifying key set (HAVING over the whole
+    * fact), which then left-semi joins back into the fact before the final
+    * rollup and top-k. Quantity sums are DECIMAL end to end (the float-sum
+    * shuffle hazard), the qualifying key set broadcasts (HAVING makes it
+    * tiny), and the LIMIT plans as TakeOrderedAndProject.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val line = Tables.lineitem(spark, dir)
+    val bigOrders = line.groupBy($"l_orderkey")
+      .agg(expr(s"sum($QtyD)").as("qty"))
+      .filter($"qty" > Q18Qty)
+      .select($"l_orderkey".as("big_key"))
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+    Tables.orders(spark, dir)
+      .join(broadcast(bigOrders), $"o_orderkey" === $"big_key", "left_semi")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(line, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice")
+      .agg(expr(s"CAST(sum($QtyD) AS DOUBLE)").as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (q1 _),
     "tpch_q3" -> (q3 _),
     "tpch_q6" -> (q6 _),
-    "tpch_q13" -> (q13 _))
+    "tpch_q13" -> (q13 _),
+    "tpch_q18" -> (q18 _))
 
   val oracle: Map[String, String] = Map(
     "tpch_q1" -> s"""SELECT l_returnflag, l_linestatus,
@@ -183,5 +213,18 @@ WHERE l_shipdate >= TIMESTAMP '$Q6YearLo'
 SELECT c_count, count(*)::BIGINT AS custdist
 FROM c_orders
 GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC""")
+ORDER BY custdist DESC, c_count DESC""",
+
+    "tpch_q18" -> s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       o_totalprice,
+       CAST(sum($QtyD) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum($QtyD) > $Q18Qty)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100""")
 }
