@@ -22,7 +22,8 @@ class PropertySpec extends SparkSpec {
     val names = Seq("text_token_freq_score", "win_moving_avg",
       "curate_sample_mix", "sim_ivf_pq_topk", "agg_outlier_days",
       "text_keyword_search", "etl_cdc_apply", "dedup_containment",
-      "text_vocab_coverage")
+      "text_vocab_coverage", "sim_recall_report", "dedup_family_agreement",
+      "win_group_percentiles", "tpch_q18")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -201,4 +201,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == joined.count(), "no streamed window missing from batch")
     assert(streamed.count() > 0, "watermark passed at least the early windows")
   }
+
+  test("streaming progress metrics: input rows and state visible (observability)") {
+    val src = Files.createTempDirectory("stream-src3")
+    val out = tmp("stream-out3")
+    val ckpt = tmp("stream-ckpt3")
+    landEvents(src, "batch1")
+    val q = IncrementalIngest.windowedCounts(spark, src.toString + "/*", out, ckpt)
+    q.awaitTermination()
+    // the batch QueryMetrics analog for streams: every micro-batch reports
+    // row/state volumes a pipeline can alert on
+    val progs = q.recentProgress
+    assert(progs.nonEmpty, "AvailableNow run must record progress")
+    assert(progs.map(_.numInputRows).sum == Tables.events(spark, sf).count(),
+      "input-row accounting must cover the whole feed")
+    assert(progs.exists(p => p.stateOperators.nonEmpty
+        && p.stateOperators.exists(_.numRowsTotal > 0)),
+      "the windowed aggregate must expose its state-store volume")
+  }
 }
