@@ -26,6 +26,7 @@ object Bench {
     warehouse.Warehouse.forDir(spark, sfDir)
     dedup.DocIndex.forDir(spark, sfDir)
     dedup.Dedup.pairsForDir(spark, sfDir)
+    dedup.Dedup.prefixPairsForDir(spark, sfDir)
     dedup.MinHashLsh.sigsForDir(spark, sfDir)
     dedup.SimHash.fpForDir(spark, sfDir)
     dedup.DupClusters.clusters(spark, sfDir)

@@ -1,0 +1,107 @@
+package graft.warehouse
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The two Kimball fact types the reference's transaction fact leaves out —
+  * completing the dimensional-modeling surface beside `fact_encounters`
+  * (transaction grain, [[Warehouse]]):
+  *
+  *  - **Accumulating snapshot**: one row per process instance, milestone
+  *    dates land in place as the process advances, lag measures derived.
+  *    The reference models an encounter as one INSERT; a pipeline that
+  *    tracks order→ship lifecycles needs the milestone row.
+  *  - **Periodic snapshot**: one row per (period), levels measured at each
+  *    period boundary (placed/fulfilled/backlog) — the stock-vs-flow
+  *    complement to the transaction fact's flows.
+  *
+  * Scale shapes: the accumulating snapshot is ONE co-shuffled join+agg on
+  * the order key (both sides huge — the bucketed-ingest layout
+  * [[Bucketing]] makes it shuffle-free); the periodic snapshot aggregates
+  * to calendar grain first (tiny) and only then runs its cumulative
+  * window, so the unpartitioned window is bounded by the calendar, not the
+  * data.
+  */
+object SnapshotFacts {
+
+  /** Accumulating snapshot: order lifecycle milestones + lags. */
+  def accumulatingSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val line = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", to_date($"l_shipdate").as("ship_date"))
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", to_date($"o_orderdate").as("order_date"))
+      .join(line, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"order_date")
+      .agg(
+        min($"ship_date").as("first_ship"),
+        max($"ship_date").as("last_ship"),
+        count(lit(1)).as("n_lines"))
+      .select($"o_orderkey", $"order_date", $"first_ship", $"last_ship",
+        datediff($"first_ship", $"order_date").as("days_to_first"),
+        datediff($"last_ship", $"order_date").as("days_to_last"),
+        $"n_lines")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Periodic snapshot: month-end order levels (placed / fulfilled flows,
+    * cumulative stocks, open backlog).
+    */
+  def periodicSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_placed"),
+        sum(($"o_orderstatus" === "F").cast("long")).as("n_fulfilled"))
+    // cumulative over calendar months — bounded by the calendar, not rows
+    val w = Window.orderBy($"month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_placed", sum($"n_placed").over(w))
+      .withColumn("cum_fulfilled", sum($"n_fulfilled").over(w))
+      .withColumn("open_backlog", $"cum_placed" - $"cum_fulfilled")
+      .orderBy($"month")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_accumulating_snapshot" -> (accumulatingSnapshot _),
+    "wh_periodic_snapshot" -> (periodicSnapshot _))
+
+  val oracle: Map[String, String] = Map(
+    "wh_accumulating_snapshot" -> """SELECT o_orderkey,
+       o_orderdate::DATE AS order_date,
+       min(l_shipdate::DATE) AS first_ship,
+       max(l_shipdate::DATE) AS last_ship,
+       date_diff('day', o_orderdate::DATE, min(l_shipdate::DATE))::INT
+         AS days_to_first,
+       date_diff('day', o_orderdate::DATE, max(l_shipdate::DATE))::INT
+         AS days_to_last,
+       count(*)::BIGINT AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate::DATE
+ORDER BY o_orderkey""",
+
+    "wh_periodic_snapshot" -> """WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*)::BIGINT AS n_placed,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+           AS n_fulfilled
+  FROM orders GROUP BY 1)
+SELECT month, n_placed, n_fulfilled,
+       (sum(n_placed) OVER (ORDER BY month
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS cum_placed,
+       (sum(n_fulfilled) OVER (ORDER BY month
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS cum_fulfilled,
+       (sum(n_placed) OVER (ORDER BY month
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - sum(n_fulfilled) OVER (ORDER BY month
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS open_backlog
+FROM monthly
+ORDER BY month""")
+}

@@ -60,12 +60,13 @@ class ScaleVariantsSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard: identical pairs from a smaller candidate set") {
-    val full = dedup.Dedup.ngramJaccard(spark, sf).collect().map(_.toString)
-    val pref = dedup.Dedup.ngramJaccardPrefix(spark, sf).collect().map(_.toString)
+    val tau = dedup.Dedup.PrefixTau
+    val full = dedup.Dedup.ngramJaccard(spark, sf, tau).collect().map(_.toString)
+    val pref = dedup.Dedup.ngramJaccardPrefix(spark, sf, tau)
+      .collect().map(_.toString)
     assert(pref.sameElements(full),
       "prefix filtering must lose no pair (exact algorithm)")
-    val nPref = dedup.Dedup
-      .prefixCandidates(spark, sf, dedup.Dedup.BaseTau).count()
+    val nPref = dedup.Dedup.prefixCandidates(spark, sf, tau).count()
     val inv = dedup.DocIndex.forDir(spark, sf)
       .select($"doc_id", explode($"sh").as("shingle"))
     val nFull = inv.as("a")
