@@ -355,6 +355,36 @@ object Ingest {
       .orderBy($"check_name")
   }
 
+  /** Right-to-be-forgotten purge — the governance operator a data platform
+    * must run on demand: given a forget set of subject keys, remove every
+    * row they own across the feed and emit the tombstone ledger that
+    * PROVES the purge (per-subject purged counts — the auditor's artifact;
+    * the data itself is gone, the ledger is what remains). The forget set
+    * here is md5-gated (first hex digit of "forget:"+user_id = 'a',
+    * ~1/16 of subjects) so both engines derive it identically.
+    *
+    * [[purgedEvents]] is the surviving feed (one broadcast anti-join — at
+    * 100 TB the forget set is small and the purge is a map-side filter per
+    * partition, rewritable file-by-file under compaction); the spec pins
+    * conservation (purged + ledger counts = original) and emptiness (no
+    * forgotten subject survives).
+    */
+  private def forgetGate: org.apache.spark.sql.Column =
+    substring(md5(concat(lit("forget:"), col("user_id").cast("string"))), 1, 1) === "a"
+
+  def forgetUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(forgetGate)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events_purged"))
+      .orderBy($"user_id")
+  }
+
+  /** The feed after the purge — everything except forgotten subjects. */
+  def purgedEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).filter(!forgetGate)
+
   /** D4: pipeline stats probe — processed/unprocessed split with per-group
     * time bounds (`get_pipeline_stats`, `etl_pipeline.py:205-234`).
     */
@@ -544,6 +574,7 @@ object Ingest {
     "etl_late_arriving_dim" -> (lateArrivingDim _),
     "etl_reconciliation" -> (reconciliation _),
     "etl_dead_letter_replay" -> (deadLetterReplay _),
+    "etl_forget_users" -> (forgetUsers _),
     "etl_dq_summary" -> (dqSummary _),
     "etl_pipeline_stats" -> (pipelineStats _))
 
@@ -667,6 +698,12 @@ judged AS (
 SELECT event_id, event_type, value, reason
 FROM judged WHERE reason IS NOT NULL
 ORDER BY event_id""",
+
+    "etl_forget_users" -> """SELECT user_id, count(*)::BIGINT AS n_events_purged
+FROM events
+WHERE substring(md5('forget:' || CAST(user_id AS VARCHAR)), 1, 1) = 'a'
+GROUP BY user_id
+ORDER BY user_id""",
 
     "etl_dead_letter_replay" -> s"""WITH feed AS (
   SELECT event_id,

@@ -185,6 +185,21 @@ class QueriesSpec extends SparkSpec {
     assert(kept.exceptAll(snap).count() == 0 && snap.exceptAll(kept).count() == 0)
   }
 
+  test("forget-users purge: conservation and emptiness") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val total = Tables.events(spark, sf).count()
+    val ledger = ingest.Ingest.forgetUsers(spark, sf)
+    val purgedTotal = ledger.agg(sum($"n_events_purged")).head().getLong(0)
+    val remaining = ingest.Ingest.purgedEvents(spark, sf)
+    // nothing lost, nothing duplicated: survivors + tombstoned = original
+    assert(remaining.count() + purgedTotal == total)
+    // no forgotten subject survives the purge
+    val forgotten = ledger.select($"user_id")
+    assert(remaining.join(forgotten, Seq("user_id"), "left_semi").count() == 0)
+    assert(ledger.count() > 0, "the md5 gate must select some subjects")
+  }
+
   test("readme record counts: all four entity tables non-empty (U1)") {
     val counts = Queries.readmeRecordCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
