@@ -235,6 +235,13 @@ object Dedup {
   private[graft] def prefixCandidates(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import spark.implicits._
+    // τ as an exact rational over 10⁶: IEEE `ceil(n * τ)` overshoots the
+    // true ceiling whenever n·τ lands just above an integer in double
+    // (e.g. 25 × 0.28 = 7.000000000000001 → ceil 8, one prefix token too
+    // few — a RECALL hole). Integer arithmetic ⌈n·num/10⁶⌉ is exact for
+    // any τ written with ≤6 decimals, which is every practical threshold.
+    val num = math.round(threshold * 1e6)
+    val denom = 1000000L
     val inv = DocIndex.forDir(spark, dir)
       .select($"doc_id", explode($"sh").as("shingle"))
     val dfCounts = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
@@ -243,7 +250,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("ord"),
         count(lit(1)).as("n"))
       .withColumn("plen",
-        ($"n" - ceil($"n" * lit(threshold)) + 1).cast("int"))
+        ($"n" - floor(($"n" * num + (denom - 1)) / denom) + 1).cast("int"))
       .select($"doc_id", $"n",
         expr("transform(slice(ord, 1, plen), x -> x.shingle)").as("prefix"))
     val pinv = prefixes.select($"doc_id", $"n", explode($"prefix").as("shingle"))
@@ -251,9 +258,10 @@ object Dedup {
       .join(pinv.as("b"),
         col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id")
-          // size bound: min ≥ τ·max, else J < τ regardless of overlap
-          && col("a.n") * lit(1.0) >= lit(threshold) * col("b.n")
-          && col("b.n") * lit(1.0) >= lit(threshold) * col("a.n"))
+          // size bound: min ≥ τ·max, else J < τ regardless of overlap —
+          // same exact-rational compare (a.n·10⁶ ≥ num·b.n)
+          && col("a.n") * denom >= col("b.n") * num
+          && col("b.n") * denom >= col("a.n") * num)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }

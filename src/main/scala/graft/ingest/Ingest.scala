@@ -256,8 +256,7 @@ object Ingest {
     import spark.implicits._
     val events = Tables.events(spark, dir)
     val snapshot = events.filter(pmod($"event_id", lit(3)) =!= 0)
-      .select($"event_id", $"user_id", $"event_type", $"value",
-        lit(true).as("in_snap"))
+      .select($"event_id", $"user_id", $"event_type", $"value")
     val batch1 = events.filter(pmod($"event_id", lit(5)) === 0)
       .select($"event_id", lit(1L).as("seq"),
         when(pmod($"event_id", lit(10)) === 0, lit("D")).otherwise(lit("U"))

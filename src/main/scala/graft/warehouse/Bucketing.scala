@@ -81,19 +81,28 @@ object Bucketing {
   def compactPartitioned(spark: SparkSession, srcDir: String, outDir: String,
       partCol: String, uniqueCol: String,
       targetRowsPerFile: Long = 1000000L): DataFrame = {
+    import spark.implicits._
     val df = spark.read.parquet(srcDir)
-    val ledger = df.groupBy(col(partCol))
+    // the ledger is one row per partition VALUE — collect it once instead
+    // of re-running the source aggregate for the total, the join, and the
+    // returned frame (three full scans of the directory being compacted)
+    val ledger: Array[(String, Long, Int)] = df.groupBy(col(partCol))
       .agg(count(lit(1)).as("n_rows"))
-      .withColumn("n_files",
-        ceil(col("n_rows").cast("double") / lit(targetRowsPerFile.toDouble))
-          .cast("int"))
-    val total = ledger.agg(sum(col("n_files"))).head().getLong(0).toInt
-    df.join(broadcast(ledger.select(col(partCol), col("n_files"))), partCol)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        (r.get(0).toString, n,
+          ((n + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
+      }
+      .sortBy(_._1)
+    val total = ledger.map(_._3.toLong).sum.toInt
+    val ledgerDf = ledger.toSeq.toDF(partCol, "n_rows", "n_files")
+    df.join(broadcast(ledgerDf.select(col(partCol), col("n_files"))), partCol)
       .withColumn("__f", pmod(xxhash64(col(uniqueCol)), col("n_files")))
       .repartition(math.max(total, 1), col(partCol), col("__f"))
       .drop("__f", "n_files")
       .write.mode("overwrite").partitionBy(partCol).parquet(outDir)
-    ledger.orderBy(col(partCol))
+    ledgerDf
   }
 
   /** Bits per dimension in the Morton (Z-order) value. 16 bits × 2 dims

@@ -33,7 +33,10 @@ object FileManifest {
 
   /** One manifest row per (file, column): min/max envelope + row count.
     * Long form rather than wide so the schema is column-set independent
-    * (the consumer pivots if it wants wide).
+    * (the consumer pivots if it wants wide). Row groups without usable
+    * stats for a column are skipped; a column with NO stats in a file
+    * fails loudly (a silent absence would read as "file prunable"). An
+    * empty directory yields an empty manifest, not a crash.
     */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -41,11 +44,24 @@ object FileManifest {
     val files = fs.listStatus(new Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq.sorted
+    if (files.isEmpty)
+      return spark.emptyDataset[(String, String, Long, Long, Long)]
+        .toDF("file", "column", "min_value", "max_value", "n_rows")
     val colList = cols
+    // the SESSION's Hadoop conf must reach the executor-side footer reads
+    // (s3a credentials/endpoints etc. live there; a blank Configuration()
+    // only works on a local filesystem). Hadoop Configuration is not
+    // serializable — ship its entries and rebuild.
+    val confEntries: Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
+    }
     spark.createDataset(files)
       .repartition(math.min(files.size, 32))
       .flatMap { f =>
-        val conf = new Configuration()
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(f), conf))
         try {
@@ -54,16 +70,24 @@ object FileManifest {
           val nRows = blocks.asScala.map(_.getRowCount).sum
           colList.map { c =>
             // fold row-group stats into one per-file envelope
-            val stats = blocks.asScala.flatMap(_.getColumns.asScala)
+            val envelopes = blocks.asScala.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == c)
               .map(_.getStatistics)
-            val mins = stats.map(_.genericGetMin match {
-              case l: java.lang.Long => l.longValue
-              case i: java.lang.Integer => i.longValue
-              case o => sys.error(s"non-integral stats for $c: ${o.getClass}")
-            })
-            val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
-            (f.split('/').last, c, mins.min, maxs.max, nRows)
+              .filter(s => s != null && !s.isEmpty
+                && s.genericGetMin != null && s.genericGetMax != null)
+              .map { s =>
+                val lo = s.genericGetMin match {
+                  case l: java.lang.Long => l.longValue
+                  case i: java.lang.Integer => i.longValue
+                  case o => sys.error(s"non-integral stats for $c: ${o.getClass}")
+                }
+                (lo, s.genericGetMax.asInstanceOf[Number].longValue)
+              }
+            if (envelopes.isEmpty)
+              sys.error(s"no usable stats for column '$c' in $f — " +
+                "a missing envelope must not read as prunable")
+            (f.split('/').last, c, envelopes.map(_._1).min,
+              envelopes.map(_._2).max, nRows)
           }
         } finally reader.close()
       }

@@ -16,34 +16,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     because nothing references it;
   *  2. **Audit** the staged data with caller-supplied checks (row counts,
   *     DQ predicates) — reading the staged directory, not the live table;
-  *  3. **Publish** by renaming to `v<N>` and atomically swapping the
-  *     `_current` pointer file (one small-file overwrite — the only step
-  *     readers can observe, and it's all-or-nothing).
+  *  3. **Publish** by renaming to `v<N>` and then creating the version's
+  *     `_PUBLISHED` marker — ONE atomic file create is the commit point.
   *
-  * Failed audits leave the staged directory for debugging and the pointer
-  * untouched: readers never see a bad version. Old versions remain
-  * readable until vacuumed — `readVersion(dir, n)` is time travel.
+  * Readers resolve the highest version whose marker exists, so there is no
+  * pointer file to tear: a crash before the marker leaves an invisible
+  * directory (re-stageable), a crash after it is a completed publish.
+  * (A delete-then-rename pointer swap — the first draft — has a window
+  * where no pointer exists and a concurrent reader sees an empty table.)
+  * Failed audits leave the staged directory for debugging and publish
+  * nothing. Old versions remain readable until vacuumed —
+  * `readVersion(dir, n)` is time travel.
   */
 object Publish {
+
+  private val Marker = "_PUBLISHED"
+  private val VersionName = "v([0-9]+)".r
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pointer(dir: String) = new Path(dir, "_current")
-
-  /** Version currently visible to readers; 0 = never published. */
-  def currentVersion(spark: SparkSession, dir: String): Int = {
+  private def publishedVersions(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
-    val p = pointer(dir)
-    if (!f.exists(p)) 0
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-    }
+    val root = new Path(dir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case VersionName(n) if s.isDirectory
+            && f.exists(new Path(s.getPath, Marker)) => Some(n.toInt)
+        case _ => None
+      }
+    }.sorted
   }
 
-  /** The live table (the version `_current` points at). */
+  /** Version currently visible to readers; 0 = never published. */
+  def currentVersion(spark: SparkSession, dir: String): Int =
+    publishedVersions(spark, dir).lastOption.getOrElse(0)
+
+  /** The live table (the highest published version). */
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, currentVersion(spark, dir))
 
@@ -54,7 +64,7 @@ object Publish {
   }
 
   /** Run the WAP cycle. Returns the published version, or None if an audit
-    * rejected the staged data (pointer untouched, staging left in place
+    * rejected the staged data (nothing published, staging left in place
     * under `_staged_v<N>` for inspection).
     */
   def writeAuditPublish(df: DataFrame, dir: String,
@@ -70,14 +80,8 @@ object Publish {
       val live = new Path(dir, s"v$next")
       if (!f.rename(staged, live))
         sys.error(s"publish rename failed: $staged -> $live")
-      // pointer swap: write-then-rename so readers see old or new, never a
-      // torn pointer
-      val tmp = new Path(dir, s"_current.tmp$next")
-      val out = f.create(tmp, true)
-      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-      if (f.exists(pointer(dir))) f.delete(pointer(dir), false)
-      if (!f.rename(tmp, pointer(dir)))
-        sys.error(s"pointer swap failed for v$next")
+      // the commit point: one atomic create, no delete-then-rename window
+      f.create(new Path(live, Marker), true).close()
       Some(next)
     }
   }

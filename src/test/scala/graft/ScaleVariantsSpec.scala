@@ -76,6 +76,15 @@ class ScaleVariantsSpec extends SparkSpec {
     assert(nPref < nFull,
       s"prefix index should prune the candidate set: $nPref vs $nFull")
     assert(nPref >= full.length.toLong, "candidates must cover all true pairs")
+    // float-boundary regression: 0.28·25 = 7.000000000000001 in IEEE, so a
+    // double `ceil` would cut one prefix token too many and open a recall
+    // hole; the exact-rational prefix length must keep parity at ANY τ
+    val tau2 = 0.28
+    val full2 = dedup.Dedup.ngramJaccard(spark, sf, tau2).collect().map(_.toString)
+    val pref2 = dedup.Dedup.ngramJaccardPrefix(spark, sf, tau2)
+      .collect().map(_.toString)
+    assert(pref2.sameElements(full2),
+      s"prefix join must stay exact at boundary τ=$tau2")
   }
 
   test("bucket pruning: a point lookup on the bucket key reads one bucket") {
