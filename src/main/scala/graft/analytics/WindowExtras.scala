@@ -513,6 +513,38 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"event_type")
   }
 
+  /** KMV sketch size — one definition, both engines. */
+  val KmvK = 32
+
+  /** K-minimum-values distinct estimator beside its exact twin — the
+    * THEORY behind [[graft.functions.BottomK]]'s sketch made queryable:
+    * keep the k smallest hash values of a set; the k-th smallest, scaled
+    * to (0,1], estimates cardinality as (k−1)/p_k with σ ≈ 1/√k. Unlike
+    * `approx_count_distinct` (opaque HLL registers) the KMV sketch is
+    * md5-deterministic, so the whole estimator — hash, k-th order
+    * statistic, estimate — is reproduced bit-for-bit by the DuckDB twin
+    * and hash-checked. The ranking window is group-partitioned; the
+    * estimate is one double division.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val hashes = events.select($"event_type",
+      graft.functions.Md5Hash
+        .h32(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+      .distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val kth = hashes.withColumn("rn", row_number().over(w))
+      .filter($"rn" === KmvK)
+      .select($"event_type", $"h".as("hk"))
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    exact.join(kth, Seq("event_type"))
+      .withColumn("kmv_estimate",
+        lit((KmvK - 1).toDouble * 4294967296.0) / $"hk")
+      .orderBy($"event_type")
+  }
+
   /** Histogram bin width (value units) — one definition, both engines. */
   val HistBinWidth = 25.0
 
@@ -536,6 +568,7 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_value_histogram" -> (valueHistogram _),
+    "agg_kmv_distinct" -> (kmvDistinct _),
     "win_group_percentiles" -> (groupPercentiles _),
     "win_gap_fill_locf" -> (gapFillLocf _),
     "agg_outlier_days" -> (outlierDays _),
@@ -564,6 +597,25 @@ SELECT bin, bin * $HistBinWidth AS bin_lo,
        count(*)::BIGINT AS n
 FROM b GROUP BY bin
 ORDER BY bin""",
+
+    "agg_kmv_distinct" -> s"""WITH h AS (
+  SELECT DISTINCT event_type,
+         ${graft.functions.Md5Hash.h32Sql("'kmv:' || CAST(user_id AS VARCHAR)")}
+           AS h
+  FROM events),
+kth AS (
+  SELECT event_type, h AS hk
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h)
+  WHERE rn = $KmvK),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1)
+SELECT e.event_type, n_exact, hk,
+       ${(KmvK - 1).toDouble * 4294967296.0} / hk AS kmv_estimate
+FROM exact e JOIN kth USING (event_type)
+ORDER BY e.event_type""",
 
     "win_group_percentiles" -> """WITH ranked AS (
   SELECT event_type, value,
