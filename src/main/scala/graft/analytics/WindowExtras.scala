@@ -533,15 +533,23 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       graft.functions.Md5Hash
         .h32(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
       .distinct()
+    val counts = hashes.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hashes"))
     val w = Window.partitionBy($"event_type").orderBy($"h")
-    val kth = hashes.withColumn("rn", row_number().over(w))
-      .filter($"rn" === KmvK)
-      .select($"event_type", $"h".as("hk"))
+    // unsaturated sketch (< k distinct hashes): the whole set IS the
+    // sketch and the count is exact — take the last hash and report the
+    // count, the standard small-set branch of the KMV estimator
+    val kth = hashes.join(broadcast(counts), Seq("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === least(lit(KmvK), $"n_hashes"))
+      .select($"event_type", $"h".as("hk"), $"n_hashes")
     val exact = events.groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n_exact"))
     exact.join(kth, Seq("event_type"))
       .withColumn("kmv_estimate",
-        lit((KmvK - 1).toDouble * 4294967296.0) / $"hk")
+        when($"n_hashes" < KmvK, $"n_hashes".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * 4294967296.0) / $"hk"))
+      .select($"event_type", $"n_exact", $"hk", $"kmv_estimate")
       .orderBy($"event_type")
   }
 
@@ -603,17 +611,21 @@ ORDER BY bin""",
          ${graft.functions.Md5Hash.h32Sql("'kmv:' || CAST(user_id AS VARCHAR)")}
            AS h
   FROM events),
+hs AS (SELECT event_type, count(*)::BIGINT AS n_hashes FROM h GROUP BY 1),
 kth AS (
-  SELECT event_type, h AS hk
-  FROM (SELECT event_type, h,
-               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-        FROM h)
-  WHERE rn = $KmvK),
+  SELECT event_type, h AS hk, n_hashes
+  FROM (SELECT h.event_type, h.h, hs.n_hashes,
+               row_number() OVER (PARTITION BY h.event_type ORDER BY h.h)
+                 AS rn
+        FROM h JOIN hs USING (event_type))
+  WHERE rn = least($KmvK, n_hashes)),
 exact AS (
   SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
   FROM events GROUP BY 1)
 SELECT e.event_type, n_exact, hk,
-       ${(KmvK - 1).toDouble * 4294967296.0} / hk AS kmv_estimate
+       CASE WHEN n_hashes < $KmvK THEN n_hashes::DOUBLE
+            ELSE ${(KmvK - 1).toDouble * 4294967296.0} / hk END
+         AS kmv_estimate
 FROM exact e JOIN kth USING (event_type)
 ORDER BY e.event_type""",
 
