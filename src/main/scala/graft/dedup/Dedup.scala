@@ -210,6 +210,22 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  private val containMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[containment]] materialized once per (app, corpus) — same write-once
+    * shape as [[pairsForDir]]; the directed pair table is the artifact a
+    * curation pass queries repeatedly.
+    */
+  def containmentForDir(spark: SparkSession, dir: String): DataFrame =
+    containMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-contain-pairs/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      containment(spark, dir).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    })
+
   private val prefixMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -377,7 +393,8 @@ object Dedup {
       pairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_prefix_jaccard" -> ((s: SparkSession, d: String) =>
       prefixPairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
-    "dedup_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) =>
+      containmentForDir(s, d).orderBy(col("contained_id"), col("container_id"))),
     "dedup_cross_source" -> (crossSourceMatrix _),
     "dedup_family_agreement" -> (familyAgreement _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => MinHashLsh.nearDuplicates(s, d)),
