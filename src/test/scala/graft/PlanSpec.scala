@@ -104,7 +104,10 @@ class PlanSpec extends SparkSpec {
       sources.Sources.stratifiedSample(spark, sf),
       dedup.DupClusters.keepBest(spark, sf),
       similarity.ProductQuantizer.codes(spark, sf),
-      similarity.IvfPq.topK(spark, sf))
+      similarity.IvfPq.topK(spark, sf),
+      analytics.WindowExtras.gapFillLocf(spark, sf),
+      analytics.WindowExtras.groupPercentiles(spark, sf),
+      analytics.WindowExtras.kmvDistinct(spark, sf))
     for (df <- dfs) {
       val windows = collectAll(plan(df)) { case w: WindowExec => w }
       // nonEmpty first: a plan with no window at all would make the
@@ -281,6 +284,24 @@ class PlanSpec extends SparkSpec {
       "segment-filtered customer must broadcast into orders")
     assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "LIMIT 10 over ORDER BY must plan as distributed top-k")
+  }
+
+  test("cdc apply resolves latest-wins as an aggregate, not a window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val p = plan(Ingest.cdcApply(spark, sf))
+    // max_by must plan as a two-phase aggregate (map-side partials forward
+    // one candidate per key per partition) — a ranked window here would
+    // shuffle and sort every changelog row to its key's reducer
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "latest-wins must not plan as a window")
+    // struct-valued max_by orders a struct, so it plans as SortAggregate
+    val aggs = collectAll(p) {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a
+      case a: SortAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final aggregate, saw ${aggs.size}")
   }
 
   test("bottom-k aggregator runs partial/final, no window sort") {
