@@ -188,7 +188,50 @@ object Similarity {
       .orderBy($"family", $"query_id")
   }
 
+  /** Coarse-pass dimensionality and shortlist width for [[twoStageTopK]]. */
+  val CoarseDims = 4
+  val Shortlist = 50
+
+  /** Two-stage (coarse-to-fine) retrieval — the Matryoshka-representation
+    * pattern: rank ALL candidates by cosine over only the first
+    * [[CoarseDims]] dimensions (quarter the bytes through the scan), keep a
+    * [[Shortlist]], then re-rank the shortlist with the full-width exact
+    * kernel. Complementary to IVF/PQ: those prune WHICH vectors are
+    * scored, this cheapens HOW each is scored — production ANN stacks do
+    * both. The coarse pass here scans linearly (it reuses the brute-force
+    * shape so the two stages are the only variable); compose with the IVF
+    * cell pruning for the sublinear form. Both stages rank with the shared
+    * deterministic tiebreak, and both kernels are the cross-engine-exact
+    * cosine, so the full pipeline hash-checks.
+    */
+  def twoStageTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter($"vec_id" < NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val cand = broadcast(probes)
+      .crossJoin(e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb")))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("coarse", expr(
+        s"graft_cosine(slice(q_emb, 1, $CoarseDims), slice(n_emb, 1, $CoarseDims))"))
+    val wCoarse = Window.partitionBy($"query_id")
+      .orderBy($"coarse".desc, $"neighbor_id")
+    val short = cand.withColumn("crn", row_number().over(wCoarse))
+      .filter($"crn" <= Shortlist)
+    val wFine = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    short.withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+      .withColumn("rank", row_number().over(wFine))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"neighbor_id", $"rank",
+        round2($"cos").as("cosine_r2"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_two_stage_topk" -> (twoStageTopK _),
     "sim_recall_report" -> (recallReport _),
     "sim_pq_codes" -> ((s: SparkSession, d: String) =>
       ProductQuantizer.codes(s, d)),
@@ -227,6 +270,30 @@ FROM ranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
+    "sim_two_stage_topk" -> s"""WITH cand AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ${cosSql(s"q.embedding[1:$CoarseDims]", s"n.embedding[1:$CoarseDims]")} AS coarse,
+         q.embedding AS q_emb, n.embedding AS n_emb
+  FROM embeddings q
+  JOIN embeddings n ON q.vec_id < $NumProbes AND q.vec_id <> n.vec_id),
+short AS (
+  SELECT query_id, neighbor_id, q_emb, n_emb
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY coarse DESC, neighbor_id) AS crn
+        FROM cand)
+  WHERE crn <= $Shortlist),
+fine AS (
+  SELECT query_id, neighbor_id, ${cosSql("q_emb", "n_emb")} AS cos
+  FROM short),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id) AS rank
+  FROM fine)
+SELECT query_id, neighbor_id, rank, ${r2("cos")} AS cosine_r2
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank""",
+
     "sim_recall_report" -> s"""WITH brute AS (
   SELECT query_id, neighbor_id FROM (${bruteForceOracleSql}) b),
 lsh AS (
