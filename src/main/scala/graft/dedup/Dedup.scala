@@ -210,6 +210,24 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The write-once parquet memoization every pair-table family shares:
+    * build once per (application, key), land under the app-scoped tmp
+    * cache, hand every consumer the re-read. One definition so the key
+    * format, path sanitizing, and write-then-reread sequence can't drift
+    * between the three caches.
+    */
+  private def memoizedParquet(
+      memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      spark: SparkSession, cacheName: String, key: String)(
+      build: => DataFrame): DataFrame =
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$key", { _ =>
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/$cacheName/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      build.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    })
+
   private val containMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -218,13 +236,8 @@ object Dedup {
     * curation pass queries repeatedly.
     */
   def containmentForDir(spark: SparkSession, dir: String): DataFrame =
-    containMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val p = s"${sys.props("java.io.tmpdir")}/graft-contain-pairs/" +
-        s"${spark.sparkContext.applicationId}/$safe"
-      containment(spark, dir).write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    })
+    memoizedParquet(containMemo, spark, "graft-contain-pairs", dir)(
+      containment(spark, dir))
 
   private val prefixMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -235,15 +248,8 @@ object Dedup {
     */
   def prefixPairsForDir(spark: SparkSession, dir: String,
       threshold: Double = PrefixTau): DataFrame =
-    prefixMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir:$threshold", { _ =>
-        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-        val p = s"${sys.props("java.io.tmpdir")}/graft-prefix-pairs/" +
-          s"${spark.sparkContext.applicationId}/$safe-$threshold"
-        ngramJaccardPrefix(spark, dir, threshold)
-          .write.mode("overwrite").parquet(p)
-        spark.read.parquet(p)
-      })
+    memoizedParquet(prefixMemo, spark, "graft-prefix-pairs",
+      s"$dir:$threshold")(ngramJaccardPrefix(spark, dir, threshold))
 
   /** Candidate pairs from the prefix index — exposed for the spec's
     * fan-out comparison against the full inverted-index join.
@@ -323,13 +329,8 @@ object Dedup {
     * once per dedup pass and query repeatedly.
     */
   def pairsForDir(spark: SparkSession, dir: String): DataFrame =
-    pairMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val p = s"${sys.props("java.io.tmpdir")}/graft-pairs/" +
-        s"${spark.sparkContext.applicationId}/$safe"
-      ngramJaccard(spark, dir, BaseTau).write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    })
+    memoizedParquet(pairMemo, spark, "graft-pairs", dir)(
+      ngramJaccard(spark, dir, BaseTau))
 
   /** Cross-source duplication matrix — near-dup pair counts per unordered
     * source pair, the leakage report a corpus curator reads before fixing

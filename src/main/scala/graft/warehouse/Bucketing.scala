@@ -81,28 +81,28 @@ object Bucketing {
   def compactPartitioned(spark: SparkSession, srcDir: String, outDir: String,
       partCol: String, uniqueCol: String,
       targetRowsPerFile: Long = 1000000L): DataFrame = {
-    import spark.implicits._
     val df = spark.read.parquet(srcDir)
     // the ledger is one row per partition VALUE — collect it once instead
     // of re-running the source aggregate for the total, the join, and the
-    // returned frame (three full scans of the directory being compacted)
-    val ledger: Array[(String, Long, Int)] = df.groupBy(col(partCol))
+    // returned frame (three full scans of the directory being compacted).
+    // Rows keep the partition column's ORIGINAL type (and nulls — the
+    // __HIVE_DEFAULT_PARTITION__ value reads back as null): stringifying
+    // would silently retype the returned ledger and NPE on null.
+    val agg = df.groupBy(col(partCol))
       .agg(count(lit(1)).as("n_rows"))
-      .collect()
-      .map { r =>
-        val n = r.getLong(1)
-        (r.get(0).toString, n,
-          ((n + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
-      }
-      .sortBy(_._1)
-    val total = ledger.map(_._3.toLong).sum.toInt
-    val ledgerDf = ledger.toSeq.toDF(partCol, "n_rows", "n_files")
+      .withColumn("n_files",
+        ceil(col("n_rows").cast("double") / lit(targetRowsPerFile.toDouble))
+          .cast("int"))
+    val rows = agg.collect()
+    val total = rows.map(_.getInt(2).toLong).sum.toInt
+    val ledgerDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agg.schema)
     df.join(broadcast(ledgerDf.select(col(partCol), col("n_files"))), partCol)
       .withColumn("__f", pmod(xxhash64(col(uniqueCol)), col("n_files")))
       .repartition(math.max(total, 1), col(partCol), col("__f"))
       .drop("__f", "n_files")
       .write.mode("overwrite").partitionBy(partCol).parquet(outDir)
-    ledgerDf
+    ledgerDf.orderBy(col(partCol))
   }
 
   /** Bits per dimension in the Morton (Z-order) value. 16 bits × 2 dims

@@ -69,22 +69,27 @@ object FileManifest {
           import scala.jdk.CollectionConverters._
           val nRows = blocks.asScala.map(_.getRowCount).sum
           colList.map { c =>
-            // fold row-group stats into one per-file envelope
-            val envelopes = blocks.asScala.flatMap(_.getColumns.asScala)
-              .filter(_.getPath.toDotString == c)
-              .map(_.getStatistics)
-              .filter(s => s != null && !s.isEmpty
-                && s.genericGetMin != null && s.genericGetMax != null)
-              .map { s =>
-                val lo = s.genericGetMin match {
-                  case l: java.lang.Long => l.longValue
-                  case i: java.lang.Integer => i.longValue
-                  case o => sys.error(s"non-integral stats for $c: ${o.getClass}")
-                }
-                (lo, s.genericGetMax.asInstanceOf[Number].longValue)
+            // fold row-group stats into one per-file envelope. EVERY row
+            // group must carry usable stats: silently skipping a stats-less
+            // group would produce an envelope that doesn't cover all rows,
+            // and pruning on it would silently drop matches — the one
+            // failure mode a skipping index must never have.
+            val chunks = blocks.asScala.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == c).toSeq
+            val envelopes = chunks.map(_.getStatistics).map { s =>
+              if (s == null || s.isEmpty
+                  || s.genericGetMin == null || s.genericGetMax == null)
+                sys.error(s"row group without usable stats for '$c' in $f — " +
+                  "a partial envelope must not read as prunable")
+              val lo = s.genericGetMin match {
+                case l: java.lang.Long => l.longValue
+                case i: java.lang.Integer => i.longValue
+                case o => sys.error(s"non-integral stats for $c: ${o.getClass}")
               }
+              (lo, s.genericGetMax.asInstanceOf[Number].longValue)
+            }
             if (envelopes.isEmpty)
-              sys.error(s"no usable stats for column '$c' in $f — " +
+              sys.error(s"column '$c' absent from $f — " +
                 "a missing envelope must not read as prunable")
             (f.split('/').last, c, envelopes.map(_._1).min,
               envelopes.map(_._2).max, nRows)

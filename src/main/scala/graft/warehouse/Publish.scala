@@ -36,22 +36,39 @@ object Publish {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def publishedVersions(spark: SparkSession, dir: String): Seq[Int] = {
+  /** (version, published?) for every vN directory — unmarked directories
+    * (a crash between rename and marker) are invisible to readers but MUST
+    * still occupy their version number, or a retry would rename fresh data
+    * onto the stale crashed directory.
+    */
+  private def versions(spark: SparkSession, dir: String): Seq[(Int, Boolean)] = {
     val f = fs(spark, dir)
     val root = new Path(dir)
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq.flatMap { s =>
       s.getPath.getName match {
-        case VersionName(n) if s.isDirectory
-            && f.exists(new Path(s.getPath, Marker)) => Some(n.toInt)
+        case VersionName(n) if s.isDirectory =>
+          Some((n.toInt, f.exists(new Path(s.getPath, Marker))))
         case _ => None
       }
-    }.sorted
+    }.sortBy(_._1)
   }
 
-  /** Version currently visible to readers; 0 = never published. */
+  /** Version currently visible to readers; 0 = never published. Falls back
+    * to a legacy `_current` pointer file (the first draft's protocol) so
+    * pre-marker tables stay readable.
+    */
   def currentVersion(spark: SparkSession, dir: String): Int =
-    publishedVersions(spark, dir).lastOption.getOrElse(0)
+    versions(spark, dir).filter(_._2).lastOption.map(_._1).getOrElse {
+      val f = fs(spark, dir)
+      val legacy = new Path(dir, "_current")
+      if (!f.exists(legacy)) 0
+      else {
+        val in = f.open(legacy)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      }
+    }
 
   /** The live table (the highest published version). */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -71,7 +88,12 @@ object Publish {
       audits: Seq[DataFrame => Boolean]): Option[Int] = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
-    val next = currentVersion(spark, dir) + 1
+    // next version clears EVERY existing vN — published or not — so a
+    // crash-leftover unmarked directory is never renamed onto (and never
+    // resurrected as someone else's data); it just sits vacuumable
+    val next = math.max(
+      versions(spark, dir).lastOption.map(_._1).getOrElse(0),
+      currentVersion(spark, dir)) + 1
     val staged = new Path(dir, s"_staged_v$next")
     df.write.mode("overwrite").parquet(staged.toString)
     val stagedDf = spark.read.parquet(staged.toString)
