@@ -159,5 +159,16 @@ class WarehouseSpec extends SparkSpec {
     assert(v2.contains(2) && Publish.currentVersion(spark, dir) == 2)
     assert(Publish.read(spark, dir).count() == v2data.count())
     assert(Publish.readVersion(spark, dir, 1).count() == events.count())
+
+    // crash-retry: an UNMARKED v3 (rename done, marker never written) must
+    // stay invisible AND keep its version number occupied — the retry
+    // publishes as v4, never renaming onto the stale directory
+    val stale = new java.io.File(s"$dir/v3")
+    assert(stale.mkdir())
+    assert(Publish.currentVersion(spark, dir) == 2, "unmarked dir invisible")
+    val v4 = Publish.writeAuditPublish(v2data, dir, Seq(rowCountAudit))
+    assert(v4.contains(4), s"retry must skip the crashed v3, got $v4")
+    assert(Publish.currentVersion(spark, dir) == 4)
+    assert(Publish.read(spark, dir).count() == v2data.count())
   }
 }
