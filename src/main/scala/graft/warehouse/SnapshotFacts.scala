@@ -66,9 +66,44 @@ object SnapshotFacts {
       .orderBy($"month")
   }
 
+  /** Allocation bridge — the weighting-factor pattern for multi-valued
+    * bridges: a fact measure (order price) allocated across the bridge's
+    * members (line items) by a weight (quantity share), so downstream
+    * group-bys over ANY member dimension sum to the original total instead
+    * of double-counting it once per member. Weights derive from exact
+    * DECIMAL quantity sums (group sums never cross a shuffle as floats);
+    * the share and allocation are then two per-row double operations —
+    * deterministic cross-engine. One co-shuffled join+window-free pass:
+    * per-order sums come from a partial-aggregated groupBy joined back.
+    */
+  def allocationBridge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bridge grain: one row per (order, part) — also what makes the output
+    // ORDER BY total (raw lineitem has no duplicate-free natural key here)
+    val line = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey",
+        expr("CAST(l_quantity AS DECIMAL(12,2))").as("q"))
+      .groupBy($"l_orderkey", $"l_partkey")
+      .agg(sum($"q").as("qty"))
+    val orderQty = line.groupBy($"l_orderkey".as("o_key"))
+      .agg(sum($"qty").as("qty_total"))
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+    line
+      .join(orderQty, $"l_orderkey" === $"o_key")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_partkey",
+        ($"qty".cast("double") / $"qty_total".cast("double")).as("weight"),
+        ($"o_totalprice"
+          * ($"qty".cast("double") / $"qty_total".cast("double")))
+          .as("allocated_price"))
+      .orderBy($"l_orderkey", $"l_partkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_accumulating_snapshot" -> (accumulatingSnapshot _),
-    "wh_periodic_snapshot" -> (periodicSnapshot _))
+    "wh_periodic_snapshot" -> (periodicSnapshot _),
+    "wh_allocation_bridge" -> (allocationBridge _))
 
   val oracle: Map[String, String] = Map(
     "wh_accumulating_snapshot" -> """SELECT o_orderkey,
@@ -83,6 +118,20 @@ object SnapshotFacts {
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey, o_orderdate::DATE
 ORDER BY o_orderkey""",
+
+    "wh_allocation_bridge" -> """WITH line AS (
+  SELECT l_orderkey, l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem GROUP BY 1, 2),
+oq AS (SELECT l_orderkey AS o_key, sum(qty) AS qty_total FROM line GROUP BY 1)
+SELECT l_orderkey, l_partkey,
+       CAST(qty AS DOUBLE) / CAST(qty_total AS DOUBLE) AS weight,
+       o_totalprice * (CAST(qty AS DOUBLE) / CAST(qty_total AS DOUBLE))
+         AS allocated_price
+FROM line
+JOIN oq ON l_orderkey = o_key
+JOIN orders ON l_orderkey = o_orderkey
+ORDER BY l_orderkey, l_partkey""",
 
     "wh_periodic_snapshot" -> """WITH monthly AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,

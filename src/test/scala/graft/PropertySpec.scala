@@ -23,7 +23,8 @@ class PropertySpec extends SparkSpec {
       "curate_sample_mix", "sim_ivf_pq_topk", "agg_outlier_days",
       "text_keyword_search", "etl_cdc_apply", "dedup_containment",
       "text_vocab_coverage", "sim_recall_report", "dedup_family_agreement",
-      "win_group_percentiles", "tpch_q18", "agg_kmv_distinct")
+      "win_group_percentiles", "tpch_q18", "agg_kmv_distinct",
+      "wh_allocation_bridge")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
