@@ -513,6 +513,29 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"event_type")
   }
 
+  /** Consecutive-day activity streaks — the gaps-and-islands idiom in its
+    * canonical form: distinct active days per user, then `day − row_number`
+    * as the island key (consecutive days share it, any gap shifts it), then
+    * one rollup per island. Two shuffles total (user-partitioned ranking
+    * window + the island groupBy); no self-joins, no recursion — the shape
+    * the reference would need a recursive CTE for. Complements
+    * `etl_sessionize` (timestamp-gap sessions) at calendar grain.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    daily.withColumn("grp", expr("date_sub(day, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day))"))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"day").as("streak_start"), max($"day").as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .select($"user_id", $"streak_start", $"streak_end", $"streak_days")
+      .orderBy($"user_id", $"streak_start")
+  }
+
   /** KMV sketch size — one definition, both engines. */
   val KmvK = 32
 
@@ -577,6 +600,7 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_value_histogram" -> (valueHistogram _),
     "agg_kmv_distinct" -> (kmvDistinct _),
+    "win_activity_streaks" -> (activityStreaks _),
     "win_group_percentiles" -> (groupPercentiles _),
     "win_gap_fill_locf" -> (gapFillLocf _),
     "agg_outlier_days" -> (outlierDays _),
@@ -605,6 +629,20 @@ SELECT bin, bin * $HistBinWidth AS bin_lo,
        count(*)::BIGINT AS n
 FROM b GROUP BY bin
 ORDER BY bin""",
+
+    "win_activity_streaks" -> """WITH daily AS (
+  SELECT DISTINCT user_id, ts::DATE AS day
+  FROM events WHERE ts IS NOT NULL),
+grp AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)::INT
+           AS g
+  FROM daily)
+SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+       count(*)::BIGINT AS streak_days
+FROM grp
+GROUP BY user_id, g
+ORDER BY user_id, streak_start""",
 
     "agg_kmv_distinct" -> s"""WITH h AS (
   SELECT DISTINCT event_type,
