@@ -160,7 +160,116 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** Q4 quarter window + the late-shipment stand-in threshold (this
+    * lineitem has no commit/receipt dates, so "committed later than
+    * received" becomes "shipped more than [[Q4LateDays]] days after the
+    * order" — same EXISTS shape, same join keys).
+    */
+  val Q4Lo = "1997-01-01"
+  val Q4Hi = "1997-04-01"
+  val Q4LateDays = 60
+
+  /** Q4: order-priority checking — the canonical EXISTS → LEFT SEMI JOIN
+    * decorrelation: orders in the quarter survive iff at least one of their
+    * lineitems shipped late, then a tiny priority histogram. The semi-join
+    * is an equi-join on orderkey carrying the non-equi lateness predicate —
+    * it co-shuffles both facts on the key and emits each order at most once
+    * (no EXISTS re-aggregation, no distinct), which is the whole point of
+    * the shape at scale.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate >= TIMESTAMP '$Q4Lo'")
+        && expr(s"o_orderdate < TIMESTAMP '$Q4Hi'"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val line = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(line,
+        $"l_orderkey" === $"o_orderkey"
+          && $"l_shipdate" > expr(s"o_orderdate + INTERVAL $Q4LateDays DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q2 region + part-type filters (this catalog has no `partsupp` table —
+    * lineitem rows stand in as the (part, supplier, price) offers, and with
+    * no ps_supplycost the minimized measure is the offer price itself; the
+    * join tree and subquery shape are the spec's).
+    */
+  val Q2Region = "EUROPE"
+  val Q2Type = "STANDARD"
+
+  /** Q2: minimum-cost supplier — the correlated scalar-MIN subquery,
+    * decorrelated: the per-part minimum over region-local offers is a
+    * groupBy, joined back on (part, price = min) so every offer achieving
+    * the minimum survives (ties kept, as the spec requires). The
+    * supplier→nation→region snowflake chain broadcasts stepwise into the
+    * offers; the min table joins back on partkey — per-part rows, NOT
+    * broadcastable at catalog scale, so it co-shuffles with the offers on
+    * partkey (the honest shape). Output ordered per the spec with the
+    * suppkey/partkey tiebreak making the LIMIT deterministic.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eur = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === Q2Region)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val offers = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      .join(broadcast(eur), $"l_suppkey" === $"s_suppkey")
+    val mins = offers.groupBy($"l_partkey".as("m_partkey"))
+      .agg(min($"l_extendedprice").as("min_price"))
+    val parts = Tables.part(spark, dir)
+      .filter($"p_type" === Q2Type)
+      .select($"p_partkey", $"p_name")
+    offers
+      .join(mins, $"l_partkey" === $"m_partkey"
+        && $"l_extendedprice" === $"min_price")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name", $"s_suppkey", $"n_name",
+        $"p_partkey", $"p_name", $"min_price")
+      .distinct()
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"s_suppkey",
+        $"p_partkey")
+      .limit(100)
+  }
+
+  /** Q14 month window. */
+  val Q14Lo = "1997-09-01"
+  val Q14Hi = "1997-10-01"
+
+  /** Q14: promotion effect — conditional aggregate over a fact ⋈ dim join,
+    * the ratio-of-aggregates-in-one-pass shape (A9 at TPC-H scale). Both
+    * sums are exact DECIMAL (associative through the shuffle); the percent
+    * is one double expression evaluated in identical textual order on both
+    * engines. `part` broadcasts (a dim); the date filter prunes the fact
+    * scan.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promo = s"CASE WHEN p_type = 'PROMO' THEN $DiscPrice ELSE 0 END"
+    Tables.lineitem(spark, dir)
+      .filter(expr(s"l_shipdate >= TIMESTAMP '$Q14Lo'")
+        && expr(s"l_shipdate < TIMESTAMP '$Q14Hi'"))
+      .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        expr(s"CAST(sum($promo) AS DOUBLE) * 100 / CAST(sum($DiscPrice) AS DOUBLE)")
+          .as("promo_revenue_pct"),
+        expr(s"CAST(sum($promo) AS DOUBLE)").as("promo_revenue"),
+        expr(s"CAST(sum($DiscPrice) AS DOUBLE)").as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q2" -> (q2 _),
+    "tpch_q4" -> (q4 _),
+    "tpch_q14" -> (q14 _),
     "tpch_q1" -> (q1 _),
     "tpch_q3" -> (q3 _),
     "tpch_q6" -> (q6 _),
@@ -168,6 +277,49 @@ object TpchQueries {
     "tpch_q18" -> (q18 _))
 
   val oracle: Map[String, String] = Map(
+    "tpch_q2" -> s"""WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '$Q2Region'),
+offers AS (
+  SELECT l_partkey, l_extendedprice, s_suppkey, s_name, s_acctbal, n_name
+  FROM lineitem JOIN eur ON l_suppkey = s_suppkey),
+mins AS (
+  SELECT l_partkey AS m_partkey, min(l_extendedprice) AS min_price
+  FROM offers GROUP BY 1)
+SELECT DISTINCT s_acctbal, s_name, s_suppkey, n_name, p_partkey, p_name,
+       min_price
+FROM offers o
+JOIN mins m ON o.l_partkey = m.m_partkey AND o.l_extendedprice = m.min_price
+JOIN part p ON o.l_partkey = p.p_partkey AND p.p_type = '$Q2Type'
+ORDER BY s_acctbal DESC, n_name, s_name, s_suppkey, p_partkey
+LIMIT 100""",
+
+    "tpch_q4" -> s"""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '$Q4Lo'
+  AND o_orderdate < TIMESTAMP '$Q4Hi'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL $Q4LateDays DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+
+    "tpch_q14" -> s"""SELECT
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN $DiscPrice ELSE 0 END)
+            AS DOUBLE) * 100
+         / CAST(sum($DiscPrice) AS DOUBLE) AS promo_revenue_pct,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN $DiscPrice ELSE 0 END)
+            AS DOUBLE) AS promo_revenue,
+       CAST(sum($DiscPrice) AS DOUBLE) AS total_revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '$Q14Lo'
+  AND l_shipdate < TIMESTAMP '$Q14Hi'""",
+
     "tpch_q1" -> s"""SELECT l_returnflag, l_linestatus,
        CAST(sum($QtyD) AS DOUBLE) AS sum_qty,
        CAST(sum($ExtD) AS DOUBLE) AS sum_base_price,

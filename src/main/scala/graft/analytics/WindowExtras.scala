@@ -406,6 +406,48 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"day")
   }
 
+  /** Peak concurrency per day via an interval SWEEP — the "how many
+    * sessions were open at once" gauge (license seats, connection pools,
+    * concurrent viewers). Each user-day activity interval [first ts,
+    * last ts] contributes a +1 at its start and a −1 at its end; a running
+    * sum over the merged boundary stream IS the concurrency curve, and its
+    * per-day max is the peak. The naive form — join every interval against
+    * every overlapping interval — fans out quadratically in the busiest
+    * hour; the sweep is linear: 2 rows per interval through one
+    * day-partitioned window.
+    *
+    * Determinism: boundaries order by (t, delta DESC, user_id) — a total
+    * order, with all +1s before −1s at equal t, so touching intervals count
+    * as overlapping (inclusive semantics) on both engines. All integers.
+    *
+    * Scale: the window partitions by DAY (bounded state, parallel across
+    * days, never global); intervals derive from a (day, user) aggregate
+    * that map-side combines. A single day so hot that its 2·|intervals|
+    * boundary rows swamp one reducer would sub-split by hour and merge
+    * per-hour running sums with hour-boundary offsets — the
+    * [[globalRank]] band device on the time axis.
+    */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(min($"ts").as("t_start"), max($"ts").as("t_end"))
+    val deltas = iv
+      .select($"day", $"user_id", $"t_start".as("t"), lit(1).as("delta"))
+      .unionByName(
+        iv.select($"day", $"user_id", $"t_end".as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy($"day").orderBy($"t", $"delta".desc, $"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum($"delta").over(w))
+      .groupBy($"day")
+      .agg(
+        max($"conc").as("peak_concurrent"),
+        sum(when($"delta" === 1, 1L).otherwise(0L)).as("n_intervals"))
+      .orderBy($"day")
+  }
+
   /** Outlier threshold in standard deviations — ONE definition for the
     * Spark flag and the oracle SQL.
     */
@@ -451,6 +493,59 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .select($"date_key", $"n_events", $"mean_events", $"std_events", $"z",
         (abs($"z") > OutlierZ).as("is_outlier"))
       .orderBy($"date_key")
+  }
+
+  /** Winsorization bounds in per-mille (5th / 95th percentile) — integer
+    * constants shared by both engines so the rank arithmetic stays exact.
+    */
+  val WinsorLoPm = 50
+  val WinsorHiPm = 950
+
+  /** Winsorized mean per event type — the robust location estimate a
+    * metrics pipeline reports when heavy tails poison the plain average:
+    * clamp every value to the exact [p05, p95] order statistics, then
+    * average. Raw mean rides along for contrast.
+    *
+    * Float parity: the percentile bounds are SELECTED data points (k-th
+    * smallest, k = ⌈n·p/1000⌉ computed in integer arithmetic — IEEE
+    * `ceil(n*0.05)` can land one rank off when the product sits just above
+    * an integer); clamping is min/max selection; both sums accumulate in
+    * DECIMAL so nothing order-dependent crosses the shuffle; each mean is
+    * one double division performed identically on both engines.
+    *
+    * Scale: same shape as [[groupPercentiles]] — a group-partitioned
+    * ranking window (the honest cost of exact quantiles; sketches are the
+    * wide-group alternative), a 5-row bounds broadcast back, and one
+    * map-side-combinable decimal aggregate.
+    */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value")
+    val sizes = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val ks = sizes
+      .withColumn("k_lo", expr(s"(n * $WinsorLoPm + 999) div 1000"))
+      .withColumn("k_hi", expr(s"(n * $WinsorHiPm + 999) div 1000"))
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val bounds = ev.withColumn("rn", row_number().over(w))
+      .join(broadcast(ks), "event_type")
+      .filter($"rn" === $"k_lo" || $"rn" === $"k_hi")
+      .groupBy($"event_type", $"n")
+      .agg(
+        min(when($"rn" === $"k_lo", $"value")).as("p_lo"),
+        min(when($"rn" === $"k_hi", $"value")).as("p_hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("clamped",
+        least(greatest($"value", $"p_lo"), $"p_hi").cast("decimal(12,2)"))
+      .groupBy($"event_type", $"n", $"p_lo", $"p_hi")
+      .agg(
+        (sum($"clamped").cast("double") / $"n".cast("double"))
+          .as("winsorized_mean"),
+        (sum($"value".cast("decimal(12,2)")).cast("double")
+          / $"n".cast("double")).as("raw_mean"))
+      .select($"event_type", $"n", $"p_lo", $"p_hi", $"winsorized_mean",
+        $"raw_mean")
+      .orderBy($"event_type")
   }
 
   /** Gap-fill user sample gate — one definition for both engines. */
@@ -601,6 +696,8 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
     "agg_value_histogram" -> (valueHistogram _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "win_activity_streaks" -> (activityStreaks _),
+    "win_max_concurrency" -> (maxConcurrency _),
+    "agg_winsorized_mean" -> (winsorizedMean _),
     "win_group_percentiles" -> (groupPercentiles _),
     "win_gap_fill_locf" -> (gapFillLocf _),
     "agg_outlier_days" -> (outlierDays _),
@@ -629,6 +726,55 @@ SELECT bin, bin * $HistBinWidth AS bin_lo,
        count(*)::BIGINT AS n
 FROM b GROUP BY bin
 ORDER BY bin""",
+
+    "agg_winsorized_mean" -> s"""WITH ev AS (
+  SELECT event_type, event_id, value FROM events),
+sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM ev GROUP BY 1),
+ks AS (
+  SELECT event_type, n,
+         (n * $WinsorLoPm + 999) // 1000 AS k_lo,
+         (n * $WinsorHiPm + 999) // 1000 AS k_hi
+  FROM sizes),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id)::BIGINT AS rn
+  FROM ev),
+bounds AS (
+  SELECT r.event_type, k.n,
+         min(CASE WHEN rn = k_lo THEN value END) AS p_lo,
+         min(CASE WHEN rn = k_hi THEN value END) AS p_hi
+  FROM ranked r JOIN ks k USING (event_type)
+  WHERE rn = k_lo OR rn = k_hi
+  GROUP BY r.event_type, k.n)
+SELECT e.event_type, b.n, b.p_lo, b.p_hi,
+       CAST(sum(CAST(least(greatest(e.value, b.p_lo), b.p_hi)
+                     AS DECIMAL(12,2))) AS DOUBLE)
+         / CAST(b.n AS DOUBLE) AS winsorized_mean,
+       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE)
+         / CAST(b.n AS DOUBLE) AS raw_mean
+FROM ev e JOIN bounds b USING (event_type)
+GROUP BY e.event_type, b.n, b.p_lo, b.p_hi
+ORDER BY e.event_type""",
+
+    "win_max_concurrency" -> """WITH iv AS (
+  SELECT ts::DATE AS day, user_id, min(ts) AS t_start, max(ts) AS t_end
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+deltas AS (
+  SELECT day, user_id, t_start AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, user_id, t_end AS t, -1 AS delta FROM iv),
+sweep AS (
+  SELECT day, delta,
+         sum(delta) OVER (PARTITION BY day
+                          ORDER BY t, delta DESC, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM deltas)
+SELECT day, max(conc)::BIGINT AS peak_concurrent,
+       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals
+FROM sweep GROUP BY day ORDER BY day""",
 
     "win_activity_streaks" -> """WITH daily AS (
   SELECT DISTINCT user_id, ts::DATE AS day

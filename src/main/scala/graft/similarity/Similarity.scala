@@ -230,7 +230,51 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Per-label centroids + nearest-centroid confusion matrix — the
+    * embedding-space cluster-quality report (is the labeling separable?
+    * which label pairs bleed into each other?) that gates using labels as
+    * training strata. Centroid accumulation is the exact FIXED-POINT sum
+    * [[IvfIndex]] uses for Lloyd updates (scaled longs — associative at any
+    * parallelism, so the mean is bit-reproducible and DuckDB can recompute
+    * it); assignment broadcasts the |labels|×dim centroid table against the
+    * corpus — one linear pass, candidates never pair with each other.
+    * Ranking tiebreaks on centroid label, so the argmax is total-ordered.
+    *
+    * Scale: the centroid aggregate map-side combines on (label, pos); the
+    * confusion rollup is |labels|² rows. The one caveat is |labels|·dim
+    * broadcast size — fine up to ~10⁵ centroid floats, after which
+    * assignment becomes the IVF probe shape instead.
+    */
+  def labelCentroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cents = e
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(
+        sum(floor($"v".cast("double") * lit(IvfIndex.FxScale) + lit(0.5))
+          .cast("long")).as("s"),
+        count(lit(1)).as("cnt"))
+      .withColumn("m", ($"s".cast("double")
+        / ($"cnt" * lit(IvfIndex.FxScale)).cast("double")).cast("float"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        x => x.getField("m")).as("centroid"))
+      .select($"label".as("c_label"), $"centroid")
+    val w = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_label")
+    e.crossJoin(broadcast(cents))
+      .withColumn("c_sim", expr("graft_cosine(embedding, centroid)"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .groupBy($"label", $"c_label".as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"pred_label")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroids" -> (labelCentroidConfusion _),
     "sim_two_stage_topk" -> (twoStageTopK _),
     "sim_recall_report" -> (recallReport _),
     "sim_pq_codes" -> ((s: SparkSession, d: String) =>
@@ -270,6 +314,32 @@ FROM ranked WHERE rank <= $TopK
 ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
+    // full twin of the fixed-point centroid build + argmax assignment —
+    // possible because the centroid mean is an exact scaled-long sum
+    "sim_label_centroids" -> s"""WITH sums AS (
+  SELECT label, pos,
+         sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * ${IvfIndex.FxScale}
+                        + 0.5) AS BIGINT))::BIGINT AS s,
+         count(*) AS cnt
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos)
+  GROUP BY label, pos),
+cents AS (
+  SELECT label AS c_label,
+         list(CAST(CAST(s AS DOUBLE)
+                   / CAST(cnt * ${IvfIndex.FxScale} AS DOUBLE) AS FLOAT)
+              ORDER BY pos) AS centroid
+  FROM sums GROUP BY label),
+best AS (
+  SELECT label, c_label FROM (
+    SELECT e.label, c.c_label,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${cosSql("e.embedding", "c.centroid")}
+                                       DESC, c.c_label) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1)
+SELECT label, c_label AS pred_label, count(*)::BIGINT AS n_vecs
+FROM best GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "sim_two_stage_topk" -> s"""WITH cand AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          ${cosSql(s"q.embedding[1:$CoarseDims]", s"n.embedding[1:$CoarseDims]")} AS coarse,

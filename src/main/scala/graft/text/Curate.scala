@@ -189,6 +189,42 @@ object Curate {
       .orderBy($"doc_id")
   }
 
+  /** Output shard count for [[shardAssign]]. */
+  val ShardK = 8
+
+  /** Balanced output-shard assignment — the write-layout step after
+    * curation: the corpus must land in [[ShardK]] files of near-equal TOKEN
+    * mass (training readers stream shards round-robin; one fat shard = one
+    * straggling data-loader). Plain `hash(doc) % K` balances doc COUNTS but
+    * not token mass under a skewed length distribution; greedy
+    * least-loaded-bin packing balances best but is inherently sequential.
+    * The scalable middle: rank documents by token count (longest first)
+    * within each source and deal them SERPENTINE across shards (row k of
+    * each 2K-block goes to shard k, the next block reverses direction), so
+    * every consecutive 2K-block of similar-sized docs spreads evenly and
+    * the per-source imbalance is bounded by one document's tokens —
+    * independent of corpus size. The ranking window partitions by SOURCE
+    * (bounded, parallel — never a global sort); per-source balance sums to
+    * global balance.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(
+      $"doc_id", $"source",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy($"source").orderBy($"n_tokens".desc, $"doc_id")
+    docs
+      .withColumn("r", (row_number().over(w) - 1).cast("long"))
+      .withColumn("shard",
+        when(expr(s"(r div $ShardK) % 2") === 0, expr(s"r % $ShardK"))
+          .otherwise(lit(ShardK - 1) - expr(s"r % $ShardK")))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"))
+      .orderBy($"shard")
+  }
+
   /** Global token budget for [[budgetMix]]. */
   val TokenBudget = 20000L
 
@@ -246,7 +282,8 @@ object Curate {
     "curate_train_val_split" -> (trainValSplit _),
     "curate_decontaminate" -> (decontaminate _),
     "curate_sample_mix" -> (sampleMix _),
-    "curate_pack_sequences" -> (packSequences _))
+    "curate_pack_sequences" -> (packSequences _),
+    "curate_shard_assign" -> (shardAssign _))
 
   /** DuckDB twin of [[bucketOf]] over a bigint column expression. */
   private def bucketSql(c: String): String =
@@ -409,6 +446,23 @@ SELECT source,
 FROM gated
 GROUP BY source, b
 ORDER BY source""",
+
+    "curate_shard_assign" -> s"""WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+r AS (
+  SELECT n_tokens,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY n_tokens DESC, doc_id) - 1)::BIGINT AS r
+  FROM d),
+assigned AS (
+  SELECT n_tokens,
+         CASE WHEN (r // $ShardK) % 2 = 0 THEN r % $ShardK
+              ELSE ${ShardK - 1} - (r % $ShardK) END AS shard
+  FROM r)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM assigned GROUP BY shard ORDER BY shard""",
 
     "curate_pack_sequences" -> s"""WITH d AS (
   SELECT doc_id,

@@ -103,6 +103,24 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment: conserves the corpus and honors the serpentine balance bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val out = Curate.shardAssign(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == docs.count(), "every doc lands in a shard")
+    assert(out.map(_.getLong(0)).forall(s => s >= 0 && s < Curate.ShardK))
+    // serpentine spread per source ≤ 2·(that source's largest doc); the
+    // global spread is bounded by the sum of per-source bounds
+    val bound = 2 * docs.groupBy($"source").agg(max($"n_tokens").as("m"))
+      .agg(sum($"m")).head.getLong(0)
+    val totals = out.map(_.getLong(2))
+    assert(totals.max - totals.min <= bound,
+      s"token spread ${totals.max - totals.min} exceeds serpentine bound $bound")
+  }
+
   test("sequence packing: per-shard positions form an exact gapless prefix sum") {
     val rows = Curate.packSequences(spark, sf).collect()
       .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))

@@ -107,7 +107,10 @@ class PlanSpec extends SparkSpec {
       similarity.IvfPq.topK(spark, sf),
       analytics.WindowExtras.gapFillLocf(spark, sf),
       analytics.WindowExtras.groupPercentiles(spark, sf),
-      analytics.WindowExtras.kmvDistinct(spark, sf))
+      analytics.WindowExtras.kmvDistinct(spark, sf),
+      analytics.WindowExtras.maxConcurrency(spark, sf),
+      text.Curate.shardAssign(spark, sf),
+      similarity.Similarity.labelCentroidConfusion(spark, sf))
     for (df <- dfs) {
       val windows = collectAll(plan(df)) { case w: WindowExec => w }
       // nonEmpty first: a plan with no window at all would make the
@@ -284,6 +287,42 @@ class PlanSpec extends SparkSpec {
       "segment-filtered customer must broadcast into orders")
     assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "LIMIT 10 over ORDER BY must plan as distributed top-k")
+  }
+
+  test("tpch q2: snowflake dims broadcast; min-subquery join is never a product") {
+    val p = plan(analytics.TpchQueries.q2(spark, sf))
+    // supplier→nation→region chain + parts all ride broadcast joins; the
+    // decorrelated min joins back on partkey as an equi-join
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 3,
+      "snowflake chain and parts must broadcast")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("tpch q4: EXISTS decorrelates to a semi-join, never a product") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan(analytics.TpchQueries.q4(spark, sf))
+    val semi = collectAll(p) {
+      case j: SortMergeJoinExec if j.joinType == LeftSemi => j
+      case j: ShuffledHashJoinExec if j.joinType == LeftSemi => j
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semi.nonEmpty, "EXISTS must plan as a semi-join")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      "the lateness predicate must ride the orderkey equi-join, not a NLJ")
+  }
+
+  test("tpch q14: part broadcasts; the month filter reaches the fact scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = plan(analytics.TpchQueries.q14(spark, sf))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the part dim must broadcast")
+    val pushed = collectAll(p) { case f: FileSourceScanExec => f }
+      .flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate")
+      && pushed.contains("LessThan(l_shipdate"),
+      s"month bounds should reach the scan: $pushed")
   }
 
   test("cdc apply resolves latest-wins as an aggregate, not a window") {

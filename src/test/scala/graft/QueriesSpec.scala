@@ -143,6 +143,26 @@ class QueriesSpec extends SparkSpec {
     assert(probe.getLong(2) == brute)
   }
 
+  test("peak concurrency equals the quadratic interval-overlap maximum") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // with inclusive ends, max overlap is attained at some interval START,
+    // so probing starts only is exhaustive — the O(n²) twin of the sweep
+    val iv = Tables.events(spark, sf).filter($"ts".isNotNull)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(min($"ts").as("s"), max($"ts").as("e"))
+    val brute = iv.select($"day", $"s".as("t")).as("p")
+      .join(iv.as("i"), col("p.day") === col("i.day")
+        && col("i.s") <= col("p.t") && col("p.t") <= col("i.e"))
+      .groupBy(col("p.day").as("day"), col("p.t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"day").agg(max($"c").as("peak"))
+    val got = analytics.WindowExtras.maxConcurrency(spark, sf)
+    assert(got.count() == brute.count())
+    assert(got.join(brute, "day")
+      .filter($"peak_concurrent" =!= $"peak").count() == 0)
+  }
+
   test("snapshot diff: ledger matches the mutation gates exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -157,6 +157,20 @@ class SimilaritySpec extends SparkSpec {
     assert(strong.subsetOf(ann.keySet), s"missed: ${strong -- ann.keySet}")
   }
 
+  test("label centroids: confusion matrix conserves vectors over the label domain") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.labelCentroidConfusion(spark, sf).collect()
+    // every vector assigned to exactly one centroid
+    assert(out.map(_.getLong(2)).sum == e.count())
+    val dom = e.select($"label").distinct().as[Int].collect().toSet
+    assert(out.forall(r => dom(r.getInt(0)) && dom(r.getInt(1))),
+      "both axes must stay in the label domain")
+    // the fixed-point centroid build is bit-deterministic: re-run identical
+    val again = Similarity.labelCentroidConfusion(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("LSH signatures are deterministic") {
     Similarity.register(spark)
     val dim = Tables.embeddings(spark, sf)
