@@ -495,6 +495,51 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"date_key")
   }
 
+  /** Audience-overlap report from MERGED KMV sketches — the set-operation
+    * payoff of [[kmvDistinct]]'s estimator: Jaccard / union-size estimates
+    * for every event-type pair computed ENTIRELY from the per-type k-min
+    * sketches (k rows each), never from the user sets. This is the sketch
+    * algebra that makes overlap dashboards tractable at 100 TB: one corpus
+    * pass builds |types| sketches of [[KmvK]] hashes; every pairwise (or
+    * n-way) overlap after that is arithmetic on k-element arrays. The
+    * estimator: merge two sketches, keep the k smallest of the union —
+    * that IS the union's KMV sketch — and the fraction of those present in
+    * both inputs estimates Jaccard (exact when everything is unsaturated,
+    * ±1/√k otherwise; the spec pins the error against the exact sets).
+    * Hashes are the same md5-derived h32 as [[kmvDistinct]], so both
+    * engines replay the identical sketch bit-for-bit.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.events(spark, dir).select($"event_type",
+      graft.functions.Md5Hash
+        .h32(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+      .distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val sketches = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KmvK)
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list($"h")).as("sk"))
+    val a = sketches.select($"event_type".as("type_x"), $"sk".as("sk_a"))
+    val b = sketches.select($"event_type".as("type_y"), $"sk".as("sk_b"))
+    a.crossJoin(b).filter($"type_x" < $"type_y")
+      .withColumn("merged", array_sort(array_union($"sk_a", $"sk_b")))
+      .withColumn("k_used", least(lit(KmvK), size($"merged")))
+      .withColumn("u", slice($"merged", lit(1), $"k_used"))
+      .withColumn("n_shared",
+        size(array_intersect(array_intersect($"u", $"sk_a"), $"sk_b")))
+      .withColumn("j_kmv", $"n_shared".cast("double") / $"k_used")
+      .withColumn("union_est",
+        when(size($"sk_a") < KmvK && size($"sk_b") < KmvK,
+          size($"merged").cast("double"))
+          .otherwise(($"k_used" - 1).cast("double") * lit(4294967296.0)
+            / element_at($"merged", $"k_used")))
+      .select($"type_x", $"type_y", $"k_used".cast("bigint").as("k_used"),
+        $"n_shared".cast("bigint").as("n_shared"), $"j_kmv", $"union_est")
+      .orderBy($"type_x", $"type_y")
+  }
+
   /** Winsorization bounds in per-mille (5th / 95th percentile) — integer
     * constants shared by both engines so the rank arithmetic stays exact.
     */
@@ -695,6 +740,7 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_value_histogram" -> (valueHistogram _),
     "agg_kmv_distinct" -> (kmvDistinct _),
+    "agg_kmv_overlap" -> (kmvOverlap _),
     "win_activity_streaks" -> (activityStreaks _),
     "win_max_concurrency" -> (maxConcurrency _),
     "agg_winsorized_mean" -> (winsorizedMean _),
@@ -812,6 +858,42 @@ SELECT e.event_type, n_exact, hk,
          AS kmv_estimate
 FROM exact e JOIN kth USING (event_type)
 ORDER BY e.event_type""",
+
+    "agg_kmv_overlap" -> s"""WITH h AS (
+  SELECT DISTINCT event_type,
+         ${graft.functions.Md5Hash.h32Sql("'kmv:' || CAST(user_id AS VARCHAR)")}
+           AS h
+  FROM events),
+sk AS (
+  SELECT event_type, list_sort(list(h)) AS sk
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h)
+  WHERE rn <= $KmvK
+  GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_x, b.event_type AS type_y,
+         a.sk AS sk_a, b.sk AS sk_b,
+         list_sort(list_distinct(list_concat(a.sk, b.sk))) AS merged
+  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+k AS (
+  SELECT type_x, type_y, sk_a, sk_b, merged,
+         least($KmvK, len(merged))::BIGINT AS k_used
+  FROM p),
+u AS (
+  SELECT type_x, type_y, sk_a, sk_b, merged, k_used,
+         len(list_intersect(list_intersect(
+               list_slice(merged, 1, k_used), sk_a), sk_b))::BIGINT
+           AS n_shared
+  FROM k)
+SELECT type_x, type_y, k_used, n_shared,
+       n_shared::DOUBLE / k_used AS j_kmv,
+       CASE WHEN len(sk_a) < $KmvK AND len(sk_b) < $KmvK
+            THEN len(merged)::DOUBLE
+            ELSE (k_used - 1)::DOUBLE * 4294967296.0 / merged[k_used] END
+         AS union_est
+FROM u
+ORDER BY type_x, type_y""",
 
     "win_group_percentiles" -> """WITH ranked AS (
   SELECT event_type, value,

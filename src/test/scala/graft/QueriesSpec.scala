@@ -163,6 +163,36 @@ class QueriesSpec extends SparkSpec {
       .filter($"peak_concurrent" =!= $"peak").count() == 0)
   }
 
+  test("KMV overlap: sketch estimates track the exact set overlaps") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = analytics.WindowExtras.KmvK
+    val got = analytics.WindowExtras.kmvOverlap(spark, sf).collect()
+    val sets = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.get(1).toString).toSet }
+    val nTypes = sets.size
+    assert(got.length == nTypes * (nTypes - 1) / 2)
+    got.foreach { r =>
+      val (x, y) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (sets(x), sets(y))
+      val union = (sa ++ sb).size
+      val jExact = (sa & sb).size.toDouble / union
+      val (jKmv, uEst) = (r.getDouble(4), r.getDouble(5))
+      assert(jKmv >= 0.0 && jKmv <= 1.0, s"($x,$y): j_kmv=$jKmv")
+      // k=32 ⇒ σ_J = √(j(1−j)/k) ≤ 0.089; a 3σ+ bound still catches any
+      // kernel breakage (wrong slice, wrong hash, truncated merge)
+      assert(math.abs(jKmv - jExact) <= 0.3,
+        s"($x,$y): j_kmv=$jKmv vs exact=$jExact")
+      assert(math.abs(uEst - union) <= math.max(0.6 * union, 2.0),
+        s"($x,$y): union_est=$uEst vs exact=$union")
+      if (sa.size < k && sb.size < k)
+        assert(uEst == union.toDouble,
+          s"($x,$y): unsaturated union must be exact")
+    }
+  }
+
   test("snapshot diff: ledger matches the mutation gates exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
