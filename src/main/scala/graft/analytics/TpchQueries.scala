@@ -266,6 +266,120 @@ object TpchQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q5 region + order-year window. */
+  val Q5Region = "ASIA"
+  val Q5Lo = "1997-01-01"
+  val Q5Hi = "1998-01-01"
+
+  /** Q5: local-supplier volume — the 6-way snowflake join with the
+    * cross-dimension equality (customer's nation must equal the supplier's
+    * nation) that makes it the classic join-order probe. The snowflake
+    * (region→nation→supplier) broadcasts stepwise; orders co-shuffles with
+    * customer on custkey, the result with lineitem on orderkey — the two
+    * honest fact shuffles — and the supplier side arrives broadcast with
+    * the nation equality folded into the join condition, so no extra
+    * shuffle is spent on it. Revenue is DECIMAL end to end.
+    */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === Q5Region)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val ord = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate >= TIMESTAMP '$Q5Lo'")
+        && expr(s"o_orderdate < TIMESTAMP '$Q5Hi'"))
+      .select($"o_orderkey", $"o_custkey")
+    val co = ord.join(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey"),
+      $"o_custkey" === $"c_custkey")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(co, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(expr(s"CAST(sum($DiscPrice) AS DOUBLE)").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Q17 brand filter (this part table has no container column — brand
+    * alone selects the probe population; same correlated shape).
+    */
+  val Q17Brand = "Brand#12"
+
+  /** Q17: small-quantity revenue loss — the correlated scalar-AVG subquery
+    * (`l_quantity < 0.2 * (SELECT avg(l_quantity) … same part)`),
+    * decorrelated into a per-part aggregate joined back to the probe rows.
+    * The float hazard is removed by the exact-rational rewrite: with
+    * positive counts, qty < 0.2·(sum/cnt) ⟺ 5·qty·cnt < sum — all DECIMAL
+    * products, no division, so both engines compare exact integers
+    * underneath. The per-part stats co-shuffle with the probe rows on
+    * partkey (per-part rows are NOT broadcastable at catalog scale); the
+    * brand dim filter broadcasts into the fact scan.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand" === Q17Brand)
+      .select($"p_partkey")
+    val probe = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val stats = probe.groupBy($"l_partkey".as("a_partkey"))
+      .agg(expr(s"sum($QtyD)").as("sum_qty"),
+        count(lit(1)).as("n_lines_part"))
+    probe.join(stats, $"l_partkey" === $"a_partkey")
+      .filter(expr(s"$QtyD * 5 * n_lines_part < sum_qty"))
+      .agg(
+        expr(s"CAST(sum($ExtD) AS DOUBLE) / CAST(7 AS DOUBLE)")
+          .as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  /** Q22 country-code stand-in: this customer table has no phone column,
+    * so the two-digit prefix set becomes a nationkey set (same selective
+    * IN-list shape). And because every synthetic customer has at least one
+    * order, the spec's "no orders at all" becomes "no orders since
+    * [[Q22Dormant]]" — dormant customers — keeping the NOT-EXISTS
+    * anti-join shape non-degenerate.
+    */
+  val Q22Nations = Seq(1, 3, 5, 7, 9, 11, 13)
+  val Q22Dormant = "2000-01-01"
+
+  /** Q22: global sales opportunity — the scalar-subquery threshold plus
+    * NOT-EXISTS anti-join: customers from the listed nations with balance
+    * above the positive-balance average and no recent orders. The float
+    * hazard in `c_acctbal > avg(…)` is removed by the rational rewrite
+    * bal·n > sum over DECIMAL(12,2) sums (exact at any parallelism); the
+    * one-row threshold broadcasts (nested-loop with a 1-row build side,
+    * the scalar-subquery plan), and the anti-join co-shuffles customers
+    * with the date-filtered orders key column.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sel = Tables.customer(spark, dir)
+      .filter($"c_nationkey".isin(Q22Nations: _*))
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    val thr = sel.filter($"c_acctbal" > 0.0)
+      .agg(expr("sum(CAST(c_acctbal AS DECIMAL(12,2)))").as("s"),
+        count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate >= TIMESTAMP '$Q22Dormant'"))
+      .select($"o_custkey")
+    sel.crossJoin(broadcast(thr))
+      .filter(expr("CAST(c_acctbal AS DECIMAL(12,2)) * n > s"))
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)")
+          .as("total_acctbal"))
+      .orderBy($"c_nationkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2" -> (q2 _),
     "tpch_q4" -> (q4 _),
@@ -274,7 +388,10 @@ object TpchQueries {
     "tpch_q3" -> (q3 _),
     "tpch_q6" -> (q6 _),
     "tpch_q13" -> (q13 _),
-    "tpch_q18" -> (q18 _))
+    "tpch_q18" -> (q18 _),
+    "tpch_q5" -> (q5 _),
+    "tpch_q17" -> (q17 _),
+    "tpch_q22" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
     "tpch_q2" -> s"""WITH eur AS (
@@ -378,5 +495,48 @@ WHERE o_orderkey IN (
   GROUP BY l_orderkey HAVING sum($QtyD) > $Q18Qty)
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-LIMIT 100""")
+LIMIT 100""",
+
+    "tpch_q5" -> s"""SELECT n_name,
+       CAST(sum($DiscPrice) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = '$Q5Region'
+  AND o_orderdate >= TIMESTAMP '$Q5Lo'
+  AND o_orderdate < TIMESTAMP '$Q5Hi'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""",
+
+    "tpch_q17" -> s"""WITH probe AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '$Q17Brand'),
+stats AS (
+  SELECT l_partkey AS a_partkey, sum($QtyD) AS sum_qty,
+         count(*)::BIGINT AS n_lines_part
+  FROM probe GROUP BY 1)
+SELECT CAST(sum($ExtD) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly,
+       count(*)::BIGINT AS n_small_lines
+FROM probe JOIN stats ON l_partkey = a_partkey
+WHERE $QtyD * 5 * n_lines_part < sum_qty""",
+
+    "tpch_q22" -> s"""WITH sel AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (${Q22Nations.mkString(", ")})),
+thr AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s, count(*)::BIGINT AS n
+  FROM sel WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM sel, thr
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '$Q22Dormant')
+GROUP BY c_nationkey
+ORDER BY c_nationkey""")
 }

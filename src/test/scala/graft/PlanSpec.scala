@@ -121,6 +121,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tpch q5/q17/q22 join shapes: dims broadcast, no pairwise products") {
+    val q5p = plan(analytics.TpchQueries.q5(spark, sf))
+    assert(collectAll(q5p) { case b: BroadcastHashJoinExec => b }.size >= 2,
+      "snowflake dims and supplier side must broadcast")
+    assert(collectAll(q5p) { case c: CartesianProductExec => c }.isEmpty)
+    val q17p = plan(analytics.TpchQueries.q17(spark, sf))
+    assert(collectAll(q17p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the brand-filtered part dim must broadcast into the fact scan")
+    assert(collectAll(q17p) { case c: CartesianProductExec => c }.isEmpty)
+    // q22's 1-row threshold must arrive as a broadcast (nested-loop with a
+    // singleton build side), never as a pairwise product
+    val q22p = plan(analytics.TpchQueries.q22(spark, sf))
+    assert(collectAll(q22p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("keyword search top-k is TakeOrderedAndProject, never a global sort") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     val p = plan(text.TextAnalysis.keywordSearch(spark, sf))
