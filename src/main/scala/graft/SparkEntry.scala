@@ -27,7 +27,8 @@ object SparkEntry {
       multimodal.Multimodal.all ++ sources.Sources.all ++
       streaming.Sessionize.all ++ analytics.WindowExtras.all ++
       warehouse.Reports.all ++ warehouse.Scd2.all ++ functions.SkewJoin.all ++
-      functions.BottomK.all ++ warehouse.SnapshotFacts.all
+      functions.BottomK.all ++ warehouse.SnapshotFacts.all ++
+      analytics.GraphOps.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -38,5 +39,6 @@ object SparkEntry {
       sources.Sources.oracle ++ streaming.Sessionize.oracle ++
       analytics.WindowExtras.oracle ++ warehouse.Reports.oracle ++
       warehouse.Scd2.oracle ++ functions.SkewJoin.oracle ++
-      functions.BottomK.oracle ++ warehouse.SnapshotFacts.oracle
+      functions.BottomK.oracle ++ warehouse.SnapshotFacts.oracle ++
+      analytics.GraphOps.oracle
 }

@@ -24,7 +24,7 @@ class PropertySpec extends SparkSpec {
       "text_keyword_search", "etl_cdc_apply", "dedup_containment",
       "text_vocab_coverage", "sim_recall_report", "dedup_family_agreement",
       "win_group_percentiles", "tpch_q18", "agg_kmv_distinct",
-      "agg_kmv_overlap", "tpch_q5", "tpch_q17", "tpch_q22",
+      "agg_kmv_overlap", "tpch_q5", "tpch_q17", "tpch_q22", "graph_pagerank",
       "wh_allocation_bridge", "agg_winsorized_mean", "sim_label_centroids",
       "tpch_q2", "tpch_q14")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -193,6 +193,35 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: distributed ranks equal a driver-side replay of the integer recurrence") {
+    import spark.implicits._
+    val G = analytics.GraphOps
+    val edges = G.tradeEdges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nations = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    var ranks: Map[Int, Long] = nations.keys.map(_ -> G.Scale).toMap
+    for (_ <- 1 to G.Iterations) {
+      val cin = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => ranks(s) * w / ow(s) }.sum
+      }
+      ranks = nations.keys.map(v =>
+        v -> (G.BaseNum * G.Scale / 100L
+          + G.DampNum * cin.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = G.pagerank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == nations.size)
+    for ((v, name) <- nations)
+      assert(got(name) == ranks(v), s"$name: ${got(name)} != ${ranks(v)}")
+    // mass check: total ≤ n (leak only via dangling truncation), ≥ base mass
+    val total = ranks.values.sum
+    assert(total <= nations.size * G.Scale
+      && total >= nations.size * G.BaseNum * G.Scale / 100L)
+  }
+
   test("snapshot diff: ledger matches the mutation gates exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
