@@ -136,6 +136,38 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(q22p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("tpch q21 decorrelates to ONE lineitem scan; full-suite joins stay sane") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the spec's EXISTS + NOT-EXISTS pair naively scans the fact three
+    // times; the decorrelated per-order aggregate must scan it exactly once
+    val q21p = plan(analytics.TpchQueries.q21(spark, sf))
+    val lineScans = collectAll(q21p) {
+      case f: FileSourceScanExec if f.toString.contains("lineitem") => f
+    }
+    assert(lineScans.size == 1,
+      s"q21 must fold both correlated subqueries into one fact scan, saw ${lineScans.size}")
+    assert(collectAll(q21p) { case c: CartesianProductExec => c }.isEmpty)
+    // the rest of the round-4 suite: every dim arrives broadcast and no
+    // join ever degenerates to a pairwise product (q11/q15's one-row
+    // scalar thresholds plan as broadcast nested-loop, not a product)
+    val dfs = Seq(
+      analytics.TpchQueries.q7(spark, sf),
+      analytics.TpchQueries.q8(spark, sf),
+      analytics.TpchQueries.q9(spark, sf),
+      analytics.TpchQueries.q10(spark, sf),
+      analytics.TpchQueries.q11(spark, sf),
+      analytics.TpchQueries.q15(spark, sf),
+      analytics.TpchQueries.q16(spark, sf),
+      analytics.TpchQueries.q19(spark, sf),
+      analytics.TpchQueries.q20(spark, sf))
+    for (df <- dfs) {
+      val p = plan(df)
+      assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        "dim sides must broadcast")
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    }
+  }
+
   test("keyword search top-k is TakeOrderedAndProject, never a global sort") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     val p = plan(text.TextAnalysis.keywordSearch(spark, sf))

@@ -26,7 +26,8 @@ class PropertySpec extends SparkSpec {
       "win_group_percentiles", "tpch_q18", "agg_kmv_distinct",
       "agg_kmv_overlap", "tpch_q5", "tpch_q17", "tpch_q22", "graph_pagerank",
       "wh_allocation_bridge", "agg_winsorized_mean", "sim_label_centroids",
-      "tpch_q2", "tpch_q14")
+      "tpch_q2", "tpch_q14", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+      "tpch_q11", "tpch_q15", "tpch_q19", "tpch_q21")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
