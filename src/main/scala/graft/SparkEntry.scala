@@ -28,7 +28,7 @@ object SparkEntry {
       streaming.Sessionize.all ++ analytics.WindowExtras.all ++
       warehouse.Reports.all ++ warehouse.Scd2.all ++ functions.SkewJoin.all ++
       functions.BottomK.all ++ warehouse.SnapshotFacts.all ++
-      analytics.GraphOps.all
+      analytics.GraphOps.all ++ warehouse.ZOrderLayout.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -40,5 +40,5 @@ object SparkEntry {
       analytics.WindowExtras.oracle ++ warehouse.Reports.oracle ++
       warehouse.Scd2.oracle ++ functions.SkewJoin.oracle ++
       functions.BottomK.oracle ++ warehouse.SnapshotFacts.oracle ++
-      analytics.GraphOps.oracle
+      analytics.GraphOps.oracle ++ warehouse.ZOrderLayout.oracle
 }

@@ -27,7 +27,8 @@ class PropertySpec extends SparkSpec {
       "agg_kmv_overlap", "tpch_q5", "tpch_q17", "tpch_q22", "graph_pagerank",
       "wh_allocation_bridge", "agg_winsorized_mean", "sim_label_centroids",
       "tpch_q2", "tpch_q14", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-      "tpch_q11", "tpch_q15", "tpch_q19", "tpch_q21")
+      "tpch_q11", "tpch_q15", "tpch_q19", "tpch_q21", "graph_triangles",
+      "wh_zorder_stats")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

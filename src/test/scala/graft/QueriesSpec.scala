@@ -222,6 +222,29 @@ class QueriesSpec extends SparkSpec {
       && total >= nations.size * G.BaseNum * G.Scale / 100L)
   }
 
+  test("triangles: degree-ordered counts equal a driver-side brute force") {
+    val G = analytics.GraphOps
+    val edges = G.coEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val adj = (u: Long, v: Long) =>
+      edges((u min v, u max v)) // coEdges normalizes u < v
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if adj(a, b) && adj(a, c) && adj(b, c)
+      n <- Seq(a, b, c)
+    } brute(n) = brute.getOrElse(n, 0L) + 1
+    val got = G.triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == brute.toMap,
+      s"per-node triangle counts differ: got ${got.size} nodes, want ${brute.size}")
+    // sf0.001's 10-supplier graph is complete at the co-occurrence
+    // threshold, so the expectation is known in closed form too
+    if (edges.size == nodes.size * (nodes.size - 1) / 2)
+      assert(brute.values.forall(_ == (nodes.size - 1).toLong * (nodes.size - 2) / 2))
+  }
+
   test("snapshot diff: ledger matches the mutation gates exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
