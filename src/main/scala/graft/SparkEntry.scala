@@ -28,7 +28,9 @@ object SparkEntry {
       streaming.Sessionize.all ++ analytics.WindowExtras.all ++
       warehouse.Reports.all ++ warehouse.Scd2.all ++ functions.SkewJoin.all ++
       functions.BottomK.all ++ warehouse.SnapshotFacts.all ++
-      analytics.GraphOps.all ++ warehouse.ZOrderLayout.all
+      analytics.GraphOps.all ++ warehouse.ZOrderLayout.all ++
+      analytics.EventSeq.all ++ text.TfIdf.all ++ similarity.Standardize.all ++
+      ingest.EtlExtras.all ++ analytics.TimeSeries.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -40,5 +42,8 @@ object SparkEntry {
       analytics.WindowExtras.oracle ++ warehouse.Reports.oracle ++
       warehouse.Scd2.oracle ++ functions.SkewJoin.oracle ++
       functions.BottomK.oracle ++ warehouse.SnapshotFacts.oracle ++
-      analytics.GraphOps.oracle ++ warehouse.ZOrderLayout.oracle
+      analytics.GraphOps.oracle ++ warehouse.ZOrderLayout.oracle ++
+      analytics.EventSeq.oracle ++ text.TfIdf.oracle ++
+      similarity.Standardize.oracle ++ ingest.EtlExtras.oracle ++
+      analytics.TimeSeries.oracle
 }

@@ -1,0 +1,148 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.Md5Hash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` stream: the Markov transition
+  * matrix (which event follows which) and a HyperLogLog distinct sketch —
+  * the two ops a product-analytics warehouse reaches for after funnels and
+  * retention (both already in [[Aggregates]]-land). The reference has no
+  * sequence ops (SURVEY §2.5 "not present"); these are extensions with full
+  * DuckDB oracle twins.
+  *
+  * Scale shape: transitions are one window pass partitioned by `user_id`
+  * (state per user fits trivially; the shuffle key is the natural cluster
+  * key) followed by a vocabulary-sized aggregate. The HLL sketch is the
+  * textbook 100 TB distinct-count: the per-partition state is 64 registers
+  * per group regardless of input rows, and register-max is a commutative
+  * partial aggregate, so the shuffle carries ≤ (groups × 64) rows no matter
+  * the scale factor.
+  */
+object EventSeq {
+
+  /** Per-user event-type transition matrix. `lag` over (ts, event_id) gives
+    * the previous event per user; counts aggregate to (from, to) cells and
+    * probabilities are the single-division ratio against the from-state
+    * total (exact on both engines). Dirty rows (null key/ts/type — the
+    * quarantine categories of [[graft.ingest.Ingest]]) are excluded so the
+    * sequence order is total.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seq = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" > 0 &&
+        $"ts".isNotNull && $"event_id".isNotNull && $"event_type".isNotNull)
+      .select($"user_id", $"event_type".as("to_type"),
+        lag($"event_type", 1).over(w).as("from_type"))
+      .filter($"from_type".isNotNull)
+    val cells = seq.groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy($"from_type").agg(sum($"n").as("row_total"))
+    cells.join(totals, "from_type")
+      .select($"from_type", $"to_type", $"n",
+        ($"n" * lit(1.0) / $"row_total").as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** HLL registers: m = 64 (p = 6). h32 gives 32 hash bits; the top 6 pick
+    * the register, the low 26 feed the rank. Rank = leading-zero count + 1
+    * over the 26-bit word, computed as `27 - bitlength(w)` via base-2
+    * string length — `conv(w,10,2)` (Spark) and `bin(w)` (DuckDB) both
+    * render without leading zeros, so the two engines agree bit-for-bit
+    * with no `log2` in sight (JVM log is 1-ulp, not correctly rounded).
+    */
+  val HllRegisters = 64
+  private val RegDivisor = 67108864L // 2^26: h DIV -> register, h MOD -> rank word
+
+  /** HLL distinct users per event type, next to the exact count and the
+    * relative error. Float-parity notes: every `1.0 / 2^m` register term is
+    * an exact power of two, so the register sum is exact in double no
+    * matter the shuffle merge order (a 33-bit total against a 53-bit
+    * mantissa) — the one float `sum()` shape that IS hash-safe across
+    * engines. The estimate is the raw HLL formula `α·m²/Z` without the
+    * small-range linear-counting correction: `m·ln(m/V)` needs `ln`, which
+    * is 1-ulp on the JVM and so never hash-comparable. The output carries
+    * `n_regs`, from which V = m − n_regs, so a consumer applies the
+    * correction as a trivial local transform when the raw estimate is
+    * < 2.5m (EventSeqSpec does exactly that); the oracle twin checks the
+    * raw formula bit-for-bit.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" > 0 && $"event_type".isNotNull)
+      .select($"event_type", $"user_id").distinct()
+    val hashed = pairs
+      .withColumn("h", Md5Hash.h32(concat(lit("hll:"), $"user_id".cast("string"))))
+      .withColumn("idx", expr(s"h DIV $RegDivisor"))
+      .withColumn("w", $"h" % RegDivisor)
+      .withColumn("rho",
+        when($"w" === 0, lit(27))
+          .otherwise(lit(27) - length(conv($"w".cast("string"), 10, 2))))
+    val regs = hashed.groupBy($"event_type", $"idx").agg(max($"rho").as("m"))
+    val sketch = regs.groupBy($"event_type").agg(
+      count(lit(1)).as("n_regs"),
+      sum(expr("1.0 / shiftleft(CAST(1 AS BIGINT), m)")).as("z_present"))
+    val exact = pairs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_exact")) // pairs are already distinct
+    sketch.join(exact, "event_type")
+      .withColumn("z", $"z_present" + (lit(HllRegisters) - $"n_regs") * lit(1.0))
+      .select($"event_type", $"n_exact", $"n_regs",
+        (lit(0.709) * lit(4096.0) / $"z").as("hll_estimate"),
+        ((lit(0.709) * lit(4096.0) / $"z" - $"n_exact") / $"n_exact").as("rel_err"))
+      .orderBy($"event_type")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_event_transitions" -> (transitions _),
+    "agg_hll_distinct" -> (hllDistinct _))
+
+  private val hllH32 = Md5Hash.h32Sql("'hll:' || CAST(user_id AS VARCHAR)")
+
+  val oracle: Map[String, String] = Map(
+    "agg_event_transitions" -> """WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND user_id > 0
+    AND ts IS NOT NULL AND event_id IS NOT NULL AND event_type IS NOT NULL),
+seq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM e),
+cells AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+totals AS (SELECT from_type, sum(n)::BIGINT AS row_total FROM cells GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n, c.n * 1.0 / t.row_total AS p
+FROM cells c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type""",
+
+    "agg_hll_distinct" -> s"""WITH pairs AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id > 0 AND event_type IS NOT NULL),
+h AS (
+  SELECT event_type, $hllH32 AS h
+  FROM pairs),
+r AS (
+  SELECT event_type, h // $RegDivisor AS idx,
+         CASE WHEN h % $RegDivisor = 0 THEN 27
+              ELSE 27 - length(bin(h % $RegDivisor)) END AS rho
+  FROM h),
+m AS (SELECT event_type, idx, max(rho) AS m FROM r GROUP BY 1, 2),
+z AS (
+  SELECT event_type, count(*)::BIGINT AS n_regs,
+         sum(1.0 / (1::BIGINT << m)) AS z_present
+  FROM m GROUP BY 1),
+x AS (SELECT event_type, count(*)::BIGINT AS n_exact FROM pairs GROUP BY 1)
+SELECT z.event_type, x.n_exact, z.n_regs,
+       0.709 * 4096.0 / (z_present + ($HllRegisters - n_regs) * 1.0)
+         AS hll_estimate,
+       (0.709 * 4096.0 / (z_present + ($HllRegisters - n_regs) * 1.0) - n_exact)
+         / n_exact AS rel_err
+FROM z JOIN x USING (event_type)
+ORDER BY event_type""")
+}

@@ -1,0 +1,166 @@
+package graft.ingest
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL hygiene beyond the reference's pipeline (SURVEY §2.2): schema
+  * evolution across feed generations, deterministic pseudonymization, and
+  * sequence-gap detection — the three ops a long-lived ingest grows into
+  * (feeds drift, compliance wants keys masked, upstream loses batches).
+  */
+object EtlExtras {
+
+  /** Old-generation rows (even event_id) arrive WITHOUT the later-added
+    * `value`/`props` columns.
+    */
+  private def isGen0 = pmod(col("event_id"), lit(2)) === 0
+
+  /** Ids are dropped in runs of [[GapRun]] to plant recoverable sequence
+    * gaps ((id div GapRun) ≡ 7 mod [[GapEvery]] — the raw feed is dense, so
+    * the detector must be fed genuine holes).
+    */
+  val GapRun = 10
+  val GapEvery = 50
+
+  private val evolveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Land the two feed generations as genuinely differently-schemaed parquet
+    * (gen0 lacks `value`/`props`), once per (app, corpus).
+    */
+  private def landGenerations(spark: SparkSession, dir: String): (String, String) =
+    evolveMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-evolve/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        val e = Tables.events(spark, dir)
+        e.filter(isGen0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .write.mode("overwrite").parquet(s"$base/gen0")
+        e.filter(!isGen0)
+          .write.mode("overwrite").parquet(s"$base/gen1")
+        (s"$base/gen0", s"$base/gen1")
+      })
+
+  /** Schema-evolution ingest: two feed generations land with drifted
+    * schemas; `Sources.unionEvolved` aligns them by NAME with declared
+    * defaults (value → 0.0, props → '{}'), and the result rolls up per
+    * generation so the back-fill is visible (`n_defaulted` = every gen0
+    * row). The same pair of directories read with parquet `mergeSchema`
+    * plans the identical union (EtlExtrasSpec pins the semantics).
+    *
+    * Scale shape: the union is metadata-only (no shuffle); the rollup is a
+    * 2-group aggregate with map-side partials.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (gen0, gen1) = landGenerations(spark, dir)
+    val g0 = spark.read.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING").parquet(gen0).withColumn("gen", lit(0))
+    val g1 = spark.read.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING").parquet(gen1)
+      .withColumn("gen", lit(1))
+    graft.sources.Sources.unionEvolved(
+      Seq(g0, g1),
+      Map("value" -> lit(0.0), "props" -> lit("{}")))
+      .groupBy($"gen")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when($"props" === "{}", 1)).as("n_defaulted"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("value_sum"),
+        countDistinct($"event_type").as("n_types"))
+      .orderBy($"gen")
+  }
+
+  /** Deterministic pseudonymization: `user_id` → salted md5 surrogate. The
+    * mapping is stable (same input, same surrogate — referential integrity
+    * across tables survives) yet the raw key never leaves the query. Output
+    * is the per-surrogate activity profile, proving the surrogate still
+    * joins/aggregates like the original key.
+    */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        md5(concat(lit("pseud:"), $"user_id".cast("string"))).as("user_key"),
+        $"event_type", $"ts")
+      .groupBy($"user_key")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        to_date(min($"ts")).as("first_date"),
+        to_date(max($"ts")).as("last_date"))
+      .orderBy($"user_key")
+  }
+
+  /** Sequence-gap detection (gaps-and-islands over the id space): report
+    * each missing [from, to] run of event_ids. One window pass ordered
+    * within the single id sequence; the planted drops make the detector's
+    * output non-trivial.
+    *
+    * Scale note: the global `lag` orders the whole id space — at 100 TB
+    * this runs per natural partition (day/shard) with only the per-
+    * partition boundary ids reconciled on the driver; the in-partition
+    * query is exactly this one.
+    */
+  def idGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = Tables.events(spark, dir)
+      .filter(pmod(expr(s"event_id DIV $GapRun"), lit(GapEvery)) =!= 7)
+      .select($"event_id")
+    val w = Window.orderBy($"event_id")
+    kept
+      .withColumn("prev_id", lag($"event_id", 1).over(w))
+      .filter($"prev_id".isNotNull && $"event_id" - $"prev_id" > 1)
+      .select(
+        ($"prev_id" + 1).as("gap_from"),
+        ($"event_id" - 1).as("gap_to"),
+        ($"event_id" - $"prev_id" - 1).as("gap_width"))
+      .orderBy($"gap_from")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> (schemaEvolution _),
+    "etl_pseudonymize" -> (pseudonymize _),
+    "etl_id_gaps" -> (idGaps _))
+
+  val oracle: Map[String, String] = Map(
+    // the oracle reconstructs the generation split semantically: gen0 rows
+    // are exactly the even event_ids with value/props default-filled
+    "src_schema_evolution" -> """WITH unioned AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS gen,
+         CASE WHEN event_id % 2 = 0 THEN 0.0 ELSE value END AS value,
+         CASE WHEN event_id % 2 = 0 THEN '{}' ELSE props END AS props
+  FROM events)
+SELECT gen, count(*)::BIGINT AS n,
+       count(CASE WHEN props = '{}' THEN 1 END)::BIGINT AS n_defaulted,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM unioned GROUP BY gen ORDER BY gen""",
+
+    "etl_pseudonymize" -> """SELECT
+  md5('pseud:' || CAST(user_id AS VARCHAR)) AS user_key,
+  count(*)::BIGINT AS n_events,
+  count(DISTINCT event_type)::BIGINT AS n_types,
+  CAST(min(ts) AS DATE) AS first_date,
+  CAST(max(ts) AS DATE) AS last_date
+FROM events
+GROUP BY 1 ORDER BY user_key""",
+
+    "etl_id_gaps" -> s"""WITH kept AS (
+  SELECT event_id FROM events
+  WHERE (event_id // $GapRun) % $GapEvery <> 7),
+seq AS (
+  SELECT event_id,
+         lag(event_id) OVER (ORDER BY event_id) AS prev_id
+  FROM kept)
+SELECT prev_id + 1 AS gap_from, event_id - 1 AS gap_to,
+       event_id - prev_id - 1 AS gap_width
+FROM seq
+WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+ORDER BY gap_from""")
+}

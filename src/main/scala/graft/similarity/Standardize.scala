@@ -1,0 +1,124 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-dimension feature scaling over the `embeddings` table: dimension
+  * statistics (mean / std / min / max) and the z-score standardization that
+  * quantizers and distance indexes want applied first (PQ codebooks and IVF
+  * cells both train badly on anisotropic dimensions).
+  *
+  * Cross-engine float parity is the whole design here: a per-dimension mean
+  * is a float `sum()` through a shuffle — merge-order-dependent and thus
+  * never hash-comparable raw. The fix is the [[IvfIndex]] fixed-point trick:
+  * quantize each component to `floor(v · 2^20)` (one exact IEEE multiply +
+  * exact floor), sum as DECIMAL (exact, order-independent), and divide back
+  * out at the end with a fixed expression shape shared by the DuckDB twin.
+  * Variance uses the integer computational formula `(n·Σq² − (Σq)²) / n²`
+  * entirely in DECIMAL — exact and non-negative by Cauchy-Schwarz — and
+  * `sqrt` is correctly rounded by IEEE spec, so the final std is bit-equal
+  * on both engines.
+  */
+object Standardize {
+
+  /** Fixed-point scale (2^20): components are ≲ 1 in magnitude, so q fits
+    * in 21 bits and q² in 42 — DECIMAL accumulation is exact at any row
+    * count, and 2^-20 quantization error is far below float32 input noise.
+    */
+  val Scale = 1048576L
+  private val ScaleSq = Scale * Scale // 2^40
+
+  /** Vectors standardized in the probe output (full standardization at scale
+    * is the same map-side join — bounded here for the dump).
+    */
+  val ProbeVecs = 20
+
+  /** Per-dimension n / mean / std / min / max.
+    *
+    * Scale shape: posexplode is map-side; the aggregate shuffles ≤ (dims ×
+    * partitions) partial rows thanks to partial aggregation — per-dimension
+    * stats over 100 TB move kilobytes.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    statsDf(spark, dir)
+      .select($"pos", $"n", $"mean", $"std", $"min_v", $"max_v")
+      .orderBy($"pos")
+  }
+
+  private def statsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v0")))
+      .select($"vec_id", $"pos", $"v0".cast("double").as("v"))
+      .withColumn("q", floor($"v" * lit(Scale.toDouble)).cast("long"))
+    e.groupBy($"pos").agg(
+      count(lit(1)).as("n"),
+      sum($"q".cast("decimal(38,0)")).as("sq"),
+      sum(($"q" * $"q").cast("decimal(38,0)")).as("sq2"),
+      min($"v").as("min_v"),
+      max($"v").as("max_v"))
+      .withColumn("mean",
+        ($"sq".cast("double") / $"n") / lit(Scale.toDouble))
+      .withColumn("std",
+        sqrt(($"n".cast("decimal(38,0)") * $"sq2" - $"sq" * $"sq").cast("double")
+          / ($"n".cast("double") * $"n".cast("double"))
+          / lit(ScaleSq.toDouble)))
+  }
+
+  /** Z-scored components for the first [[ProbeVecs]] vectors: `(v − mean) /
+    * std` against the full-corpus dimension statistics (broadcast — it is
+    * dimension-sized).
+    */
+  def standardize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = statsDf(spark, dir).select($"pos", $"mean", $"std")
+    val probe = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < ProbeVecs)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v0")))
+      .select($"vec_id", $"pos", $"v0".cast("double").as("v"))
+    probe.join(broadcast(stats), "pos")
+      .select($"vec_id", $"pos", $"v",
+        (($"v" - $"mean") / $"std").as("z"))
+      .orderBy($"vec_id", $"pos")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dim_stats" -> (dimStats _),
+    "sim_standardize" -> (standardize _))
+
+  /** The stats CTE shared by both oracles — expression shapes mirror
+    * [[statsDf]] exactly (`CAST(x AS DOUBLE)` ↔ `.cast("double")`, same
+    * operator order) so every float op is the identical IEEE op.
+    */
+  private val statsSql = s"""expl AS (
+  SELECT vec_id, (p - 1)::INT AS pos, CAST(embedding[p] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS p)),
+q AS (SELECT vec_id, pos, v, CAST(floor(v * ${Scale.toDouble}) AS BIGINT) AS q
+      FROM expl),
+stats AS (
+  SELECT pos, count(*)::BIGINT AS n,
+         sum(q::HUGEINT) AS sq, sum((q * q)::HUGEINT) AS sq2,
+         min(v) AS min_v, max(v) AS max_v
+  FROM q GROUP BY pos),
+st AS (
+  SELECT pos, n, min_v, max_v,
+         (CAST(sq AS DOUBLE) / n) / ${Scale.toDouble} AS mean,
+         sqrt(CAST(n::HUGEINT * sq2 - sq * sq AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+              / ${ScaleSq.toDouble}) AS std
+  FROM stats)"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_dim_stats" -> s"""WITH $statsSql
+SELECT pos, n, mean, std, min_v, max_v FROM st ORDER BY pos""",
+
+    "sim_standardize" -> s"""WITH $statsSql
+SELECT e.vec_id, e.pos, e.v, (e.v - st.mean) / st.std AS z
+FROM (SELECT vec_id, (p - 1)::INT AS pos, CAST(embedding[p] AS DOUBLE) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS p)
+      WHERE vec_id < $ProbeVecs) e
+JOIN st USING (pos)
+ORDER BY vec_id, pos""")
+}

@@ -28,7 +28,10 @@ class PropertySpec extends SparkSpec {
       "wh_allocation_bridge", "agg_winsorized_mean", "sim_label_centroids",
       "tpch_q2", "tpch_q14", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
       "tpch_q11", "tpch_q15", "tpch_q19", "tpch_q21", "graph_triangles",
-      "wh_zorder_stats")
+      "wh_zorder_stats", "agg_event_transitions", "agg_hll_distinct",
+      "sim_dim_stats", "sim_standardize", "text_tfidf_topk",
+      "text_boilerplate", "ts_seasonal_profile", "agg_equidepth_bins",
+      "win_cumulative_uniques", "src_schema_evolution")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
