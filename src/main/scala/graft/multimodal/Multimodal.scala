@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
@@ -267,7 +268,52 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Energy-jump threshold between consecutive frames that opens a new
+    * scene — ONE constant shared with the oracle (≈ the 65th percentile of
+    * observed jumps, so segmentation is neither one-scene-per-doc nor
+    * one-per-frame).
+    */
+  val SceneJump = 15000L
+
+  /** Scene segmentation over the video payloads: per-frame energies from
+    * the same byte kernel as [[audioEnergy]], then gaps-and-islands — a cut
+    * opens where the energy jump between consecutive frames exceeds
+    * [[SceneJump]], and `scene = running sum of cuts` labels each island.
+    * Per scene: frame span, size, exact total energy, mean energy.
+    *
+    * Scale shape: the kernel is the per-partition decode boundary (fixed-
+    * width rows out, media bytes never shuffle); both windows and the final
+    * rollup share the `doc_id` partitioning, so the whole segmentation is
+    * one shuffle.
+    */
+  def sceneSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = mediaTable(spark, dir)
+      .filter($"media_type" === "video")
+      .as[MediaIn]
+      .mapPartitions(audioKernel _)
+      .toDF()
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("jump", abs($"energy" - lag($"energy", 1).over(wOrd)))
+      .withColumn("cut",
+        when($"jump".isNull || $"jump" > SceneJump, 1).otherwise(0))
+      .withColumn("scene", sum($"cut").over(wRun))
+      .groupBy($"doc_id", $"scene")
+      .agg(
+        min($"frame_idx").as("start_frame"),
+        max($"frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum($"energy").as("scene_energy"))
+      .select($"doc_id", $"scene", $"start_frame", $"end_frame", $"n_frames",
+        $"scene_energy",
+        ($"scene_energy" * lit(1.0) / $"n_frames").as("avg_energy"))
+      .orderBy($"doc_id", $"scene")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_segments" -> (sceneSegments _),
     "mm_phash_dedup" -> (phashDedup _),
     "mm_audio_energy" -> (audioEnergy _),
     "mm_metadata" -> (metadata _),
@@ -278,6 +324,42 @@ object Multimodal {
   // DuckDB cannot slice BLOBs, but this corpus is pure ASCII (asserted by
   // MultimodalSpec), so char-wise VARCHAR ops equal Spark's byte-wise ops.
   val oracle: Map[String, String] = Map(
+    "mm_scene_segments" -> s"""WITH video AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+frames AS (
+  SELECT doc_id, f::INT AS frame_idx,
+         substring(text, f::INT * $FrameBytes + 1, $FrameBytes) AS fr
+  FROM video, LATERAL (
+    SELECT unnest(range(0,
+      (octet_length(encode(text)) + ${FrameBytes - 1}) // $FrameBytes)) AS f)),
+e AS (
+  SELECT doc_id, frame_idx,
+         list_sum(list_transform(string_split(fr, ''), c -> ascii(c)))::BIGINT
+           AS energy
+  FROM frames),
+d AS (
+  SELECT doc_id, frame_idx, energy,
+         abs(energy - lag(energy) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx)) AS jump
+  FROM e),
+c AS (
+  SELECT doc_id, frame_idx, energy,
+         CASE WHEN jump IS NULL OR jump > $SceneJump THEN 1 ELSE 0 END AS cut
+  FROM d),
+s AS (
+  SELECT doc_id, frame_idx, energy,
+         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS scene
+  FROM c),
+g AS (
+  SELECT doc_id, scene, min(frame_idx) AS start_frame,
+         max(frame_idx) AS end_frame, count(*)::BIGINT AS n_frames,
+         CAST(sum(energy) AS BIGINT) AS scene_energy
+  FROM s GROUP BY 1, 2)
+SELECT doc_id, scene, start_frame, end_frame, n_frames, scene_energy,
+       scene_energy * 1.0 / n_frames AS avg_energy
+FROM g ORDER BY doc_id, scene""",
     // the corpus text is ASCII, so byte values = ascii(char) in DuckDB —
     // the same identity the featurize oracle relies on
     "mm_audio_energy" -> s"""WITH audio AS (

@@ -60,10 +60,11 @@ object TfIdf {
     *
     * Scale shape: the distinct (doc, shingle) projection and the doc-
     * frequency count both shuffle on the shingle hash — uniform by
-    * construction; the boilerplate join is a plain equi-join on the same
-    * key (already co-partitioned with the frequency count, so Catalyst
-    * reuses the exchange), and the per-doc rollup shuffles on `doc_id`.
-    * No step holds more than a vocabulary of shingles per group.
+    * construction. The surviving boilerplate set is far smaller than the
+    * shingle universe (frequency-filtered), so the tagging join broadcasts
+    * (confirmed in the plan); if the corpus ever pushes it past the
+    * broadcast threshold, AQE falls back to a shuffle equi-join on the
+    * same key. The per-doc rollup shuffles on `doc_id`.
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

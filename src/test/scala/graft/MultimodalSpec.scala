@@ -98,6 +98,25 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resizeChecked(spark, sf).collect().map(_.toString)))
   }
 
+  test("scene segments tile each video's frames contiguously") {
+    val byDoc = Multimodal.sceneSegments(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, segs) =>
+      val ordered = segs.sortBy(_.getLong(1))
+      assert(ordered.head.getLong(1) == 1L) // first cut opens scene 1
+      assert(ordered.head.getInt(2) == 0) // ... at frame 0
+      ordered.foreach(s =>
+        assert(s.getLong(4) == s.getInt(3) - s.getInt(2) + 1L))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) == a.getLong(1) + 1) // dense scene ids
+          assert(b.getInt(2) == a.getInt(3) + 1) // contiguous frame spans
+        case _ =>
+      }
+    }
+  }
+
   test("corpus is pure ASCII (precondition for the VARCHAR-based oracle)") {
     // the DuckDB oracle slices VARCHAR (it cannot slice BLOBs); equality of
     // byte length and char length over the whole corpus is the precondition

@@ -31,7 +31,7 @@ class PropertySpec extends SparkSpec {
       "wh_zorder_stats", "agg_event_transitions", "agg_hll_distinct",
       "sim_dim_stats", "sim_standardize", "text_tfidf_topk",
       "text_boilerplate", "ts_seasonal_profile", "agg_equidepth_bins",
-      "win_cumulative_uniques", "src_schema_evolution")
+      "win_cumulative_uniques", "src_schema_evolution", "mm_scene_segments")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
