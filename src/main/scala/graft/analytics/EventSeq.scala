@@ -48,15 +48,22 @@ object EventSeq {
       .orderBy($"from_type", $"to_type")
   }
 
-  /** HLL registers: m = 64 (p = 6). h32 gives 32 hash bits; the top 6 pick
-    * the register, the low 26 feed the rank. Rank = leading-zero count + 1
-    * over the 26-bit word, computed as `27 - bitlength(w)` via base-2
-    * string length — `conv(w,10,2)` (Spark) and `bin(w)` (DuckDB) both
-    * render without leading zeros, so the two engines agree bit-for-bit
-    * with no `log2` in sight (JVM log is 1-ulp, not correctly rounded).
+  /** HLL registers: m = 2^p with p = [[HllP]]. h32 gives 32 hash bits; the
+    * top p pick the register, the low 32−p feed the rank. Rank =
+    * leading-zero count + 1 over the (32−p)-bit word, computed as
+    * `RankBase − bitlength(w)` via base-2 string length — `conv(w,10,2)`
+    * (Spark) and `bin(w)` (DuckDB) both render without leading zeros, so
+    * the two engines agree bit-for-bit with no `log2` in sight (JVM log is
+    * 1-ulp, not correctly rounded). Every derived constant below flows
+    * from [[HllP]] and is interpolated into BOTH engines' plans, so a
+    * register-count change cannot desynchronize the twins.
     */
-  val HllRegisters = 64
-  private val RegDivisor = 67108864L // 2^26: h DIV -> register, h MOD -> rank word
+  val HllP = 6
+  val HllRegisters: Int = 1 << HllP // 64
+  private val RegDivisor = 1L << (32 - HllP) // 2^26: h DIV -> register, h MOD -> rank word
+  private val RankBase = 32 - HllP + 1 // 27: rank of the all-zero word
+  private val HllAlpha = 0.709 // α_64 from the HLL paper (α is a per-m lookup)
+  private val HllM2 = (1L << (2 * HllP)).toDouble // m² = 4096.0
 
   /** HLL distinct users per event type, next to the exact count and the
     * relative error. Float-parity notes: every `1.0 / 2^m` register term is
@@ -81,19 +88,21 @@ object EventSeq {
       .withColumn("idx", expr(s"h DIV $RegDivisor"))
       .withColumn("w", $"h" % RegDivisor)
       .withColumn("rho",
-        when($"w" === 0, lit(27))
-          .otherwise(lit(27) - length(conv($"w".cast("string"), 10, 2))))
+        when($"w" === 0, lit(RankBase))
+          .otherwise(lit(RankBase) - length(conv($"w".cast("string"), 10, 2))))
     val regs = hashed.groupBy($"event_type", $"idx").agg(max($"rho").as("m"))
     val sketch = regs.groupBy($"event_type").agg(
       count(lit(1)).as("n_regs"),
-      sum(expr("1.0 / shiftleft(CAST(1 AS BIGINT), m)")).as("z_present"))
+      // 1.0D: the SQL literal 1.0 parses as DECIMAL in Spark (but DOUBLE in
+      // DuckDB) — the division must be the identical IEEE double op
+      sum(expr("1.0D / shiftleft(CAST(1 AS BIGINT), m)")).as("z_present"))
     val exact = pairs.groupBy($"event_type")
       .agg(count(lit(1)).as("n_exact")) // pairs are already distinct
     sketch.join(exact, "event_type")
       .withColumn("z", $"z_present" + (lit(HllRegisters) - $"n_regs") * lit(1.0))
       .select($"event_type", $"n_exact", $"n_regs",
-        (lit(0.709) * lit(4096.0) / $"z").as("hll_estimate"),
-        ((lit(0.709) * lit(4096.0) / $"z" - $"n_exact") / $"n_exact").as("rel_err"))
+        (lit(HllAlpha) * lit(HllM2) / $"z").as("hll_estimate"),
+        ((lit(HllAlpha) * lit(HllM2) / $"z" - $"n_exact") / $"n_exact").as("rel_err"))
       .orderBy($"event_type")
   }
 
@@ -129,19 +138,19 @@ h AS (
   FROM pairs),
 r AS (
   SELECT event_type, h // $RegDivisor AS idx,
-         CASE WHEN h % $RegDivisor = 0 THEN 27
-              ELSE 27 - length(bin(h % $RegDivisor)) END AS rho
+         CASE WHEN h % $RegDivisor = 0 THEN $RankBase
+              ELSE $RankBase - length(bin(h % $RegDivisor)) END AS rho
   FROM h),
 m AS (SELECT event_type, idx, max(rho) AS m FROM r GROUP BY 1, 2),
 z AS (
   SELECT event_type, count(*)::BIGINT AS n_regs,
-         sum(1.0 / (1::BIGINT << m)) AS z_present
+         sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << m)) AS z_present
   FROM m GROUP BY 1),
 x AS (SELECT event_type, count(*)::BIGINT AS n_exact FROM pairs GROUP BY 1)
 SELECT z.event_type, x.n_exact, z.n_regs,
-       0.709 * 4096.0 / (z_present + ($HllRegisters - n_regs) * 1.0)
+       $HllAlpha * $HllM2 / (z_present + ($HllRegisters - n_regs) * 1.0)
          AS hll_estimate,
-       (0.709 * 4096.0 / (z_present + ($HllRegisters - n_regs) * 1.0) - n_exact)
+       ($HllAlpha * $HllM2 / (z_present + ($HllRegisters - n_regs) * 1.0) - n_exact)
          / n_exact AS rel_err
 FROM z JOIN x USING (event_type)
 ORDER BY event_type""")

@@ -29,6 +29,10 @@ object TimeSeries {
   def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hourly = Tables.events(spark, dir)
+      // null-rejecting on the grouping/measure columns: Spark and DuckDB
+      // disagree on NULL sort/group placement, so dirty rows are excluded
+      // EXPLICITLY on both engines rather than by accident of defaults
+      .filter($"ts".isNotNull && $"event_type".isNotNull && $"value".isNotNull)
       .select($"event_type", hour($"ts").as("hh"),
         $"value".cast("decimal(12,2)").as("v"))
       .groupBy($"event_type", $"hh")
@@ -51,6 +55,10 @@ object TimeSeries {
   def cumulativeUniques(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val firstSeen = Tables.events(spark, dir)
+      // a user whose every ts is NULL would get a NULL first-seen date and
+      // land on opposite ends of the two engines' date orders — filter,
+      // mirrored in the oracle
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
       .groupBy($"user_id")
       .agg(to_date(min($"ts")).as("event_date"))
     val daily = firstSeen.groupBy($"event_date")
@@ -77,6 +85,10 @@ object TimeSeries {
     import spark.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
     Tables.events(spark, dir)
+      // NULLs sort first in Spark, last in DuckDB — tile assignment must
+      // never see one
+      .filter($"event_type".isNotNull && $"event_id".isNotNull &&
+        $"value".isNotNull)
       .select($"event_type", $"event_id", $"value")
       .withColumn("bin", ntile(Bins).over(w))
       .groupBy($"event_type", $"bin")
@@ -94,7 +106,9 @@ object TimeSeries {
     "ts_seasonal_profile" -> """WITH hourly AS (
   SELECT event_type, hour(ts)::INT AS hh, count(*)::BIGINT AS n,
          sum(CAST(value AS DECIMAL(12,2))) AS v_sum
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
 totals AS (SELECT event_type, sum(n)::BIGINT AS type_total FROM hourly GROUP BY 1)
 SELECT h.event_type, h.hh, h.n,
        CAST(v_sum AS DOUBLE) / h.n AS avg_value,
@@ -104,7 +118,9 @@ ORDER BY event_type, hh""",
 
     "win_cumulative_uniques" -> """WITH first_seen AS (
   SELECT user_id, CAST(min(ts) AS DATE) AS event_date
-  FROM events GROUP BY 1),
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1),
 daily AS (
   SELECT event_date, count(*)::BIGINT AS n_new FROM first_seen GROUP BY 1)
 SELECT event_date, n_new,
@@ -118,7 +134,9 @@ ORDER BY event_date""",
   SELECT event_type, value,
          ntile($Bins) OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS bin
-  FROM events)
+  FROM events
+  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL)
 SELECT event_type, bin::INT AS bin, count(*)::BIGINT AS n,
        min(value) AS lo, max(value) AS hi
 FROM binned

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
 object EtlExtras {
 
   /** Old-generation rows (even event_id) arrive WITHOUT the later-added
-    * `value`/`props` columns.
+    * `value`/`props` columns. The id filter is null-rejecting on BOTH
+    * branches (pmod(NULL) is NULL → neither generation), so the oracle
+    * mirrors it with an explicit `event_id IS NOT NULL`.
     */
   private def isGen0 = pmod(col("event_id"), lit(2)) === 0
 
@@ -131,11 +133,16 @@ object EtlExtras {
     // the oracle reconstructs the generation split semantically: gen0 rows
     // are exactly the even event_ids with value/props default-filled
     "src_schema_evolution" -> """WITH unioned AS (
+  -- mirrors the Spark side exactly: NULL event_ids fall out of BOTH
+  -- generation filters, and unionEvolved's declared defaults coalesce a
+  -- naturally-NULL gen1 value/props too, not just the gen0 back-fill
   SELECT event_id, event_type,
          CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS gen,
-         CASE WHEN event_id % 2 = 0 THEN 0.0 ELSE value END AS value,
-         CASE WHEN event_id % 2 = 0 THEN '{}' ELSE props END AS props
-  FROM events)
+         CASE WHEN event_id % 2 = 0 THEN 0.0 ELSE coalesce(value, 0.0) END
+           AS value,
+         CASE WHEN event_id % 2 = 0 THEN '{}' ELSE coalesce(props, '{}') END
+           AS props
+  FROM events WHERE event_id IS NOT NULL)
 SELECT gen, count(*)::BIGINT AS n,
        count(CASE WHEN props = '{}' THEN 1 END)::BIGINT AS n_defaulted,
        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
