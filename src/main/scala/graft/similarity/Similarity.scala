@@ -105,6 +105,47 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Negatives sampled per anchor in [[contrastivePairs]]. */
+  val NumNeg = 4
+
+  /** Contrastive training-pair generation: for each probe anchor, the
+    * hardest positive (nearest neighbor by cosine) plus [[NumNeg]]
+    * hash-sampled random negatives — the (anchor, positive, negatives)
+    * tuples an embedding fine-tune consumes. Negative selection ranks
+    * candidates by the seeded md5 h32 of the (anchor, candidate) pair, so
+    * the sample is uniform, collision-free per anchor, and bit-identical
+    * across engines and runs (a `rand()` sample would be neither).
+    *
+    * Scale shape: same probe-broadcast × corpus single pass as
+    * [[bruteForceTopK]] — the two rankings are windows over the one scored
+    * frame, sharing its shuffle on `query_id`.
+    */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter($"vec_id" < NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val scored = broadcast(probes).crossJoin(
+        e.select($"vec_id".as("cand_id"), $"embedding".as("c_emb")))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("cos", expr("graft_cosine(q_emb, c_emb)"))
+      .withColumn("h", graft.functions.Md5Hash.h32(concat(
+        lit("neg:"), $"query_id".cast("string"),
+        lit(":"), $"cand_id".cast("string"))))
+    val wPos = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    val wNeg = Window.partitionBy($"query_id").orderBy($"h", $"cand_id")
+    val pos = scored
+      .withColumn("rk", row_number().over(wPos)).filter($"rk" === 1)
+      .select($"query_id", $"cand_id", lit("pos").as("kind"), $"rk",
+        round2($"cos").as("cosine_r2"))
+    val neg = scored
+      .withColumn("rk", row_number().over(wNeg)).filter($"rk" <= NumNeg)
+      .select($"query_id", $"cand_id", lit("neg").as("kind"), $"rk",
+        round2($"cos").as("cosine_r2"))
+    pos.unionByName(neg).orderBy($"query_id", $"kind", $"rk")
+  }
+
   /** Symmetric per-vector int8 quantization ledger — the storage format a
     * 100 TB embedding store actually keeps (4× smaller than float32, and the
     * candidate scans of the ANN paths read int8 just as happily). Per vector:
@@ -282,6 +323,7 @@ object Similarity {
     "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "sim_contrastive_pairs" -> (contrastivePairs _),
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.topK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)),
@@ -405,6 +447,28 @@ FROM pairs WHERE cos >= 0.4
 ORDER BY vec_a, vec_b""",
 
     "sim_bruteforce_topk" -> bruteForceOracleSql,
+    "sim_contrastive_pairs" -> s"""WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
+         ${cosSql("q.embedding", "n.embedding")} AS cos,
+         ${graft.functions.Md5Hash.h32Sql(
+      "'neg:' || CAST(q.vec_id AS VARCHAR) || ':' || CAST(n.vec_id AS VARCHAR)")} AS h
+  FROM embeddings q JOIN embeddings n
+    ON q.vec_id < $NumProbes AND q.vec_id <> n.vec_id),
+pos AS (
+  SELECT query_id, cand_id, 'pos' AS kind, rk, cos FROM (
+    SELECT query_id, cand_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cand_id) AS rk
+    FROM scored) WHERE rk = 1),
+neg AS (
+  SELECT query_id, cand_id, 'neg' AS kind, rk, cos FROM (
+    SELECT query_id, cand_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY h, cand_id) AS rk
+    FROM scored) WHERE rk <= $NumNeg)
+SELECT query_id, cand_id, kind, rk, ${r2("cos")} AS cosine_r2
+FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+ORDER BY query_id, kind, rk""",
 
     // full-pipeline DuckDB twins (md5-derived hyperplanes / seeds, exact
     // fixed-point k-means — see RandomHyperplaneLsh and IvfIndex scaladocs);

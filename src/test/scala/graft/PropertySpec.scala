@@ -31,7 +31,8 @@ class PropertySpec extends SparkSpec {
       "wh_zorder_stats", "agg_event_transitions", "agg_hll_distinct",
       "sim_dim_stats", "sim_standardize", "text_tfidf_topk",
       "text_boilerplate", "ts_seasonal_profile", "agg_equidepth_bins",
-      "win_cumulative_uniques", "src_schema_evolution", "mm_scene_segments")
+      "win_cumulative_uniques", "src_schema_evolution", "mm_scene_segments",
+      "sim_contrastive_pairs")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

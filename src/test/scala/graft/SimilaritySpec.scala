@@ -171,6 +171,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("contrastive pairs: one hardest positive dominating its negatives") {
+    val byAnchor = Similarity.contrastivePairs(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byAnchor.size == Similarity.NumProbes)
+    byAnchor.foreach { case (_, rows) =>
+      val (pos, neg) = rows.partition(_.getString(2) == "pos")
+      assert(pos.length == 1)
+      assert(neg.length == Similarity.NumNeg)
+      assert(neg.map(_.getLong(1)).distinct.length == neg.length)
+      // the positive is the global max cosine, so it dominates any sample
+      neg.foreach(n => assert(pos.head.getDouble(4) >= n.getDouble(4)))
+    }
+  }
+
   test("LSH signatures are deterministic") {
     Similarity.register(spark)
     val dim = Tables.embeddings(spark, sf)
