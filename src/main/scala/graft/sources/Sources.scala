@@ -248,6 +248,60 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** Rows corrupted in the landed CSV feed: every id with this residue mod
+    * [[CsvCorruptEvery]] becomes a single-field junk line.
+    */
+  val CsvCorruptEvery = 101
+  val CsvCorruptAt = 13
+
+  private val csvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CSV feed ingest with malformed-row quarantine — the other interchange
+    * format next to [[jsonlIngest]], plus the failure mode JSONL doesn't
+    * have (arity drift: truncated/garbage lines). The operator lands the
+    * events feed as CSV once per (app, corpus) with deterministic planted
+    * corruption, then reads it back with an EXPLICIT schema in PERMISSIVE
+    * mode and `columnNameOfCorruptRecord` — bad lines surface as data (the
+    * quarantine column) instead of failing the job or silently vanishing
+    * (DROPMALFORMED). Output is the clean feed; SourcesSpec pins that clean
+    * + quarantined = landed, and that exactly the planted lines quarantine.
+    *
+    * Scale shape: CSV parse is map-side (one pass, no shuffle but the
+    * presentation sort); the corrupt-or-not split never re-reads the feed.
+    */
+  def csvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    csvRead(spark, dir)
+      .filter(col("_corrupt").isNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private[graft] def csvRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = csvMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = s"${sys.props("java.io.tmpdir")}/graft-csv/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        Tables.events(spark, dir)
+          .select(when(
+            pmod(col("event_id"), lit(CsvCorruptEvery)) === CsvCorruptAt,
+            concat(lit("GARBAGE|"), col("event_id").cast("string")))
+            .otherwise(concat_ws(",",
+              col("event_id"), col("user_id"), col("event_type"),
+              col("value").cast("string")))
+            .as("line"))
+          .write.mode("overwrite").text(p)
+        p
+      })
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+  }
+
   /** Schema-evolution union: land batches whose schemas drifted (columns
     * added over time) as ONE frame. `unionByName(allowMissingColumns)`
     * aligns by NAME (positional union would silently misassign columns —
@@ -274,7 +328,8 @@ object Sources {
     "src_word_frequency" -> (wordFrequency _),
     "src_volume_encounters" -> (volumeEncounters _),
     "src_volume_procedures" -> (volumeProcedures _),
-    "src_jsonl_roundtrip" -> (jsonlIngest _))
+    "src_jsonl_roundtrip" -> (jsonlIngest _),
+    "src_csv_quarantine" -> (csvQuarantine _))
 
   /** DuckDB h32 of a VARCHAR expression (shared parity base). */
   private def H(e: String): String = Md5Hash.h32Sql(e)
@@ -361,6 +416,13 @@ ORDER BY encounter_id, proc_seq"""
     // the JSONL round trip must reproduce the parquet table losslessly
     "src_jsonl_roundtrip" -> """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+
+    // the CSV round trip drops exactly the planted-corrupt lines; double
+    // formatting round-trips losslessly (shortest-repr write, exact parse)
+    "src_csv_quarantine" -> s"""SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_id % $CsvCorruptEvery <> $CsvCorruptAt
+ORDER BY event_id""",
 
     "src_seeded_sample" -> """SELECT event_id, ts, user_id, event_type, value
 FROM events

@@ -429,4 +429,21 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("ReadSchema: struct<l_returnflag:string>"),
       s"scan should read exactly the grouped column:\n${s.take(600)}")
   }
+
+  test("HLL sketch + exact twin share ONE distinct scan (AQE exchange reuse)") {
+    // the sketch and its exact-count twin both aggregate the same distinct
+    // (event_type, user_id) projection; at runtime AQE must fuse them into
+    // one scan + one distinct exchange, or the query pays the corpus scan
+    // twice at 100 TB
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = analytics.EventSeq.hllDistinct(spark, sf)
+    df.collect() // reuse is decided adaptively — inspect the FINAL plan
+    val p = plan(df)
+    assert(collectAll(p) { case r: ReusedExchangeExec => r }.nonEmpty,
+      s"distinct-pairs exchange not reused:\n${p.toString.take(600)}")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.length == 1,
+      s"expected one events scan after reuse, saw ${scans.length}")
+  }
 }

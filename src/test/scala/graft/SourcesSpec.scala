@@ -221,4 +221,21 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
       "partition filter must reach the scan")
   }
+
+  test("CSV quarantine: clean + quarantined = landed, exactly the planted lines") {
+    val landed = Tables.events(spark, sf).count()
+    // Spark disallows queries touching ONLY the corrupt column
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the parse once and
+    // split locally, exactly the caching the error message prescribes
+    val rows = Sources.csvRead(spark, sf).collect()
+    val (bad, clean) = rows.partition(_.getAs[String]("_corrupt") != null)
+    assert(clean.length + bad.length == landed)
+    val expectedBad = Tables.events(spark, sf)
+      .filter(pmod($"event_id", lit(Sources.CsvCorruptEvery))
+        === Sources.CsvCorruptAt).count()
+    assert(bad.length == expectedBad)
+    assert(expectedBad > 0, "corruption must actually be planted")
+    // every quarantined line is a planted GARBAGE line, raw text preserved
+    assert(bad.forall(_.getAs[String]("_corrupt").startsWith("GARBAGE|")))
+  }
 }
