@@ -97,12 +97,52 @@ object TimeSeries {
       .orderBy($"event_type", $"bin")
   }
 
+  /** Monthly revenue rebased to the first period = 100 — the indexed-series
+    * shape every "growth since launch" chart is. Revenue accumulates as
+    * exact DECIMAL; the rebase is two fixed-shape IEEE ops against the
+    * `first_value` of the bounded month spine.
+    *
+    * Scale shape: the monthly rollup collapses map-side; the unpartitioned
+    * `first_value` window runs over |months| rows — a plan constant, not a
+    * data-scale sort.
+    */
+  def rebaseIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy($"ym")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("first_rev", first($"rev").over(w))
+      .select($"ym", $"rev".cast("double").as("revenue"),
+        (($"rev".cast("double") / $"first_rev".cast("double")) * lit(100.0))
+          .as("idx"))
+      .orderBy($"ym")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_seasonal_profile" -> (seasonalProfile _),
+    "ts_rebase_index" -> (rebaseIndex _),
     "win_cumulative_uniques" -> (cumulativeUniques _),
     "agg_equidepth_bins" -> (equidepthBins _))
 
   val oracle: Map[String, String] = Map(
+    "ts_rebase_index" -> """WITH monthly AS (
+  SELECT (year(o_orderdate)::INT * 100 + month(o_orderdate)::INT) AS ym,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+based AS (
+  SELECT ym, rev,
+         first_value(rev) OVER (ORDER BY ym
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS first_rev
+  FROM monthly)
+SELECT ym, CAST(rev AS DOUBLE) AS revenue,
+       (CAST(rev AS DOUBLE) / CAST(first_rev AS DOUBLE)) * 100.0 AS idx
+FROM based
+ORDER BY ym""",
+
     "ts_seasonal_profile" -> """WITH hourly AS (
   SELECT event_type, hour(ts)::INT AS hh, count(*)::BIGINT AS n,
          sum(CAST(value AS DECIMAL(12,2))) AS v_sum

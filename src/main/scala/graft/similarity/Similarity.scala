@@ -105,6 +105,37 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** k-NN classification over the labeled embeddings: each probe's label
+    * predicted by majority vote of its [[TopK]] exact nearest neighbors
+    * (ties → smaller label id), reported beside the true label — the
+    * labeled-corpus quality check run before trusting an index for
+    * retrieval-augmented labeling.
+    *
+    * Scale shape: reuses [[bruteForceTopK]]'s probe-broadcast scan; the
+    * label join keys on `neighbor_id` (corpus-partition-friendly), votes
+    * and the argmax window both shuffle on `query_id` — probe-set-sized.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val labels = e.select($"vec_id", $"label")
+    val votes = bruteForceTopK(spark, dir)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy($"query_id")
+      .orderBy($"votes".desc, $"label")
+    votes
+      .withColumn("vr", row_number().over(wVote))
+      .filter($"vr" === 1)
+      .withColumnRenamed("label", "predicted_label")
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "true_label"), "query_id")
+      .select($"query_id", $"true_label", $"predicted_label", $"votes",
+        ($"true_label" === $"predicted_label").as("correct"))
+      .orderBy($"query_id")
+  }
+
   /** Negatives sampled per anchor in [[contrastivePairs]]. */
   val NumNeg = 4
 
@@ -324,6 +355,7 @@ object Similarity {
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_contrastive_pairs" -> (contrastivePairs _),
+    "sim_knn_classify" -> (knnClassify _),
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.topK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)),
@@ -447,6 +479,32 @@ FROM pairs WHERE cos >= 0.4
 ORDER BY vec_a, vec_b""",
 
     "sim_bruteforce_topk" -> bruteForceOracleSql,
+    "sim_knn_classify" -> s"""WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ${cosSql("q.embedding", "n.embedding")} AS cos
+  FROM embeddings q JOIN embeddings n
+    ON q.vec_id < $NumProbes AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored),
+votes AS (
+  SELECT r.query_id, e.label, count(*)::BIGINT AS votes
+  FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+  WHERE r.rank <= $TopK
+  GROUP BY 1, 2),
+best AS (
+  SELECT query_id, label AS predicted_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes)
+SELECT b.query_id, q.label AS true_label, b.predicted_label, b.votes,
+       (q.label = b.predicted_label) AS correct
+FROM best b JOIN embeddings q ON b.query_id = q.vec_id
+WHERE b.vr = 1
+ORDER BY query_id""",
+
     "sim_contrastive_pairs" -> s"""WITH scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
          ${cosSql("q.embedding", "n.embedding")} AS cos,

@@ -56,6 +56,15 @@ class EtlExtrasSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == nUsers)
   }
 
+  test("rebased index starts at exactly 100") {
+    val rows = TimeSeries.rebaseIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getDouble(2) == 100.0)
+    rows.foreach(r => assert(r.getDouble(2) > 0))
+    val yms = rows.map(_.getInt(0))
+    assert(yms.sameElements(yms.sorted))
+  }
+
   test("equi-depth bins partition each type evenly with nested spans") {
     val byType = TimeSeries.equidepthBins(spark, sf).collect()
       .groupBy(_.getString(0))

@@ -185,6 +185,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn classification votes are well-formed per probe") {
+    val rows = Similarity.knnClassify(spark, sf).collect()
+    assert(rows.length == Similarity.NumProbes)
+    rows.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= Similarity.TopK)
+      assert(r.getBoolean(4) == (r.getInt(1) == r.getInt(2)))
+    }
+  }
+
   test("LSH signatures are deterministic") {
     Similarity.register(spark)
     val dim = Tables.embeddings(spark, sf)
