@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Lazy self-registration path for the DataFrame API (no session config
+    * needed): installs every native function as a temp function with the
+    * SAME arity-guarded builders the extension path uses. Idempotent.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
+
   /** Arity gate: a named, actionable error at analysis time instead of a
     * raw IndexOutOfBounds from a blind `args(i)`.
     */
@@ -51,6 +61,11 @@ object GraftExtensions {
       arity("graft_plane_dot", 2,
         "graft_plane_dot(array<float>, array<bigint> plane literal)") {
         args => graft.functions.PlaneDot(args(0), args(1)) }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+        "graft_dot"),
+      arity("graft_dot", 2, "graft_dot(array<float>, array<float>)") {
+        args => graft.functions.DotProduct(args(0), args(1)) }),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
         "graft_winnow"),

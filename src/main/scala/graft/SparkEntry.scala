@@ -30,7 +30,8 @@ object SparkEntry {
       functions.BottomK.all ++ warehouse.SnapshotFacts.all ++
       analytics.GraphOps.all ++ warehouse.ZOrderLayout.all ++
       analytics.EventSeq.all ++ text.TfIdf.all ++ similarity.Standardize.all ++
-      ingest.EtlExtras.all ++ analytics.TimeSeries.all
+      ingest.EtlExtras.all ++ analytics.TimeSeries.all ++
+      similarity.SemDedup.all ++ warehouse.IncrementalAgg.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -45,5 +46,6 @@ object SparkEntry {
       analytics.GraphOps.oracle ++ warehouse.ZOrderLayout.oracle ++
       analytics.EventSeq.oracle ++ text.TfIdf.oracle ++
       similarity.Standardize.oracle ++ ingest.EtlExtras.oracle ++
-      analytics.TimeSeries.oracle
+      analytics.TimeSeries.oracle ++ similarity.SemDedup.oracle ++
+      warehouse.IncrementalAgg.oracle
 }

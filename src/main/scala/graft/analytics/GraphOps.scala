@@ -160,9 +160,54 @@ object GraphOps {
       .orderBy($"triangles".desc, $"s_suppkey")
   }
 
+  /** BFS seed nation and relaxation rounds (graph diameter here is small;
+    * the round count is the hop horizon, unrolled identically in the twin).
+    */
+  val BfsSeed = 0
+  val BfsRounds = 3
+
+  /** Single-source BFS hop distances over the directed trade network — the
+    * third iterative-graph class beside PageRank (value propagation) and
+    * connected components (label propagation): frontier expansion with
+    * min-distance relaxation. Unreachable nations within [[BfsRounds]] hops
+    * are excluded (their distance is still unknown, not infinite).
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ current distances on
+    * src) plus a min-aggregate on dst — the same one-shuffle-per-round loop
+    * as [[graft.dedup.DupClusters]]; nothing ever collects to the driver.
+    * On a billion-edge graph the win over the naive "shortest path by
+    * repeated self-join" is that the state table carries ONE row per
+    * vertex, not one row per path.
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = tradeEdges(spark, dir).select($"src", $"dst").distinct()
+    val nodes = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("v"), $"n_name")
+    var dist = nodes.select($"v",
+      when($"v" === BfsSeed, lit(0)).otherwise(lit(null).cast("int")).as("d"))
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = edges
+        .join(dist.filter($"d".isNotNull).select($"v".as("sv"), $"d"),
+          $"src" === $"sv")
+        .groupBy($"dst").agg(min($"d" + 1).as("nd"))
+      dist = dist.join(relaxed, dist("v") === relaxed("dst"), "left")
+        // explicit null-CASE rather than least(): Spark's least() skips
+        // NULLs but that behavior is not mirrored verbatim in the twin
+        .select(dist("v"),
+          when($"d".isNull, $"nd").when($"nd".isNull, $"d")
+            .otherwise(least($"d", $"nd")).as("d"))
+    }
+    nodes.join(dist, Seq("v"))
+      .filter($"d".isNotNull)
+      .select($"n_name", $"d".as("hops"))
+      .orderBy($"hops", $"n_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
-    "graph_triangles" -> (triangles _))
+    "graph_triangles" -> (triangles _),
+    "graph_bfs_hops" -> (bfsHops _))
 
   private val edgesSql: String = """SELECT c_nationkey AS src,
          s_nationkey AS dst, count(*)::BIGINT AS w
@@ -182,7 +227,30 @@ object GraphOps {
     FROM ew e JOIN $prev p ON e.src = p.v
     GROUP BY 1) s ON n.v = s.v"""
 
+  /** One unrolled BFS relaxation: distances `prev(v, d)` → next. */
+  private def bfsIterSql(prev: String): String = s"""SELECT n.v,
+         CASE WHEN n.d IS NULL THEN r.nd
+              WHEN r.nd IS NULL THEN n.d
+              ELSE least(n.d, r.nd) END AS d
+  FROM $prev n LEFT JOIN (
+    SELECT e.dst AS v, min(p.d + 1) AS nd
+    FROM bedges e JOIN $prev p ON e.src = p.v
+    WHERE p.d IS NOT NULL
+    GROUP BY 1) r ON n.v = r.v"""
+
   val oracle: Map[String, String] = Map(
+    "graph_bfs_hops" -> s"""WITH bedges AS (
+  SELECT DISTINCT src, dst FROM ($edgesSql)),
+nodes AS (SELECT n_nationkey AS v, n_name FROM nation),
+bd0 AS (
+  SELECT v, CASE WHEN v = $BfsSeed THEN 0 END AS d FROM nodes),
+bd1 AS (${bfsIterSql("bd0")}),
+bd2 AS (${bfsIterSql("bd1")}),
+bd3 AS (${bfsIterSql("bd2")})
+SELECT n_name, d AS hops
+FROM bd3 JOIN nodes USING (v)
+WHERE d IS NOT NULL
+ORDER BY hops, n_name""",
     "graph_triangles" -> s"""WITH os AS (
   SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
 edges AS (

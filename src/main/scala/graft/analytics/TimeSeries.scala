@@ -121,13 +121,136 @@ object TimeSeries {
       .orderBy($"ym")
   }
 
+  /** Trailing RANGE-frame span in seconds (1 hour). */
+  val RangeSecs = 3599L
+
+  /** EWMA taps: trailing window length; weights are 2^(Taps-1-i) so the
+    * newest sample weighs 2^(Taps-1) and weights halve per step back —
+    * exactly the exponential decay α=1/2 truncated to [[Taps]] terms.
+    */
+  val Taps = 8
+
+  /** Per-user trailing one-hour activity via a time-RANGE window frame —
+    * the frame class the rest of the window family doesn't exercise: the
+    * frame boundary is a VALUE offset (now−3599 s) over the ordering key,
+    * not a row count, so burst traffic widens the frame and quiet periods
+    * narrow it. `n_1h` / `v_sum_1h` are each event's trailing-hour event
+    * count and exact-decimal value sum.
+    *
+    * Cross-engine determinism: the frame is keyed on floor-epoch seconds
+    * (Spark `unix_timestamp` truncates; DuckDB mirrors with
+    * `floor(epoch(ts))`), and a RANGE frame contains ALL peer rows of each
+    * ordering value on both engines — no tie-order dependence by
+    * construction.
+    *
+    * Scale shape: one shuffle on user_id; each user's series sorts within
+    * its partition (no global sort), and the running frame is evaluated in
+    * one pass per partition. Hot users skew-split under AQE like any keyed
+    * window.
+    */
+  def trailingRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-RangeSecs, 0)
+    Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"event_id", $"ts",
+        unix_timestamp($"ts").as("sec"),
+        $"value".cast("decimal(12,2)").as("v"))
+      .select($"user_id", $"event_id", $"ts",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"v").over(w).cast("double").as("v_sum_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Exact truncated EWMA per user series: weighted mean of the last
+    * [[Taps]] values with power-of-two decay weights, renormalized over the
+    * taps actually present — so the series head (fewer than 8 samples) is
+    * still an exact weighted mean, not a zero-padded bias. All arithmetic
+    * until the final division is DECIMAL×INT exact, so the one double
+    * division is bit-identical cross-engine.
+    *
+    * Shape: [[Taps]] `lag` columns over ONE (user_id; ts, event_id) window
+    * — a single shuffle + per-partition sort, evaluated in one pass (Spark
+    * computes all lags of a window in the same frame walk); no self-joins,
+    * no explode. The recursive EWMA (α·v + (1−α)·prev) cannot be expressed
+    * as a window without a sequential scan; the truncated form trades an
+    * O(2^-Taps) tail error (here 1/256) for a fully parallel plan.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val lags = (0 until Taps).map { i =>
+      (if (i == 0) $"v" else lag($"v", i).over(w), 1L << (Taps - 1 - i))
+    }
+    val num = lags.map { case (c, wt) => coalesce(c, lit(0).cast("decimal(12,2)")) * lit(wt) }
+      .reduce(_ + _)
+    val den = lags.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"event_id", $"ts",
+        $"value".cast("decimal(12,2)").as("v"))
+      .select($"user_id", $"event_id", $"v".cast("double").as("value"),
+        (num.cast("double") / den.cast("double")).as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_seasonal_profile" -> (seasonalProfile _),
     "ts_rebase_index" -> (rebaseIndex _),
     "win_cumulative_uniques" -> (cumulativeUniques _),
-    "agg_equidepth_bins" -> (equidepthBins _))
+    "agg_equidepth_bins" -> (equidepthBins _),
+    "win_trailing_range" -> (trailingRange _),
+    "ts_ewma" -> (ewma _))
+
+  /** EWMA oracle terms generated from the same [[Taps]] weights. */
+  private def ewmaTerms: (String, String) = {
+    val cols = (0 until Taps).map(i => if (i == 0) "v" else s"v$i")
+    val wts = (0 until Taps).map(i => 1L << (Taps - 1 - i))
+    val num = cols.zip(wts)
+      .map { case (c, w) => s"coalesce($c, CAST(0 AS DECIMAL(12,2))) * $w" }
+      .mkString(" + ")
+    val den = cols.zip(wts)
+      .map { case (c, w) => s"(CASE WHEN $c IS NOT NULL THEN $w ELSE 0 END)" }
+      .mkString(" + ")
+    (num, den)
+  }
 
   val oracle: Map[String, String] = Map(
+    "win_trailing_range" -> s"""WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL)
+SELECT user_id, event_id, ts,
+       count(*) OVER w AS n_1h,
+       CAST(sum(v) OVER w AS DOUBLE) AS v_sum_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN $RangeSecs PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id""",
+
+    "ts_ewma" -> {
+      val (num, den) = ewmaTerms
+      val lagCols = (1 until Taps)
+        .map(i => s"lag(v, $i) OVER w AS v$i").mkString(",\n         ")
+      s"""WITH ev AS (
+  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+l AS (
+  SELECT user_id, event_id, v,
+         $lagCols
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id, CAST(v AS DOUBLE) AS value,
+       CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
+FROM l
+ORDER BY user_id, event_id"""
+    },
+
     "ts_rebase_index" -> """WITH monthly AS (
   SELECT (year(o_orderdate)::INT * 100 + month(o_orderdate)::INT) AS ym,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -33,16 +33,12 @@ object Similarity {
     * `expr("graft_cosine(a,b)")` is usable anywhere (the native-Expression
     * registration path; idempotent).
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_plane_dot",
-      (args: Seq[Expression]) => graft.functions.PlaneDot(args(0), args(1)),
-      "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    // the SAME arity-guarded builders the session-extension path installs —
+    // a lone `args(1)` here would turn a wrong-arity SQL call into a raw
+    // IndexOutOfBounds with no function name (ExtensionsSpec pins the named
+    // error whichever registration path won)
+    graft.GraftExtensions.registerAll(spark)
 
   private def round2(c: org.apache.spark.sql.Column) =
     floor(c * 100 + lit(0.5)) / lit(100.0)
@@ -102,6 +98,40 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id", $"rank", round2($"cos").as("cosine_r2"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Maximum-inner-product top-k (MIPS) — the retrieval semantics
+    * recommendation and two-tower models rank by: the raw `⟨q, x⟩` score,
+    * where vector magnitude is signal (a popular item's longer vector SHOULD
+    * win), unlike cosine's angle-only ranking. Exact probe-broadcast scan
+    * over the corpus with the codegen'd [[graft.functions.DotProduct]]
+    * kernel.
+    *
+    * Scale path: MIPS is not directly LSH-able (inner product violates the
+    * triangle inequality), but the standard norm-augmentation reduction
+    * (Bachrach et al. 2014) — append `sqrt(M² − ‖x‖²)` to each corpus
+    * vector and `0` to the query, with `M = max ‖x‖` (available from the
+    * `sim_dim_stats` pass) — turns argmax-dot into argmax-cosine, after
+    * which the [[RandomHyperplaneLsh]] / [[IvfIndex]] machinery applies
+    * unchanged. The exact scan here is the oracle baseline that reduction
+    * would be verified against, exactly like `sim_cosine_pairs` anchors the
+    * LSH dedup family.
+    */
+  def mipsTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter($"vec_id" < NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    broadcast(probes).crossJoin(
+        e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb")))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("dot", expr("graft_dot(q_emb, n_emb)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"rank", round2($"dot").as("dot_r2"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -354,6 +384,7 @@ object Similarity {
     "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "sim_mips_topk" -> ((s: SparkSession, d: String) => mipsTopK(s, d)),
     "sim_contrastive_pairs" -> (contrastivePairs _),
     "sim_knn_classify" -> (knnClassify _),
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
@@ -479,6 +510,20 @@ FROM pairs WHERE cos >= 0.4
 ORDER BY vec_a, vec_b""",
 
     "sim_bruteforce_topk" -> bruteForceOracleSql,
+
+    "sim_mips_topk" -> s"""WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ${dot("q.embedding", "n.embedding")} AS dotp
+  FROM embeddings q JOIN embeddings n
+    ON q.vec_id < $NumProbes AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, dotp,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dotp DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ${r2("dotp")} AS dot_r2
+FROM ranked WHERE rank <= $TopK
+ORDER BY query_id, rank""",
     "sim_knn_classify" -> s"""WITH scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          ${cosSql("q.embedding", "n.embedding")} AS cos

@@ -275,7 +275,52 @@ object Curate {
       .orderBy($"source")
   }
 
+  /** Width of the exact-collision n-gram for [[ngramOverlap]]. Production
+    * decontamination uses 8-13; 5 fits this corpus's ~30-word vocabulary
+    * (wider grams collide only on true copies, narrower ones saturate).
+    */
+  val OverlapGram = 5
+
+  /** Exact n-gram collision decontamination — the OTHER standard
+    * decontamination contract beside [[decontaminate]]'s Jaccard pairs: a
+    * train document is contaminated if it shares ANY exact [[OverlapGram]]-
+    * gram with a test document (the GPT-3/PaLM "13-gram overlap" rule,
+    * truncated to this corpus's scale). Emits the full collision ledger
+    * (train_id, test_id, n_shared distinct grams) so the caller can set
+    * their own collision threshold.
+    *
+    * Plan shape: gram extraction is map-side (tokenize once, slide a
+    * window); train/test classification is a pure md5 function of the id
+    * (no corpus join); the only shuffle is the gram equi-join — an
+    * inverted-index join whose fan-out is Σ_g df_train(g)·df_test(g),
+    * bounded because wide grams are rare (at 100 TB you'd additionally cap
+    * per-gram document frequency to drop boilerplate grams, the same knob
+    * as the Jaccard family's shingle width).
+    */
+  def ngramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower($"text")), "\\s+"))
+      .withColumn("g",
+        when(size($"toks") >= OverlapGram,
+          array_distinct(expr(
+            s"""transform(sequence(0, size(toks) - $OverlapGram),
+               |  i -> concat_ws(' ', slice(toks, i + 1, $OverlapGram)))"""
+              .stripMargin)))
+          .otherwise(array().cast("array<string>")))
+      .select($"doc_id", explode($"g").as("gram"))
+    val train = grams.filter(bucketOf($"doc_id") <= 14)
+      .select($"doc_id".as("train_id"), $"gram")
+    val test = grams.filter(bucketOf($"doc_id") === 15)
+      .select($"doc_id".as("test_id"), $"gram")
+    train.join(test, "gram")
+      .groupBy($"train_id", $"test_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"train_id", $"test_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_ngram_overlap" -> (ngramOverlap _),
     "curate_budget_mix" -> (budgetMix _),
     "curate_corpus" -> (curatedStats _),
     "curate_funnel" -> (funnelLedger _),
@@ -329,6 +374,22 @@ UNION ALL SELECT '4_decontaminated', count(*)::BIGINT FROM fin
 ORDER BY stage"""
 
   val oracle: Map[String, String] = Map(
+    "curate_ngram_overlap" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+${OverlapGram - 1}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${OverlapGram - 2})) AS i)
+  WHERE len(t) >= $OverlapGram),
+tr AS (
+  SELECT doc_id AS train_id, gram FROM g WHERE ${bucketSql("doc_id")} <= 14),
+te AS (
+  SELECT doc_id AS test_id, gram FROM g WHERE ${bucketSql("doc_id")} = 15)
+SELECT train_id, test_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN te USING (gram)
+GROUP BY 1, 2
+ORDER BY 1, 2""",
+
     "curate_funnel" -> funnelOracleSql,
     "curate_budget_mix" -> s"""WITH d AS (
   SELECT doc_id, source,

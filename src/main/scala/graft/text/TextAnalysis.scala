@@ -148,11 +148,7 @@ object TextAnalysis {
     * short docs emit an empty array → explode drops them.
     */
   private[graft] def winnowDf(docs: DataFrame): DataFrame = {
-    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_winnow",
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.WinnowFingerprints(args.head, WinnowK, WinnowW),
-      "built-in")
+    graft.GraftExtensions.registerAll(docs.sparkSession)
     docs
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"), explode(expr("graft_winnow(t)")).as("fp"))

@@ -32,7 +32,10 @@ class PropertySpec extends SparkSpec {
       "sim_dim_stats", "sim_standardize", "text_tfidf_topk",
       "text_boilerplate", "ts_seasonal_profile", "agg_equidepth_bins",
       "win_cumulative_uniques", "src_schema_evolution", "mm_scene_segments",
-      "sim_contrastive_pairs", "sim_knn_classify", "ts_rebase_index")
+      "sim_contrastive_pairs", "sim_knn_classify", "ts_rebase_index",
+      "win_trailing_range", "ts_ewma", "curate_ngram_overlap",
+      "graph_bfs_hops", "sim_semdedup", "sim_mips_topk",
+      "wh_incremental_agg")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

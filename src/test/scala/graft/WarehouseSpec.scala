@@ -12,6 +12,25 @@ class WarehouseSpec extends SparkSpec {
   private lazy val wh = Warehouse.forDir(spark, sf)
   import spark.implicits._
 
+  test("incremental agg maintenance is bit-identical to the full recompute") {
+    val o = Tables.orders(spark, sf)
+    val m = warehouse.IncrementalAgg.Mod
+    // the carved change feed must actually exercise both delta branches
+    assert(o.filter(pmod($"o_orderkey", lit(m)) === 0).count() > 0)
+    assert(o.filter(pmod($"o_orderkey", lit(m)) === 1).count() > 0)
+    val maintained = warehouse.IncrementalAgg.maintainedMonthly(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val direct = o.filter(pmod($"o_orderkey", lit(m)) =!= 1)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("rev"))
+      .orderBy($"ym")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // exact equality including the double — the delta algebra is decimal-
+    // exact, so the maintained view carries no drift whatsoever
+    assert(maintained.nonEmpty && maintained.sameElements(direct))
+  }
+
   test("age_group bucket bounds match the reference CASE (populate_warehouse.py:68-74)") {
     val got = Seq(-0.01, 0.0, 2499.99, 2500.0, 4999.99, 5000.0, 7499.99, 7500.0, 99999.0)
       .toDF("bal")
