@@ -108,11 +108,90 @@ object EventSeq {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_event_transitions" -> (transitions _),
-    "agg_hll_distinct" -> (hllDistinct _))
+    "agg_hll_distinct" -> (hllDistinct _),
+    "agg_window_funnel" -> (windowFunnel _))
+
+  /** Funnel stages (in order) and the completion window, anchored at the
+    * stage-1 event (ClickHouse `windowFunnel` semantics). One definition
+    * interpolated into both engines.
+    */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+  val FunnelWindowMicros: Long = 86400L * 1000000L // 24 h
+
+  /** Time-bounded ordered funnel — ClickHouse's `windowFunnel` as relational
+    * algebra: a user reaches level L if SOME chain t1 < t2 < … < tL exists
+    * with every step inside `[t1, t1 + window]`. This is EXISTS semantics
+    * over all stage-1 anchors, not first-touch chaining — a later `view`
+    * can open the window that captures the `click`/`purchase` an earlier
+    * one missed ([[graft.ingest.Ingest]]-style first-touch funnels
+    * under-count exactly those journeys; `agg_funnel` beside this query is
+    * that unbounded first-touch contract).
+    *
+    * The exists-search stays tractable through one monotonicity fact: for a
+    * fixed anchor t1, keeping only the MINIMUM qualifying t2 never loses a
+    * level-3 witness (any t3 that beats a larger t2 beats the minimum too).
+    * So each level is one per-user equi-join + a (u, t1) min-aggregate —
+    * per-user stage-count fan-out, never cross-user. At corpus scale the
+    * per-user join keys on the natural cluster key; a pathological
+    * single-user firehose adds a `t div window` band to the join key (the
+    * [[graft.ingest.EtlExtras]] banded-interval-join trick) to cap fan-out
+    * at adjacent bands.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Seq(st1, st2, st3) = FunnelStages
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"event_type".isNotNull)
+      .select($"user_id".as("u"), $"event_type", unix_micros($"ts").as("t"))
+    def stage(s: String, as: String) =
+      e.filter($"event_type" === s).select($"u", $"t".as(as))
+    val l2 = stage(st1, "t1").join(stage(st2, "t2"), "u")
+      .filter($"t2" > $"t1" && $"t2" <= $"t1" + lit(FunnelWindowMicros))
+      .groupBy($"u", $"t1").agg(min($"t2").as("t2"))
+    val l3u = l2.join(stage(st3, "t3"), "u")
+      .filter($"t3" > $"t2" && $"t3" <= $"t1" + lit(FunnelWindowMicros))
+      .select($"u").distinct()
+    val l2u = l2.select($"u").distinct()
+    stage(st1, "t1").select($"u").distinct()
+      .join(l2u.withColumn("h2", lit(1)), Seq("u"), "left")
+      .join(l3u.withColumn("h3", lit(1)), Seq("u"), "left")
+      .select($"u".as("user_id"),
+        (lit(1) + coalesce($"h2", lit(0)) + coalesce($"h3", lit(0)))
+          .as("funnel_level"))
+      .orderBy($"user_id")
+  }
 
   private val hllH32 = Md5Hash.h32Sql("'hll:' || CAST(user_id AS VARCHAR)")
 
   val oracle: Map[String, String] = Map(
+    "agg_window_funnel" -> {
+      val Seq(st1, st2, st3) = FunnelStages
+      s"""WITH e AS (
+  SELECT user_id AS u, event_type, (epoch_ns(ts) // 1000)::BIGINT AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+s1 AS (SELECT u, t AS t1 FROM e WHERE event_type = '$st1'),
+s2 AS (SELECT u, t AS t2 FROM e WHERE event_type = '$st2'),
+s3 AS (SELECT u, t AS t3 FROM e WHERE event_type = '$st3'),
+l2 AS (
+  SELECT s1.u, t1, min(t2) AS t2
+  FROM s1 JOIN s2 ON s1.u = s2.u
+    AND t2 > t1 AND t2 <= t1 + $FunnelWindowMicros
+  GROUP BY s1.u, t1),
+l3u AS (
+  SELECT DISTINCT l2.u
+  FROM l2 JOIN s3 ON s3.u = l2.u
+    AND t3 > t2 AND t3 <= t1 + $FunnelWindowMicros),
+l2u AS (SELECT DISTINCT u FROM l2),
+s1u AS (SELECT DISTINCT u FROM s1)
+SELECT s1u.u AS user_id,
+       (1 + CASE WHEN l2u.u IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN l3u.u IS NULL THEN 0 ELSE 1 END)::INT AS funnel_level
+FROM s1u
+LEFT JOIN l2u ON s1u.u = l2u.u
+LEFT JOIN l3u ON s1u.u = l3u.u
+ORDER BY user_id"""
+    },
     "agg_event_transitions" -> """WITH e AS (
   SELECT user_id, ts, event_id, event_type FROM events
   WHERE user_id IS NOT NULL AND user_id > 0

@@ -70,6 +70,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semdedup, bfs, and IVM never degenerate to pairwise products") {
+    for (df <- Seq(similarity.SemDedup.prune(spark, sf),
+        analytics.GraphOps.bfsHops(spark, sf),
+        warehouse.IncrementalAgg.maintainedMonthly(spark, sf))) {
+      val cartesian = collectAll(plan(df)) { case c: CartesianProductExec => c }
+      assert(cartesian.isEmpty,
+        "cell/key equi-joins must never plan as cartesian products")
+    }
+    // the MIPS scan is DELIBERATELY probes×corpus — but the probe side must
+    // broadcast (a fixed 40-row build side), never shuffle the corpus twice
+    val mips = plan(similarity.Similarity.mipsTopK(spark, sf))
+    assert(collectAll(mips) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "MIPS probe set must broadcast")
+    assert(collectAll(mips) { case c: CartesianProductExec => c }.isEmpty,
+      "probes×corpus must be a broadcast nested loop, not a cartesian shuffle")
+  }
+
   test("scd2 as-of lookup is a broadcast equi-join with residual bounds") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val p = plan(warehouse.Scd2.scd2AsofLookup(spark, sf))
@@ -110,7 +127,9 @@ class PlanSpec extends SparkSpec {
       analytics.WindowExtras.kmvDistinct(spark, sf),
       analytics.WindowExtras.maxConcurrency(spark, sf),
       text.Curate.shardAssign(spark, sf),
-      similarity.Similarity.labelCentroidConfusion(spark, sf))
+      similarity.Similarity.labelCentroidConfusion(spark, sf),
+      analytics.TimeSeries.trailingRange(spark, sf),
+      analytics.TimeSeries.ewma(spark, sf))
     for (df <- dfs) {
       val windows = collectAll(plan(df)) { case w: WindowExec => w }
       // nonEmpty first: a plan with no window at all would make the
