@@ -28,14 +28,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = rd(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = rd(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's reader rejects
-    * by default (DuckDB silently truncates to micros). Read nanos as long
-    * and truncate to micros ourselves — same floor semantics as the oracle.
+  /** `events.parquet` has carried two physical `ts` encodings across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's reader rejects by
+    * default while DuckDB silently truncates to micros) and plain
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark).
+    * Adapt to whichever the file declares: nanos are read as long and
+    * floor-truncated to micros (the oracle's semantics); micros are cast to
+    * the session-zoned TIMESTAMP every downstream query expects (identity
+    * under the pinned UTC session timezone).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = rd(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = rd(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
