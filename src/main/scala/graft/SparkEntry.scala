@@ -31,7 +31,8 @@ object SparkEntry {
       analytics.GraphOps.all ++ warehouse.ZOrderLayout.all ++
       analytics.EventSeq.all ++ text.TfIdf.all ++ similarity.Standardize.all ++
       ingest.EtlExtras.all ++ analytics.TimeSeries.all ++
-      similarity.SemDedup.all ++ warehouse.IncrementalAgg.all
+      similarity.SemDedup.all ++ warehouse.IncrementalAgg.all ++
+      streaming.IncrementalIngest.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -47,5 +48,5 @@ object SparkEntry {
       analytics.EventSeq.oracle ++ text.TfIdf.oracle ++
       similarity.Standardize.oracle ++ ingest.EtlExtras.oracle ++
       analytics.TimeSeries.oracle ++ similarity.SemDedup.oracle ++
-      warehouse.IncrementalAgg.oracle
+      warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle
 }

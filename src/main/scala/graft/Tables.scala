@@ -33,19 +33,27 @@ object Tables {
     * default while DuckDB silently truncates to micros) and plain
     * TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark).
     * Adapt to whichever the file declares: nanos are read as long and
-    * floor-truncated to micros (the oracle's semantics); micros are cast to
-    * the session-zoned TIMESTAMP every downstream query expects (identity
-    * under the pinned UTC session timezone).
+    * truncated toward zero to micros (matching DuckDB's ns→us cast); micros
+    * (TIMESTAMP_NTZ) are cast to the session-zoned TIMESTAMP every
+    * downstream query expects (identity under the pinned UTC session
+    * timezone). Any OTHER physical type is a new, unvetted testdata
+    * generation — fail loudly rather than null-cast into silently empty
+    * `ts IS NOT NULL` results.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = rd(spark, dir, "events")
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected physical type $other — " +
+          "extend Tables.events for this testdata generation")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = rd(spark, dir, "documents")

@@ -39,11 +39,17 @@ object Md5Hash {
 
   /** DuckDB SQL fragment: parse 8 hex chars of `strExpr` starting at
     * 1-based `start` as a 32-bit unsigned value.
+    *
+    * The outer `::BIGINT` matters: DuckDB's `list_sum` over BIGINT widens to
+    * HUGEINT, which pandas materializes as float64 while Spark emits int64 —
+    * the driver's dtype-sensitive value hash then mismatches on any query
+    * that *emits* the raw hash column (values are identical). Casting back
+    * keeps every h32 consumer int64 on both engines.
     */
   def hexParseSql(strExpr: String, start: Int = 1): String =
-    s"""list_sum(list_transform(range(0, 8), i ->
+    s"""(list_sum(list_transform(range(0, 8), i ->
        |    (strpos('0123456789abcdef', substring($strExpr, i+$start, 1)) - 1)::BIGINT
-       |      << (4*(7-i))))""".stripMargin
+       |      << (4*(7-i)))))::BIGINT""".stripMargin
 
   /** DuckDB SQL fragment: h32 of `expr` (a VARCHAR expression). */
   def h32Sql(expr: String): String = hexParseSql(s"md5($expr)")

@@ -172,4 +172,58 @@ object IncrementalIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  private val attrMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** End-to-end batch-comparable run of [[streamAttribution]] — the
+    * CORRECTNESS-gate entry that drives the stream-stream join itself, not
+    * just its spec: land the closed events table as ONE parquet file (one
+    * AvailableNow micro-batch, so no cross-batch watermark eviction can
+    * drop matches and output = the batch join exactly), run the streaming
+    * query to termination, read the appended sink back, and emit
+    * timestamps as epoch-micros BIGINTs (the repo's timestamp-output
+    * parity convention). Memoized per (application, corpus): the sink is
+    * append-mode, so a naive re-run against a fresh source write would
+    * re-append the same matches under new file names.
+    */
+  def attributionEntry(spark: SparkSession, dir: String): DataFrame =
+    attrMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-attr/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        graft.Tables.events(spark, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/src")
+        streamAttribution(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+          .awaitTermination()
+        spark.read.parquet(s"$base/out")
+          .select(col("purchase_id"), col("user_id"),
+            unix_micros(col("purchase_ts")).as("purchase_t"),
+            col("click_id"), unix_micros(col("click_ts")).as("click_t"))
+          .orderBy(col("purchase_id"), col("click_id"))
+      })
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_attribution" -> (attributionEntry _))
+
+  val oracle: Map[String, String] = Map(
+    "stream_attribution" -> """WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM e WHERE event_type = 'purchase')
+SELECT purchase_id, user_id,
+       (epoch_ns(purchase_ts) // 1000)::BIGINT AS purchase_t,
+       click_id,
+       (epoch_ns(click_ts) // 1000)::BIGINT AS click_t
+FROM p JOIN c USING (user_id)
+WHERE click_ts <= purchase_ts
+  AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id""")
 }

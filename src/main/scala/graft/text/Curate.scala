@@ -281,6 +281,16 @@ object Curate {
     */
   val OverlapGram = 5
 
+  /** Per-gram document-frequency cap for [[ngramOverlap]]'s CANDIDATE index.
+    * A gram shared by df documents alone contributes df_train·df_test
+    * candidate rows, so boilerplate grams make the inverted-index join
+    * superlinear under corpus duplication; grams with df > [[OverlapDfCap]]
+    * are dropped from candidate generation (never from the verify — see
+    * [[ngramOverlap]]). [[overlapDroppedGrams]] is the ledger of what the
+    * cap dropped (the repo's no-silent-caps convention).
+    */
+  val OverlapDfCap = 100L
+
   /** Exact n-gram collision decontamination — the OTHER standard
     * decontamination contract beside [[decontaminate]]'s Jaccard pairs: a
     * train document is contaminated if it shares ANY exact [[OverlapGram]]-
@@ -289,38 +299,100 @@ object Curate {
     * (train_id, test_id, n_shared distinct grams) so the caller can set
     * their own collision threshold.
     *
-    * Plan shape: gram extraction is map-side (tokenize once, slide a
-    * window); train/test classification is a pure md5 function of the id
-    * (no corpus join); the only shuffle is the gram equi-join — an
-    * inverted-index join whose fan-out is Σ_g df_train(g)·df_test(g),
-    * bounded because wide grams are rare (at 100 TB you'd additionally cap
-    * per-gram document frequency to drop boilerplate grams, the same knob
-    * as the Jaccard family's shingle width).
+    * Plan shape (the df-capped candidate/verify split, same as
+    * [[graft.dedup.Dedup.ngramJaccardCapped]]): gram extraction is map-side
+    * (tokenize once, slide a window); train/test classification is a pure
+    * md5 function of the id (no corpus join); CANDIDATE pairs come from the
+    * inverted-index join restricted to grams with df ≤ [[OverlapDfCap]], so
+    * the fan-out is Σ_{df(g)≤cap} df_train(g)·df_test(g) ≤ cap·Σdf_test —
+    * linear in corpus size, never Σdf² — and survives corpus duplication;
+    * the VERIFY join then counts n_shared over the FULL gram sets of each
+    * candidate pair (keyed on doc ids, fan-out |candidates|·grams-per-doc),
+    * so emitted counts are exact. The only recall loss — pairs whose every
+    * shared gram is boilerplate (df > cap) — is deliberate and ledgered by
+    * [[overlapDroppedGrams]]; CurateSpec pins capped ⊆ uncapped.
     */
   def ngramOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .withColumn("toks", split(trim(lower($"text")), "\\s+"))
-      .withColumn("g",
-        when(size($"toks") >= OverlapGram,
-          array_distinct(expr(
-            s"""transform(sequence(0, size(toks) - $OverlapGram),
-               |  i -> concat_ws(' ', slice(toks, i + 1, $OverlapGram)))"""
-              .stripMargin)))
-          .otherwise(array().cast("array<string>")))
-      .select($"doc_id", explode($"g").as("gram"))
-    val train = grams.filter(bucketOf($"doc_id") <= 14)
+    val grams = overlapGrams(spark, dir)
+    val rare = grams.groupBy($"gram")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= OverlapDfCap)
+      .select($"gram")
+    val capped = grams.join(rare, "gram")
+    val candidates = capped.filter(bucketOf($"doc_id") <= 14)
       .select($"doc_id".as("train_id"), $"gram")
-    val test = grams.filter(bucketOf($"doc_id") === 15)
+      .join(capped.filter(bucketOf($"doc_id") === 15)
+        .select($"doc_id".as("test_id"), $"gram"), "gram")
+      .select($"train_id", $"test_id").distinct()
+    val trainFull = grams.filter(bucketOf($"doc_id") <= 14)
+      .select($"doc_id".as("train_id"), $"gram")
+    val testFull = grams.filter(bucketOf($"doc_id") === 15)
       .select($"doc_id".as("test_id"), $"gram")
-    train.join(test, "gram")
+    candidates
+      .join(trainFull, "train_id")
+      .join(testFull, Seq("test_id", "gram"))
       .groupBy($"train_id", $"test_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy($"train_id", $"test_id")
   }
 
+  /** The [[OverlapDfCap]] ledger: every gram the cap excluded from candidate
+    * generation, with its document frequency — the audit trail that makes
+    * the capped join's recall trade inspectable instead of silent. One
+    * gram-keyed aggregate (map-side partial) + a HAVING filter.
+    */
+  def overlapDroppedGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    overlapGrams(spark, dir)
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" > OverlapDfCap)
+      .orderBy($"df".desc, $"gram")
+  }
+
+  private val gramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Distinct (doc_id, gram) inverted index of [[OverlapGram]]-grams —
+    * shared by [[ngramOverlap]]'s candidate/verify stages (which reference
+    * it four times) and the [[overlapDroppedGrams]] ledger. Materialized
+    * once per (application, corpus) as parquet — the gram extraction is an
+    * interpreted per-token lambda over every document, and without
+    * materialization Spark recomputes it per plan reference (this was the
+    * whole cost of the round-4 query). Same write-once shape as
+    * [[graft.dedup.DocIndex.forDir]]; at 100 TB this is the inverted-index
+    * table a decontamination pass builds once and queries per test set.
+    */
+  private def overlapGrams(spark: SparkSession, dir: String): DataFrame =
+    gramMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        import spark.implicits._
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = s"${sys.props("java.io.tmpdir")}/graft-overlap-grams/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        // Gram assembly is TOP-LEVEL expressions (explode positions, then
+        // concat_ws over element_at) so whole-stage codegen covers it — the
+        // equivalent transform(.., i -> concat_ws(slice(..)))-lambda runs
+        // interpreted and measured 7× slower; per-doc distinct becomes one
+        // (doc_id, gram) distinct on the already-exploded rows.
+        Tables.documents(spark, dir)
+          .withColumn("toks", split(trim(lower($"text")), "\\s+"))
+          .filter(size($"toks") >= OverlapGram)
+          .select($"doc_id", $"toks",
+            explode(sequence(lit(0), size($"toks") - OverlapGram)).as("i"))
+          .select($"doc_id",
+            concat_ws(" ",
+              (1 to OverlapGram).map(k => element_at($"toks", $"i" + k)): _*)
+              .as("gram"))
+          .distinct()
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_ngram_overlap" -> (ngramOverlap _),
+    "curate_overlap_dropped_grams" -> (overlapDroppedGrams _),
     "curate_budget_mix" -> (budgetMix _),
     "curate_corpus" -> (curatedStats _),
     "curate_funnel" -> (funnelLedger _),
@@ -381,14 +453,33 @@ g AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+${OverlapGram - 1}], ' ') AS gram
   FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${OverlapGram - 2})) AS i)
   WHERE len(t) >= $OverlapGram),
+rare AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= $OverlapDfCap),
 tr AS (
   SELECT doc_id AS train_id, gram FROM g WHERE ${bucketSql("doc_id")} <= 14),
 te AS (
-  SELECT doc_id AS test_id, gram FROM g WHERE ${bucketSql("doc_id")} = 15)
-SELECT train_id, test_id, count(*)::BIGINT AS n_shared
-FROM tr JOIN te USING (gram)
+  SELECT doc_id AS test_id, gram FROM g WHERE ${bucketSql("doc_id")} = 15),
+cand AS (
+  SELECT DISTINCT train_id, test_id
+  FROM tr JOIN te USING (gram)
+  WHERE gram IN (SELECT gram FROM rare))
+SELECT c.train_id, c.test_id, count(*)::BIGINT AS n_shared
+FROM cand c
+JOIN tr ON tr.train_id = c.train_id
+JOIN te ON te.test_id = c.test_id AND te.gram = tr.gram
 GROUP BY 1, 2
 ORDER BY 1, 2""",
+
+    "curate_overlap_dropped_grams" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+${OverlapGram - 1}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${OverlapGram - 2})) AS i)
+  WHERE len(t) >= $OverlapGram)
+SELECT gram, count(*)::BIGINT AS df
+FROM g GROUP BY gram HAVING count(*) > $OverlapDfCap
+ORDER BY df DESC, gram""",
 
     "curate_funnel" -> funnelOracleSql,
     "curate_budget_mix" -> s"""WITH d AS (

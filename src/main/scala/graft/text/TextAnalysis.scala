@@ -303,32 +303,38 @@ object TextAnalysis {
     * value histogram → cumulative → smallest value reaching ceil(n/10) —
     * not by float interpolation (`percentile`'s (1−f)·a+f·b arithmetic is
     * not guaranteed to match another engine bit-for-bit; an order statistic
-    * is an integer-exact corpus value). The histogram is value-DOMAIN-sized
-    * (distinct n_chars), so collecting it is the same bounded-driver
-    * pattern as [[graft.analytics.WindowExtras.globalRank]]'s band counts;
-    * an unbounded domain would grid-bucket first (the
-    * [[graft.analytics.WindowExtras.rangeBandJoin]] device). Ties at the
-    * threshold drop with it (ledger reports the realized count).
+    * is an integer-exact corpus value). The whole computation stays IN the
+    * plan: the histogram is a distributed groupBy, the cumulative sum and
+    * grand total are windows over the DOMAIN-sized histogram (distinct
+    * n_chars — one executor task, never the driver; an unbounded domain
+    * would grid-bucket first, the
+    * [[graft.analytics.WindowExtras.rangeBandJoin]] device), and the
+    * 1-row threshold rejoins the corpus as a broadcast — no `.collect()`
+    * of a value domain anywhere, so pathological length diversity cannot
+    * OOM the driver. Ties at the threshold drop with it (ledger reports
+    * the realized count).
     */
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val hist = docs.groupBy($"n_chars").count()
-      .orderBy($"n_chars").collect()
-    // n comes off the histogram — no second scan of the table
-    val n = hist.map(_.getLong(1)).sum
-    val target = (n + 9) / 10
-    var cum = 0L
-    var thr = Long.MaxValue
-    for (r <- hist if thr == Long.MaxValue) {
-      cum += r.getLong(1)
-      if (cum >= target) thr = r.getAs[Number](0).longValue()
-    }
+    val hist = docs.groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val allW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val thr = hist
+      .withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("n", sum($"cnt").over(allW))
+      .filter($"cum" >= expr("(n + 9) div 10"))
+      .agg(min($"n_chars").cast("int").as("p10_chars"))
     docs
-      .withColumn("dropped", $"n_chars" <= thr)
+      .crossJoin(broadcast(thr))
+      .withColumn("dropped", $"n_chars" <= $"p10_chars")
       .groupBy($"lang")
       .agg(
-        lit(thr).as("p10_chars"),
+        max($"p10_chars").as("p10_chars"),
         count(lit(1)).as("n_docs"),
         sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"),
         min(when(!$"dropped", $"n_chars")).as("min_kept_chars"))
