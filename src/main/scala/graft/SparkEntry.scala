@@ -32,7 +32,7 @@ object SparkEntry {
       analytics.EventSeq.all ++ text.TfIdf.all ++ similarity.Standardize.all ++
       ingest.EtlExtras.all ++ analytics.TimeSeries.all ++
       similarity.SemDedup.all ++ warehouse.IncrementalAgg.all ++
-      streaming.IncrementalIngest.all
+      streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -48,5 +48,6 @@ object SparkEntry {
       analytics.EventSeq.oracle ++ text.TfIdf.oracle ++
       similarity.Standardize.oracle ++ ingest.EtlExtras.oracle ++
       analytics.TimeSeries.oracle ++ similarity.SemDedup.oracle ++
-      warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle
+      warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle ++
+      warehouse.PartitionedFact.oracle
 }

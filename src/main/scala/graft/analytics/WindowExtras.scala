@@ -540,6 +540,57 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"type_x", $"type_y")
   }
 
+  /** N-WAY sketch-algebra report — the other half of the set-operation
+    * dashboard beside [[kmvOverlap]]'s pairwise rows: ONE row estimating
+    * the union and intersection cardinality of ALL event types' user sets,
+    * computed entirely from the per-type k-min sketches. The n-way KMV
+    * estimator: the k smallest of the union of per-type sketches IS the
+    * union's KMV sketch (any of the k smallest global hashes is among the
+    * k smallest of its own type, so per-type sketches lose nothing);
+    * union_est follows the (k−1)/p_k rule (exact when every input sketch
+    * is unsaturated), and the fraction of the union sketch present in
+    * EVERY type's sketch estimates the n-way Jaccard, whence
+    * intersection ≈ j · union. At 100 TB the inputs are |types| k-row
+    * sketches — the report costs arithmetic on ≤ |types|·k rows no matter
+    * the corpus size; nothing here rescans the user sets.
+    */
+  def kmvNway(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.events(spark, dir).select($"event_type",
+      graft.functions.Md5Hash
+        .h32(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+      .distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val skRows = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KmvK)
+      .select($"event_type", $"h")
+    val typeStats = skRows.groupBy($"event_type").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_types"), max($"sz").as("max_sz"))
+    val merged = skRows.select($"h").distinct()
+    val mergedSize = merged.agg(count(lit(1)).as("n_merged"))
+    // global k-min over ≤ |types|·k rows — the single-partition window is
+    // sketch-sized by construction, never corpus-sized
+    val uni = merged
+      .withColumn("urn", row_number().over(Window.orderBy($"h")))
+      .filter($"urn" <= KmvK)
+    val uniStats = uni.agg(count(lit(1)).as("k_used"), max($"h").as("h_k"))
+    val nInAll = uni.join(skRows, "h")
+      .groupBy($"h").agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(typeStats.select($"n_types".as("nt_all"))))
+      .filter($"nt" === $"nt_all")
+      .agg(count(lit(1)).as("n_in_all"))
+    typeStats.crossJoin(uniStats).crossJoin(nInAll).crossJoin(mergedSize)
+      .withColumn("j_nway",
+        $"n_in_all".cast("double") / $"k_used".cast("double"))
+      .withColumn("union_est",
+        when($"max_sz" < KmvK, $"n_merged".cast("double"))
+          .otherwise(($"k_used" - 1).cast("double") * lit(4294967296.0)
+            / $"h_k"))
+      .select($"n_types", $"k_used", $"n_in_all", $"j_nway", $"union_est",
+        ($"j_nway" * $"union_est").as("intersect_est"))
+  }
+
   /** Winsorization bounds in per-mille (5th / 95th percentile) — integer
     * constants shared by both engines so the rank arithmetic stays exact.
     */
@@ -741,6 +792,7 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
     "agg_value_histogram" -> (valueHistogram _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_kmv_overlap" -> (kmvOverlap _),
+    "agg_kmv_nway" -> (kmvNway _),
     "win_activity_streaks" -> (activityStreaks _),
     "win_max_concurrency" -> (maxConcurrency _),
     "agg_winsorized_mean" -> (winsorizedMean _),
@@ -894,6 +946,42 @@ SELECT type_x, type_y, k_used, n_shared,
          AS union_est
 FROM u
 ORDER BY type_x, type_y""",
+
+    "agg_kmv_nway" -> s"""WITH h AS (
+  SELECT DISTINCT event_type,
+         ${graft.functions.Md5Hash.h32Sql("'kmv:' || CAST(user_id AS VARCHAR)")}
+           AS h
+  FROM events),
+sk AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h)
+  WHERE rn <= $KmvK),
+ts AS (
+  SELECT count(*)::BIGINT AS n_types, max(sz) AS max_sz
+  FROM (SELECT event_type, count(*) AS sz FROM sk GROUP BY 1)),
+m AS (SELECT DISTINCT h FROM sk),
+ms AS (SELECT count(*)::BIGINT AS n_merged FROM m),
+uni AS (
+  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS urn FROM m)
+  WHERE urn <= $KmvK),
+ua AS (SELECT count(*)::BIGINT AS k_used, max(h) AS h_k FROM uni),
+ia AS (
+  SELECT count(*)::BIGINT AS n_in_all
+  FROM (SELECT uni.h, count(*) AS nt FROM uni JOIN sk USING (h) GROUP BY 1) x,
+       ts
+  WHERE x.nt = ts.n_types)
+SELECT ts.n_types, ua.k_used, ia.n_in_all,
+       ia.n_in_all::DOUBLE / ua.k_used AS j_nway,
+       CASE WHEN ts.max_sz < $KmvK THEN ms.n_merged::DOUBLE
+            ELSE (ua.k_used - 1)::DOUBLE * 4294967296.0 / ua.h_k END
+         AS union_est,
+       (ia.n_in_all::DOUBLE / ua.k_used) *
+       (CASE WHEN ts.max_sz < $KmvK THEN ms.n_merged::DOUBLE
+             ELSE (ua.k_used - 1)::DOUBLE * 4294967296.0 / ua.h_k END)
+         AS intersect_est
+FROM ts, ua, ia, ms""",
 
     "win_group_percentiles" -> """WITH ranked AS (
   SELECT event_type, value,

@@ -117,8 +117,15 @@ object Dedup {
     * `dfCap`) can be missed — ScaleVariantsSpec pins the subset/equality
     * relationships against the uncapped join.
     */
+  /** Default per-shingle df cap — one Scala value interpolated into the
+    * Spark default AND the DuckDB oracle (parity rule). High enough that it
+    * never binds at test SFs (ScaleVariantsSpec pins capped == uncapped
+    * there); at corpus scale it is the boilerplate-shingle knob.
+    */
+  val JaccardDfCap = 1000L
+
   def ngramJaccardCapped(spark: SparkSession, dir: String,
-      threshold: Double = BaseTau, dfCap: Long = 1000): DataFrame = {
+      threshold: Double = BaseTau, dfCap: Long = JaccardDfCap): DataFrame = {
     import spark.implicits._
     val docs = DocIndex.forDir(spark, dir)
     val inv = docs.select($"doc_id", explode($"sh").as("shingle"))
@@ -394,6 +401,8 @@ object Dedup {
       pairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_prefix_jaccard" -> ((s: SparkSession, d: String) =>
       prefixPairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_ngram_jaccard_capped" -> ((s: SparkSession, d: String) =>
+      ngramJaccardCapped(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) =>
       containmentForDir(s, d).orderBy(col("contained_id"), col("container_id"))),
     "dedup_cross_source" -> (crossSourceMatrix _),
@@ -443,6 +452,35 @@ ORDER BY canonical_id""",
     // the identical thresholded pair table at the same τ — the strongest
     // possible check that the pruned index loses nothing
     "dedup_prefix_jaccard" -> jaccardOracleSqlAt(PrefixTau),
+
+    // the capped oracle REPLAYS the candidate/verify split: candidates only
+    // through shingles with df <= cap, exact Jaccard over full shingle sets
+    "dedup_ngram_jaccard_capped" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardDfCap),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM rare)),
+ov AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS o
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, o * 1.0 / (sa.n + sb.n - o) AS jaccard
+FROM ov
+JOIN sizes sa ON ov.doc_a = sa.doc_id
+JOIN sizes sb ON ov.doc_b = sb.doc_id
+WHERE o * 1.0 / (sa.n + sb.n - o) >= $BaseTau
+ORDER BY doc_a, doc_b""",
 
     "dedup_family_agreement" -> s"""WITH fam_exact AS (
   SELECT doc_a, doc_b FROM ($jaccardOracleSql) e),

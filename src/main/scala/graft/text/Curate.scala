@@ -310,14 +310,16 @@ object Curate {
     * candidate pair (keyed on doc ids, fan-out |candidates|·grams-per-doc),
     * so emitted counts are exact. The only recall loss — pairs whose every
     * shared gram is boilerplate (df > cap) — is deliberate and ledgered by
-    * [[overlapDroppedGrams]]; CurateSpec pins capped ⊆ uncapped.
+    * [[overlapDroppedGrams]]; ScaleVariantsSpec pins capped ⊆ uncapped with
+    * exact counts on every surviving pair.
     */
-  def ngramOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def ngramOverlap(spark: SparkSession, dir: String,
+      dfCap: Long = OverlapDfCap): DataFrame = {
     import spark.implicits._
     val grams = overlapGrams(spark, dir)
     val rare = grams.groupBy($"gram")
       .agg(count(lit(1)).as("df"))
-      .filter($"df" <= OverlapDfCap)
+      .filter($"df" <= dfCap)
       .select($"gram")
     val capped = grams.join(rare, "gram")
     val candidates = capped.filter(bucketOf($"doc_id") <= 14)
@@ -391,7 +393,7 @@ object Curate {
       })
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "curate_ngram_overlap" -> (ngramOverlap _),
+    "curate_ngram_overlap" -> ((s, d) => ngramOverlap(s, d)),
     "curate_overlap_dropped_grams" -> (overlapDroppedGrams _),
     "curate_budget_mix" -> (budgetMix _),
     "curate_corpus" -> (curatedStats _),

@@ -1,0 +1,75 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Month-partitioned fact materialization as a QUERYABLE surface — the
+  * cluster-scale fact layout [[Warehouse.materialize]] promises
+  * (`partitionFact = true`), promoted from a spec-only construct to an
+  * oracle-checked entry. The fact lands once per (application, corpus)
+  * under `month_key=yyyyMM/` directories; every date-ranged consumer then
+  * reads ONLY its months' partitions — at 100 TB this is the difference
+  * between scanning 6 months and scanning 7 years, and it composes with
+  * the row-group min/max pruning inside each partition. PlanSpec asserts
+  * the executed scan of [[monthPrunedScan]] carries non-empty
+  * `partitionFilters` (static pruning, no full-layout listing).
+  */
+object PartitionedFact {
+
+  /** Month range of the pruned report (yyyyMM, inclusive) — one definition
+    * interpolated into the Spark filter and the DuckDB oracle.
+    */
+  val MonthLo = 199601
+  val MonthHi = 199606
+
+  private val memo = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The fact table re-landed partitioned by `month_key` (yyyyMM of the
+    * encounter date), written once per (application, corpus) from the
+    * already-materialized warehouse fact. Write-once layout cost; every
+    * downstream month-ranged query amortizes it.
+    */
+  def factByMonth(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-fact-month/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      Warehouse.forDir(spark, dir).factEncounters
+        .withColumn("month_key", (col("date_key") / 100).cast("int"))
+        .write.mode("overwrite").partitionBy("month_key").parquet(p)
+      spark.read.parquet(p)
+    })
+
+  /** Month-ranged activity report off the partitioned layout: the filter is
+    * on the PARTITION column, so the scan prunes to the
+    * [[MonthLo]]..[[MonthHi]] directories before reading a byte of data —
+    * the plan shape every incremental load and backfill at scale relies on.
+    */
+  def monthPrunedScan(spark: SparkSession, dir: String): DataFrame =
+    factByMonth(spark, dir)
+      .filter(col("month_key") >= MonthLo && col("month_key") <= MonthHi)
+      .groupBy(col("month_key"))
+      .agg(
+        count(lit(1)).as("n_encounters"),
+        countDistinct(col("patient_key")).as("n_patients"),
+        sum(col("num_procedures")).as("total_procedures"),
+        sum(when(col("has_report"), 1L).otherwise(0L)).as("n_with_report"))
+      .orderBy(col("month_key"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_month_pruned_scan" -> (monthPrunedScan _))
+
+  val oracle: Map[String, String] = Map(
+    "wh_month_pruned_scan" -> s"""${graft.analytics.OracleSql.prelude}
+SELECT (date_key // 100)::INT AS month_key,
+       count(*)::BIGINT AS n_encounters,
+       count(DISTINCT patient_key)::BIGINT AS n_patients,
+       sum(num_procedures)::BIGINT AS total_procedures,
+       sum(CASE WHEN has_report THEN 1 ELSE 0 END)::BIGINT AS n_with_report
+FROM fact_encounters
+WHERE date_key // 100 BETWEEN $MonthLo AND $MonthHi
+GROUP BY 1
+ORDER BY 1""")
+}

@@ -251,6 +251,31 @@ class PlanSpec extends SparkSpec {
       s"no bucket PartitionFilters; scans: ${scans.map(_.partitionFilters)}")
   }
 
+  test("month-pruned fact scan carries static month_key PartitionFilters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = warehouse.PartitionedFact.monthPrunedScan(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    val pruned = scans.filter(s => s.partitionFilters.exists(
+      _.toString.toLowerCase.contains("month_key")))
+    assert(pruned.nonEmpty,
+      s"no month_key PartitionFilters; scans: ${scans.map(_.partitionFilters)}")
+    // static pruning: the SELECTED partitions must already be the 6-month
+    // window, not the full layout (pruning happened at planning time)
+    pruned.foreach { s =>
+      val months = s.selectedPartitions.toPartitionArray
+        .map(_.toPath.toString)
+        .flatMap(_.split("/").find(_.startsWith("month_key=")))
+        .map(_.stripPrefix("month_key=").toInt).distinct
+      assert(months.nonEmpty &&
+        months.forall(m => m >= warehouse.PartitionedFact.MonthLo &&
+          m <= warehouse.PartitionedFact.MonthHi),
+        s"scan lists unpruned partitions: ${months.sorted.toSeq}")
+    }
+  }
+
   test("global rank runs per-band, never a global window sort") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = analytics.WindowExtras.globalRank(spark, sf)

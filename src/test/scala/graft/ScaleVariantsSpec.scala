@@ -59,6 +59,23 @@ class ScaleVariantsSpec extends SparkSpec {
     capped.foreach { case (k, j) => assert(j == exact(k)) }
   }
 
+  test("df-capped ngram overlap: subset with exact counts; default cap exact here") {
+    // cap far above any gram df on this corpus → the capped candidate join
+    // loses nothing and every count is the full-set collision count
+    val uncapped = text.Curate.ngramOverlap(spark, sf, dfCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val default = text.Curate.ngramOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(default == uncapped,
+      "OverlapDfCap must not bind on this corpus (max gram df ≪ cap)")
+    // binding cap: pairs may drop (only those whose every shared gram is
+    // ubiquitous), but any surviving pair reports the EXACT full-set count
+    val capped = text.Curate.ngramOverlap(spark, sf, dfCap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, n) => assert(n == uncapped(k)) }
+  }
+
   test("prefix-filtered jaccard: identical pairs from a smaller candidate set") {
     val tau = dedup.Dedup.PrefixTau
     val full = dedup.Dedup.ngramJaccard(spark, sf, tau).collect().map(_.toString)
