@@ -84,9 +84,64 @@ object Standardize {
       .orderBy($"vec_id", $"pos")
   }
 
+  /** |z| threshold for [[biasOutliers]] — one value, both engines. */
+  val BiasOutlierZ = 2.0
+
+  /** Embedding bias screen — the vector-QA gate a corpus runs BEFORE
+    * indexing: a mis-centered encoder (constant offset, dropped
+    * mean-subtraction, truncation artifacts) shows up as an outlying
+    * COMPONENT SUM Σxᵢ, and shipping such vectors into a cosine index
+    * biases every neighborhood they touch. (The norm is emitted as a
+    * ledger column but is NOT the screen here: this corpus — like any
+    * normalize-at-ingest store — is unit-norm by construction, so norms
+    * carry no signal; the component sum of a random unit vector is ~N(0,1)
+    * and separates real bias.) Emits vectors whose corpus z-score exceeds
+    * |z| > [[BiasOutlierZ]].
+    *
+    * Float parity: corpus mean/std of a DOUBLE column can't hash-compare
+    * raw (shuffle-order float sums), so the component sum is quantized to
+    * `floor(csum · 2^20)` and the moments run in exact DECIMAL — the same
+    * fixed-point device as [[statsDf]]; the z-score then uses the
+    * quantized sum against those exact moments, one fixed expression shape
+    * on both engines, with a `std > 0` guard so a degenerate (constant)
+    * distribution yields an empty report instead of NaN. Scale: one
+    * map-side fold per row + a 1-row moment aggregate broadcast back — a
+    * full-corpus screen at scan cost.
+    */
+  def biasOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val csum = expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+      (acc, x) -> acc + CAST(x AS DOUBLE))""")
+    val sq = expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+      (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+    val rows = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(sq))
+      .withColumn("csum", csum)
+      .withColumn("q", floor($"csum" * lit(Scale.toDouble)).cast("long"))
+    val moments = rows.agg(
+      count(lit(1)).as("n"),
+      sum($"q".cast("decimal(38,0)")).as("sq"),
+      sum(($"q" * $"q").cast("decimal(38,0)")).as("sq2"))
+      .withColumn("mean",
+        ($"sq".cast("double") / $"n") / lit(Scale.toDouble))
+      .withColumn("std",
+        sqrt(($"n".cast("decimal(38,0)") * $"sq2" - $"sq" * $"sq").cast("double")
+          / ($"n".cast("double") * $"n".cast("double"))
+          / lit(ScaleSq.toDouble)))
+      .select($"mean", $"std")
+    rows.crossJoin(broadcast(moments))
+      .filter($"std" > 0)
+      .withColumn("z",
+        ($"q".cast("double") / lit(Scale.toDouble) - $"mean") / $"std")
+      .filter(abs($"z") > BiasOutlierZ)
+      .select($"vec_id", $"norm", $"csum", $"z")
+      .orderBy($"vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dim_stats" -> (dimStats _),
-    "sim_standardize" -> (standardize _))
+    "sim_standardize" -> (standardize _),
+    "sim_bias_outliers" -> (biasOutliers _))
 
   /** The stats CTE shared by both oracles — expression shapes mirror
     * [[statsDf]] exactly (`CAST(x AS DOUBLE)` ↔ `.cast("double")`, same
@@ -120,5 +175,34 @@ FROM (SELECT vec_id, (p - 1)::INT AS pos, CAST(embedding[p] AS DOUBLE) AS v
       FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS p)
       WHERE vec_id < $ProbeVecs) e
 JOIN st USING (pos)
-ORDER BY vec_id, pos""")
+ORDER BY vec_id, pos""",
+
+    "sim_bias_outliers" -> s"""WITH rows_ AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+         list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE))) AS csum
+  FROM embeddings),
+q AS (
+  SELECT vec_id, norm, csum,
+         CAST(floor(csum * ${Scale.toDouble}) AS BIGINT) AS q
+  FROM rows_),
+mo AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(q::HUGEINT) AS sq, sum((q * q)::HUGEINT) AS sq2
+  FROM q),
+st AS (
+  SELECT (CAST(sq AS DOUBLE) / n) / ${Scale.toDouble} AS mean,
+         sqrt(CAST(n::HUGEINT * sq2 - sq * sq AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+              / ${ScaleSq.toDouble}) AS std
+  FROM mo)
+SELECT vec_id, norm, csum,
+       (CAST(q AS DOUBLE) / ${Scale.toDouble} - mean) / std AS z
+FROM q, st
+WHERE std > 0
+  AND abs((CAST(q AS DOUBLE) / ${Scale.toDouble} - mean) / std)
+      > $BiasOutlierZ
+ORDER BY vec_id""")
 }

@@ -275,6 +275,46 @@ object Curate {
       .orderBy($"source")
   }
 
+  /** Temperature-sampling mix (α = 0.5) — the standard multilingual /
+    * multi-source rebalancing policy: sampling weight w_i ∝ n_i^α flattens
+    * the natural size distribution so small sources are seen more than
+    * proportionally (α→0 is uniform, α=1 is natural). α is fixed at 0.5
+    * because n^0.5 = sqrt(n) is a correctly-rounded IEEE op on both
+    * engines — a general pow() routes through exp/log, which are only
+    * 1-ulp on the JVM and therefore banned from hash-compared outputs
+    * (the repo's float-parity rule). Emits per source the weight, the
+    * token allocation out of [[TokenBudget]], and the implied epoch count
+    * (allocation / corpus size — >1 means the source repeats).
+    *
+    * Float parity: per-source token counts are exact long sums; the weight
+    * denominator Σ sqrt(n_i) folds IN SOURCE ORDER over a collected
+    * source-sorted array (the in-array-order accumulation contract every
+    * cosine oracle here uses), so every derived double is bit-identical
+    * cross-engine. Scale: sources are few — the rollup is one partial-
+    * aggregated shuffle, the denominator a 1-row broadcast.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+    val den = per.agg(expr(
+      """aggregate(
+        |  transform(sort_array(collect_list(struct(source, n_tokens))),
+        |    s -> sqrt(CAST(s.n_tokens AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+      .as("denom"))
+    per.crossJoin(broadcast(den))
+      .withColumn("weight", sqrt($"n_tokens".cast("double")) / $"denom")
+      .withColumn("alloc_tokens", lit(TokenBudget.toDouble) * $"weight")
+      .withColumn("epochs", $"alloc_tokens" / $"n_tokens".cast("double"))
+      .select($"source", $"n_docs", $"n_tokens", $"weight", $"alloc_tokens",
+        $"epochs")
+      .orderBy($"source")
+  }
+
   /** Width of the exact-collision n-gram for [[ngramOverlap]]. Production
     * decontamination uses 8-13; 5 fits this corpus's ~30-word vocabulary
     * (wider grams collide only on true copies, narrower ones saturate).
@@ -395,6 +435,7 @@ object Curate {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_ngram_overlap" -> ((s, d) => ngramOverlap(s, d)),
     "curate_overlap_dropped_grams" -> (overlapDroppedGrams _),
+    "curate_temperature_mix" -> (temperatureMix _),
     "curate_budget_mix" -> (budgetMix _),
     "curate_corpus" -> (curatedStats _),
     "curate_funnel" -> (funnelLedger _),
@@ -482,6 +523,23 @@ g AS (
 SELECT gram, count(*)::BIGINT AS df
 FROM g GROUP BY gram HAVING count(*) > $OverlapDfCap
 ORDER BY df DESC, gram""",
+
+    "curate_temperature_mix" -> s"""WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1),
+den AS (
+  SELECT list_sum(list_transform(list(n_tokens ORDER BY source),
+                                 t -> sqrt(CAST(t AS DOUBLE)))) AS denom
+  FROM per)
+SELECT source, n_docs, n_tokens,
+       sqrt(CAST(n_tokens AS DOUBLE)) / denom AS weight,
+       ${TokenBudget.toDouble} * (sqrt(CAST(n_tokens AS DOUBLE)) / denom)
+         AS alloc_tokens,
+       (${TokenBudget.toDouble} * (sqrt(CAST(n_tokens AS DOUBLE)) / denom))
+         / CAST(n_tokens AS DOUBLE) AS epochs
+FROM per, den
+ORDER BY source""",
 
     "curate_funnel" -> funnelOracleSql,
     "curate_budget_mix" -> s"""WITH d AS (

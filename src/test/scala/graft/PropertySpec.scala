@@ -35,7 +35,9 @@ class PropertySpec extends SparkSpec {
       "sim_contrastive_pairs", "sim_knn_classify", "ts_rebase_index",
       "win_trailing_range", "ts_ewma", "curate_ngram_overlap",
       "graph_bfs_hops", "sim_semdedup", "sim_mips_topk",
-      "wh_incremental_agg")
+      "wh_incremental_agg", "agg_kmv_nway", "curate_temperature_mix",
+      "sim_bias_outliers", "wh_month_pruned_scan",
+      "dedup_ngram_jaccard_capped")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
