@@ -168,6 +168,32 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Similarity-threshold sweep over the materialized pair table — the
+    * tuning report behind every dedup τ choice: pair counts per 0.1-wide
+    * Jaccard band plus the running count of pairs surviving τ ≥ band
+    * (cumulative from the top). A curation run reads this ONCE to see how
+    * aggressive each candidate threshold is before committing a drop pass;
+    * at 100 TB it prices τ changes without re-running the pair join (the
+    * pair table is the write-once artifact all dedup consumers share).
+    * Banding is `floor(j·10)` — identical IEEE multiply+floor both
+    * engines; the cumulative window runs over ≤ 10 band rows.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"band".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pairsForDir(spark, dir)
+      .withColumn("band", floor($"jaccard" * 10).cast("int"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_at_or_above", sum($"n_pairs").over(w))
+      .select(($"band" / 10.0).as("tau_band"), $"n_pairs",
+        $"n_pairs_at_or_above")
+      .orderBy($"tau_band")
+  }
+
   /** Containment threshold — interpolated into Spark + oracle (parity rule). */
   val ContainTau = 0.8
 
@@ -426,6 +452,7 @@ object Dedup {
       prefixPairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_ngram_jaccard_capped" -> ((s: SparkSession, d: String) =>
       ngramJaccardCapped(s, d)),
+    "dedup_threshold_sweep" -> (thresholdSweep _),
     "dedup_containment" -> ((s: SparkSession, d: String) =>
       containmentForDir(s, d).orderBy(col("contained_id"), col("container_id"))),
     "dedup_cross_source" -> (crossSourceMatrix _),
@@ -470,6 +497,16 @@ GROUP BY 1 HAVING count(*) > 1
 ORDER BY canonical_id""",
 
     "dedup_ngram_jaccard" -> jaccardOracleSql,
+
+    "dedup_threshold_sweep" -> s"""WITH b AS (
+  SELECT CAST(floor(jaccard * 10) AS INT) AS band, count(*)::BIGINT AS n_pairs
+  FROM ($jaccardOracleSql) GROUP BY 1)
+SELECT band / 10.0 AS tau_band, n_pairs,
+       sum(n_pairs) OVER (ORDER BY band DESC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS n_pairs_at_or_above
+FROM b
+ORDER BY tau_band""",
 
     // prefix filtering is EXACT (candidate recall 100%), so its oracle is
     // the identical thresholded pair table at the same τ — the strongest

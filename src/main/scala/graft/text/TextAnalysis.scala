@@ -105,6 +105,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion rollup — the corpus-level QA view over
+    * [[langId]]: declared × predicted counts plus each cell's share of its
+    * declared language. The report a curation run reads to decide whether
+    * the declared `lang` labels (crawl metadata — routinely wrong) or the
+    * content-based ID should gate the language filters; off-diagonal mass
+    * IS the mislabel rate. One languages²-sized aggregate over the map-side
+    * per-doc scorer; the share divides exact longs, so the doubles
+    * hash-compare.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"declared_lang")
+    langId(spark, dir)
+      .groupBy($"declared_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_declared",
+        $"n_docs" * lit(1.0) / sum($"n_docs").over(w))
+      .orderBy($"declared_lang", $"predicted_lang")
+  }
+
   /** Document fingerprinting: md5 of the normalized text (exact-dup key) and
     * a coarse length bucket — the (fingerprint, bucket) pair is the
     * partition-friendly exact-dedup identity at corpus scale.
@@ -511,6 +532,7 @@ object TextAnalysis {
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
     "text_lang_id" -> (langId _),
+    "text_lang_confusion" -> (langConfusion _),
     "text_fingerprint" -> (fingerprint _),
     "text_winnow_fingerprints" -> (winnowFingerprints _),
     "text_repetition" -> (repetition _),
@@ -584,6 +606,25 @@ SELECT doc_id,
 $tCols
 FROM j GROUP BY doc_id
 ORDER BY doc_id"""
+  }
+
+  /** Shared body of the lang-id oracle (no ORDER BY) — the per-doc scorer
+    * the confusion rollup wraps as a CTE, so both stay one definition.
+    */
+  private val langIdOracleBody: String = {
+    def s(lang: String) = {
+      val arr = LangMarkers(lang).map(x => s"'$x'").mkString("(", ",", ")")
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $arr))::INT"
+    }
+    s"""SELECT doc_id, lang AS declared_lang,
+       ${s("en")} AS score_en, ${s("de")} AS score_de, ${s("fr")} AS score_fr,
+       ${s("es")} AS score_es, ${s("zh")} AS score_zh,
+       CASE WHEN ${s("en")} >= greatest(${s("de")}, ${s("fr")}, ${s("es")}, ${s("zh")}) THEN 'en'
+            WHEN ${s("de")} >= greatest(${s("fr")}, ${s("es")}, ${s("zh")}) THEN 'de'
+            WHEN ${s("fr")} >= greatest(${s("es")}, ${s("zh")}) THEN 'fr'
+            WHEN ${s("es")} >= ${s("zh")} THEN 'es'
+            ELSE 'zh' END AS predicted_lang
+FROM documents"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -691,21 +732,19 @@ FROM documents ORDER BY doc_id""",
          * 1.0 / length(text) AS upper_ratio
 FROM documents ORDER BY doc_id""",
 
-    "text_lang_id" -> {
-      def s(lang: String) = {
-        val arr = LangMarkers(lang).map(x => s"'$x'").mkString("(", ",", ")")
-        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $arr))::INT"
-      }
-      s"""SELECT doc_id, lang AS declared_lang,
-       ${s("en")} AS score_en, ${s("de")} AS score_de, ${s("fr")} AS score_fr,
-       ${s("es")} AS score_es, ${s("zh")} AS score_zh,
-       CASE WHEN ${s("en")} >= greatest(${s("de")}, ${s("fr")}, ${s("es")}, ${s("zh")}) THEN 'en'
-            WHEN ${s("de")} >= greatest(${s("fr")}, ${s("es")}, ${s("zh")}) THEN 'de'
-            WHEN ${s("fr")} >= greatest(${s("es")}, ${s("zh")}) THEN 'fr'
-            WHEN ${s("es")} >= ${s("zh")} THEN 'es'
-            ELSE 'zh' END AS predicted_lang
-FROM documents ORDER BY doc_id"""
-    },
+    "text_lang_id" -> s"""$langIdOracleBody
+ORDER BY doc_id""",
+
+    "text_lang_confusion" -> s"""WITH ids AS ($langIdOracleBody),
+cells AS (
+  SELECT declared_lang, predicted_lang, count(*)::BIGINT AS n_docs
+  FROM ids GROUP BY 1, 2),
+tot AS (
+  SELECT declared_lang, sum(n_docs)::BIGINT AS t FROM cells GROUP BY 1)
+SELECT c.declared_lang, c.predicted_lang, c.n_docs,
+       c.n_docs * 1.0 / t AS share_of_declared
+FROM cells c JOIN tot USING (declared_lang)
+ORDER BY declared_lang, predicted_lang""",
 
     "text_fingerprint" -> """SELECT doc_id,
        md5(lower(trim(text))) AS fingerprint,

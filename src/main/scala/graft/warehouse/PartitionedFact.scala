@@ -58,8 +58,32 @@ object PartitionedFact {
         sum(when(col("has_report"), 1L).otherwise(0L)).as("n_with_report"))
       .orderBy(col("month_key"))
 
+  /** Per-partition reconciliation fingerprints over the month layout: row
+    * count, an order-independent key checksum (sum of md5-h32 over the
+    * natural key, accumulated in exact DECIMAL then reduced mod 2^31−1 so
+    * it never overflows at any partition size), and the date_key envelope.
+    * This is the ledger a 100 TB migration / backfill diffs against the
+    * source system per partition — two runs disagree exactly where their
+    * checksum rows disagree, without moving any data. One partial-
+    * aggregated shuffle on the partition key.
+    */
+  def partitionChecksums(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Md5Hash
+    factByMonth(spark, dir)
+      .groupBy(col("month_key"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (sum(Md5Hash.h32(concat(lit("ck:"), col("encounter_key")
+          .cast("string"))).cast("decimal(38,0)")) % Md5Hash.P)
+          .cast("bigint").as("key_checksum"),
+        min(col("date_key")).as("min_date_key"),
+        max(col("date_key")).as("max_date_key"))
+      .orderBy(col("month_key"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "wh_month_pruned_scan" -> (monthPrunedScan _))
+    "wh_month_pruned_scan" -> (monthPrunedScan _),
+    "wh_partition_checksums" -> (partitionChecksums _))
 
   val oracle: Map[String, String] = Map(
     "wh_month_pruned_scan" -> s"""${graft.analytics.OracleSql.prelude}
@@ -70,6 +94,18 @@ SELECT (date_key // 100)::INT AS month_key,
        sum(CASE WHEN has_report THEN 1 ELSE 0 END)::BIGINT AS n_with_report
 FROM fact_encounters
 WHERE date_key // 100 BETWEEN $MonthLo AND $MonthHi
+GROUP BY 1
+ORDER BY 1""",
+
+    "wh_partition_checksums" -> s"""${graft.analytics.OracleSql.prelude}
+SELECT (date_key // 100)::INT AS month_key,
+       count(*)::BIGINT AS n_rows,
+       (sum((${graft.functions.Md5Hash
+      .h32Sql("'ck:' || CAST(encounter_key AS VARCHAR)")})::HUGEINT)
+        % ${graft.functions.Md5Hash.P})::BIGINT AS key_checksum,
+       min(date_key)::INT AS min_date_key,
+       max(date_key)::INT AS max_date_key
+FROM fact_encounters
 GROUP BY 1
 ORDER BY 1""")
 }

@@ -37,7 +37,8 @@ class PropertySpec extends SparkSpec {
       "graph_bfs_hops", "sim_semdedup", "sim_mips_topk",
       "wh_incremental_agg", "agg_kmv_nway", "curate_temperature_mix",
       "sim_bias_outliers", "wh_month_pruned_scan",
-      "dedup_ngram_jaccard_capped")
+      "dedup_ngram_jaccard_capped", "text_lang_confusion",
+      "dedup_threshold_sweep", "wh_partition_checksums")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
