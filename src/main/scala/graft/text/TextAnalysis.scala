@@ -362,6 +362,42 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** Minimum cross-document repetitions for a chunk to enter the
+    * [[repeatedChunks]] ledger — one value, both engines.
+    */
+  val RepeatedChunkMin = 2L
+
+  /** Passage-level duplication ledger — the SUBSTRING-granularity member of
+    * the dedup family: whole-document fingerprints miss a license header or
+    * boilerplate paragraph pasted into thousands of otherwise-distinct
+    * documents, and those repeated passages are exactly what an LLM
+    * memorizes. Token-window chunks ([[chunkWindows]] geometry) are
+    * fingerprinted (md5 of the chunk text) and grouped ACROSS the corpus;
+    * any fingerprint appearing in ≥ [[RepeatedChunkMin]] distinct documents
+    * is a shared passage, reported with its occurrence count, document
+    * reach, and canonical (minimum) location. This is the tractable
+    * relational form of suffix-array substring dedup: fixed-width windows
+    * instead of maximal repeats, one map-side fingerprint pass + one
+    * fingerprint-keyed aggregate — scan-shaped at 100 TB, where a true
+    * suffix array would need a global sort of every token position.
+    * Short final windows are excluded (their truncated text collides with
+    * nothing meaningful and would self-pair across strides).
+    */
+  def repeatedChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkWindows(spark, dir)
+      .filter($"n_chunk_tokens" === ChunkW)
+      .select($"doc_id", $"chunk_id", md5($"chunk_text").as("chunk_fp"))
+      .groupBy($"chunk_fp")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc_id"),
+        min($"chunk_id").as("min_chunk_id"))
+      .filter($"n_docs" >= RepeatedChunkMin)
+      .orderBy($"chunk_fp")
+  }
+
   /** Top bigrams per language: corpus-level n-gram reporting (the
     * repetition/boilerplate dashboard every corpus build keeps). Count per
     * (lang, bigram) with map-side partial aggregation, then top-10 per
@@ -528,6 +564,7 @@ object TextAnalysis {
     "text_top_bigrams" -> (topBigrams _),
     "text_quality_gate" -> (qualityGate _),
     "text_chunk_windows" -> (chunkWindows _),
+    "text_repeated_chunks" -> (repeatedChunks _),
     "text_token_freq_score" -> (tokenFreqScore _),
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
@@ -695,6 +732,29 @@ SELECT doc_id,
        array_to_string(t[start_tok + 1 : start_tok + $ChunkW], ' ') AS chunk_text
 FROM toks, LATERAL (SELECT unnest(range(0, len(t), $ChunkS)) AS start_tok)
 ORDER BY doc_id, chunk_id""",
+
+    "text_repeated_chunks" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         (start_tok // $ChunkS)::INT AS chunk_id,
+         least(len(t) - start_tok, $ChunkW)::INT AS n_chunk_tokens,
+         array_to_string(t[start_tok + 1 : start_tok + $ChunkW], ' ')
+           AS chunk_text
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t), $ChunkS)) AS start_tok)),
+fp AS (
+  SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_fp
+  FROM chunks WHERE n_chunk_tokens = $ChunkW)
+SELECT chunk_fp,
+       count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(doc_id) AS first_doc_id,
+       min(chunk_id)::INT AS min_chunk_id
+FROM fp
+GROUP BY chunk_fp
+HAVING count(DISTINCT doc_id) >= $RepeatedChunkMin
+ORDER BY chunk_fp""",
 
     "text_token_freq_score" -> s"""WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok

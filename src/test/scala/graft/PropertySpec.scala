@@ -38,7 +38,8 @@ class PropertySpec extends SparkSpec {
       "wh_incremental_agg", "agg_kmv_nway", "curate_temperature_mix",
       "sim_bias_outliers", "wh_month_pruned_scan",
       "dedup_ngram_jaccard_capped", "text_lang_confusion",
-      "dedup_threshold_sweep", "wh_partition_checksums")
+      "dedup_threshold_sweep", "wh_partition_checksums",
+      "text_repeated_chunks", "etl_record_linkage")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
