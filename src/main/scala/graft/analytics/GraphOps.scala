@@ -204,9 +204,51 @@ object GraphOps {
       .orderBy($"hops", $"n_name")
   }
 
+  /** k-core order and peeling rounds — one definition, both engines. The
+    * round count is FIXED (not run-to-fixpoint) so the Spark loop and the
+    * unrolled DuckDB CTE chain compute the identical relation;
+    * TimeSeriesGraphSpec asserts one extra round changes nothing at test
+    * scale, which proves the fixed unrolling reached the true k-core.
+    */
+  val KcoreK = 3
+  val KcoreRounds = 4
+
+  /** [[KcoreK]]-core of the supplier co-occurrence graph: iteratively peel
+    * every node with degree < k until only the mutually-k-connected core
+    * remains — the standard dense-substructure report (collusive supplier
+    * rings, community nuclei) between cheap degree counts and expensive
+    * triangle counting. Each round is one degree aggregate + two semi-join
+    * filters on the surviving node set — a shuffle per round, nothing
+    * quadratic, and hub degrees only shrink, so the plan survives
+    * power-law graphs at scale (degeneracy-bounded like [[triangles]]).
+    * Emits surviving suppliers with their within-core degree.
+    */
+  def kcore(spark: SparkSession, dir: String,
+      rounds: Int = KcoreRounds): DataFrame = {
+    import spark.implicits._
+    val e0 = coEdges(spark, dir)
+    var edges = e0.select($"u".as("a"), $"v".as("b"))
+      .unionByName(e0.select($"v".as("a"), $"u".as("b")))
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= KcoreK).select($"a")
+      edges = edges
+        .join(keep, "a")
+        .join(keep.select($"a".as("b")), "b")
+        .select($"a", $"b")
+    }
+    edges.groupBy($"a".as("s_suppkey"))
+      .agg(count(lit(1)).as("core_degree"))
+      .join(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_name"), "s_suppkey")
+      .select($"s_suppkey", $"s_name", $"core_degree")
+      .orderBy($"s_suppkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
+    "graph_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
     "graph_bfs_hops" -> (bfsHops _))
 
   private val edgesSql: String = """SELECT c_nationkey AS src,
@@ -227,6 +269,13 @@ object GraphOps {
     FROM ew e JOIN $prev p ON e.src = p.v
     GROUP BY 1) s ON n.v = s.v"""
 
+  /** One unrolled k-core peel: keep edges whose BOTH endpoints still have
+    * degree ≥ k in `prev`.
+    */
+  private def kcoreIterSql(prev: String): String = s"""SELECT a, b FROM $prev
+  WHERE a IN (SELECT a FROM $prev GROUP BY a HAVING count(*) >= $KcoreK)
+    AND b IN (SELECT a FROM $prev GROUP BY a HAVING count(*) >= $KcoreK)"""
+
   /** One unrolled BFS relaxation: distances `prev(v, d)` → next. */
   private def bfsIterSql(prev: String): String = s"""SELECT n.v,
          CASE WHEN n.d IS NULL THEN r.nd
@@ -239,6 +288,24 @@ object GraphOps {
     GROUP BY 1) r ON n.v = r.v"""
 
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+ce AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING count(*) >= $CoThreshold),
+k0 AS (SELECT u AS a, v AS b FROM ce UNION ALL SELECT v, u FROM ce),
+k1 AS (${kcoreIterSql("k0")}),
+k2 AS (${kcoreIterSql("k1")}),
+k3 AS (${kcoreIterSql("k2")}),
+k4 AS (${kcoreIterSql("k3")})
+SELECT k.a AS s_suppkey, s.s_name, count(*)::BIGINT AS core_degree
+FROM k4 k JOIN supplier s ON k.a = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY s_suppkey""",
+
     "graph_bfs_hops" -> s"""WITH bedges AS (
   SELECT DISTINCT src, dst FROM ($edgesSql)),
 nodes AS (SELECT n_nationkey AS v, n_name FROM nation),

@@ -75,4 +75,19 @@ class TimeSeriesGraphSpec extends SparkSpec {
     assert(unsupported === 0,
       "a reached node's best in-neighbor must sit exactly one hop closer")
   }
+
+  test("k-core: fixed unrolling reaches the fixpoint; core degrees >= k") {
+    val atRounds = analytics.GraphOps.kcore(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    // one extra peel changes nothing → the fixed unrolling IS the k-core
+    val onePast = analytics.GraphOps
+      .kcore(spark, sf, rounds = analytics.GraphOps.KcoreRounds + 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(atRounds == onePast,
+      s"peeling had not converged after ${analytics.GraphOps.KcoreRounds} rounds")
+    // defining property: every surviving node keeps >= k in-core neighbors
+    val below = analytics.GraphOps.kcore(spark, sf)
+      .filter(col("core_degree") < analytics.GraphOps.KcoreK).count()
+    assert(below === 0, "k-core member with fewer than k in-core neighbors")
+  }
 }
