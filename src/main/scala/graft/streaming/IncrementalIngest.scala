@@ -53,7 +53,11 @@ object IncrementalIngest {
 
   /** Windowed rollup: tumbling 1-hour counts per event type with a 1-day
     * watermark — the streaming analog of the matview refresh (append mode:
-    * each window emits once, when the watermark passes it).
+    * each window emits once, when the watermark passes it). Values sum as
+    * DECIMAL inside the streaming aggregate (the [[Sessionize]] parity
+    * rule: a float sum's merge order varies with partial-state merges, so
+    * only an exact-associative accumulator makes the sink hash-comparable
+    * across engines and re-runs), cast back to double on the wire.
     */
   def windowedCounts(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String): StreamingQuery = {
@@ -62,7 +66,9 @@ object IncrementalIngest {
       .parquet(srcDir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n"),
         col("total_value"))
@@ -207,8 +213,45 @@ object IncrementalIngest {
           .orderBy(col("purchase_id"), col("click_id"))
       })
 
+  private val wcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** End-to-end batch-comparable run of [[windowedCounts]] — and, more to
+    * the point, an ORACLE-CHECKED statement of append-mode watermark
+    * semantics: a window emits only once the watermark (max event time −
+    * horizon) passes its end, so on a closed input the final day of
+    * windows is deliberately ABSENT from the sink (they would emit on the
+    * next trigger). The DuckDB twin applies the same cutoff
+    * (`window_end ≤ max(ts) − 1 day`) to a plain tumbling-window GROUP BY,
+    * so the eviction rule itself is hash-verified rather than taken on
+    * faith. Values sum as DECIMAL inside the streaming aggregate (the
+    * [[graft.streaming.Sessionize]] parity rule — float sums through a
+    * shuffle never hash-compare); one source file → one AvailableNow
+    * micro-batch.
+    */
+  def windowedCountsEntry(spark: SparkSession, dir: String): DataFrame =
+    wcMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-wc/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        graft.Tables.events(spark, dir)
+          .filter(col("ts").isNotNull)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/src")
+        windowedCounts(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+          .awaitTermination()
+        spark.read.parquet(s"$base/out")
+          .select(unix_micros(col("window_start")).as("window_start_t"),
+            unix_micros(col("window_end")).as("window_end_t"),
+            col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("window_start_t"), col("event_type"))
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_attribution" -> (attributionEntry _))
+    "stream_attribution" -> (attributionEntry _),
+    "stream_windowed_counts" -> (windowedCountsEntry _))
 
   val oracle: Map[String, String] = Map(
     "stream_attribution" -> """WITH e AS (
@@ -225,5 +268,24 @@ SELECT purchase_id, user_id,
 FROM p JOIN c USING (user_id)
 WHERE click_ts <= purchase_ts
   AND click_ts >= purchase_ts - INTERVAL 1 HOUR
-ORDER BY purchase_id, click_id""")
+ORDER BY purchase_id, click_id""",
+
+    // the cutoff mirrors Spark's append-mode rule exactly: the event-time
+    // watermark is ms-precision (max event time − horizon), and a window
+    // emits once window_end ≤ watermark — so the final day of windows is
+    // deliberately absent on a closed input
+    "stream_windowed_counts" -> """WITH e AS (
+  SELECT * FROM events WHERE ts IS NOT NULL),
+wm AS (SELECT epoch_ms(max(ts)) - 86400000 AS cutoff_ms FROM e),
+w AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         count(*)::BIGINT AS n,
+         sum(value::DECIMAL(12,2))::DOUBLE AS total_value
+  FROM e GROUP BY 1, 2)
+SELECT (epoch_ns(ws) // 1000)::BIGINT AS window_start_t,
+       (epoch_ns(ws + INTERVAL 1 HOUR) // 1000)::BIGINT AS window_end_t,
+       event_type, n, total_value
+FROM w, wm
+WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= cutoff_ms
+ORDER BY window_start_t, event_type""")
 }

@@ -68,12 +68,19 @@ object TfIdf {
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // top-level explode + element_at concat keeps gram assembly inside
+    // whole-stage codegen — the transform(.., i -> concat_ws(slice(..)))
+    // lambda form runs interpreted and measured 7× slower (see
+    // Curate.overlapGrams)
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", split(trim(lower($"text")), "\\s+").as("tk"))
       .filter(size($"tk") >= BoilerGram)
-      .select($"doc_id", explode(
-        expr(s"transform(sequence(0, size(tk) - $BoilerGram), " +
-          s"i -> concat_ws(' ', slice(tk, i + 1, $BoilerGram)))")).as("g"))
+      .select($"doc_id", $"tk",
+        explode(sequence(lit(0), size($"tk") - BoilerGram)).as("i"))
+      .select($"doc_id",
+        concat_ws(" ",
+          (1 to BoilerGram).map(k => element_at($"tk", $"i" + k)): _*)
+          .as("g"))
     val docFreq = sh.select($"doc_id", $"g").distinct()
       .groupBy($"g").agg(count(lit(1)).as("n_docs"))
     val boiler = docFreq.filter($"n_docs" >= BoilerMinDocs).select($"g", $"n_docs")
