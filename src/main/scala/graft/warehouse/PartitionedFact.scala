@@ -81,9 +81,40 @@ object PartitionedFact {
       .orderBy(col("month_key"))
   }
 
+  /** Join-key skew report over the fact table — the measurement that
+    * decides WHEN the salting / AQE-skew-join machinery
+    * ([[graft.functions.SkewJoin]]) is worth its replication cost: for
+    * each shuffle key the fact actually joins on, the key cardinality,
+    * the heaviest key's row count and share, and the average rows per
+    * key. A hot key's share is the fraction of a shuffle stage that
+    * serializes onto one reducer, so `max_share ≫ 1/n_keys` is the
+    * trigger. One count-aggregate per key column (map-side partial) + a
+    * 1-row rollup each; doubles derive from exact longs, so the report
+    * hash-compares.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Warehouse.forDir(spark, dir).factEncounters
+    val keys = Seq("patient_key", "facility_key", "date_key")
+    keys.map { k =>
+      fact.groupBy(col(k).as("key_value"))
+        .agg(count(lit(1)).as("rows_per_key"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("rows_per_key")).as("total_rows"),
+          max(col("rows_per_key")).as("max_rows"))
+        .select(
+          lit(k).as("join_key"),
+          col("n_keys"), col("total_rows"), col("max_rows"),
+          (col("total_rows") * lit(1.0) / col("n_keys")).as("avg_rows"),
+          (col("max_rows") * lit(1.0) / col("total_rows")).as("max_share"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("join_key"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_month_pruned_scan" -> (monthPrunedScan _),
-    "wh_partition_checksums" -> (partitionChecksums _))
+    "wh_partition_checksums" -> (partitionChecksums _),
+    "wh_skew_report" -> (skewReport _))
 
   val oracle: Map[String, String] = Map(
     "wh_month_pruned_scan" -> s"""${graft.analytics.OracleSql.prelude}
@@ -107,5 +138,25 @@ SELECT (date_key // 100)::INT AS month_key,
        max(date_key)::INT AS max_date_key
 FROM fact_encounters
 GROUP BY 1
-ORDER BY 1""")
+ORDER BY 1""",
+
+    "wh_skew_report" -> s"""${graft.analytics.OracleSql.prelude}
+, per AS (
+  SELECT 'patient_key' AS join_key, patient_key AS key_value, count(*) AS r
+  FROM fact_encounters GROUP BY 1, 2
+  UNION ALL
+  SELECT 'facility_key', facility_key, count(*)
+  FROM fact_encounters GROUP BY 1, 2
+  UNION ALL
+  SELECT 'date_key', date_key, count(*)
+  FROM fact_encounters GROUP BY 1, 2)
+SELECT join_key,
+       count(*)::BIGINT AS n_keys,
+       sum(r)::BIGINT AS total_rows,
+       max(r)::BIGINT AS max_rows,
+       sum(r)::BIGINT * 1.0 / count(*) AS avg_rows,
+       max(r)::BIGINT * 1.0 / sum(r)::BIGINT AS max_share
+FROM per
+GROUP BY join_key
+ORDER BY join_key""")
 }
