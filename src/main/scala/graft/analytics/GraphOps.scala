@@ -95,23 +95,36 @@ object GraphOps {
     */
   val CoThreshold = 20
 
+  private val coMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Undirected supplier co-occurrence edges: (u < v, shared-order count ≥
     * [[CoThreshold]]). The (order, supplier) projection dedups BEFORE the
     * self-join so multi-lineitem orders don't inflate pair weights, and the
-    * self-join is an equi-join on orderkey (never a product).
+    * self-join is an equi-join on orderkey (never a product). Materialized
+    * once per (application, corpus): both consumers ([[triangles]]'s wedge
+    * join, [[kcore]]'s peel) reference the edge relation three times, and
+    * without materialization each reference re-runs the fact self-join —
+    * the same write-once edge-table shape a 100 TB graph pass uses.
     */
-  private[graft] def coEdges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val os = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_suppkey").distinct()
-    os.as("a").join(os.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey"
-          && $"a.l_suppkey" < $"b.l_suppkey")
-      .groupBy($"a.l_suppkey".as("u"), $"b.l_suppkey".as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter($"w" >= CoThreshold)
-      .select($"u", $"v")
-  }
+  private[graft] def coEdges(spark: SparkSession, dir: String): DataFrame =
+    coMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      import spark.implicits._
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-co-edges/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      val os = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      os.as("a").join(os.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey"
+            && $"a.l_suppkey" < $"b.l_suppkey")
+        .groupBy($"a.l_suppkey".as("u"), $"b.l_suppkey".as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= CoThreshold)
+        .select($"u", $"v")
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    })
 
   /** Per-supplier triangle participation counts over the co-occurrence
     * graph, by DEGREE-ORDERED wedge counting (the scalable formulation):
@@ -226,16 +239,30 @@ object GraphOps {
   def kcore(spark: SparkSession, dir: String,
       rounds: Int = KcoreRounds): DataFrame = {
     import spark.implicits._
+    // Each round references the previous round THREE times (degree count +
+    // two endpoint filters); left as lazy lineage Catalyst re-derives the
+    // whole chain per reference — 3^rounds recomputations of the base
+    // self-join (measured 9.5 s at sf0.1 for an EMPTY graph). Materialize
+    // every round to parquet (the repo's anti-recompute device — .persist
+    // is pathological on this box and a checkpoint is the 100 TB-correct
+    // shape for iterative edge sets anyway: PageRank/BFS reference their
+    // state once per round and don't need this).
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-kcore").toString
+    def mat(df: DataFrame, round: Int): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$work/r$round")
+      spark.read.parquet(s"$work/r$round")
+    }
     val e0 = coEdges(spark, dir)
-    var edges = e0.select($"u".as("a"), $"v".as("b"))
-      .unionByName(e0.select($"v".as("a"), $"u".as("b")))
-    for (_ <- 1 to rounds) {
+    var edges = mat(e0.select($"u".as("a"), $"v".as("b"))
+      .unionByName(e0.select($"v".as("a"), $"u".as("b"))), 0)
+    for (r <- 1 to rounds) {
       val keep = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= KcoreK).select($"a")
-      edges = edges
+      edges = mat(edges
         .join(keep, "a")
         .join(keep.select($"a".as("b")), "b")
-        .select($"a", $"b")
+        .select($"a", $"b"), r)
     }
     edges.groupBy($"a".as("s_suppkey"))
       .agg(count(lit(1)).as("core_degree"))
