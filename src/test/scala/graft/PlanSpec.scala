@@ -62,11 +62,28 @@ class PlanSpec extends SparkSpec {
 
   test("near-dup joins are equi-joins, never pairwise products") {
     for (df <- Seq(Dedup.ngramJaccard(spark, sf),
+        Dedup.ngramJaccardCapped(spark, sf),
         dedup.MinHashLsh.nearDuplicates(spark, sf),
         dedup.MinHashLsh.incrementalNearDuplicates(spark, sf),
         dedup.SimHash.nearDuplicates(spark, sf))) {
       val cartesian = collectAll(plan(df)) { case c: CartesianProductExec => c }
       assert(cartesian.isEmpty, "candidate generation must stay equi-join")
+    }
+  }
+
+  test("linkage and decontamination candidates come from equi-join indexes") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // the SymSpell wildcard index and the gram inverted index exist to keep
+    // the pair space off any product plan — gate the shape, not just the
+    // timing
+    for (df <- Seq(ingest.EtlExtras.recordLinkage(spark, sf),
+        text.Curate.ngramOverlap(spark, sf),
+        text.TextAnalysis.repeatedChunks(spark, sf))) {
+      val p = plan(df)
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+        "candidate generation must stay equi-join")
+      assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        "candidate generation must never plan a nested-loop product")
     }
   }
 
