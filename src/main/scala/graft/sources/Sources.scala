@@ -248,6 +248,35 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  private val orcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ORC corpus round trip — the OTHER columnar interchange format a lake
+    * ingests beside parquet (Hive-era feeds still arrive as ORC). Lands
+    * the documents table as ORC once per (app, corpus), reads it back with
+    * the explicit schema, and re-emits; the DuckDB oracle is the original
+    * parquet table, so the round trip is proven lossless field-for-field
+    * (the oracle engine cannot read ORC — content equality against the
+    * source is exactly the right check). ORC scans keep the same
+    * pushdown/pruning properties as parquet in Spark, so downstream
+    * operators are layout-agnostic.
+    */
+  def orcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val path = orcMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = s"${sys.props("java.io.tmpdir")}/graft-orc/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        Tables.documents(spark, dir).write.mode("overwrite").orc(p)
+        p
+      })
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+      .orc(path)
+      .orderBy(col("doc_id"))
+  }
+
   /** Rows corrupted in the landed CSV feed: every id with this residue mod
     * [[CsvCorruptEvery]] becomes a single-field junk line.
     */
@@ -329,6 +358,7 @@ object Sources {
     "src_volume_encounters" -> (volumeEncounters _),
     "src_volume_procedures" -> (volumeProcedures _),
     "src_jsonl_roundtrip" -> (jsonlIngest _),
+    "src_orc_roundtrip" -> (orcIngest _),
     "src_csv_quarantine" -> (csvQuarantine _))
 
   /** DuckDB h32 of a VARCHAR expression (shared parity base). */
@@ -415,6 +445,10 @@ ORDER BY encounter_id, proc_seq"""
   val oracle: Map[String, String] = Map(
     // the JSONL round trip must reproduce the parquet table losslessly
     "src_jsonl_roundtrip" -> """SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id""",
+
+    // the ORC round trip must likewise reproduce the parquet table
+    "src_orc_roundtrip" -> """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
 
     // the CSV round trip drops exactly the planted-corrupt lines; double
