@@ -176,6 +176,30 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Cell-balance report over the trained index — the health check an ANN
+    * deployment watches: IVF probe cost is proportional to the PROBED
+    * cells' sizes, so one hot cell (bad seeding, clustered corpus) silently
+    * turns "nprobe/K of the corpus" into "most of the corpus" for every
+    * query routed there. Emits per cell its vector count, corpus share,
+    * and balance factor (count / ideal-uniform count); `balance_factor ≫ 1`
+    * cells are re-train or cell-split triggers. One aggregate over the
+    * assignment table + a 1-row rollup broadcast back; doubles derive from
+    * exact longs so the report hash-compares.
+    */
+  def cellStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, _) = build(spark, dir)
+    val per = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum($"n_vecs").as("total"),
+      count(lit(1)).as("n_cells"))
+    per.crossJoin(broadcast(tot))
+      .select($"cell", $"n_vecs",
+        ($"n_vecs" * lit(1.0) / $"total").as("share"),
+        ($"n_vecs" * lit(1.0) / ($"total" * lit(1.0) / $"n_cells"))
+          .as("balance_factor"))
+      .orderBy($"cell")
+  }
+
   /** The index+routing CTE chain (md5 seeding `c0`, every Lloyd round
     * unrolled, final assignment `af`, probe set `probes`, nprobe routing
     * `pc`) — shared between [[oracleSql]] and the IVF-PQ twin
@@ -258,4 +282,15 @@ SELECT query_id, neighbor_id, rank, ${Similarity.r2("cos")} AS cosine_r2
 FROM ranked WHERE rank <= ${Similarity.TopK}
 ORDER BY query_id, rank"""
   }
+
+  /** DuckDB twin of [[cellStats]] — same unrolled trainer, same rollup. */
+  def cellStatsOracleSql: String = s"""WITH $searchCtes,
+per AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM af GROUP BY cell),
+tot AS (
+  SELECT sum(n_vecs)::BIGINT AS total, count(*)::BIGINT AS n_cells FROM per)
+SELECT cell::INT AS cell, n_vecs,
+       n_vecs * 1.0 / total AS share,
+       n_vecs * 1.0 / (total * 1.0 / n_cells) AS balance_factor
+FROM per, tot
+ORDER BY cell"""
 }

@@ -390,6 +390,8 @@ object Similarity {
     "sim_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       RandomHyperplaneLsh.topK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)),
+    "sim_ivf_cell_stats" -> ((s: SparkSession, d: String) =>
+      IvfIndex.cellStats(s, d)),
     "sim_ivf_pq_topk" -> ((s: SparkSession, d: String) => IvfPq.topK(s, d)),
     "sim_quantize_int8" -> ((s: SparkSession, d: String) => quantizeInt8(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) =>
@@ -579,6 +581,7 @@ ORDER BY query_id, kind, rk""",
     // subset-of-exact recall relationships
     "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql,
     "sim_ivf_topk" -> IvfIndex.oracleSql,
+    "sim_ivf_cell_stats" -> IvfIndex.cellStatsOracleSql,
     "sim_ivf_pq_topk" -> IvfPq.oracleSql,
     "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql,
 
