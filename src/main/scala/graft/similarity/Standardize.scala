@@ -138,10 +138,37 @@ object Standardize {
       .orderBy($"vec_id")
   }
 
+  /** Cross-modality coverage ledger — the referential-integrity check a
+    * text+embedding pipeline runs before EVERY index build or contrastive
+    * batch: documents that never got embedded (encoder backlog, silent
+    * failures) and embeddings whose document was since dropped (stale
+    * vectors that resurrect deleted content through retrieval). One
+    * full-outer join on the shared id + a 1-row rollup; at 100 TB both
+    * sides join on their natural key with map-side pruned id columns.
+    */
+  def embeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("doc_id"), lit(1).as("has_vec"))
+    docs.withColumn("has_doc", lit(1))
+      .join(vecs, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when($"has_doc".isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when($"has_vec".isNotNull, 1L).otherwise(0L)).as("n_vecs"),
+        sum(when($"has_doc".isNotNull && $"has_vec".isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when($"has_doc".isNotNull && $"has_vec".isNull, 1L)
+          .otherwise(0L)).as("n_docs_unembedded"),
+        sum(when($"has_doc".isNull && $"has_vec".isNotNull, 1L)
+          .otherwise(0L)).as("n_orphan_vectors"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dim_stats" -> (dimStats _),
     "sim_standardize" -> (standardize _),
-    "sim_bias_outliers" -> (biasOutliers _))
+    "sim_bias_outliers" -> (biasOutliers _),
+    "sim_embedding_coverage" -> (embeddingCoverage _))
 
   /** The stats CTE shared by both oracles — expression shapes mirror
     * [[statsDf]] exactly (`CAST(x AS DOUBLE)` ↔ `.cast("double")`, same
@@ -204,5 +231,18 @@ FROM q, st
 WHERE std > 0
   AND abs((CAST(q AS DOUBLE) / ${Scale.toDouble} - mean) / std)
       > $BiasOutlierZ
-ORDER BY vec_id""")
+ORDER BY vec_id""",
+
+    "sim_embedding_coverage" -> """SELECT
+       sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs,
+       sum(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_vecs,
+       sum(CASE WHEN d.doc_id IS NOT NULL AND v.vec_id IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       sum(CASE WHEN d.doc_id IS NOT NULL AND v.vec_id IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_docs_unembedded,
+       sum(CASE WHEN d.doc_id IS NULL AND v.vec_id IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_orphan_vectors
+FROM documents d FULL OUTER JOIN embeddings v ON d.doc_id = v.vec_id""")
 }
