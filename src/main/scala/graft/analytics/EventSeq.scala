@@ -106,9 +106,64 @@ object EventSeq {
       .orderBy($"event_type")
   }
 
+  /** Trailing 7-day distinct actives from MERGED daily HLL sketches — the
+    * sketch-algebra form of `agg_rolling_active_users`, and the reason a
+    * 100 TB pipeline keeps sketches at all: the corpus is scanned ONCE to
+    * build |days|×m daily registers, and every sliding window after that is
+    * a register max-merge over ≤ 7·m rows per day — re-windowing (7→28
+    * days, month-to-date, arbitrary ranges) costs sketch arithmetic, never
+    * a corpus rescan, where the exact rolling form re-expands every
+    * (day, user) pair per window. The day×register band join is
+    * days-bounded (a broadcast of the day spine, the MIPS precedent); the
+    * exact twin rides along for the rel_err column, and the estimate is
+    * the same correction-free raw formula as [[hllDistinct]] (exact
+    * power-of-two register sums — the one float-sum shape that is
+    * hash-safe).
+    */
+  def hllSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" > 0 && $"ts".isNotNull)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val hashed = ev
+      .withColumn("h", Md5Hash.h32(concat(lit("hll:"), $"user_id".cast("string"))))
+      .withColumn("idx", expr(s"h DIV $RegDivisor"))
+      .withColumn("w", $"h" % RegDivisor)
+      .withColumn("rho",
+        when($"w" === 0, lit(RankBase))
+          .otherwise(lit(RankBase) - length(conv($"w".cast("string"), 10, 2))))
+    val daily = hashed.groupBy($"day", $"idx").agg(max($"rho").as("m"))
+    val days = ev.select($"day").distinct()
+    val merged = broadcast(days.as("d"))
+      .join(daily.as("r"),
+        col("r.day") <= col("d.day")
+          && col("r.day") >= date_sub(col("d.day"), 6))
+      .groupBy(col("d.day").as("day"), col("r.idx").as("idx"))
+      .agg(max($"m").as("m"))
+    val sketch = merged.groupBy($"day").agg(
+      count(lit(1)).as("n_regs"),
+      sum(expr("1.0D / shiftleft(CAST(1 AS BIGINT), m)")).as("z_present"))
+    val exact = broadcast(days.as("d"))
+      .join(ev.as("e"),
+        col("e.day") <= col("d.day")
+          && col("e.day") >= date_sub(col("d.day"), 6))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("e.user_id")).as("n_exact"))
+    sketch.join(exact, "day")
+      .withColumn("z", $"z_present" + (lit(HllRegisters) - $"n_regs") * lit(1.0))
+      .select(
+        date_format($"day", "yyyyMMdd").cast("int").as("date_key"),
+        $"n_exact", $"n_regs",
+        (lit(HllAlpha) * lit(HllM2) / $"z").as("hll_estimate"),
+        ((lit(HllAlpha) * lit(HllM2) / $"z" - $"n_exact") / $"n_exact")
+          .as("rel_err"))
+      .orderBy($"date_key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_event_transitions" -> (transitions _),
     "agg_hll_distinct" -> (hllDistinct _),
+    "agg_hll_sliding" -> (hllSliding _),
     "agg_window_funnel" -> (windowFunnel _))
 
   /** Funnel stages (in order) and the completion window, anchored at the
@@ -232,5 +287,40 @@ SELECT z.event_type, x.n_exact, z.n_regs,
        ($HllAlpha * $HllM2 / (z_present + ($HllRegisters - n_regs) * 1.0) - n_exact)
          / n_exact AS rel_err
 FROM z JOIN x USING (event_type)
-ORDER BY event_type""")
+ORDER BY event_type""",
+
+    "agg_hll_sliding" -> s"""WITH ev AS (
+  SELECT DISTINCT ts::DATE AS day, user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id > 0 AND ts IS NOT NULL),
+h AS (
+  SELECT day, $hllH32 AS h FROM ev),
+r AS (
+  SELECT day, h // $RegDivisor AS idx,
+         CASE WHEN h % $RegDivisor = 0 THEN $RankBase
+              ELSE $RankBase - length(bin(h % $RegDivisor)) END AS rho
+  FROM h),
+daily AS (SELECT day, idx, max(rho) AS m FROM r GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM ev),
+merged AS (
+  SELECT d.day, r.idx, max(r.m) AS m
+  FROM days d JOIN daily r
+    ON r.day <= d.day AND r.day >= d.day - 6
+  GROUP BY 1, 2),
+sk AS (
+  SELECT day, count(*)::BIGINT AS n_regs,
+         sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << m)) AS z_present
+  FROM merged GROUP BY 1),
+ex AS (
+  SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS n_exact
+  FROM days d JOIN ev e
+    ON e.day <= d.day AND e.day >= d.day - 6
+  GROUP BY 1)
+SELECT CAST(strftime(sk.day, '%Y%m%d') AS INT) AS date_key,
+       ex.n_exact, sk.n_regs,
+       $HllAlpha * $HllM2 / (z_present + ($HllRegisters - n_regs) * 1.0)
+         AS hll_estimate,
+       ($HllAlpha * $HllM2 / (z_present + ($HllRegisters - n_regs) * 1.0)
+          - n_exact) / n_exact AS rel_err
+FROM sk JOIN ex USING (day)
+ORDER BY date_key""")
 }
