@@ -49,6 +49,26 @@ object Multimodal {
         (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"))
   }
 
+  /** Corpus modality mix — the one-look capacity report a multimodal
+    * ingest keeps: items, byte volume, and size envelope per media type.
+    * Storage planning, decode-fleet sizing, and batch-shape choices all
+    * read this table first; at 100 TB it is one partial-aggregated
+    * shuffle over (type, bytes) — the media bytes themselves never move.
+    */
+  def modalityMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"media_type", length($"media").as("n_bytes"))
+      .groupBy($"media_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"n_bytes".cast("bigint")).as("total_bytes"),
+        max($"n_bytes").as("max_bytes"),
+        (sum($"n_bytes".cast("bigint")) * lit(1.0) / count(lit(1)))
+          .as("avg_bytes"))
+      .orderBy($"media_type")
+  }
+
   /** Typed metadata over the binary column — pure column expressions
     * (byte length, magic-prefix sniff), no decode needed.
     */
@@ -317,6 +337,7 @@ object Multimodal {
     "mm_phash_dedup" -> (phashDedup _),
     "mm_audio_energy" -> (audioEnergy _),
     "mm_metadata" -> (metadata _),
+    "mm_modality_mix" -> (modalityMix _),
     "mm_featurize" -> (featurizeChecked _),
     "mm_resize" -> (resizeChecked _),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)))
@@ -378,6 +399,19 @@ SELECT doc_id, frame_idx,
          AS peak
 FROM frames
 ORDER BY doc_id, frame_idx""",
+
+    "mm_modality_mix" -> """WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         octet_length(encode(text))::INT AS n_bytes
+  FROM documents)
+SELECT media_type,
+       count(*)::BIGINT AS n_items,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       max(n_bytes)::INT AS max_bytes,
+       sum(n_bytes)::BIGINT * 1.0 / count(*) AS avg_bytes
+FROM m GROUP BY media_type
+ORDER BY media_type""",
 
     "mm_metadata" -> """SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END

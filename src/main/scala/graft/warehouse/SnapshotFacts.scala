@@ -100,12 +100,68 @@ object SnapshotFacts {
       .orderBy($"l_orderkey", $"l_partkey")
   }
 
+  /** Drill-across report — Kimball's multi-fact pattern: two SEPARATE
+    * fact processes (encounter admissions; procedure deliveries, each on
+    * its OWN event date) rolled up independently to the conformed calendar
+    * grain and only then joined on it. The discipline matters: joining the
+    * fact tables row-to-row first would fan out encounters by their
+    * procedure count and double-count both measures; drill-across keeps
+    * each process's grain intact and meets on the conformed dimension —
+    * two keyed rollups + one (year, month)-sized outer join, which at
+    * 100 TB is two scans and a calendar-sized merge. Months where only
+    * one process has activity survive with a zero on the other side
+    * (full-outer + coalesce), ratio guarded.
+    */
+  def drillAcross(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = Warehouse.forDir(spark, dir)
+    val enc = wh.factEncounters
+      .groupBy(year($"encounter_date").as("year"),
+        month($"encounter_date").as("month"))
+      .agg(count(lit(1)).as("n_encounters"))
+    val proc = wh.bridgeProcedure
+      .groupBy(year($"procedure_date").as("year"),
+        month($"procedure_date").as("month"))
+      .agg(count(lit(1)).as("n_procedures"))
+    enc.join(proc, Seq("year", "month"), "full_outer")
+      .select($"year", $"month",
+        coalesce($"n_encounters", lit(0L)).as("n_encounters"),
+        coalesce($"n_procedures", lit(0L)).as("n_procedures"))
+      .withColumn("procs_per_encounter",
+        when($"n_encounters" > 0,
+          $"n_procedures" * lit(1.0) / $"n_encounters").otherwise(lit(0.0)))
+      .orderBy($"year", $"month")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_drill_across" -> (drillAcross _),
     "wh_accumulating_snapshot" -> (accumulatingSnapshot _),
     "wh_periodic_snapshot" -> (periodicSnapshot _),
     "wh_allocation_bridge" -> (allocationBridge _))
 
   val oracle: Map[String, String] = Map(
+    "wh_drill_across" -> s"""${graft.analytics.OracleSql.prelude}
+, enc AS (
+  SELECT year(encounter_date)::INT AS year,
+         month(encounter_date)::INT AS month,
+         count(*)::BIGINT AS n_encounters
+  FROM fact_encounters GROUP BY 1, 2),
+proc AS (
+  SELECT year(procedure_date)::INT AS year,
+         month(procedure_date)::INT AS month,
+         count(*)::BIGINT AS n_procedures
+  FROM bridge_encounter_procedure GROUP BY 1, 2)
+SELECT coalesce(enc.year, proc.year) AS year,
+       coalesce(enc.month, proc.month) AS month,
+       coalesce(n_encounters, 0)::BIGINT AS n_encounters,
+       coalesce(n_procedures, 0)::BIGINT AS n_procedures,
+       CASE WHEN coalesce(n_encounters, 0) > 0
+            THEN coalesce(n_procedures, 0)::BIGINT * 1.0
+                 / coalesce(n_encounters, 0)::BIGINT
+            ELSE 0.0 END AS procs_per_encounter
+FROM enc FULL OUTER JOIN proc
+  ON enc.year = proc.year AND enc.month = proc.month
+ORDER BY year, month""",
     "wh_accumulating_snapshot" -> """SELECT o_orderkey,
        o_orderdate::DATE AS order_date,
        min(l_shipdate::DATE) AS first_ship,
