@@ -315,6 +315,38 @@ object Curate {
       .orderBy($"source")
   }
 
+  /** One-row dataset card — the summary block a corpus RELEASE ships
+    * (datasheet/dataset-card practice): volume (docs, tokens, chars),
+    * breadth (languages, sources), and the two curation rates every
+    * consumer asks first — near-duplicate rate (fraction of docs dropped
+    * by the τ=[[NearDupTau]] policy) and quality-pass rate (fraction
+    * surviving the [[MinChars]] gate). Composed entirely from the
+    * already-verified operators' predicates and the shared pair table;
+    * one corpus scan + a broadcast drop set, folded to a single row.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(split(trim($"text"), "\\s+")).cast("long"))
+    val dropIds = Dedup.pairsForDir(spark, dir)
+      .filter($"jaccard" >= NearDupTau)
+      .select($"doc_b".as("drop_id")).distinct()
+    docs
+      .join(broadcast(dropIds), $"doc_id" === $"drop_id", "left_outer")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"n_chars").as("n_chars"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        sum(when($"drop_id".isNotNull, 1L).otherwise(0L)).as("n_near_dups"),
+        sum(when($"n_chars" >= MinChars, 1L).otherwise(0L)).as("n_quality"))
+      .select($"n_docs", $"n_tokens", $"n_chars", $"n_langs", $"n_sources",
+        ($"n_near_dups" * lit(1.0) / $"n_docs").as("near_dup_rate"),
+        ($"n_quality" * lit(1.0) / $"n_docs").as("quality_pass_rate"))
+  }
+
   /** Width of the exact-collision n-gram for [[ngramOverlap]]. Production
     * decontamination uses 8-13; 5 fits this corpus's ~30-word vocabulary
     * (wider grams collide only on true copies, narrower ones saturate).
@@ -436,6 +468,7 @@ object Curate {
     "curate_ngram_overlap" -> ((s, d) => ngramOverlap(s, d)),
     "curate_overlap_dropped_grams" -> (overlapDroppedGrams _),
     "curate_temperature_mix" -> (temperatureMix _),
+    "curate_dataset_card" -> (datasetCard _),
     "curate_budget_mix" -> (budgetMix _),
     "curate_corpus" -> (curatedStats _),
     "curate_funnel" -> (funnelLedger _),
@@ -540,6 +573,33 @@ SELECT source, n_docs, n_tokens,
          / CAST(n_tokens AS DOUBLE) AS epochs
 FROM per, den
 ORDER BY source""",
+
+    "curate_dataset_card" -> s"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+drops AS (
+  SELECT DISTINCT doc_b AS drop_id
+  FROM ov JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE o * 1.0 / (sa.n + sb.n - o) >= $NearDupTau)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       sum(CASE WHEN doc_id IN (SELECT drop_id FROM drops)
+                THEN 1 ELSE 0 END)::BIGINT * 1.0 / count(*) AS near_dup_rate,
+       sum(CASE WHEN n_chars >= $MinChars THEN 1 ELSE 0 END)::BIGINT
+         * 1.0 / count(*) AS quality_pass_rate
+FROM documents""",
 
     "curate_funnel" -> funnelOracleSql,
     "curate_budget_mix" -> s"""WITH d AS (
