@@ -179,13 +179,58 @@ object EtlExtras {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Per-source freshness ledger — the first page of every pipeline-ops
+    * dashboard: row volume and the newest event/business timestamp per
+    * landed table, as epoch-day ints (a DATE/TIMESTAMP output column is
+    * banned by the cross-engine compare; days are what staleness alerts
+    * key on anyway). A stale `latest_day` is how silent upstream stalls
+    * surface — the check runs BEFORE any correctness question makes
+    * sense. Each row is one count+max scan of only the timestamp column;
+    * at 100 TB these fold to parquet footer statistics.
+    */
+  def freshnessReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      ("events", Tables.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .agg(count(lit(1)).as("n_rows"),
+          max(datediff(to_date($"ts"), lit("1970-01-01"))).as("latest_day"))),
+      ("orders", Tables.orders(spark, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          max(datediff(to_date($"o_orderdate"), lit("1970-01-01")))
+            .as("latest_day"))),
+      ("lineitem", Tables.lineitem(spark, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          max(datediff(to_date($"l_shipdate"), lit("1970-01-01")))
+            .as("latest_day"))))
+    rows.map { case (name, df) =>
+      df.select(lit(name).as("table_name"), $"n_rows", $"latest_day")
+    }.reduce(_ unionByName _)
+      .orderBy($"table_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_schema_evolution" -> (schemaEvolution _),
     "etl_pseudonymize" -> (pseudonymize _),
     "etl_record_linkage" -> (recordLinkage _),
+    "etl_freshness_report" -> (freshnessReport _),
     "etl_id_gaps" -> (idGaps _))
 
   val oracle: Map[String, String] = Map(
+    "etl_freshness_report" -> """SELECT 'events' AS table_name,
+       count(*)::BIGINT AS n_rows,
+       max(datediff('day', DATE '1970-01-01', ts::DATE))::INT AS latest_day
+FROM events WHERE ts IS NOT NULL
+UNION ALL
+SELECT 'orders', count(*)::BIGINT,
+       max(datediff('day', DATE '1970-01-01', o_orderdate::DATE))::INT
+FROM orders
+UNION ALL
+SELECT 'lineitem', count(*)::BIGINT,
+       max(datediff('day', DATE '1970-01-01', l_shipdate::DATE))::INT
+FROM lineitem
+ORDER BY table_name""",
+
     "etl_record_linkage" -> s"""SELECT
        a.c_custkey AS id_a, b.c_custkey AS id_b,
        a.c_name AS name_a, b.c_name AS name_b,
