@@ -133,13 +133,72 @@ object SnapshotFacts {
       .orderBy($"year", $"month")
   }
 
+  /** Months a code must rank inside to appear in [[rankChurn]]. */
+  val ChurnTopN = 10
+
+  /** Month-over-month rank churn of the top diagnoses — the "movers"
+    * report behind every trending dashboard: rank codes within each month
+    * by volume, then LAG each code's rank against its previous OBSERVED
+    * month to get the movement (new entrants carry prev_rank 0 — a
+    * nullable int would survive the driver compare poorly and 0 is the
+    * natural "unranked" sentinel). Two windows, both keyed (month for the
+    * rank, code for the lag) — rank inputs are month-sized aggregates, so
+    * neither window ever sees corpus-scale rows.
+    */
+  def rankChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wh = Warehouse.forDir(spark, dir)
+    val monthly = wh.bridgeDiagnosis
+      .join(wh.dimDiagnosis, "diagnosis_key")
+      .groupBy((year($"diagnosis_date") * 100 + month($"diagnosis_date"))
+        .as("ym"), $"code")
+      .agg(count(lit(1)).as("n"))
+    val rankW = Window.partitionBy($"ym").orderBy($"n".desc, $"code")
+    val lagW = Window.partitionBy($"code").orderBy($"ym")
+    monthly
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("prev_rank",
+        coalesce(lag($"rank", 1).over(lagW), lit(0)))
+      .filter($"rank" <= ChurnTopN)
+      .select($"ym", $"code", $"n", $"rank", $"prev_rank",
+        when($"prev_rank" > 0, $"prev_rank" - $"rank").otherwise(lit(0))
+          .as("rank_delta"))
+      .orderBy($"ym", $"rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_rank_churn" -> (rankChurn _),
     "wh_drill_across" -> (drillAcross _),
     "wh_accumulating_snapshot" -> (accumulatingSnapshot _),
     "wh_periodic_snapshot" -> (periodicSnapshot _),
     "wh_allocation_bridge" -> (allocationBridge _))
 
   val oracle: Map[String, String] = Map(
+    "wh_rank_churn" -> s"""${graft.analytics.OracleSql.prelude}
+, monthly AS (
+  SELECT (year(diagnosis_date) * 100 + month(diagnosis_date))::INT AS ym,
+         code, count(*)::BIGINT AS n
+  FROM bridge_encounter_diagnosis bed
+  JOIN dim_diagnosis dd USING (diagnosis_key)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT ym, code, n,
+         row_number() OVER (PARTITION BY ym ORDER BY n DESC, code)::INT
+           AS rank
+  FROM monthly),
+lagged AS (
+  SELECT ym, code, n, rank,
+         coalesce(lag(rank) OVER (PARTITION BY code ORDER BY ym), 0)::INT
+           AS prev_rank
+  FROM ranked)
+SELECT ym, code, n, rank, prev_rank,
+       CASE WHEN prev_rank > 0 THEN prev_rank - rank ELSE 0 END::INT
+         AS rank_delta
+FROM lagged
+WHERE rank <= $ChurnTopN
+ORDER BY ym, rank""",
+
     "wh_drill_across" -> s"""${graft.analytics.OracleSql.prelude}
 , enc AS (
   SELECT year(encounter_date)::INT AS year,
