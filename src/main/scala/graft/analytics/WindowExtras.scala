@@ -591,6 +591,41 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
         ($"j_nway" * $"union_est").as("intersect_est"))
   }
 
+  /** Suppliers reported by [[paretoSuppliers]] — one value, both engines. */
+  val ParetoTopN = 25
+
+  /** Revenue-concentration (Pareto) curve: suppliers ranked by discounted
+    * revenue with each rank's CUMULATIVE share of total — the 80/20 view
+    * procurement and risk dashboards read ("how few suppliers carry most
+    * of the volume"). Money runs in DECIMAL end to end (the TPC-H kernel:
+    * cast-before-multiply, exact associative sums) and only the final
+    * share division is a double, so the curve hash-compares. The ranking
+    * window is GLOBAL but over the supplier-sized aggregate, not lineitem
+    * rows — the same bounded-window argument as the vocabulary ranking;
+    * at larger supplier counts the two-phase banded rank
+    * ([[globalRank]]'s device) swaps in unchanged.
+    */
+  def paretoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val discPrice = "CAST(l_extendedprice AS DECIMAL(14,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(expr(s"sum($discPrice)").as("rev"))
+    val ord = Window.orderBy($"rev".desc, $"l_suppkey")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum($"rev").as("total"))
+    rev
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_rev", sum($"rev").over(cumW))
+      .crossJoin(broadcast(tot))
+      .filter($"rank" <= ParetoTopN)
+      .select($"rank", $"l_suppkey".as("s_suppkey"),
+        $"rev".cast("double").as("revenue"),
+        ($"cum_rev".cast("double") / $"total".cast("double")).as("cum_share"))
+      .orderBy($"rank")
+  }
+
   /** Winsorization bounds in per-mille (5th / 95th percentile) — integer
     * constants shared by both engines so the rank arithmetic stays exact.
     */
@@ -793,6 +828,7 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_kmv_overlap" -> (kmvOverlap _),
     "agg_kmv_nway" -> (kmvNway _),
+    "agg_pareto_suppliers" -> (paretoSuppliers _),
     "win_activity_streaks" -> (activityStreaks _),
     "win_max_concurrency" -> (maxConcurrency _),
     "agg_winsorized_mean" -> (winsorizedMean _),
@@ -982,6 +1018,26 @@ SELECT ts.n_types, ua.k_used, ia.n_in_all,
              ELSE (ua.k_used - 1)::DOUBLE * 4294967296.0 / ua.h_k END)
          AS intersect_est
 FROM ts, ua, ia, ms""",
+
+    "agg_pareto_suppliers" -> s"""WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS rev
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(rev) AS total FROM rev),
+ranked AS (
+  SELECT l_suppkey, rev,
+         row_number() OVER (ORDER BY rev DESC, l_suppkey)::INT AS rank,
+         sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM rev)
+SELECT rank, l_suppkey AS s_suppkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM ranked, tot
+WHERE rank <= $ParetoTopN
+ORDER BY rank""",
 
     "win_group_percentiles" -> """WITH ranked AS (
   SELECT event_type, value,
