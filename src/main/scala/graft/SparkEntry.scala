@@ -32,7 +32,8 @@ object SparkEntry {
       analytics.EventSeq.all ++ text.TfIdf.all ++ similarity.Standardize.all ++
       ingest.EtlExtras.all ++ analytics.TimeSeries.all ++
       similarity.SemDedup.all ++ warehouse.IncrementalAgg.all ++
-      streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all
+      streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all ++
+      privacy.Privacy.all ++ analytics.CmSketch.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -49,5 +50,6 @@ object SparkEntry {
       similarity.Standardize.oracle ++ ingest.EtlExtras.oracle ++
       analytics.TimeSeries.oracle ++ similarity.SemDedup.oracle ++
       warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle ++
-      warehouse.PartitionedFact.oracle
+      warehouse.PartitionedFact.oracle ++ privacy.Privacy.oracle ++
+      analytics.CmSketch.oracle
 }

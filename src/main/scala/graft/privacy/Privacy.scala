@@ -1,0 +1,228 @@
+package graft.privacy
+
+import graft.Tables
+import graft.functions.GraftFunctions.round2
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Privacy / re-identification governance over the patient-shaped corpus —
+  * the audit a training-data pipeline runs BEFORE releasing any record-level
+  * extract (Sweeney's k-anonymity and Machanavajjhala's l-diversity, both
+  * public literature). The reference stores raw patient demographics
+  * (`/root/reference/sql/01_schema.sql` patients + JSONB audit); a release
+  * pipeline at 100 TB needs the compliance view of exactly those columns.
+  *
+  * Quasi-identifier (QI) triple = the classic demographic trio in the
+  * engine's role mapping (SURVEY §7.1): age_group (c_acctbal CASE), sex
+  * (c_mktsegment), location (nation name). Sensitive attribute for
+  * l-diversity = diagnosis code family (p_brand) reached through the
+  * patient→encounter→diagnosis bridge.
+  *
+  * Scale shape: every operator here is groupBy over the QI key — hash
+  * shuffle with map-side partials, no windows over corpus-scale rows, dims
+  * broadcast. Equivalence-class tables are bounded by the QI domain
+  * (|age_group|×|sex|×|location| ≈ 625), so the audit rollups are tiny.
+  */
+object Privacy {
+
+  /** k-anonymity threshold: an equivalence class smaller than K is a
+    * re-identification risk. One value, both engines.
+    */
+  val K = 5
+
+  /** l-diversity threshold: a QI class whose members share fewer than L
+    * distinct sensitive values leaks the sensitive attribute by membership
+    * alone.
+    */
+  val L = 3
+
+  private def ageGroup(bal: Column) =
+    when(bal < 0, "Unknown")
+      .when(bal < 2500, "18-30")
+      .when(bal < 5000, "31-50")
+      .when(bal < 7500, "51-70")
+      .otherwise("71+")
+
+  private def qi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey", "left")
+      .select(
+        $"c_custkey".as("patient_id"),
+        ageGroup($"c_acctbal").as("age_group"),
+        $"c_mktsegment".as("sex"),
+        $"n_name".as("location"))
+  }
+
+  /** k-anonymity audit per age_group: equivalence classes over the full QI
+    * triple, minimum class size (the k actually achieved), and how many
+    * classes/rows sit below [[K]] (the suppression candidates). The
+    * equivalence-class table is QI-domain-bounded, so this second aggregate
+    * is over ≤ a few hundred rows regardless of corpus size.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qi(spark, dir)
+      .groupBy($"age_group", $"sex", $"location")
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy($"age_group")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum($"class_size").as("n_rows"),
+        min($"class_size").as("k_achieved"),
+        count(when($"class_size" < K, 1)).as("n_risky_classes"),
+        sum(when($"class_size" < K, $"class_size").otherwise(0))
+          .as("n_risky_rows"))
+      .orderBy($"age_group")
+  }
+
+  /** l-diversity audit: within each QI class, how many distinct diagnosis
+    * code families (p_brand) do members carry — a class below [[L]] lets an
+    * adversary who can place a patient in the class infer their diagnosis.
+    * Pipeline: patient → orders (encounters) → lineitem (diagnosis links) →
+    * part (code dim, broadcast). The distinct-count runs per QI class after
+    * one orderkey shuffle; the class table is again QI-domain-bounded.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val diag = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"o_custkey".as("patient_id"), $"p_brand")
+    qi(spark, dir)
+      .join(diag, "patient_id")
+      .groupBy($"age_group", $"sex", $"location")
+      .agg(
+        countDistinct($"patient_id").as("class_size"),
+        countDistinct($"p_brand").as("l_achieved"))
+      .groupBy($"age_group")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min($"l_achieved").as("min_l"),
+        count(when($"l_achieved" < L, 1)).as("n_low_diversity_classes"),
+        sum(when($"l_achieved" < L, $"class_size").otherwise(0))
+          .as("n_patients_at_risk"))
+      .orderBy($"age_group")
+  }
+
+  /** Generalization ladder: k-anonymity achieved at each QI coarsening
+    * level (0 = full triple … 3 = fully generalized). The release decision
+    * reads this table to pick the least generalization that clears [[K]] —
+    * the lattice walk of the Datafly/Incognito family collapsed to the
+    * monotone chain a release pipeline actually uses. One corpus scan per
+    * level over the same QI projection; each level is a groupBy on a prefix
+    * of the QI key.
+    */
+  def generalizationLadder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = qi(spark, dir)
+    val levels = Seq(
+      (0, Seq($"age_group", $"sex", $"location")),
+      (1, Seq($"age_group", $"sex")),
+      (2, Seq($"age_group")),
+      (3, Seq(lit("*").as("all")))
+    )
+    levels.map { case (lvl, keys) =>
+      base.groupBy(keys: _*)
+        .agg(count(lit(1)).as("class_size"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          min($"class_size").as("k_achieved"),
+          sum($"class_size").as("n_rows"),
+          sum(when($"class_size" >= K, $"class_size").otherwise(0))
+            .as("n_anonymous_rows"))
+        .select(
+          lit(lvl).as("level"),
+          $"n_classes", $"k_achieved",
+          round2($"n_anonymous_rows" * lit(100.0) / $"n_rows")
+            .as("pct_k_anonymous"))
+    }.reduce(_ unionByName _)
+      .orderBy($"level")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_k_anonymity" -> (kAnonymity _),
+    "priv_l_diversity" -> (lDiversity _),
+    "priv_generalization_ladder" -> (generalizationLadder _))
+
+  /** DuckDB twins. QI construction is shared via the CTE; the age CASE
+    * mirrors [[graft.warehouse.Warehouse.ageGroup]]'s oracle prelude.
+    */
+  private val qiSql = """SELECT
+    c_custkey AS patient_id,
+    CASE WHEN c_acctbal < 0 THEN 'Unknown'
+         WHEN c_acctbal < 2500 THEN '18-30'
+         WHEN c_acctbal < 5000 THEN '31-50'
+         WHEN c_acctbal < 7500 THEN '51-70'
+         ELSE '71+' END AS age_group,
+    c_mktsegment AS sex,
+    n_name AS location
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey"""
+
+  val oracle: Map[String, String] = Map(
+    "priv_k_anonymity" -> s"""WITH qi AS ($qiSql),
+classes AS (
+  SELECT age_group, sex, location, count(*)::BIGINT AS class_size
+  FROM qi GROUP BY 1, 2, 3)
+SELECT age_group,
+       count(*)::BIGINT AS n_classes,
+       sum(class_size)::BIGINT AS n_rows,
+       min(class_size)::BIGINT AS k_achieved,
+       count(CASE WHEN class_size < $K THEN 1 END)::BIGINT AS n_risky_classes,
+       sum(CASE WHEN class_size < $K THEN class_size ELSE 0 END)::BIGINT
+         AS n_risky_rows
+FROM classes GROUP BY age_group ORDER BY age_group""",
+
+    "priv_l_diversity" -> s"""WITH qi AS ($qiSql),
+diag AS (
+  SELECT o_custkey AS patient_id, p_brand
+  FROM orders
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN part ON l_partkey = p_partkey),
+classes AS (
+  SELECT age_group, sex, location,
+         count(DISTINCT qi.patient_id)::BIGINT AS class_size,
+         count(DISTINCT p_brand)::BIGINT AS l_achieved
+  FROM qi JOIN diag ON qi.patient_id = diag.patient_id
+  GROUP BY 1, 2, 3)
+SELECT age_group,
+       count(*)::BIGINT AS n_classes,
+       min(l_achieved)::BIGINT AS min_l,
+       count(CASE WHEN l_achieved < $L THEN 1 END)::BIGINT
+         AS n_low_diversity_classes,
+       sum(CASE WHEN l_achieved < $L THEN class_size ELSE 0 END)::BIGINT
+         AS n_patients_at_risk
+FROM classes GROUP BY age_group ORDER BY age_group""",
+
+    "priv_generalization_ladder" -> s"""WITH qi AS ($qiSql),
+l0 AS (SELECT count(*)::BIGINT AS class_size FROM qi
+       GROUP BY age_group, sex, location),
+l1 AS (SELECT count(*)::BIGINT AS class_size FROM qi
+       GROUP BY age_group, sex),
+l2 AS (SELECT count(*)::BIGINT AS class_size FROM qi GROUP BY age_group),
+l3 AS (SELECT count(*)::BIGINT AS class_size FROM qi),
+lvl AS (
+  SELECT 0 AS level, count(*)::BIGINT AS n_classes,
+         min(class_size)::BIGINT AS k_achieved,
+         sum(class_size) AS n_rows,
+         sum(CASE WHEN class_size >= $K THEN class_size ELSE 0 END)
+           AS n_anon
+  FROM l0
+  UNION ALL
+  SELECT 1, count(*)::BIGINT, min(class_size)::BIGINT, sum(class_size),
+         sum(CASE WHEN class_size >= $K THEN class_size ELSE 0 END) FROM l1
+  UNION ALL
+  SELECT 2, count(*)::BIGINT, min(class_size)::BIGINT, sum(class_size),
+         sum(CASE WHEN class_size >= $K THEN class_size ELSE 0 END) FROM l2
+  UNION ALL
+  SELECT 3, count(*)::BIGINT, min(class_size)::BIGINT, sum(class_size),
+         sum(CASE WHEN class_size >= $K THEN class_size ELSE 0 END) FROM l3)
+SELECT level::INT AS level, n_classes, k_achieved,
+       floor((n_anon * 100.0 / n_rows) * 100 + 0.5) / 100.0
+         AS pct_k_anonymous
+FROM lvl ORDER BY level""")
+}
