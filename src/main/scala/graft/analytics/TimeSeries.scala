@@ -196,7 +196,45 @@ object TimeSeries {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Candidate changepoints reported. */
+  val ChangeTopK = 5
+
+  /** Rate-changepoint detection (CUSUM against the constant-rate null,
+    * public literature): for day index i of D with cumulative count S_i of
+    * N total, the drift statistic |S_i·D − i·N| peaks at the day where the
+    * arrival rate shifts — the argmax is the classic CUSUM changepoint
+    * estimate. Everything stays in INTEGER arithmetic (products bounded by
+    * N·D), so the statistic is bit-identical cross-engine with no float
+    * mean in sight.
+    *
+    * Scale shape: one groupBy(day) aggregate over the stream, then the
+    * cumsum window runs over the DAY table (calendar-sized, thousands of
+    * rows at a century) — the global window never sees corpus-scale rows.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = daily.agg(
+      sum($"n").as("total_n"), count(lit(1)).as("n_days"))
+    daily
+      .withColumn("cum_n", sum($"n").over(w))
+      .withColumn("i", row_number().over(Window.orderBy($"day")))
+      .crossJoin(broadcast(totals))
+      .withColumn("drift", abs($"cum_n" * $"n_days" - $"i" * $"total_n"))
+      .select(
+        datediff($"day", lit("1970-01-01")).as("day_no"),
+        $"n", $"cum_n", $"drift")
+      .orderBy($"drift".desc, $"day_no")
+      .limit(ChangeTopK)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint" -> (changepoint _),
     "ts_seasonal_profile" -> (seasonalProfile _),
     "ts_rebase_index" -> (rebaseIndex _),
     "win_cumulative_uniques" -> (cumulativeUniques _),
@@ -218,6 +256,22 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_changepoint" -> s"""WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day)::BIGINT AS cum_n,
+         row_number() OVER (ORDER BY day) AS i
+  FROM daily),
+tot AS (
+  SELECT sum(n)::BIGINT AS total_n, count(*)::BIGINT AS n_days FROM daily)
+SELECT datediff('day', DATE '1970-01-01', day)::INT AS day_no, n, cum_n,
+       abs(cum_n * n_days - i * total_n)::BIGINT AS drift
+FROM cum, tot
+ORDER BY drift DESC, day_no
+LIMIT $ChangeTopK""",
+
     "win_trailing_range" -> s"""WITH ev AS (
   SELECT user_id, event_id, ts,
          CAST(floor(epoch(ts)) AS BIGINT) AS sec,

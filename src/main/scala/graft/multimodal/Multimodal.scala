@@ -332,7 +332,53 @@ object Multimodal {
       .orderBy($"doc_id", $"scene")
   }
 
+  /** Minimum plausible media payload (bytes): anything shorter cannot hold
+    * a valid container header. One value, both engines.
+    */
+  val MinMediaBytes = 40
+
+  /** Simulated decoder-failure rate: payloads whose salted h32 ≡ 0 mod this
+    * are "undecodable" (~2.4%). Deterministic stand-in for the real
+    * decoder's error path — the container ships no codecs.
+    */
+  val CorruptMod = 41
+
+  /** Corrupt-media quarantine ledger — the validation gate a media ingest
+    * runs BEFORE the expensive decode fleet: structural checks (payload too
+    * short to hold a header) route around the decoder entirely; the decode
+    * failures themselves are simulated deterministically (salted md5 ≡ 0
+    * mod [[CorruptMod]]) where a real pipeline records the codec error.
+    * Output: per (media_type, status) item/byte volume + share within the
+    * type — the quarantine dashboard and decode-capacity discount in one.
+    *
+    * Scale shape: one pass, metadata-only predicates (length + one md5 of
+    * bytes already in hand), aggregate keyed by (type, status) — partials
+    * collapse map-side; media bytes never shuffle.
+    */
+  def corruptQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typed = mediaTable(spark, dir)
+      .withColumn("n_bytes", length($"media"))
+      .withColumn("status",
+        when($"n_bytes" < MinMediaBytes, "quarantined_short")
+          .when(pmod(graft.functions.Md5Hash.h32(
+            concat(lit("decode:"), $"media".cast("string"))),
+            lit(CorruptMod)) === 0, "quarantined_decode")
+          .otherwise("ok"))
+    val perType = typed.groupBy($"media_type")
+      .agg(count(lit(1)).as("n_total"))
+    typed.groupBy($"media_type", $"status")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"n_bytes".cast("bigint")).as("total_bytes"))
+      .join(broadcast(perType), "media_type")
+      .select($"media_type", $"status", $"n_items", $"total_bytes",
+        graft.functions.GraftFunctions.round2(
+          $"n_items" * lit(100.0) / $"n_total").as("pct_of_type"))
+      .orderBy($"media_type", $"status")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_corrupt_quarantine" -> (corruptQuarantine _),
     "mm_scene_segments" -> (sceneSegments _),
     "mm_phash_dedup" -> (phashDedup _),
     "mm_audio_energy" -> (audioEnergy _),
@@ -345,6 +391,28 @@ object Multimodal {
   // DuckDB cannot slice BLOBs, but this corpus is pure ASCII (asserted by
   // MultimodalSpec), so char-wise VARCHAR ops equal Spark's byte-wise ops.
   val oracle: Map[String, String] = Map(
+    "mm_corrupt_quarantine" -> s"""WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         octet_length(encode(text))::INT AS n_bytes,
+         text
+  FROM documents),
+st AS (
+  SELECT media_type, n_bytes,
+         CASE WHEN n_bytes < $MinMediaBytes THEN 'quarantined_short'
+              WHEN (${graft.functions.Md5Hash.h32Sql("'decode:' || text")})
+                     % $CorruptMod = 0 THEN 'quarantined_decode'
+              ELSE 'ok' END AS status
+  FROM m),
+tot AS (SELECT media_type, count(*)::BIGINT AS n_total FROM st GROUP BY 1)
+SELECT s.media_type, s.status, count(*)::BIGINT AS n_items,
+       sum(s.n_bytes)::BIGINT AS total_bytes,
+       floor((count(*) * 100.0 / max(t.n_total)) * 100 + 0.5) / 100.0
+         AS pct_of_type
+FROM st s JOIN tot t ON s.media_type = t.media_type
+GROUP BY s.media_type, s.status
+ORDER BY s.media_type, s.status""",
+
     "mm_scene_segments" -> s"""WITH video AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 frames AS (

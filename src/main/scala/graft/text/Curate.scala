@@ -58,6 +58,33 @@ object Curate {
     when(h < 58, h - 48).otherwise(h - 87)
   }
 
+  /** Cross-validation folds. One value, both engines. */
+  val KFolds = 5
+
+  /** Stratified k-fold assignment audit: every document lands in exactly
+    * one of [[KFolds]] folds by salted md5 (stable under corpus growth —
+    * adding documents never moves an existing one), and the audit reports
+    * each (lang, fold) cell's doc/char volume plus its share within the
+    * language — the evenness check that decides whether hash folding is
+    * safe or a language is so small it needs explicit stratified dealing.
+    * One groupBy over (lang, fold); the share join is against the
+    * |langs|-row rollup (broadcast).
+    */
+  def kfoldAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fold = pmod(graft.functions.Md5Hash.h32(
+      concat(lit("fold:"), $"doc_id".cast("string"))), lit(KFolds))
+    val cells = Tables.documents(spark, dir)
+      .groupBy($"lang", fold.as("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    val perLang = cells.groupBy($"lang").agg(sum($"n_docs").as("lang_docs"))
+    cells.join(broadcast(perLang), "lang")
+      .select($"lang", $"fold", $"n_docs", $"total_chars",
+        graft.functions.GraftFunctions.round2(
+          $"n_docs" * lit(100.0) / $"lang_docs").as("pct_of_lang"))
+      .orderBy($"lang", $"fold")
+  }
+
   def trainValSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val b = bucketOf($"doc_id")
@@ -473,6 +500,7 @@ object Curate {
     "curate_corpus" -> (curatedStats _),
     "curate_funnel" -> (funnelLedger _),
     "curate_train_val_split" -> (trainValSplit _),
+    "curate_kfold_assign" -> (kfoldAssign _),
     "curate_decontaminate" -> (decontaminate _),
     "curate_sample_mix" -> (sampleMix _),
     "curate_pack_sequences" -> (packSequences _),
@@ -652,6 +680,21 @@ FROM documents
 WHERE n_chars >= $MinChars
   AND doc_id NOT IN (SELECT drop_id FROM drops)
 GROUP BY lang ORDER BY lang""",
+
+    "curate_kfold_assign" -> s"""WITH cells AS (
+  SELECT lang,
+         (${graft.functions.Md5Hash.h32Sql("'fold:' || doc_id::VARCHAR")})
+           % $KFolds AS fold,
+         count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY 1, 2),
+per_lang AS (
+  SELECT lang, sum(n_docs)::BIGINT AS lang_docs FROM cells GROUP BY lang)
+SELECT c.lang, c.fold, c.n_docs, c.total_chars,
+       floor((c.n_docs * 100.0 / p.lang_docs) * 100 + 0.5) / 100.0
+         AS pct_of_lang
+FROM cells c JOIN per_lang p ON c.lang = p.lang
+ORDER BY c.lang, c.fold""",
 
     "curate_train_val_split" -> s"""WITH bucketed AS (
   SELECT *,

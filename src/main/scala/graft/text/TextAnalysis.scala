@@ -556,7 +556,48 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Per-language lexical (Zipf) profile: token/type volume, hapax share,
+    * type-token ratio, and the head token's mass — the distribution-shape
+    * dashboard that flags degenerate corpora (boilerplate floods collapse
+    * the type-token ratio; template spam inflates the head share; OCR noise
+    * inflates hapax share). All counts are exact integers off ONE
+    * (lang, token) frequency table; the shares are single divisions.
+    *
+    * Scale shape: the frequency aggregate shuffles once on (lang, token)
+    * with map-side partials; everything downstream (per-language rollup,
+    * head-token window) runs over the TYPE table, which is vocabulary-
+    * not corpus-sized.
+    */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.round2
+    val freq = Tables.documents(spark, dir)
+      .select($"lang",
+        explode(split(trim(lower($"text")), "\\s+")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"token")
+    val head = freq
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lang", $"token".as("top_token"), $"n".as("top_n"))
+    freq.groupBy($"lang")
+      .agg(
+        sum($"n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when($"n" === 1, 1)).as("hapax_count"))
+      .join(broadcast(head), "lang")
+      .select($"lang", $"n_tokens", $"n_types", $"hapax_count",
+        round2($"n_types" * lit(100.0) / $"n_tokens").as("ttr_pct"),
+        round2($"hapax_count" * lit(100.0) / $"n_types").as("hapax_pct"),
+        $"top_token",
+        round2($"top_n" * lit(100.0) / $"n_tokens").as("top1_pct"))
+      .orderBy($"lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_profile" -> (zipfProfile _),
     "text_vocab" -> (vocab _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_encode_ids" -> (encodeIds _),
@@ -665,6 +706,30 @@ FROM documents"""
   }
 
   val oracle: Map[String, String] = Map(
+    "text_zipf_profile" -> """WITH freq AS (
+  SELECT lang,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+f AS (
+  SELECT lang, token, count(*)::BIGINT AS n FROM freq GROUP BY lang, token),
+head AS (
+  SELECT lang, token AS top_token, n AS top_n
+  FROM (SELECT *, row_number() OVER
+          (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM f)
+  WHERE rn = 1),
+prof AS (
+  SELECT lang, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         count(CASE WHEN n = 1 THEN 1 END)::BIGINT AS hapax_count
+  FROM f GROUP BY lang)
+SELECT p.lang, n_tokens, n_types, hapax_count,
+       floor((n_types * 100.0 / n_tokens) * 100 + 0.5) / 100.0 AS ttr_pct,
+       floor((hapax_count * 100.0 / n_types) * 100 + 0.5) / 100.0
+         AS hapax_pct,
+       top_token,
+       floor((top_n * 100.0 / n_tokens) * 100 + 0.5) / 100.0 AS top1_pct
+FROM prof p JOIN head h ON p.lang = h.lang
+ORDER BY p.lang""",
+
     "text_vocab" -> vocabOracle,
     "text_vocab_coverage" -> s"""WITH toks AS (
   SELECT doc_id,

@@ -37,7 +37,8 @@ class PropertySpec extends SparkSpec {
       "graph_bfs_hops", "sim_semdedup", "sim_mips_topk",
       "wh_incremental_agg", "agg_kmv_nway", "curate_temperature_mix",
       "sim_bias_outliers", "wh_month_pruned_scan", "wh_skew_report", "sim_ivf_cell_stats", "sim_embedding_coverage", "agg_hll_sliding", "mm_modality_mix", "wh_drill_across", "curate_dataset_card", "etl_freshness_report", "wh_rank_churn", "agg_pareto_suppliers",
-      "priv_generalization_ladder",
+      "priv_generalization_ladder", "text_zipf_profile",
+      "mm_corrupt_quarantine", "curate_kfold_assign",
       "dedup_ngram_jaccard_capped", "text_lang_confusion",
       "dedup_threshold_sweep", "wh_partition_checksums",
       "text_repeated_chunks", "etl_record_linkage")
