@@ -33,7 +33,8 @@ object SparkEntry {
       ingest.EtlExtras.all ++ analytics.TimeSeries.all ++
       similarity.SemDedup.all ++ warehouse.IncrementalAgg.all ++
       streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all ++
-      privacy.Privacy.all ++ analytics.CmSketch.all
+      privacy.Privacy.all ++ analytics.CmSketch.all ++
+      warehouse.Bucketing.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -51,5 +52,5 @@ object SparkEntry {
       analytics.TimeSeries.oracle ++ similarity.SemDedup.oracle ++
       warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle ++
       warehouse.PartitionedFact.oracle ++ privacy.Privacy.oracle ++
-      analytics.CmSketch.oracle
+      analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle
 }

@@ -160,13 +160,63 @@ object Bucketing {
       lineitemTable: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // quantity sums run in DECIMAL so the result hash-compares no matter
+    // how partials merge (float sums never cross a shuffle — repo rule)
     val counts = spark.table(lineitemTable)
       .groupBy($"l_orderkey")
       .agg(count(lit(1)).as("num_procedures"),
-        sum($"l_quantity").as("total_quantity"))
+        sum($"l_quantity".cast("decimal(12,2)")).cast("double")
+          .as("total_quantity"))
     spark.table(ordersTable)
       .join(counts, $"o_orderkey" === $"l_orderkey")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice",
         $"num_procedures", $"total_quantity")
   }
+
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Land orders + lineitem as bucketed catalog tables once per
+    * (application, corpus) and return the table names. The bucketed layout
+    * is write-once state exactly like the dedup signature / IVF index
+    * memos — at scale it IS the ingest layout, paid once, and every
+    * recurring order-key join after it runs exchange-free.
+    */
+  def bucketedOrderTables(spark: SparkSession, dir: String): (String, String) =
+    bucketMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val tag = graft.functions.Md5Hash.md5Int(dir).toHexString
+        val (ot, lt) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
+        writeBucketed(graft.Tables.orders(spark, dir), ot, "o_orderkey", 8)
+        writeBucketed(graft.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity")), lt, "l_orderkey", 8)
+        (ot, lt)
+      })
+
+  /** Query entry over the bucketed layout: the fact-build join shape
+    * reading the pre-bucketed tables (ScaleVariantsSpec asserts the plan
+    * has ZERO shuffle exchanges under a disabled broadcast threshold —
+    * this entry puts a DuckDB-checked correctness row on the same path).
+    * The trailing total order is for the oracle compare only.
+    */
+  def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = bucketedOrderTables(spark, dir)
+    coLocatedOrderJoin(spark, ot, lt).orderBy(col("o_orderkey"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_bucketed_join" -> (bucketedJoinQuery _))
+
+  val oracle: Map[String, String] = Map(
+    "wh_bucketed_join" -> """SELECT
+  o.o_orderkey, o.o_custkey, o.o_totalprice,
+  l.num_procedures, l.total_quantity
+FROM orders o
+JOIN (
+  SELECT l_orderkey, count(*)::BIGINT AS num_procedures,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS total_quantity
+  FROM lineitem GROUP BY 1) l
+  ON o.o_orderkey = l.l_orderkey
+ORDER BY o.o_orderkey""")
 }

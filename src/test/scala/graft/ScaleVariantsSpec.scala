@@ -217,7 +217,8 @@ class ScaleVariantsSpec extends SparkSpec {
       val plain = Tables.orders(spark, sf).join(
           Tables.lineitem(spark, sf).groupBy($"l_orderkey")
             .agg(count(lit(1)).as("num_procedures"),
-              sum($"l_quantity").as("total_quantity")),
+              sum($"l_quantity".cast("decimal(12,2)")).cast("double")
+                .as("total_quantity")),
           $"o_orderkey" === $"l_orderkey")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice",
           $"num_procedures", $"total_quantity")
