@@ -34,7 +34,7 @@ object SparkEntry {
       similarity.SemDedup.all ++ warehouse.IncrementalAgg.all ++
       streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all ++
       privacy.Privacy.all ++ analytics.CmSketch.all ++
-      warehouse.Bucketing.all
+      warehouse.Bucketing.all ++ text.BpePairs.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -52,5 +52,6 @@ object SparkEntry {
       analytics.TimeSeries.oracle ++ similarity.SemDedup.oracle ++
       warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle ++
       warehouse.PartitionedFact.oracle ++ privacy.Privacy.oracle ++
-      analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle
+      analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle ++
+      text.BpePairs.oracle
 }

@@ -111,9 +111,40 @@ object PartitionedFact {
       .orderBy(col("join_key"))
   }
 
+  /** Compaction file-size target at test scale (rows per file) — small
+    * enough that months genuinely split into multiple files. One value,
+    * both engines.
+    */
+  val CompactTarget = 1000L
+
+  private val compactMemo = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The small-files maintenance job over the month layout, as a queryable
+    * ledger: [[Bucketing.compactPartitioned]] rewrites each `month_key=`
+    * directory into ceil(rows/[[CompactTarget]]) files (one distributed
+    * pass — per-partition counts broadcast back onto rows, one shuffle on
+    * (partition, target-file)), and this entry emits its audit ledger.
+    * SourcesSpec pins the file-count bound on the actual output directory;
+    * the DuckDB row checks the ledger arithmetic itself.
+    */
+  def compactionLedger(spark: SparkSession, dir: String): DataFrame =
+    compactMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        factByMonth(spark, dir) // ensure the month layout is landed
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-fact-month/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        val out = s"${sys.props("java.io.tmpdir")}/graft-fact-compact/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        Bucketing.compactPartitioned(spark, base, out,
+            "month_key", "encounter_key", CompactTarget)
+          .orderBy(col("month_key"))
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_month_pruned_scan" -> (monthPrunedScan _),
     "wh_partition_checksums" -> (partitionChecksums _),
+    "wh_compaction_ledger" -> (compactionLedger _),
     "wh_skew_report" -> (skewReport _))
 
   val oracle: Map[String, String] = Map(
@@ -136,6 +167,14 @@ SELECT (date_key // 100)::INT AS month_key,
         % ${graft.functions.Md5Hash.P})::BIGINT AS key_checksum,
        min(date_key)::INT AS min_date_key,
        max(date_key)::INT AS max_date_key
+FROM fact_encounters
+GROUP BY 1
+ORDER BY 1""",
+
+    "wh_compaction_ledger" -> s"""${graft.analytics.OracleSql.prelude}
+SELECT (date_key // 100)::INT AS month_key,
+       count(*)::BIGINT AS n_rows,
+       ceil(count(*) / $CompactTarget.0)::INT AS n_files
 FROM fact_encounters
 GROUP BY 1
 ORDER BY 1""",
