@@ -34,7 +34,8 @@ object SparkEntry {
       similarity.SemDedup.all ++ warehouse.IncrementalAgg.all ++
       streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all ++
       privacy.Privacy.all ++ analytics.CmSketch.all ++
-      warehouse.Bucketing.all ++ text.BpePairs.all
+      warehouse.Bucketing.all ++ text.BpePairs.all ++
+      analytics.BloomSketch.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -53,5 +54,5 @@ object SparkEntry {
       warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle ++
       warehouse.PartitionedFact.oracle ++ privacy.Privacy.oracle ++
       analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle ++
-      text.BpePairs.oracle
+      text.BpePairs.oracle ++ analytics.BloomSketch.oracle
 }
