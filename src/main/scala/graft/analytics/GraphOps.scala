@@ -272,7 +272,49 @@ object GraphOps {
       .orderBy($"s_suppkey")
   }
 
+  /** Predicted links reported. One value, both engines. */
+  val LinkTopK = 20
+
+  /** Link prediction by common-neighbor counting (Liben-Nowell & Kleinberg,
+    * public literature) over the supplier co-occurrence graph: for every
+    * NON-adjacent pair reachable through a shared neighbor, the number of
+    * common neighbors and the neighbor-set Jaccard — the "suppliers that
+    * should be co-ordering but aren't" recommendation.
+    *
+    * Plan: wedges enumerate from the symmetric adjacency with an id-ordered
+    * endpoint guard (each candidate once), close with an anti-join against
+    * the edge set, score from the degree table. Wedge fan-out is Σdeg² over
+    * the THRESHOLDED co-occurrence graph; the production form additionally
+    * degree-caps hub intermediates exactly like [[triangles]]' orientation
+    * bounds its wedge side (documented trade, kept exact here where the
+    * graph is supplier-sized).
+    */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coEdges(spark, dir)
+    val adj = edges.select($"u".as("n"), $"v".as("m"))
+      .union(edges.select($"v".as("n"), $"u".as("m")))
+    val deg = adj.groupBy($"n").agg(count(lit(1)).as("d"))
+    val cands = adj.as("x").join(adj.as("y"),
+        $"x.m" === $"y.m" && $"x.n" < $"y.n")
+      .groupBy($"x.n".as("cu"), $"y.n".as("cv"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(edges, $"cu" === $"u" && $"cv" === $"v", "left_anti")
+    cands
+      .join(deg.select($"n".as("du_n"), $"d".as("deg_u")), $"cu" === $"du_n")
+      .join(deg.select($"n".as("dv_n"), $"d".as("deg_v")), $"cv" === $"dv_n")
+      .select($"cu".as("u"), $"cv".as("v"),
+        $"common_neighbors", $"deg_u", $"deg_v",
+        graft.functions.GraftFunctions.round2(
+          $"common_neighbors" * lit(100.0)
+            / ($"deg_u" + $"deg_v" - $"common_neighbors"))
+          .as("jaccard_pct"))
+      .orderBy($"common_neighbors".desc, $"u", $"v")
+      .limit(LinkTopK)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (linkPrediction _),
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
     "graph_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
@@ -345,6 +387,37 @@ SELECT n_name, d AS hops
 FROM bd3 JOIN nodes USING (v)
 WHERE d IS NOT NULL
 ORDER BY hops, n_name""",
+    "graph_link_prediction" -> s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING count(*) >= $CoThreshold),
+adj AS (
+  SELECT u AS n, v AS m FROM edges
+  UNION ALL
+  SELECT v, u FROM edges),
+deg AS (SELECT n, count(*)::BIGINT AS d FROM adj GROUP BY n),
+cands AS (
+  SELECT x.n AS u, y.n AS v, count(*)::BIGINT AS common_neighbors
+  FROM adj x JOIN adj y ON x.m = y.m AND x.n < y.n
+  GROUP BY 1, 2),
+nonedges AS (
+  SELECT c.* FROM cands c
+  ANTI JOIN edges e ON c.u = e.u AND c.v = e.v)
+SELECT ne.u, ne.v, ne.common_neighbors,
+       du.d AS deg_u, dv.d AS deg_v,
+       floor((ne.common_neighbors * 100.0
+              / (du.d + dv.d - ne.common_neighbors)) * 100 + 0.5) / 100.0
+         AS jaccard_pct
+FROM nonedges ne
+JOIN deg du ON ne.u = du.n
+JOIN deg dv ON ne.v = dv.n
+ORDER BY ne.common_neighbors DESC, ne.u, ne.v
+LIMIT $LinkTopK""",
+
     "graph_triangles" -> s"""WITH os AS (
   SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
 edges AS (

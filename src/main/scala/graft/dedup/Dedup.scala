@@ -443,7 +443,51 @@ object Dedup {
       .orderBy($"family")
   }
 
+  /** Quality-band thresholds on the stopword ratio (single-division double,
+    * bit-identical cross-engine, so banding cannot drift at boundaries).
+    * One definition, both engines.
+    */
+  val QualityLowBand = 0.05
+  val QualityMidBand = 0.15
+
+  /** Quality × duplication correlation — the curation-policy question
+    * behind every filter pipeline ("do low-quality documents duplicate
+    * more?") answered from artifacts both already verified: the
+    * [[pairsForDir]] near-dup table and the stopword-ratio quality signal.
+    * If the low band carries most of the duplication, dedup-then-filter
+    * and filter-then-dedup give materially different corpora — this table
+    * is how that ordering decision gets made. Map-side banding + one
+    * broadcast-sized distinct dup set + a 3-group aggregate.
+    */
+  def qualityDupCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopArr = graft.text.TextAnalysis.Stopwords
+      .map(s => s"'$s'").mkString("(", ",", ")")
+    val ratio =
+      expr(s"size(filter(split(trim(text), '\\\\s+'), t -> lower(t) IN $stopArr))") *
+        lit(1.0) / size(split(trim($"text"), "\\s+"))
+    val band = when(ratio < QualityLowBand, "low")
+      .when(ratio < QualityMidBand, "mid").otherwise("high")
+    val dupDocs = pairsForDir(spark, dir).select($"doc_a".as("doc"))
+      .union(pairsForDir(spark, dir).select($"doc_b".as("doc")))
+      .distinct()
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars", band.as("quality_band"))
+      .join(dupDocs, $"doc_id" === $"doc", "left")
+      .groupBy($"quality_band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count($"doc").as("n_dup"),
+        sum($"n_chars").as("total_chars"))
+      .select($"quality_band", $"n_docs", $"n_dup",
+        graft.functions.GraftFunctions.round2(
+          $"n_dup" * lit(100.0) / $"n_docs").as("dup_pct"),
+        ($"total_chars" * lit(1.0) / $"n_docs").as("avg_chars"))
+      .orderBy($"quality_band")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_quality_correlation" -> (qualityDupCorrelation _),
     "dedup_exact" -> (exact _),
     // re-assert total order after the memoized parquet round-trip
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
@@ -484,6 +528,31 @@ ORDER BY doc_a, doc_b"""
   private val jaccardOracleSql: String = jaccardOracleSqlAt(BaseTau)
 
   val oracle: Map[String, String] = Map(
+    "dedup_quality_correlation" -> {
+      val stopArr = graft.text.TextAnalysis.Stopwords
+        .map(s => s"'$s'").mkString("(", ",", ")")
+      s"""WITH pairs AS ($jaccardOracleSql),
+dup AS (SELECT DISTINCT unnest([doc_a, doc_b]) AS doc FROM pairs),
+q AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN r < $QualityLowBand THEN 'low'
+              WHEN r < $QualityMidBand THEN 'mid'
+              ELSE 'high' END AS quality_band
+  FROM (
+    SELECT doc_id, n_chars,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+               t -> lower(t) IN $stopArr)) * 1.0
+             / length(string_split_regex(trim(text), '\\s+')) AS r
+    FROM documents))
+SELECT q.quality_band, count(*)::BIGINT AS n_docs,
+       count(d.doc)::BIGINT AS n_dup,
+       floor((count(d.doc) * 100.0 / count(*)) * 100 + 0.5) / 100.0
+         AS dup_pct,
+       sum(q.n_chars)::BIGINT * 1.0 / count(*) AS avg_chars
+FROM q LEFT JOIN dup d ON q.doc_id = d.doc
+GROUP BY 1 ORDER BY 1"""
+    },
+
     "dedup_exact" -> """WITH feed AS (
   SELECT * FROM documents
   UNION ALL

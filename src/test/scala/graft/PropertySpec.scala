@@ -39,6 +39,10 @@ class PropertySpec extends SparkSpec {
       "sim_bias_outliers", "wh_month_pruned_scan", "wh_skew_report", "sim_ivf_cell_stats", "sim_embedding_coverage", "agg_hll_sliding", "mm_modality_mix", "wh_drill_across", "curate_dataset_card", "etl_freshness_report", "wh_rank_churn", "agg_pareto_suppliers",
       "priv_generalization_ladder", "text_zipf_profile",
       "mm_corrupt_quarantine", "curate_kfold_assign",
+      // graph_link_prediction is integer-count + single-division (invariant
+      // by construction) but empty at sf0.001 — the thresholded co-graph
+      // leaves no non-adjacent wedge pair — so it can't ride this harness
+      "dedup_quality_correlation", "agg_bloom_fp_report",
       "dedup_ngram_jaccard_capped", "text_lang_confusion",
       "dedup_threshold_sweep", "wh_partition_checksums",
       "text_repeated_chunks", "etl_record_linkage")
