@@ -35,7 +35,7 @@ object SparkEntry {
       streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all ++
       privacy.Privacy.all ++ analytics.CmSketch.all ++
       warehouse.Bucketing.all ++ text.BpePairs.all ++
-      analytics.BloomSketch.all
+      analytics.BloomSketch.all ++ analytics.HllSketch.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -54,5 +54,6 @@ object SparkEntry {
       warehouse.IncrementalAgg.oracle ++ streaming.IncrementalIngest.oracle ++
       warehouse.PartitionedFact.oracle ++ privacy.Privacy.oracle ++
       analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle ++
-      text.BpePairs.oracle ++ analytics.BloomSketch.oracle
+      text.BpePairs.oracle ++ analytics.BloomSketch.oracle ++
+      analytics.HllSketch.oracle
 }
