@@ -209,7 +209,46 @@ object EtlExtras {
       .orderBy($"table_name")
   }
 
+  /** Planted outage: days with day_no ≡ [[OutageResidue]] (mod
+    * [[OutageEvery]]) are withheld from the landed set — the raw feed has
+    * no naturally missing days, and the planner must be fed real holes
+    * (same fixture philosophy as the [[GapRun]] id drops).
+    */
+  val OutageEvery = 37
+  val OutageResidue = 5
+
+  /** Backfill planner — the first step of every recovery runbook: diff the
+    * landed partition set against the expected calendar spine and emit the
+    * missing ranges as contiguous [from, to] windows (one backfill job per
+    * window, not per day). Gaps-and-islands over the CALENDAR-sized day
+    * table: `day_no − row_number()` is constant within a contiguous run,
+    * so one window pass + one group-by compresses the holes. At 100 TB the
+    * landed set comes from partition listings/manifest, not a scan — the
+    * plan below only ever touches day-grain rows either way.
+    */
+  def backfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select(datediff(to_date($"ts"), lit("1970-01-01")).as("day_no"))
+      .distinct()
+    val landed = days.filter(pmod($"day_no", lit(OutageEvery)) =!= OutageResidue)
+    val bounds = days.agg(min($"day_no").as("lo"), max($"day_no").as("hi"))
+    val spine = bounds.select(
+      explode(sequence($"lo", $"hi")).as("day_no"))
+    val missing = spine.join(landed, Seq("day_no"), "left_anti")
+    val w = Window.orderBy($"day_no")
+    missing
+      .withColumn("grp", $"day_no" - row_number().over(w))
+      .groupBy($"grp")
+      .agg(min($"day_no").as("from_day"), max($"day_no").as("to_day"),
+        count(lit(1)).as("n_days"))
+      .select($"from_day", $"to_day", $"n_days")
+      .orderBy($"from_day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_backfill_plan" -> (backfillPlan _),
     "src_schema_evolution" -> (schemaEvolution _),
     "etl_pseudonymize" -> (pseudonymize _),
     "etl_record_linkage" -> (recordLinkage _),
@@ -217,6 +256,26 @@ object EtlExtras {
     "etl_id_gaps" -> (idGaps _))
 
   val oracle: Map[String, String] = Map(
+    "etl_backfill_plan" -> s"""WITH days AS (
+  SELECT DISTINCT datediff('day', DATE '1970-01-01', ts::DATE) AS day_no
+  FROM events WHERE ts IS NOT NULL),
+landed AS (
+  SELECT day_no FROM days WHERE day_no % $OutageEvery <> $OutageResidue),
+spine AS (
+  SELECT unnest(range((SELECT min(day_no) FROM days),
+                      (SELECT max(day_no) FROM days) + 1)) AS day_no),
+missing AS (
+  SELECT s.day_no FROM spine s
+  ANTI JOIN landed l ON s.day_no = l.day_no),
+runs AS (
+  SELECT day_no,
+         day_no - row_number() OVER (ORDER BY day_no) AS grp
+  FROM missing)
+SELECT min(day_no)::INT AS from_day, max(day_no)::INT AS to_day,
+       count(*)::BIGINT AS n_days
+FROM runs GROUP BY grp
+ORDER BY from_day""",
+
     "etl_freshness_report" -> """SELECT 'events' AS table_name,
        count(*)::BIGINT AS n_rows,
        max(datediff('day', DATE '1970-01-01', ts::DATE))::INT AS latest_day
