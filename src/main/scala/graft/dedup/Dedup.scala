@@ -502,6 +502,7 @@ object Dedup {
     "dedup_cross_source" -> (crossSourceMatrix _),
     "dedup_family_agreement" -> (familyAgreement _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => MinHashLsh.nearDuplicates(s, d)),
+    "dedup_lsh_s_curve" -> ((s: SparkSession, d: String) => MinHashLsh.sCurve(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) =>
       MinHashLsh.incrementalNearDuplicates(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => SimHash.nearDuplicates(s, d)))
@@ -528,6 +529,19 @@ ORDER BY doc_a, doc_b"""
   private val jaccardOracleSql: String = jaccardOracleSqlAt(BaseTau)
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_s_curve" -> """WITH pts AS (
+  SELECT (i * 5)::INT AS pct, (i * 5) / 100.0 AS s
+  FROM (SELECT unnest(range(1, 20)) AS i)),
+c AS (
+  SELECT pct, s, s * s AS s2 FROM pts),
+c2 AS (SELECT pct, s, s2 * s2 AS s4 FROM c),
+c3 AS (SELECT pct, s, s4, 1.0 - s4 AS t FROM c2),
+c4 AS (SELECT pct, s, s4, t * t AS t2 FROM c3),
+c5 AS (SELECT pct, s, s4, t2 * t2 AS t4 FROM c4),
+c6 AS (SELECT pct, s, s4, t4 * t4 AS t8 FROM c5)
+SELECT pct, s, s4 AS p_band_match, 1.0 - t8 AS p_candidate
+FROM c6 ORDER BY pct""",
+
     "dedup_quality_correlation" -> {
       val stopArr = graft.text.TextAnalysis.Stopwords
         .map(s => s"'$s'").mkString("(", ",", ")")

@@ -48,6 +48,36 @@ object MinHashLsh {
   val Bands = 8
   val RowsPerBand = 4
 
+  /** The banding S-curve as a queryable tuning table: for each candidate
+    * Jaccard similarity s (5%..95% in 5-point steps), the probability the
+    * [[Bands]]×[[RowsPerBand]] scheme emits the pair as a candidate,
+    * p = 1 − (1 − s^r)^b — the table an operator reads to pick (b, r) for
+    * a target threshold. No data touched; the curve is the configuration's
+    * spec sheet. Every power is expanded to an explicit square-and-multiply
+    * chain (s⁴ = (s²)², t⁸ = ((t²)²)²) with the identical association on
+    * both engines, so the doubles hash-compare without any rounding — the
+    * same fixed-order-expression discipline as the PQ distance sums.
+    */
+  def sCurve(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    require(RowsPerBand == 4 && Bands == 8,
+      "sCurve's expanded power chain is specialized to r=4, b=8")
+    val s = (col("pct").cast("double") / lit(100.0)).as("s")
+    spark.range(1, 20).select(($"id" * 5).cast("int").as("pct"))
+      .select(col("pct"), s)
+      .withColumn("s2", col("s") * col("s"))
+      .withColumn("s4", col("s2") * col("s2"))
+      .withColumn("t", lit(1.0) - col("s4"))
+      .withColumn("t2", col("t") * col("t"))
+      .withColumn("t4", col("t2") * col("t2"))
+      .withColumn("t8", col("t4") * col("t4"))
+      .select(col("pct"), col("s"),
+        col("s4").as("p_band_match"),
+        (lit(1.0) - col("t8")).as("p_candidate"))
+      .orderBy(col("pct"))
+  }
+
   /** (aᵢ, bᵢ) universal-hash coefficients, md5-derived (engine-independent
     * constants): aᵢ ∈ [1, p), bᵢ ∈ [0, p).
     */
