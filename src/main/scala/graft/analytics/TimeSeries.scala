@@ -233,7 +233,50 @@ object TimeSeries {
       .limit(ChangeTopK)
   }
 
+  /** MAD anomaly multiplier (flag when dev > K·MAD). One value, both
+    * engines.
+    */
+  val MadK = 3
+
+  /** Robust anomaly days by median absolute deviation — the heavy-tail-
+    * proof twin of [[WindowExtras]]' z-score outlier report: a single
+    * anomalous spike inflates the mean AND the stddev it is judged
+    * against, while the median/MAD pair moves only when half the days
+    * move. Everything stays in INTEGERS: both medians come from exact
+    * order statistics (row_number selection — the repo's no-interpolation
+    * quantile rule), deviations are integer distances, and the flag
+    * compares `dev > K·MAD` in integer arithmetic, so the report is
+    * bit-identical cross-engine with no float in sight.
+    *
+    * Scale shape: one corpus aggregate to day grain; every window after
+    * that runs over the CALENDAR-sized daily table.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .groupBy(datediff(to_date($"ts"), lit("1970-01-01")).as("day_no"))
+      .agg(count(lit(1)).as("n"))
+    def medianOf(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c), col("day_no"))
+      df.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("cnt"))))
+        .filter($"rn" === expr("(cnt + 1) div 2"))
+        .select(col(c).as("med"))
+    }
+    val med = medianOf(daily, "n")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs($"n" - $"med"))
+    val mad = medianOf(dev.select($"day_no", $"dev".as("n")), "n")
+      .select($"med".as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter($"dev" > lit(MadK) * $"mad")
+      .select($"day_no", $"n", $"med", $"mad", $"dev")
+      .orderBy($"day_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly_mad" -> (anomalyMad _),
     "ts_changepoint" -> (changepoint _),
     "ts_seasonal_profile" -> (seasonalProfile _),
     "ts_rebase_index" -> (rebaseIndex _),
@@ -256,6 +299,25 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_anomaly_mad" -> s"""WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', ts::DATE) AS day_no,
+         count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+med AS (
+  SELECT n AS med FROM (
+    SELECT n, row_number() OVER (ORDER BY n, day_no) AS rn FROM daily)
+  WHERE rn = ((SELECT count(*) FROM daily) + 1) // 2),
+dev AS (
+  SELECT day_no, n, med, abs(n - med) AS dev FROM daily, med),
+mad AS (
+  SELECT dev AS mad FROM (
+    SELECT dev, row_number() OVER (ORDER BY dev, day_no) AS rn FROM dev)
+  WHERE rn = ((SELECT count(*) FROM dev) + 1) // 2)
+SELECT day_no::INT AS day_no, n, med, mad, dev
+FROM dev, mad
+WHERE dev > $MadK * mad
+ORDER BY day_no""",
+
     "ts_changepoint" -> s"""WITH daily AS (
   SELECT ts::DATE AS day, count(*)::BIGINT AS n
   FROM events WHERE ts IS NOT NULL GROUP BY 1),

@@ -143,4 +143,25 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("k-fold hash assignment is stable under corpus growth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the per-doc fold is a pure salted-hash function of the id, so adding
+    // documents must never move an existing one: recompute the fold on a
+    // half-corpus view and on the full corpus, compare on the intersection
+    val fold = pmod(graft.functions.Md5Hash.h32(
+      concat(lit("fold:"), $"doc_id".cast("string"))), lit(Curate.KFolds))
+    val full = graft.Tables.documents(spark, sf)
+      .select($"doc_id", fold.as("f_full"))
+    val half = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", fold.as("f_half"))
+    val moved = full.join(half, "doc_id")
+      .filter($"f_full" =!= $"f_half").count()
+    assert(moved == 0L)
+    // and every fold is actually populated at this corpus size
+    val folds = full.select($"f_full").distinct().collect().map(_.getLong(0)).toSet
+    assert(folds == (0L until Curate.KFolds.toLong).toSet)
+  }
 }
