@@ -313,7 +313,42 @@ object GraphOps {
       .limit(LinkTopK)
   }
 
+  /** Degree assortativity (Newman 2002, public literature) of the supplier
+    * co-occurrence graph — one number answering "do hubs connect to hubs?"
+    * (positive: social-style core; negative: hub-and-spoke), which decides
+    * whether degree-based partitioning strategies will balance. For an
+    * UNDIRECTED graph the Pearson correlation over edge-endpoint degrees
+    * has Sx=Sy and Sxx=Syy, so r collapses to
+    * `(n·Sxy − Sx²) / (n·Sxx − Sx²)` — every term an exact BIGINT sum and
+    * the whole statistic ONE final division, sidestepping the
+    * sqrt(A)·sqrt(A)≠A float hazard entirely. (At degrees beyond ~10⁶ the
+    * sums move to DECIMAL(38,0), same shape.) One degree join + a 1-row
+    * aggregate.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coEdges(spark, dir)
+    val adj = edges.select($"u".as("a"), $"v".as("b"))
+      .union(edges.select($"v".as("a"), $"u".as("b")))
+    val deg = adj.groupBy($"a".as("n")).agg(count(lit(1)).as("d"))
+    val pairs = adj
+      .join(deg.select($"n".as("an"), $"d".as("da")), $"a" === $"an")
+      .join(deg.select($"n".as("bn"), $"d".as("db")), $"b" === $"bn")
+    pairs.agg(
+        count(lit(1)).as("n"),
+        sum($"da" * $"db").as("sxy"),
+        sum($"da").as("sx"),
+        sum($"da" * $"da").as("sxx"),
+        countDistinct($"a").as("n_nodes"))
+      .select(
+        ($"n" / 2).cast("bigint").as("n_edges"),
+        $"n_nodes",
+        (($"n" * $"sxy" - $"sx" * $"sx") * lit(1.0)
+          / ($"n" * $"sxx" - $"sx" * $"sx")).as("assortativity"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
@@ -387,6 +422,31 @@ SELECT n_name, d AS hops
 FROM bd3 JOIN nodes USING (v)
 WHERE d IS NOT NULL
 ORDER BY hops, n_name""",
+    "graph_assortativity" -> s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING count(*) >= $CoThreshold),
+adj AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a AS n, count(*)::BIGINT AS d FROM adj GROUP BY a),
+pairs AS (
+  SELECT adj.a, da.d AS da, db.d AS db
+  FROM adj JOIN deg da ON adj.a = da.n JOIN deg db ON adj.b = db.n),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(da * db)::BIGINT AS sxy,
+         sum(da)::BIGINT AS sx,
+         sum(da * da)::BIGINT AS sxx,
+         count(DISTINCT a)::BIGINT AS n_nodes
+  FROM pairs)
+SELECT (n // 2)::BIGINT AS n_edges, n_nodes,
+       (n * sxy - sx * sx) * 1.0 / (n * sxx - sx * sx) AS assortativity
+FROM s""",
+
     "graph_link_prediction" -> s"""WITH os AS (
   SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
 edges AS (
