@@ -526,7 +526,7 @@ JOIN sizes sb ON ov.doc_b = sb.doc_id
 WHERE o * 1.0 / (sa.n + sb.n - o) >= $tau
 ORDER BY doc_a, doc_b"""
 
-  private val jaccardOracleSql: String = jaccardOracleSqlAt(BaseTau)
+  private[graft] val jaccardOracleSql: String = jaccardOracleSqlAt(BaseTau)
 
   val oracle: Map[String, String] = Map(
     "dedup_lsh_s_curve" -> """WITH pts AS (

@@ -54,6 +54,31 @@ object Similarity {
     * [[IvfIndex]] candidate pairs instead of the full product — identical
     * verify expression, bounded candidate set.
     */
+  /** Lexical↔semantic agreement bands — the calibration table that decides
+    * whether an embedding-cosine cutoff can STAND IN for n-gram Jaccard
+    * dedup (SemDeDup-style) on this corpus: every verified near-dup pair
+    * from the shared [[graft.dedup.Dedup.pairsForDir]] table, joined to
+    * both endpoints' embeddings, banded by cosine decile. Per band: pair
+    * volume and the Jaccard envelope (MIN/MAX — order-independent, unlike
+    * a float mean). A heavy low-cosine band = lexical dups the encoder
+    * misses; pairs only in high bands = safe to push dedup into the ANN
+    * index. Pair table is memoized; the embedding joins are id-equi-joins.
+    */
+  def jaccardCosineBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    graft.dedup.Dedup.pairsForDir(spark, dir)
+      .join(e.select($"vec_id".as("doc_a"), $"embedding".as("emb_a")), "doc_a")
+      .join(e.select($"vec_id".as("doc_b"), $"embedding".as("emb_b")), "doc_b")
+      .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
+      .groupBy(floor($"cos" * 10).cast("int").as("cos_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"jaccard").as("min_jaccard"),
+        max($"jaccard").as("max_jaccard"))
+      .orderBy($"cos_band")
+  }
+
   def cosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
@@ -382,6 +407,7 @@ object Similarity {
     "sim_pq_codes" -> ((s: SparkSession, d: String) =>
       ProductQuantizer.codes(s, d)),
     "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
+    "sim_jaccard_cosine_bands" -> (jaccardCosineBands _),
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_mips_topk" -> ((s: SparkSession, d: String) => mipsTopK(s, d)),
@@ -502,6 +528,21 @@ ${(0 until 8).map(i =>
       .mkString(",\n")}
 FROM n WHERE norm > 0
 ORDER BY vec_id""",
+
+    "sim_jaccard_cosine_bands" -> s"""WITH jp AS (
+${graft.dedup.Dedup.jaccardOracleSql}
+),
+scored AS (
+  SELECT jp.jaccard,
+         ${cosSql("a.embedding", "b.embedding")} AS cos
+  FROM jp
+  JOIN embeddings a ON jp.doc_a = a.vec_id
+  JOIN embeddings b ON jp.doc_b = b.vec_id)
+SELECT floor(cos * 10)::INT AS cos_band,
+       count(*)::BIGINT AS n_pairs,
+       min(jaccard) AS min_jaccard,
+       max(jaccard) AS max_jaccard
+FROM scored GROUP BY 1 ORDER BY 1""",
 
     "sim_cosine_pairs" -> s"""WITH pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
