@@ -34,6 +34,12 @@ object Bench {
     similarity.IvfIndex.build(spark, sfDir)
     similarity.IvfPq.postings(spark, sfDir)
     similarity.RandomHyperplaneLsh.index(spark, sfDir)
+    // ingest-time layouts (bucketed catalog tables, month-partitioned fact)
+    // are setup like the warehouse build — the timed queries measure the
+    // joins/scans over them, not the one-off landing write. Compaction and
+    // the streaming run stay TIMED: their work IS the operator.
+    warehouse.Bucketing.bucketedOrderTables(spark, sfDir)
+    warehouse.PartitionedFact.factByMonth(spark, sfDir)
     // session warmup: one untimed full read of each hot base table so the
     // alphabetically-first timed query isn't charged the session's one-off
     // costs (first job scheduling, codegen compiler init, parquet
