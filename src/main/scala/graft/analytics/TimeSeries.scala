@@ -275,7 +275,35 @@ object TimeSeries {
       .orderBy($"day_no")
   }
 
+  /** Year-to-date running revenue — the calendarized cumulative every
+    * finance dashboard opens with: monthly order revenue (DECIMAL-exact,
+    * so partial-aggregate merge order cannot flip a bit), the YTD running
+    * sum within each year, and each month's share of its full year. The
+    * corpus collapses to month grain in ONE aggregate; both windows then
+    * run over the calendar-sized month table.
+    */
+  def ytdRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"))
+    val wYtd = Window.partitionBy($"yr").orderBy($"mo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wYear = Window.partitionBy($"yr")
+    monthly
+      .withColumn("ytd", sum($"revenue").over(wYtd))
+      .withColumn("yr_total", sum($"revenue").over(wYear))
+      .select($"yr", $"mo",
+        $"revenue".cast("double").as("revenue"),
+        $"ytd".cast("double").as("ytd_revenue"),
+        graft.functions.GraftFunctions.round2(
+          $"revenue".cast("double") * lit(100.0)
+            / $"yr_total".cast("double")).as("pct_of_year"))
+      .orderBy($"yr", $"mo")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ytd_running" -> (ytdRunning _),
     "ts_anomaly_mad" -> (anomalyMad _),
     "ts_changepoint" -> (changepoint _),
     "ts_seasonal_profile" -> (seasonalProfile _),
@@ -299,6 +327,21 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "win_ytd_running" -> """WITH monthly AS (
+  SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT yr, mo,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(sum(revenue) OVER (PARTITION BY yr ORDER BY mo
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS ytd_revenue,
+       floor((CAST(revenue AS DOUBLE) * 100.0
+              / CAST(sum(revenue) OVER (PARTITION BY yr) AS DOUBLE)) * 100
+             + 0.5) / 100.0 AS pct_of_year
+FROM monthly
+ORDER BY yr, mo""",
+
     "ts_anomaly_mad" -> s"""WITH daily AS (
   SELECT datediff('day', DATE '1970-01-01', ts::DATE) AS day_no,
          count(*)::BIGINT AS n
