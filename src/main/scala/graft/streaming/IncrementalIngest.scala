@@ -249,11 +249,58 @@ object IncrementalIngest {
           .orderBy(col("window_start_t"), col("event_type"))
       })
 
+  private val ddMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** End-to-end batch-comparable run of [[dedupDocs]] — the watermarked
+    * CONTENT-dedup path driven to an oracle-checked output. The feed is the
+    * corpus plus a full planted re-crawl (every document again under a
+    * fresh id, ingest_ts 10 minutes later — inside the 1-hour horizon), so
+    * the stream must drop exactly the re-crawl. Survivor IDENTITY within a
+    * fingerprint is first-arrival (an execution detail), so the checked
+    * output is the per-language SURVIVOR COUNT — equal to the number of
+    * distinct normalized-text fingerprints, whichever copy survived. One
+    * source file → one AvailableNow micro-batch, so no cross-batch
+    * eviction can re-admit a duplicate.
+    */
+  def dedupDocsEntry(spark: SparkSession, dir: String): DataFrame =
+    ddMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-dedup/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        val docs = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"),
+            expr("timestamp_micros(doc_id * 1000000)").as("ingest_ts"))
+        val recrawl = docs
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("ingest_ts",
+            expr("ingest_ts + INTERVAL 10 MINUTES"))
+        docs.unionByName(recrawl)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/src")
+        dedupDocs(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+          .awaitTermination()
+        spark.read.parquet(s"$base/out")
+          .groupBy(col("lang"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_attribution" -> (attributionEntry _),
+    "stream_dedup_docs" -> (dedupDocsEntry _),
     "stream_windowed_counts" -> (windowedCountsEntry _))
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup_docs" -> """SELECT lang,
+       count(DISTINCT md5(lower(trim(text))))::BIGINT AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang""",
+
     "stream_attribution" -> """WITH e AS (
   SELECT event_id, ts, user_id, event_type FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
