@@ -34,6 +34,7 @@ object Bench {
     similarity.IvfIndex.build(spark, sfDir)
     similarity.IvfPq.postings(spark, sfDir)
     similarity.RandomHyperplaneLsh.index(spark, sfDir)
+    analytics.GraphOps.coEdges(spark, sfDir)
     // ingest-time layouts (bucketed catalog tables, month-partitioned fact)
     // are setup like the warehouse build — the timed queries measure the
     // joins/scans over them, not the one-off landing write. Compaction and
