@@ -104,4 +104,20 @@ class DedupSpec extends SparkSpec {
       .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(f1.sameElements(f2))
   }
+
+  test("LSH S-curve is a proper monotone probability curve") {
+    val rows = graft.dedup.MinHashLsh.sCurve(spark, sf)
+      .orderBy($"pct").collect()
+    assert(rows.length == 19)
+    val ps = rows.map(_.getAs[Double]("p_candidate"))
+    ps.foreach(pc => assert(pc >= 0.0 && pc <= 1.0))
+    // candidate probability is strictly increasing in similarity
+    ps.sliding(2).foreach { case Array(a, b) => assert(b > a) }
+    // band-match probability is s^RowsPerBand exactly at the grid points
+    rows.foreach { r =>
+      val sVal = r.getAs[Double]("s")
+      val expected = sVal * sVal * (sVal * sVal)
+      assert(r.getAs[Double]("p_band_match") == expected)
+    }
+  }
 }
