@@ -35,6 +35,7 @@ object Bench {
     similarity.IvfPq.postings(spark, sfDir)
     similarity.RandomHyperplaneLsh.index(spark, sfDir)
     analytics.GraphOps.coEdges(spark, sfDir)
+    text.Curate.overlapGrams(spark, sfDir)
     // ingest-time layouts (bucketed catalog tables, month-partitioned fact)
     // are setup like the warehouse build — the timed queries measure the
     // joins/scans over them, not the one-off landing write. Compaction and

@@ -465,7 +465,7 @@ object Curate {
     * [[graft.dedup.DocIndex.forDir]]; at 100 TB this is the inverted-index
     * table a decontamination pass builds once and queries per test set.
     */
-  private def overlapGrams(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def overlapGrams(spark: SparkSession, dir: String): DataFrame =
     gramMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}:$dir", { _ =>
         import spark.implicits._
