@@ -35,7 +35,8 @@ object SparkEntry {
       streaming.IncrementalIngest.all ++ warehouse.PartitionedFact.all ++
       privacy.Privacy.all ++ analytics.CmSketch.all ++
       warehouse.Bucketing.all ++ text.BpePairs.all ++
-      analytics.BloomSketch.all ++ analytics.HllSketch.all
+      analytics.BloomSketch.all ++ analytics.HllSketch.all ++
+      warehouse.DataVault.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -55,5 +56,5 @@ object SparkEntry {
       warehouse.PartitionedFact.oracle ++ privacy.Privacy.oracle ++
       analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle ++
       text.BpePairs.oracle ++ analytics.BloomSketch.oracle ++
-      analytics.HllSketch.oracle
+      analytics.HllSketch.oracle ++ warehouse.DataVault.oracle
 }
