@@ -302,7 +302,48 @@ object TimeSeries {
       .orderBy($"yr", $"mo")
   }
 
+  /** Cohort lifetime-value matrix — the (acquisition cohort × account age)
+    * view subscription and marketplace finance teams steer by: customers
+    * cohorted by first-order month, revenue accumulated per month-of-age,
+    * normalized per cohort member. Month age is pure INTEGER arithmetic
+    * (y·12+m differences — `months_between`'s fractional months would
+    * desync from any SQL twin); money runs in DECIMAL through the
+    * cumulative window, which spans only (cohort × age) cells — calendar²,
+    * never customer-scale rows; the one corpus-scale shuffle is the
+    * first-order aggregate.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def mIdx(c: org.apache.spark.sql.Column) =
+      year(c) * 12 + month(c)
+    val first = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(min($"o_orderdate").as("first_date"))
+      .select($"o_custkey".as("fc"),
+        (year($"first_date") * 100 + month($"first_date")).as("cohort_month"),
+        mIdx($"first_date").as("first_idx"))
+    val cohortSize = first.groupBy($"cohort_month")
+      .agg(countDistinct($"fc").as("n_customers"))
+    val cells = Tables.orders(spark, dir)
+      .join(first, $"o_custkey" === $"fc")
+      .groupBy($"cohort_month",
+        (mIdx($"o_orderdate") - $"first_idx").as("months_since"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"))
+    val w = Window.partitionBy($"cohort_month").orderBy($"months_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue", sum($"revenue").over(w))
+      .join(broadcast(cohortSize), "cohort_month")
+      .select($"cohort_month", $"months_since", $"n_customers",
+        $"revenue".cast("double").as("revenue"),
+        graft.functions.GraftFunctions.round2(
+          $"cum_revenue".cast("double") / $"n_customers")
+          .as("ltv_per_user"))
+      .orderBy($"cohort_month", $"months_since")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cohort_ltv" -> (cohortLtv _),
     "win_ytd_running" -> (ytdRunning _),
     "ts_anomaly_mad" -> (anomalyMad _),
     "ts_changepoint" -> (changepoint _),
@@ -327,6 +368,35 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "agg_cohort_ltv" -> """WITH first AS (
+  SELECT o_custkey AS fc,
+         (year(min(o_orderdate)) * 100 + month(min(o_orderdate)))::INT
+           AS cohort_month,
+         (year(min(o_orderdate)) * 12 + month(min(o_orderdate)))::INT
+           AS first_idx
+  FROM orders GROUP BY o_custkey),
+sz AS (
+  SELECT cohort_month, count(DISTINCT fc)::BIGINT AS n_customers
+  FROM first GROUP BY 1),
+cells AS (
+  SELECT f.cohort_month,
+         ((year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.first_idx)::INT
+           AS months_since,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o JOIN first f ON o.o_custkey = f.fc
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort_month, months_since, revenue,
+         sum(revenue) OVER (PARTITION BY cohort_month ORDER BY months_since
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+  FROM cells)
+SELECT c.cohort_month, c.months_since, s.n_customers,
+       CAST(c.revenue AS DOUBLE) AS revenue,
+       floor((CAST(c.cum_revenue AS DOUBLE) / s.n_customers) * 100 + 0.5)
+         / 100.0 AS ltv_per_user
+FROM cum c JOIN sz s ON c.cohort_month = s.cohort_month
+ORDER BY c.cohort_month, c.months_since""",
+
     "win_ytd_running" -> """WITH monthly AS (
   SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
