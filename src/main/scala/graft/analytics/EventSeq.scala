@@ -160,7 +160,50 @@ object EventSeq {
       .orderBy($"date_key")
   }
 
+  /** Deterministic A/B-test readout — the experiment summary an analytics
+    * engine produces daily: users split by salted hash (the same
+    * assignment [[graft.sources.Sources]]' assignment join uses — stable
+    * across retries and engines, no RNG), conversion = "has a purchase
+    * event", and the two-proportion z-score computed in ONE fixed-order
+    * expression per engine. Every input to the float math is an exact
+    * integer count; the z formula is a handful of single IEEE ops plus
+    * `sqrt` (correctly rounded by spec), so even the statistic
+    * hash-compares. One user-grain aggregate, then 2-row arithmetic.
+    */
+  def abReadout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // assignment at EXPOSURE grain (event ids): at test scale every user
+    // fires every event type, so a user-grain "has purchased" outcome
+    // degenerates to 100% in both arms (zero variance, undefined z) —
+    // event-grain purchase share is non-degenerate at any scale factor
+    val exposed = Tables.events(spark, dir)
+      .filter($"event_id".isNotNull)
+      .select(
+        pmod(graft.functions.Md5Hash.h32(
+          concat(lit("ab:"), $"event_id".cast("string"))), lit(2))
+          .as("variant"),
+        when($"event_type" === "purchase", 1).otherwise(0).as("converted"))
+    val arms = exposed.groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_conv"))
+    val wide = arms.agg(
+      max(when($"variant" === 0, $"n_users")).as("n_a"),
+      max(when($"variant" === 0, $"n_conv")).as("conv_a"),
+      max(when($"variant" === 1, $"n_users")).as("n_b"),
+      max(when($"variant" === 1, $"n_conv")).as("conv_b"))
+    // D-suffixed literals: bare 1.0 parses as DECIMAL in Spark SQL (but
+    // DOUBLE in DuckDB) — the z arithmetic must be the identical IEEE ops
+    wide.selectExpr(
+      "n_a", "conv_a", "n_b", "conv_b",
+      "floor((conv_a * 100.0D / n_a) * 100 + 0.5D) / 100.0D AS cvr_a_pct",
+      "floor((conv_b * 100.0D / n_b) * 100 + 0.5D) / 100.0D AS cvr_b_pct",
+      """(conv_b * 1.0D / n_b - conv_a * 1.0D / n_a)
+         / sqrt((conv_a * 1.0D / n_a) * (1.0D - conv_a * 1.0D / n_a) / n_a
+              + (conv_b * 1.0D / n_b) * (1.0D - conv_b * 1.0D / n_b) / n_b)
+         AS z_score""")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ab_readout" -> (abReadout _),
     "agg_event_transitions" -> (transitions _),
     "agg_hll_distinct" -> (hllDistinct _),
     "agg_hll_sliding" -> (hllSliding _),
@@ -219,6 +262,29 @@ object EventSeq {
   private val hllH32 = Md5Hash.h32Sql("'hll:' || CAST(user_id AS VARCHAR)")
 
   val oracle: Map[String, String] = Map(
+    "agg_ab_readout" -> s"""WITH exposed AS (
+  SELECT (${graft.functions.Md5Hash.h32Sql("'ab:' || event_id::VARCHAR")}) % 2
+           AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+  FROM events WHERE event_id IS NOT NULL),
+arms AS (
+  SELECT variant, count(*)::BIGINT AS n_users, sum(converted)::BIGINT AS n_conv
+  FROM exposed GROUP BY variant),
+wide AS (
+  SELECT max(CASE WHEN variant = 0 THEN n_users END)::BIGINT AS n_a,
+         max(CASE WHEN variant = 0 THEN n_conv END)::BIGINT AS conv_a,
+         max(CASE WHEN variant = 1 THEN n_users END)::BIGINT AS n_b,
+         max(CASE WHEN variant = 1 THEN n_conv END)::BIGINT AS conv_b
+  FROM arms)
+SELECT n_a, conv_a, n_b, conv_b,
+       floor((conv_a * 100.0 / n_a) * 100 + 0.5) / 100.0 AS cvr_a_pct,
+       floor((conv_b * 100.0 / n_b) * 100 + 0.5) / 100.0 AS cvr_b_pct,
+       (conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+         / sqrt((conv_a * 1.0 / n_a) * (1.0 - conv_a * 1.0 / n_a) / n_a
+              + (conv_b * 1.0 / n_b) * (1.0 - conv_b * 1.0 / n_b) / n_b)
+         AS z_score
+FROM wide""",
+
     "agg_window_funnel" -> {
       val Seq(st1, st2, st3) = FunnelStages
       s"""WITH e AS (

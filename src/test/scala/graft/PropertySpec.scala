@@ -43,7 +43,7 @@ class PropertySpec extends SparkSpec {
       // by construction) but empty at sf0.001 — the thresholded co-graph
       // leaves no non-adjacent wedge pair — so it can't ride this harness
       "dedup_quality_correlation", "agg_bloom_fp_report",
-      "agg_hll_registers", "agg_cohort_ltv", "win_ytd_running",
+      "agg_hll_registers", "agg_cohort_ltv", "win_ytd_running", "agg_ab_readout",
       "wh_data_vault", "sim_jaccard_cosine_bands", "ts_anomaly_mad",
       "dedup_ngram_jaccard_capped", "text_lang_confusion",
       "dedup_threshold_sweep", "wh_partition_checksums",
