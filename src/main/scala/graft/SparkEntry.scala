@@ -36,7 +36,7 @@ object SparkEntry {
       privacy.Privacy.all ++ analytics.CmSketch.all ++
       warehouse.Bucketing.all ++ text.BpePairs.all ++
       analytics.BloomSketch.all ++ analytics.HllSketch.all ++
-      warehouse.DataVault.all
+      warehouse.DataVault.all ++ analytics.SpatialGrid.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -56,5 +56,6 @@ object SparkEntry {
       warehouse.PartitionedFact.oracle ++ privacy.Privacy.oracle ++
       analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle ++
       text.BpePairs.oracle ++ analytics.BloomSketch.oracle ++
-      analytics.HllSketch.oracle ++ warehouse.DataVault.oracle
+      analytics.HllSketch.oracle ++ warehouse.DataVault.oracle ++
+      analytics.SpatialGrid.oracle
 }
