@@ -342,7 +342,37 @@ object TimeSeries {
       .orderBy($"cohort_month", $"months_since")
   }
 
+  /** Per-type volume trend by ordinary least squares over daily counts —
+    * "is this event type growing or dying?" as one number per type, the
+    * drift detector dashboards sort by. The [[graft.analytics.GraphOps]]
+    * assortativity discipline: every OLS sum (Σx, Σy, Σxy, Σx²) is an
+    * exact BIGINT over day-grain rows, and the slope
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` is ONE final division — no float
+    * accumulates, so the statistic hash-compares. x is the epoch-day
+    * ordinal; slope units are events/day per day.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y").as("sy"),
+        sum($"x".cast("bigint") * $"y").as("sxy"),
+        sum($"x".cast("bigint") * $"x".cast("bigint")).as("sxx"))
+      .select($"event_type", $"n_days", $"sy".as("total_events"),
+        (($"n_days" * $"sxy" - $"sx" * $"sy") * lit(1.0)
+          / ($"n_days" * $"sxx" - $"sx" * $"sx")).as("slope_per_day"))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_trend_slope" -> (trendSlope _),
     "agg_cohort_ltv" -> (cohortLtv _),
     "win_ytd_running" -> (ytdRunning _),
     "ts_anomaly_mad" -> (anomalyMad _),
@@ -368,6 +398,23 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_trend_slope" -> """WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS x,
+         count(*)::BIGINT AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_days,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM daily GROUP BY event_type)
+SELECT event_type, n_days, sy AS total_events,
+       (n_days * sxy - sx * sy) * 1.0 / (n_days * sxx - sx * sx)
+         AS slope_per_day
+FROM s ORDER BY event_type""",
+
     "agg_cohort_ltv" -> """WITH first AS (
   SELECT o_custkey AS fc,
          (year(min(o_orderdate)) * 100 + month(min(o_orderdate)))::INT
