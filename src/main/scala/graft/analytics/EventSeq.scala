@@ -202,7 +202,43 @@ object EventSeq {
          AS z_score""")
   }
 
+  /** Funnel latency — time from first click to the first purchase AFTER it,
+    * summarized as exact order statistics (min / median / p90 / max in
+    * epoch MICROseconds — whole-second truncation differs cross-engine:
+    * DuckDB's double epoch()::BIGINT rounds where Spark truncates). Ranks are integer-defined ((n+1) div 2 and
+    * (9n+9) div 10, mirrored verbatim in the twin) and selected by
+    * row_number — the repo's no-interpolation quantile rule — so the
+    * report is integer-exact end to end. The rank window runs over the
+    * USER-grain delay table; at 100 TB the same selection runs as the
+    * documented grid-bucket histogram (text_quality_gate's shape) instead
+    * of a global sort.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+    val firstClick = ev.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"ts").as("cts"))
+    val delays = ev.filter($"event_type" === "purchase")
+      .join(firstClick, "user_id")
+      .filter($"ts" >= $"cts")
+      .groupBy($"user_id").agg(min($"ts").as("pts"), min($"cts").as("cts0"))
+      .select($"user_id",
+        (unix_micros($"pts") - unix_micros($"cts0")).as("delay_us"))
+    val w = Window.orderBy($"delay_us", $"user_id")
+    val ranked = delays
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(delays.agg(count(lit(1)).as("n"))))
+    ranked.agg(
+      max($"n").as("n_converted"),
+      min($"delay_us").as("min_us"),
+      max(when($"rn" === expr("(n + 1) div 2"), $"delay_us")).as("median_us"),
+      max(when($"rn" === expr("(9 * n + 9) div 10"), $"delay_us")).as("p90_us"),
+      max($"delay_us").as("max_us"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_funnel_latency" -> (funnelLatency _),
     "agg_ab_readout" -> (abReadout _),
     "agg_event_transitions" -> (transitions _),
     "agg_hll_distinct" -> (hllDistinct _),
@@ -262,6 +298,29 @@ object EventSeq {
   private val hllH32 = Md5Hash.h32Sql("'hll:' || CAST(user_id AS VARCHAR)")
 
   val oracle: Map[String, String] = Map(
+    "agg_funnel_latency" -> """WITH fc AS (
+  SELECT user_id, min(ts) AS cts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'click'
+  GROUP BY user_id),
+delays AS (
+  SELECT e.user_id,
+         (epoch_us(min(e.ts)) - epoch_us(min(fc.cts))) AS delay_us
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL AND e.ts >= fc.cts
+  GROUP BY e.user_id),
+ranked AS (
+  SELECT delay_us,
+         row_number() OVER (ORDER BY delay_us, user_id) AS rn,
+         (SELECT count(*) FROM delays) AS n
+  FROM delays)
+SELECT max(n)::BIGINT AS n_converted,
+       min(delay_us)::BIGINT AS min_us,
+       max(CASE WHEN rn = (n + 1) // 2 THEN delay_us END)::BIGINT AS median_us,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_us END)::BIGINT
+         AS p90_us,
+       max(delay_us)::BIGINT AS max_us
+FROM ranked""",
+
     "agg_ab_readout" -> s"""WITH exposed AS (
   SELECT (${graft.functions.Md5Hash.h32Sql("'ab:' || event_id::VARCHAR")}) % 2
            AS variant,
