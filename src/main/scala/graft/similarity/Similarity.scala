@@ -79,6 +79,44 @@ object Similarity {
       .orderBy($"cos_band")
   }
 
+  /** Hub neighbors counted per vector in [[hubness]]. */
+  val HubK = 5
+
+  /** Hubness diagnostic (Radovanović et al., public literature) — the
+    * high-dimensional pathology screen an embedding corpus gets before an
+    * ANN index is trusted: count how often each vector appears in OTHER
+    * vectors' exact top-[[HubK]] lists (its k-occurrence), then roll the
+    * distribution up into a histogram. A healthy corpus concentrates near
+    * k-occurrence ≈ k; a hubby one grows a long tail of vectors that are
+    * "everyone's neighbor" — those dominate ANN candidate lists and poison
+    * kNN labels. All-pairs scoring is the same labeled O(n²) baseline
+    * shape as [[cosinePairs]] (at corpus scale the k-occurrence counts
+    * come from the ANN index's own result stream instead); ranks come from
+    * one window per query vector, and the histogram is integer-exact.
+    */
+  def hubness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val n = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    val topk = q.crossJoin(n)
+      .filter($"qid" =!= $"nid")
+      .withColumn("cos", expr("graft_cosine(qe, ne)"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= HubK)
+    val kOcc = topk.groupBy($"nid").agg(count(lit(1)).as("k_occurrence"))
+    // vectors never chosen have k-occurrence 0 — keep them in the histogram
+    val withZeros = e.select($"vec_id".as("nid"))
+      .join(kOcc, Seq("nid"), "left")
+      .select(coalesce($"k_occurrence", lit(0L)).as("k_occurrence"))
+    withZeros.groupBy($"k_occurrence")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy($"k_occurrence")
+  }
+
   def cosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
@@ -408,6 +446,7 @@ object Similarity {
       ProductQuantizer.codes(s, d)),
     "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
     "sim_jaccard_cosine_bands" -> (jaccardCosineBands _),
+    "sim_hubness" -> (hubness _),
     "sim_cosine_pairs" -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "sim_bruteforce_topk" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_mips_topk" -> ((s: SparkSession, d: String) => mipsTopK(s, d)),
@@ -528,6 +567,23 @@ ${(0 until 8).map(i =>
       .mkString(",\n")}
 FROM n WHERE norm > 0
 ORDER BY vec_id""",
+
+    "sim_hubness" -> s"""WITH scored AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         ${cosSql("q.embedding", "n.embedding")} AS cos
+  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id),
+topk AS (
+  SELECT nid FROM (
+    SELECT nid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+    FROM scored)
+  WHERE rk <= $HubK),
+kocc AS (
+  SELECT e.vec_id, count(t.nid)::BIGINT AS k_occurrence
+  FROM embeddings e LEFT JOIN topk t ON e.vec_id = t.nid
+  GROUP BY e.vec_id)
+SELECT k_occurrence, count(*)::BIGINT AS n_vectors
+FROM kocc GROUP BY 1 ORDER BY 1""",
 
     "sim_jaccard_cosine_bands" -> s"""WITH jp AS (
 ${graft.dedup.Dedup.jaccardOracleSql}

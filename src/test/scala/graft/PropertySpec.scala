@@ -45,7 +45,7 @@ class PropertySpec extends SparkSpec {
       "dedup_quality_correlation", "agg_bloom_fp_report",
       "agg_hll_registers", "agg_cohort_ltv", "win_ytd_running", "agg_ab_readout",
       "wh_data_vault", "sim_jaccard_cosine_bands", "ts_anomaly_mad",
-      "ts_trend_slope", "join_spatial_grid",
+      "ts_trend_slope", "join_spatial_grid", "agg_funnel_latency",
       "dedup_ngram_jaccard_capped", "text_lang_confusion",
       "dedup_threshold_sweep", "wh_partition_checksums",
       "text_repeated_chunks", "etl_record_linkage")
