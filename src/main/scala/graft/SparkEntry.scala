@@ -36,7 +36,9 @@ object SparkEntry {
       privacy.Privacy.all ++ analytics.CmSketch.all ++
       warehouse.Bucketing.all ++ text.BpePairs.all ++
       analytics.BloomSketch.all ++ analytics.HllSketch.all ++
-      warehouse.DataVault.all ++ analytics.SpatialGrid.all
+      warehouse.DataVault.all ++ analytics.SpatialGrid.all ++
+      dedup.SegmentDedup.all ++ text.Entropy.all ++ analytics.Scoring.all ++
+      ingest.DriftChecks.all ++ analytics.Reshape.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -57,5 +59,7 @@ object SparkEntry {
       analytics.CmSketch.oracle ++ warehouse.Bucketing.oracle ++
       text.BpePairs.oracle ++ analytics.BloomSketch.oracle ++
       analytics.HllSketch.oracle ++ warehouse.DataVault.oracle ++
-      analytics.SpatialGrid.oracle
+      analytics.SpatialGrid.oracle ++ dedup.SegmentDedup.oracle ++
+      text.Entropy.oracle ++ analytics.Scoring.oracle ++
+      ingest.DriftChecks.oracle ++ analytics.Reshape.oracle
 }

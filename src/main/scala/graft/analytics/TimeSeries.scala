@@ -371,7 +371,61 @@ object TimeSeries {
       .orderBy($"event_type")
   }
 
+  /** Autocorrelation lags reported by [[autocorr]] — daily and weekly. */
+  val AcfLags: Seq[Int] = Seq(1, 7)
+
+  /** Per-type autocorrelation of the daily count series at lags 1 and 7 —
+    * the seasonality detector: acf_7 ≈ 1 means a weekly cycle,
+    * acf_1 ≈ 0 means day-to-day noise. Complements [[seasonalProfile]]
+    * (which ASSUMES the daily/hourly cycle; this measures whether one
+    * exists) and [[trendSlope]] (first moment vs second).
+    *
+    * Counts are gap-filled to a dense per-type date spine first — lag-k on
+    * a sparse series silently compares non-adjacent days. Pearson r comes
+    * from exact BIGINT sums via
+    * r = (nΣxy − ΣxΣy) / √((nΣxx − Σx²)(nΣyy − Σy²)), with the two
+    * variance factors cast to DOUBLE before the final multiply (their
+    * product can exceed int64; each factor alone cannot at day grain) —
+    * the same single-float-expression discipline as [[trendSlope]], so the
+    * statistic hash-compares with no rounding.
+    *
+    * Scale: the spine is |types|·|days| (plan-bounded); one window sort per
+    * type for the lag columns; the sums collapse map-side.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
+    val dense = spine.join(daily, Seq("event_type", "d"), "left")
+      .select($"event_type", $"d", coalesce($"n", lit(0L)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val lagged = AcfLags.foldLeft(dense) { (df, k) =>
+      df.withColumn(s"l$k", lag($"n", k).over(w))
+    }
+    def r(k: Int) = {
+      val (x, y) = (col(s"l$k"), $"n")
+      val pairs = when(x.isNotNull, 1L).otherwise(0L)
+      val cnt = sum(pairs)
+      def s(c: org.apache.spark.sql.Column) = sum(when(x.isNotNull, c).otherwise(0L))
+      val (sx, sy, sxy, sxx, syy) = (s(x), s(y), s(x * y), s(x * x), s(y * y))
+      val vx = cnt * sxx - sx * sx
+      val vy = cnt * syy - sy * sy
+      ((cnt * sxy - sx * sy) * lit(1.0)
+        / sqrt(vx.cast("double") * vy.cast("double"))).as(s"acf_$k")
+    }
+    lagged.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), r(1), r(7))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_autocorr" -> (autocorr _),
     "ts_trend_slope" -> (trendSlope _),
     "agg_cohort_ltv" -> (cohortLtv _),
     "win_ytd_running" -> (ytdRunning _),
@@ -398,6 +452,42 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_autocorr" -> {
+      def rSql(k: Int) =
+        s"""(cnt$k * sxy$k - sx$k * sy$k) * 1.0
+           / sqrt((cnt$k * sxx$k - sx$k * sx$k)::DOUBLE
+                  * (cnt$k * syy$k - sy$k * sy$k)::DOUBLE) AS acf_$k"""
+      def sumsSql(k: Int) =
+        s"""sum(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS cnt$k,
+           sum(CASE WHEN l$k IS NOT NULL THEN l$k ELSE 0 END)::BIGINT AS sx$k,
+           sum(CASE WHEN l$k IS NOT NULL THEN n ELSE 0 END)::BIGINT AS sy$k,
+           sum(CASE WHEN l$k IS NOT NULL THEN l$k * n ELSE 0 END)::BIGINT AS sxy$k,
+           sum(CASE WHEN l$k IS NOT NULL THEN l$k * l$k ELSE 0 END)::BIGINT AS sxx$k,
+           sum(CASE WHEN l$k IS NOT NULL THEN n * n ELSE 0 END)::BIGINT AS syy$k"""
+      s"""WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM (SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1)),
+dense AS (
+  SELECT s.event_type, s.d, coalesce(daily.n, 0)::BIGINT AS n
+  FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d),
+lagged AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS l1,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS l7
+  FROM dense),
+sums AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         ${sumsSql(1)},
+         ${sumsSql(7)}
+  FROM lagged GROUP BY event_type)
+SELECT event_type, n_days, ${rSql(1)}, ${rSql(7)}
+FROM sums ORDER BY event_type"""
+    },
+
     "ts_trend_slope" -> """WITH daily AS (
   SELECT event_type,
          datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS x,

@@ -58,7 +58,7 @@ object Dedup {
     * 10th document — a deterministic stand-in for the re-crawled/re-delivered
     * duplicates a real ingest sees (the raw testdata is dup-free).
     */
-  private def dupFeed(spark: SparkSession, dir: String): DataFrame = {
+  private[dedup] def dupFeed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     docs.unionByName(

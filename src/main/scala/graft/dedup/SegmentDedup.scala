@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment-level dedup APPLY + edit-distance verification — the two members
+  * of the dedup family the document-granularity operators don't cover.
+  *
+  * [[segmentExact]] is the C4-style "line dedup" rewrite ledger: where
+  * [[graft.text.TextAnalysis.repeatedChunks]] *reports* repeated passages,
+  * this operator decides, for every fixed-width segment occurrence in the
+  * corpus, whether it SURVIVES global keep-first dedup (the canonical
+  * occurrence is the lexicographically-minimal (doc_id, position)), and
+  * emits the per-document retention ledger a corpus rewrite would follow.
+  * The reference dedups whole rows on one key
+  * (`/root/reference/sql/01_schema.sql:106`); sub-document dedup is the
+  * corpus-scale extension every LLM ingest needs (C4/Gopher both dedup at
+  * line granularity).
+  *
+  * [[editVerify]] closes the near-dup loop with the classic record-linkage
+  * shape: cheap BLOCKING (equi-join on a first-tokens key — never a pairwise
+  * product) then an exact edit-distance verify on the candidates only.
+  * Levenshtein is O(|a|·|b|) per pair and is exactly the kernel you must
+  * never run all-pairs; the blocking join is what makes it affordable, and
+  * both engines ship the same classic DP (`levenshtein`), so the whole
+  * operator is oracle-checkable.
+  *
+  * Scale (100 TB): segments shuffle once on their md5 fingerprint
+  * (high-cardinality, balanced); the ledger aggregate is a second keyed
+  * shuffle on doc_id. Blocking keys are first-k-token prefixes — for corpora
+  * where a prefix is boilerplate (one giant block), cap block size exactly
+  * like [[Dedup.ngramJaccardCapped]] caps shingle df; the verify cost is
+  * Σ block², so the cap is THE knob.
+  */
+object SegmentDedup {
+
+  /** Non-overlapping segment width in tokens — one value, both engines. */
+  val SegTokens = 10
+
+  /** Edit-similarity floor for a verified near-dup pair. */
+  val EditSimTau = 0.3
+
+  /** Tokens used for the blocking key. */
+  val BlockTokens = 3
+
+  /** Per-document segment-dedup retention ledger over the duplicate-bearing
+    * feed: n_segments / n_kept / n_dropped per doc under global keep-first
+    * (min (doc_id, start)) canonicalization. Re-keyed duplicate docs keep 0
+    * segments; originals keep all of theirs; docs sharing only boilerplate
+    * segments lose exactly those.
+    */
+  def segmentExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Dedup.dupFeed(spark, dir)
+      .withColumn("toks", split(trim(lower($"text")), "\\s+"))
+      .select($"doc_id",
+        explode(sequence(lit(0), size($"toks") - 1, lit(SegTokens))).as("s"),
+        $"toks")
+      .select($"doc_id", $"s",
+        md5(array_join(slice($"toks", $"s" + 1, lit(SegTokens)), " ")).as("fp"))
+    // global keep-first: one shuffle keyed on the segment fingerprint
+    val canon = segs.groupBy($"fp")
+      .agg(min($"doc_id" * 100000L + $"s").as("first_key"))
+    segs.join(canon, "fp")
+      .withColumn("kept",
+        when($"doc_id" * 100000L + $"s" === $"first_key", 1L).otherwise(0L))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum($"kept").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).as("n_dropped"),
+        round((count(lit(1)) - sum($"kept")) * lit(100.0) / count(lit(1)), 2)
+          .as("pct_dropped"))
+      .orderBy($"doc_id")
+  }
+
+  /** Blocked candidate generation + exact Levenshtein verify. Pairs meet
+    * only inside a first-[[BlockTokens]]-tokens block; survivors carry the
+    * exact distance and a length-normalized similarity ≥ [[EditSimTau]].
+    */
+  def editVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Dedup.dupFeed(spark, dir)
+      .withColumn("norm", trim(lower($"text")))
+      .withColumn("block",
+        md5(array_join(slice(split($"norm", "\\s+"), 1, BlockTokens), " ")))
+      .select($"doc_id", $"norm", $"block")
+    docs.as("a")
+      .join(docs.as("b"),
+        col("a.block") === col("b.block")
+          && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.norm"), col("b.norm")))
+      .withColumn("sim",
+        lit(1.0) - $"dist" / greatest(
+          length(col("a.norm")), length(col("b.norm"))))
+      .filter($"sim" >= EditSimTau)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        $"dist", round($"sim", 4).as("edit_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_segment_exact" -> (segmentExact _),
+    "dedup_edit_verify" -> (editVerify _))
+
+  private val feedSql = """SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_segment_exact" -> s"""WITH feed AS ($feedSql),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM feed),
+segs AS (
+  SELECT doc_id, s, md5(array_to_string(t[s+1 : s+$SegTokens], ' ')) AS fp
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t), $SegTokens)) AS s)),
+canon AS (SELECT fp, min(doc_id * 100000 + s) AS first_key FROM segs GROUP BY fp)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN s.doc_id * 100000 + s.s = c.first_key THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN s.doc_id * 100000 + s.s = c.first_key THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
+       round((count(*) - sum(CASE WHEN s.doc_id * 100000 + s.s = c.first_key THEN 1 ELSE 0 END)) * 100.0 / count(*), 2) AS pct_dropped
+FROM segs s JOIN canon c USING (fp)
+GROUP BY s.doc_id
+ORDER BY s.doc_id""",
+    "dedup_edit_verify" -> s"""WITH feed AS ($feedSql),
+docs AS (
+  SELECT doc_id, trim(lower(text)) AS norm,
+         md5(array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1 : $BlockTokens], ' ')) AS block
+  FROM feed)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.norm, b.norm)::INT AS dist,
+       round(1.0 - levenshtein(a.norm, b.norm)
+               / greatest(length(a.norm), length(b.norm)), 4) AS edit_sim
+FROM docs a JOIN docs b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE 1.0 - levenshtein(a.norm, b.norm)
+        / greatest(length(a.norm), length(b.norm)) >= $EditSimTau
+ORDER BY doc_a, doc_b""")
+}

@@ -144,9 +144,73 @@ object Privacy {
       .orderBy($"level")
   }
 
+  /** t-closeness leak threshold: a QI class whose sensitive-value
+    * distribution sits further than T (total variation) from the global
+    * one reveals information by membership even when k and l pass.
+    */
+  val T = 0.5
+
+  /** t-closeness audit (Li et al. 2007, categorical instance): per QI
+    * class, the total-variation distance between the class's diagnosis
+    * distribution and the corpus-wide one, rolled up per age_group like the
+    * sibling audits. Completes the k-anonymity / l-diversity / t-closeness
+    * release-gate triad.
+    *
+    * Determinism: TVD is computed from an exact BIGINT numerator via the
+    * absent-value identity
+    * Σ_v |c_gv·n − c_v·n_g| = n_g·n + Σ_{v∈g} (|c_gv·n − c_v·n_g| − c_v·n_g)
+    * (values absent from the class contribute c_v·n_g, which telescopes to
+    * n_g·n), so only ONE float division per class — no float sum whose
+    * order could differ across engines. At extreme scale c_gv·n can exceed
+    * int64 (n beyond ~3·10⁹ link rows); the fallback is dividing first at
+    * the cost of a per-term float — a documented trade, not a plan change.
+    *
+    * Scale: one shuffle keyed (QI, value); the value-marginal table is
+    * |domain|-bounded and broadcast; the class table is QI-domain-bounded.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = qi(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(Tables.part(spark, dir)
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .select($"o_custkey".as("patient_id"), $"p_brand"), "patient_id")
+      .select($"age_group", $"sex", $"location", $"p_brand")
+    val marginal = rows.groupBy($"p_brand").agg(count(lit(1)).as("c_v"))
+    val total = marginal.agg(sum($"c_v").as("n"))
+    val classValue = rows
+      .groupBy($"age_group", $"sex", $"location", $"p_brand")
+      .agg(count(lit(1)).as("c_gv"))
+      .join(broadcast(marginal), "p_brand")
+      .crossJoin(broadcast(total))
+    val ng = classValue.groupBy($"age_group", $"sex", $"location")
+      .agg(sum($"c_gv").as("n_g"))
+    classValue
+      .join(ng, Seq("age_group", "sex", "location"))
+      .groupBy($"age_group", $"sex", $"location")
+      .agg(
+        first($"n_g").as("n_g"),
+        first($"n").as("n"),
+        sum(abs($"c_gv" * $"n" - $"c_v" * $"n_g") - $"c_v" * $"n_g")
+          .as("present_terms"))
+      .select($"age_group",
+        (($"n_g" * $"n" + $"present_terms") * lit(1.0)
+          / (lit(2.0) * $"n_g" * $"n")).as("tvd"))
+      .groupBy($"age_group")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        max($"tvd").as("max_t"),
+        count(when($"tvd" > T, 1)).as("n_leaky_classes"))
+      .orderBy($"age_group")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_k_anonymity" -> (kAnonymity _),
     "priv_l_diversity" -> (lDiversity _),
+    "priv_t_closeness" -> (tCloseness _),
     "priv_generalization_ladder" -> (generalizationLadder _))
 
   /** DuckDB twins. QI construction is shared via the CTE; the age CASE
@@ -197,6 +261,38 @@ SELECT age_group,
        sum(CASE WHEN l_achieved < $L THEN class_size ELSE 0 END)::BIGINT
          AS n_patients_at_risk
 FROM classes GROUP BY age_group ORDER BY age_group""",
+
+    "priv_t_closeness" -> s"""WITH qi AS ($qiSql),
+rows_ AS (
+  SELECT age_group, sex, location, p_brand
+  FROM qi
+  JOIN (SELECT o_custkey AS patient_id, p_brand
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN part ON l_partkey = p_partkey) diag
+    ON qi.patient_id = diag.patient_id),
+marginal AS (SELECT p_brand, count(*)::BIGINT AS c_v FROM rows_ GROUP BY 1),
+total AS (SELECT sum(c_v)::BIGINT AS n FROM marginal),
+cv AS (
+  SELECT age_group, sex, location, r.p_brand,
+         count(*)::BIGINT AS c_gv, c_v, n
+  FROM rows_ r JOIN marginal m ON r.p_brand = m.p_brand CROSS JOIN total
+  GROUP BY 1, 2, 3, 4, c_v, n),
+ng AS (
+  SELECT age_group, sex, location, sum(c_gv)::BIGINT AS n_g
+  FROM cv GROUP BY 1, 2, 3),
+tvds AS (
+  SELECT cv.age_group,
+         (any_value(ng.n_g) * any_value(cv.n)
+            + sum(abs(c_gv * n - c_v * n_g) - c_v * n_g)) * 1.0
+           / (2.0 * any_value(ng.n_g) * any_value(cv.n)) AS tvd
+  FROM cv JOIN ng USING (age_group, sex, location)
+  GROUP BY cv.age_group, cv.sex, cv.location)
+SELECT age_group,
+       count(*)::BIGINT AS n_classes,
+       max(tvd) AS max_t,
+       count(CASE WHEN tvd > $T THEN 1 END)::BIGINT AS n_leaky_classes
+FROM tvds GROUP BY age_group ORDER BY age_group""",
 
     "priv_generalization_ladder" -> s"""WITH qi AS ($qiSql),
 l0 AS (SELECT count(*)::BIGINT AS class_size FROM qi

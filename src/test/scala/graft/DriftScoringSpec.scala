@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-5 operators: segment-level dedup, edit
+  * verification, entropy, autocorrelation, lift/attribution readouts, and
+  * the distribution-drift screens. Each test asserts an algebraic invariant
+  * the oracle hash can't express (the hash proves engine parity; these
+  * prove the operator computes the *right thing*).
+  */
+class DriftScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segment dedup: every re-keyed duplicate doc keeps zero segments") {
+    val ledger = dedup.SegmentDedup.segmentExact(spark, sf).cache()
+    val copies = ledger.filter($"doc_id" >= 1000000L)
+    assert(copies.count() > 0)
+    // the original's (doc_id, start) key is always smaller, so a full-copy
+    // doc can never own a canonical occurrence
+    assert(copies.filter($"n_kept" > 0).count() === 0)
+    // conservation: kept occurrences == distinct segment fingerprints
+    val kept = ledger.agg(sum($"n_kept")).as[Long].first()
+    val total = ledger.agg(sum($"n_segments")).as[Long].first()
+    assert(kept > 0 && kept < total)
+  }
+
+  test("edit verify: every planted full copy surfaces with distance zero") {
+    val pairs = dedup.SegmentDedup.editVerify(spark, sf).cache()
+    val planted = pairs
+      .filter($"doc_b" === $"doc_a" + 1000000L && $"dist" === 0)
+      .count()
+    val expected = Tables.documents(spark, sf)
+      .filter(pmod($"doc_id", lit(10)) === 0).count()
+    assert(planted === expected)
+    // similarity is a true normalization: within (0, 1]
+    assert(pairs.filter($"edit_sim" > 1.0 || $"edit_sim" <= 0.0).count() === 0)
+  }
+
+  test("entropy is bounded by log of the type count and ttr is a ratio") {
+    val e = text.Entropy.tokenEntropy(spark, sf).cache()
+    // every document survives the ln-table inner joins (counts within
+    // MaxCount headroom), and the table has 4x slack over the live maximum
+    assert(e.count() === Tables.documents(spark, sf).count())
+    val maxN = e.agg(max($"n_tokens")).as[Long].first()
+    assert(maxN * 4 <= text.Entropy.MaxCount,
+      s"ln table headroom eroded: max n_tokens=$maxN")
+    assert(e.filter($"entropy_nats" < -1e-9).count() === 0)
+    // H <= ln(n_types); rounding slack 1e-4 on the 4-dp column
+    assert(e.filter($"entropy_nats" > log($"n_types") + 1e-4).count() === 0)
+    assert(e.filter($"ttr" <= 0.0 || $"ttr" > 1.0).count() === 0)
+  }
+
+  test("autocorrelation coefficients live in [-1, 1]") {
+    val a = analytics.TimeSeries.autocorr(spark, sf).cache()
+    assert(a.count() > 0)
+    for (c <- Seq("acf_1", "acf_7"))
+      assert(a.filter(abs(col(c)) > 1.0 + 1e-12).count() === 0, c)
+  }
+
+  test("lift curve: deciles partition customers and capture ends at 1") {
+    val lc = analytics.Scoring.liftCurve(spark, sf).cache()
+    assert(lc.count() === 10)
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(lc.agg(sum($"n")).as[Long].first() === nCust)
+    val lastCapture = lc.orderBy($"decile".desc)
+      .select($"cum_capture").as[Double].first()
+    assert(math.abs(lastCapture - 1.0) < 1e-12)
+  }
+
+  test("attribution: shares sum to one and credit never exceeds the pool") {
+    val at = analytics.Scoring.multitouch(spark, sf).cache()
+    val shareSum = at.agg(sum($"credit_share")).as[Double].first()
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    // total credit <= conversions * scale (floor remainders only shrink it)
+    val credit = at.agg(sum($"credit_millionths")).as[Long].first()
+    val nConv = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"ts".isNotNull &&
+        $"user_id".isNotNull).count()
+    assert(credit <= nConv * analytics.Scoring.CreditScale)
+  }
+
+  test("benford screen: nine digits, observed shares sum to one") {
+    val b = ingest.DriftChecks.benford(spark, sf).cache()
+    assert(b.count() === 9)
+    assert(b.select($"digit").as[Int].collect().sorted.toSeq === (1 to 9))
+    val s = b.agg(sum($"observed_share")).as[Double].first()
+    assert(math.abs(s - 1.0) < 1e-3) // 4-dp rounding slack * 9 rows
+  }
+
+  test("psi drift: running total is the sum of the terms") {
+    val p = ingest.DriftChecks.psiDrift(spark, sf).cache()
+    assert(p.count() === ingest.DriftChecks.PsiBuckets.toLong)
+    val termSum = p.agg(sum($"psi_term")).as[Double].first()
+    val lastRunning = p.orderBy($"bucket".desc)
+      .select($"psi_running").as[Double].first()
+    assert(math.abs(termSum - lastRunning) < 1e-4)
+    // smoothed shares are proper distributions
+    for (c <- Seq("expected_share", "actual_share")) {
+      val t = p.agg(sum(col(c))).as[Double].first()
+      assert(math.abs(t - 1.0) < 1e-3, c)
+    }
+  }
+
+  test("t-closeness: distances are probabilities and leak counts bounded") {
+    val t = privacy.Privacy.tCloseness(spark, sf).cache()
+    assert(t.count() > 0)
+    assert(t.filter($"max_t" < 0.0 || $"max_t" > 1.0).count() === 0)
+    assert(t.filter($"n_leaky_classes" > $"n_classes").count() === 0)
+  }
+
+  test("unpivot emits exactly the metric triple per month") {
+    val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
+    val perMonth = u.groupBy($"month").count()
+    assert(perMonth.filter($"count" =!= 3).count() === 0)
+    // revenue row equals the wide aggregate it melted from
+    val months = Tables.orders(spark, sf)
+      .select((year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int"))
+      .distinct().count()
+    assert(u.count() === months * 3)
+  }
+}

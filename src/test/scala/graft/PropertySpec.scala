@@ -48,7 +48,11 @@ class PropertySpec extends SparkSpec {
       "ts_trend_slope", "join_spatial_grid", "agg_funnel_latency",
       "dedup_ngram_jaccard_capped", "text_lang_confusion",
       "dedup_threshold_sweep", "wh_partition_checksums",
-      "text_repeated_chunks", "etl_record_linkage")
+      "text_repeated_chunks", "etl_record_linkage",
+      "ts_autocorr", "priv_t_closeness", "agg_lift_curve",
+      "agg_multitouch_attribution", "etl_benford", "etl_psi_drift",
+      "text_entropy", "dedup_edit_verify", "dedup_segment_exact",
+      "agg_unpivot_monthly")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
