@@ -38,7 +38,9 @@ object SparkEntry {
       analytics.BloomSketch.all ++ analytics.HllSketch.all ++
       warehouse.DataVault.all ++ analytics.SpatialGrid.all ++
       dedup.SegmentDedup.all ++ text.Entropy.all ++ analytics.Scoring.all ++
-      ingest.DriftChecks.all ++ analytics.Reshape.all
+      ingest.DriftChecks.all ++ analytics.Reshape.all ++
+      similarity.Matryoshka.all ++ privacy.DpRelease.all ++
+      analytics.ValuePositions.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -61,5 +63,7 @@ object SparkEntry {
       analytics.HllSketch.oracle ++ warehouse.DataVault.oracle ++
       analytics.SpatialGrid.oracle ++ dedup.SegmentDedup.oracle ++
       text.Entropy.oracle ++ analytics.Scoring.oracle ++
-      ingest.DriftChecks.oracle ++ analytics.Reshape.oracle
+      ingest.DriftChecks.oracle ++ analytics.Reshape.oracle ++
+      similarity.Matryoshka.oracle ++ privacy.DpRelease.oracle ++
+      analytics.ValuePositions.oracle
 }

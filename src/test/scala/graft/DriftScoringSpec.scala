@@ -109,6 +109,45 @@ class DriftScoringSpec extends SparkSpec {
     assert(t.filter($"n_leaky_classes" > $"n_classes").count() === 0)
   }
 
+  test("matryoshka report: one row per prefix, rates are probabilities") {
+    val m = similarity.Matryoshka.prefixReport(spark, sf).cache()
+    assert(m.select($"prefix_dim").as[Int].collect().sorted.toSeq ===
+      similarity.Matryoshka.PrefixDims.sorted)
+    assert(m.filter($"top1_agreement" < 0.0 || $"top1_agreement" > 1.0)
+      .count() === 0)
+    assert(m.filter(col(s"recall_at_${similarity.Similarity.TopK}") < 0.0 ||
+      col(s"recall_at_${similarity.Similarity.TopK}") > 1.0).count() === 0)
+    assert(m.filter($"n_probes" =!= similarity.Similarity.NumProbes)
+      .count() === 0)
+  }
+
+  test("dp release: noise table tiles [0, 2^32) and noise is bounded") {
+    // pure-Scala mechanism audit: contiguous intervals, full coverage
+    val iv = privacy.DpRelease.NoiseIntervals
+    assert(iv.head._1 === 0L)
+    assert(iv.last._2 === 4294967295L)
+    iv.sliding(2).foreach { case Seq((_, hi, _), (lo, _, _)) =>
+      assert(lo === hi + 1)
+    }
+    val d = privacy.DpRelease.dpCounts(spark, sf).cache()
+    assert(d.count() > 0)
+    assert(d.filter(abs($"noise") > privacy.DpRelease.NoiseBound)
+      .count() === 0)
+    assert(d.filter($"released_count" =!=
+      greatest($"true_count" + $"noise", lit(0L))).count() === 0)
+  }
+
+  test("value positions: leaders anchor the frame reads") {
+    val v = analytics.ValuePositions.valuePositions(spark, sf).cache()
+    assert(v.count() > 0)
+    // the partition leader IS first_value and has percent_rank 0
+    val leaders = v.filter($"o_orderkey" === $"leader_key")
+    assert(leaders.count() > 0)
+    assert(leaders.filter($"pct_rank" =!= 0.0).count() === 0)
+    assert(v.filter($"runner_up_key" === $"leader_key").count() === 0)
+    assert(v.filter($"cume" <= 0.0 || $"cume" > 1.0).count() === 0)
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()

@@ -52,7 +52,8 @@ class PropertySpec extends SparkSpec {
       "ts_autocorr", "priv_t_closeness", "agg_lift_curve",
       "agg_multitouch_attribution", "etl_benford", "etl_psi_drift",
       "text_entropy", "dedup_edit_verify", "dedup_segment_exact",
-      "agg_unpivot_monthly")
+      "agg_unpivot_monthly", "sim_matryoshka_prefix", "priv_dp_counts",
+      "win_value_positions")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
