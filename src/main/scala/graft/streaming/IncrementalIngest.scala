@@ -31,6 +31,30 @@ object IncrementalIngest {
   private def eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
 
+  /** Shuffle/state partition count for the self-contained *Entry runs.
+    * A streaming query's state-store instance count is pinned to
+    * `spark.sql.shuffle.partitions` at FIRST start (the checkpoint fixes it
+    * thereafter), and every instance pays per-batch delta+commit file I/O —
+    * so it must be sized to the STATE volume (bounded by the watermark
+    * horizon), not to the batch corpus: the standard streaming deployment
+    * knob. 32 instances on this box spent more time in state-file fsyncs
+    * than in the join; 8 covers the horizon-bounded state with headroom.
+    * Scaling a production stream up later means a new checkpoint — which is
+    * why this is set per-query here, never globally.
+    */
+  val StreamShufflePartitions = 8
+
+  /** Run `body` (which starts + awaits a streaming query) under
+    * [[StreamShufflePartitions]], restoring the session's batch setting
+    * after — entry runs share the session with 200+ batch queries whose
+    * parallelism must not be disturbed.
+    */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stage: watch `srcDir` for event files, dedup on event_id within the
     * watermark horizon, append to `stagingDir`. One AvailableNow catch-up
     * batch; re-delivered (late) duplicates are dropped by the dedup state or
@@ -184,9 +208,11 @@ object IncrementalIngest {
 
   /** End-to-end batch-comparable run of [[streamAttribution]] — the
     * CORRECTNESS-gate entry that drives the stream-stream join itself, not
-    * just its spec: land the closed events table as ONE parquet file (one
-    * AvailableNow micro-batch, so no cross-batch watermark eviction can
-    * drop matches and output = the batch join exactly), run the streaming
+    * just its spec: land the closed events table in parallel (with
+    * `maxFilesPerTrigger` unset, AvailableNow takes every landed file in
+    * ONE micro-batch, so no cross-batch watermark eviction can drop
+    * matches and output = the batch join exactly — a single-file landing
+    * would buy nothing but a single-threaded write), run the streaming
     * query to termination, read the appended sink back, and emit
     * timestamps as epoch-micros BIGINTs (the repo's timestamp-output
     * parity convention). Memoized per (application, corpus): the sink is
@@ -202,10 +228,11 @@ object IncrementalIngest {
         graft.Tables.events(spark, dir)
           .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1)
           .write.mode("overwrite").parquet(s"$base/src")
-        streamAttribution(spark, s"$base/src", s"$base/out", s"$base/ckpt")
-          .awaitTermination()
+        withStreamPartitions(spark) {
+          streamAttribution(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
         spark.read.parquet(s"$base/out")
           .select(col("purchase_id"), col("user_id"),
             unix_micros(col("purchase_ts")).as("purchase_t"),
@@ -226,8 +253,8 @@ object IncrementalIngest {
     * so the eviction rule itself is hash-verified rather than taken on
     * faith. Values sum as DECIMAL inside the streaming aggregate (the
     * [[graft.streaming.Sessionize]] parity rule — float sums through a
-    * shuffle never hash-compare); one source file → one AvailableNow
-    * micro-batch.
+    * shuffle never hash-compare); `maxFilesPerTrigger` stays unset, so the
+    * parallel-landed source is one AvailableNow micro-batch.
     */
   def windowedCountsEntry(spark: SparkSession, dir: String): DataFrame =
     wcMemo.computeIfAbsent(
@@ -238,10 +265,11 @@ object IncrementalIngest {
         graft.Tables.events(spark, dir)
           .filter(col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1)
           .write.mode("overwrite").parquet(s"$base/src")
-        windowedCounts(spark, s"$base/src", s"$base/out", s"$base/ckpt")
-          .awaitTermination()
+        withStreamPartitions(spark) {
+          windowedCounts(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
         spark.read.parquet(s"$base/out")
           .select(unix_micros(col("window_start")).as("window_start_t"),
             unix_micros(col("window_end")).as("window_end_t"),
@@ -259,9 +287,10 @@ object IncrementalIngest {
     * the stream must drop exactly the re-crawl. Survivor IDENTITY within a
     * fingerprint is first-arrival (an execution detail), so the checked
     * output is the per-language SURVIVOR COUNT — equal to the number of
-    * distinct normalized-text fingerprints, whichever copy survived. One
-    * source file → one AvailableNow micro-batch, so no cross-batch
-    * eviction can re-admit a duplicate.
+    * distinct normalized-text fingerprints, whichever copy survived.
+    * `maxFilesPerTrigger` stays unset, so the parallel-landed source is
+    * one AvailableNow micro-batch and no cross-batch eviction can
+    * re-admit a duplicate.
     */
   def dedupDocsEntry(spark: SparkSession, dir: String): DataFrame =
     ddMemo.computeIfAbsent(
@@ -278,10 +307,11 @@ object IncrementalIngest {
           .withColumn("ingest_ts",
             expr("ingest_ts + INTERVAL 10 MINUTES"))
         docs.unionByName(recrawl)
-          .coalesce(1)
           .write.mode("overwrite").parquet(s"$base/src")
-        dedupDocs(spark, s"$base/src", s"$base/out", s"$base/ckpt")
-          .awaitTermination()
+        withStreamPartitions(spark) {
+          dedupDocs(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
         spark.read.parquet(s"$base/out")
           .groupBy(col("lang"))
           .agg(org.apache.spark.sql.functions.count(
