@@ -40,7 +40,8 @@ object SparkEntry {
       dedup.SegmentDedup.all ++ text.Entropy.all ++ analytics.Scoring.all ++
       ingest.DriftChecks.all ++ analytics.Reshape.all ++
       similarity.Matryoshka.all ++ privacy.DpRelease.all ++
-      analytics.ValuePositions.all
+      analytics.ValuePositions.all ++ ingest.FkOrphans.all ++
+      analytics.MarketBasket.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -65,5 +66,6 @@ object SparkEntry {
       text.Entropy.oracle ++ analytics.Scoring.oracle ++
       ingest.DriftChecks.oracle ++ analytics.Reshape.oracle ++
       similarity.Matryoshka.oracle ++ privacy.DpRelease.oracle ++
-      analytics.ValuePositions.oracle
+      analytics.ValuePositions.oracle ++ ingest.FkOrphans.oracle ++
+      analytics.MarketBasket.oracle
 }

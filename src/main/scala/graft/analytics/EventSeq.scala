@@ -48,6 +48,33 @@ object EventSeq {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** Path-report size for [[topPaths]]. One value, both engines. */
+  val TopPathsK = 20
+
+  /** Top 3-step event paths — the journey ("Sankey") report one level above
+    * [[transitions]]' bigram matrix: the Markov cells say view→click is
+    * common, the trigram paths say whether view→click→purchase or
+    * view→click→error dominates, which is the question funnels are built
+    * from. Two lags over the same per-user window (one sort serves both),
+    * a path-string aggregate, and a deterministic top-k
+    * (count desc, path asc — `TakeOrderedAndProject`, no full sort).
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seq = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" > 0 &&
+        $"ts".isNotNull && $"event_id".isNotNull && $"event_type".isNotNull)
+      .select($"user_id", $"event_type".as("e3"),
+        lag($"event_type", 1).over(w).as("e2"),
+        lag($"event_type", 2).over(w).as("e1"))
+      .filter($"e1".isNotNull)
+    seq.groupBy(concat_ws(" > ", $"e1", $"e2", $"e3").as("path"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"n".desc, $"path")
+      .limit(TopPathsK)
+  }
+
   /** HLL registers: m = 2^p with p = [[HllP]]. h32 gives 32 hash bits; the
     * top p pick the register, the low 32−p feed the rank. Rank =
     * leading-zero count + 1 over the (32−p)-bit word, computed as
@@ -241,6 +268,7 @@ object EventSeq {
     "agg_funnel_latency" -> (funnelLatency _),
     "agg_ab_readout" -> (abReadout _),
     "agg_event_transitions" -> (transitions _),
+    "agg_top_paths" -> (topPaths _),
     "agg_hll_distinct" -> (hllDistinct _),
     "agg_hll_sliding" -> (hllSliding _),
     "agg_window_funnel" -> (windowFunnel _))
@@ -372,6 +400,23 @@ LEFT JOIN l2u ON s1u.u = l2u.u
 LEFT JOIN l3u ON s1u.u = l3u.u
 ORDER BY user_id"""
     },
+    "agg_top_paths" -> s"""WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND user_id > 0
+    AND ts IS NOT NULL AND event_id IS NOT NULL AND event_type IS NOT NULL),
+seq AS (
+  SELECT user_id, event_type AS e3,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS e2,
+         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS e1
+  FROM e)
+SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+       count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM seq WHERE e1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT $TopPathsK""",
+
     "agg_event_transitions" -> """WITH e AS (
   SELECT user_id, ts, event_id, event_type FROM events
   WHERE user_id IS NOT NULL AND user_id > 0

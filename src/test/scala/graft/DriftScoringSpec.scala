@@ -148,6 +148,32 @@ class DriftScoringSpec extends SparkSpec {
     assert(v.filter($"cume" <= 0.0 || $"cume" > 1.0).count() === 0)
   }
 
+  test("fk audit: clean testdata has zero orphans on every edge") {
+    val fk = ingest.FkOrphans.orphanAudit(spark, sf).cache()
+    assert(fk.count() === 7)
+    assert(fk.filter($"n_orphans" =!= 0L).count() === 0)
+    assert(fk.filter($"n_child_rows" <= 0L).count() === 0)
+  }
+
+  test("market basket: rules respect support floor and probability bounds") {
+    val mb = analytics.MarketBasket.rules(spark, sf).cache()
+    assert(mb.count() > 0)
+    assert(mb.filter($"n_xy" < analytics.MarketBasket.MinSupport).count() === 0)
+    assert(mb.filter($"confidence" <= 0.0 || $"confidence" > 1.0).count() === 0)
+    assert(mb.filter($"support" <= 0.0 || $"support" > 1.0).count() === 0)
+    assert(mb.filter($"lift" <= 0.0).count() === 0)
+    // confidence(A->B) = support(AB)/support(A) >= support(AB)
+    assert(mb.filter($"confidence" < $"support" - 1e-12).count() === 0)
+  }
+
+  test("top paths: trigram journeys with user counts bounded by hits") {
+    val tp = analytics.EventSeq.topPaths(spark, sf).cache()
+    assert(tp.count() > 0 &&
+      tp.count() <= analytics.EventSeq.TopPathsK.toLong)
+    assert(tp.filter($"n_users" > $"n").count() === 0)
+    assert(tp.filter(size(split($"path", " > ")) =!= 3).count() === 0)
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()

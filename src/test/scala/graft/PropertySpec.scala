@@ -53,7 +53,8 @@ class PropertySpec extends SparkSpec {
       "agg_multitouch_attribution", "etl_benford", "etl_psi_drift",
       "text_entropy", "dedup_edit_verify", "dedup_segment_exact",
       "agg_unpivot_monthly", "sim_matryoshka_prefix", "priv_dp_counts",
-      "win_value_positions")
+      "win_value_positions", "etl_fk_orphans", "agg_market_basket",
+      "agg_top_paths")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
