@@ -507,4 +507,34 @@ class PlanSpec extends SparkSpec {
     assert(scans.length == 1,
       s"expected one events scan after reuse, saw ${scans.length}")
   }
+
+  test("segment dedup, edit verify, and basket rules stay equi-join") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // blocking keys (segment fingerprint, first-tokens block, basket key)
+    // exist exactly so these candidate joins never plan as products
+    for (df <- Seq(dedup.SegmentDedup.segmentExact(spark, sf),
+        dedup.SegmentDedup.editVerify(spark, sf))) {
+      val p = plan(df)
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+        "blocked candidate joins must stay equi-join")
+      assert(collectAll(p) { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+        "blocked candidate joins must never plan a nested-loop product")
+    }
+    // basket rules: the pair join must stay equi (no cartesian); the ONE
+    // nested-loop allowed is the deliberate 1-row n_baskets scalar
+    // broadcast (a cross join against a single aggregate row is the
+    // correct plan, not a product risk)
+    val mb = plan(analytics.MarketBasket.rules(spark, sf))
+    assert(collectAll(mb) { case c: CartesianProductExec => c }.isEmpty,
+      "basket pair generation must stay equi-join")
+    assert(collectAll(mb) { case n: BroadcastNestedLoopJoinExec => n }.size <= 1,
+      "only the scalar n_baskets broadcast may nested-loop")
+  }
+
+  test("fk-orphan audit broadcasts its parent key sets") {
+    val p = plan(ingest.FkOrphans.orphanAudit(spark, sf))
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "key-only parent sides should broadcast")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
 }
