@@ -424,7 +424,60 @@ object TimeSeries {
       .orderBy($"event_type")
   }
 
+  /** STL-lite decomposition of the daily count series per event type:
+    * x = trend + seasonal(dow) + residual. Classical decomposition with a
+    * centered 7-day moving-average trend and day-of-week seasonal indices
+    * (the additive form of the STL family without loess — the shape every
+    * "is this spike seasonal?" dashboard needs; [[seasonalProfile]] reports
+    * the raw cycle, this separates it FROM the trend so the residual is an
+    * anomaly signal, feeding [[anomalyMad]]-style alarms).
+    *
+    * Exactness discipline: the trend keeps its integer numerator (the
+    * 7-day window SUM of counts) so `trend = t7/7` is one division; the
+    * seasonal index per (type, dow) accumulates Σ(7·xᵢ − t7ᵢ) as exact
+    * BIGINT and divides ONCE by 7·n; the residual is then a fixed-order
+    * IEEE expression of those two deterministic doubles. No float ever
+    * sums through a shuffle. Edge days without a full 7-day frame are
+    * dropped (classical decomposition trims m/2 days per end) — the frame
+    * row-count gates them explicitly on both engines.
+    *
+    * Scale: one window per type over the dense spine (bounded by
+    * |types|·|days|), one (type, dow)-keyed aggregate, one broadcast join
+    * back — all plan constants relative to corpus size.
+    */
+  def stlLite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
+    val dense = spine.join(daily, Seq("event_type", "d"), "left")
+      .select($"event_type", $"d", coalesce($"n", lit(0L)).as("n"))
+    val frame = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-3, 3)
+    val trended = dense
+      .withColumn("t7", sum($"n").over(frame))
+      .withColumn("n_frame", count(lit(1)).over(frame))
+      .filter($"n_frame" === 7)
+      .withColumn("dow", weekday($"d") + 1)
+    val seasonal = trended.groupBy($"event_type", $"dow")
+      .agg(sum(lit(7L) * $"n" - $"t7").as("s_num"),
+        count(lit(1)).as("n_dow"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select($"event_type", $"d", $"n",
+        round($"t7" * lit(1.0) / 7, 4).as("trend"),
+        round($"s_num" * lit(1.0) / (lit(7L) * $"n_dow"), 4).as("seasonal"),
+        round($"n" - $"t7" * lit(1.0) / 7
+          - $"s_num" * lit(1.0) / (lit(7L) * $"n_dow"), 4).as("residual"))
+      .orderBy($"event_type", $"d")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_stl_lite" -> (stlLite _),
     "ts_autocorr" -> (autocorr _),
     "ts_trend_slope" -> (trendSlope _),
     "agg_cohort_ltv" -> (cohortLtv _),
@@ -452,6 +505,36 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_stl_lite" -> """WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM (SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1)),
+dense AS (
+  SELECT s.event_type, s.d, coalesce(daily.n, 0)::BIGINT AS n
+  FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d),
+trended AS (
+  SELECT event_type, d, n,
+         sum(n) OVER w AS t7,
+         count(*) OVER w AS n_frame,
+         isodow(d)::INT AS dow
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+full_frames AS (SELECT * FROM trended WHERE n_frame = 7),
+seasonal AS (
+  SELECT event_type, dow, sum(7 * n - t7)::BIGINT AS s_num,
+         count(*)::BIGINT AS n_dow
+  FROM full_frames GROUP BY 1, 2)
+SELECT f.event_type, f.d, f.n,
+       round(t7 * 1.0 / 7, 4) AS trend,
+       round(s_num * 1.0 / (7 * n_dow), 4) AS seasonal,
+       round(f.n - t7 * 1.0 / 7 - s_num * 1.0 / (7 * n_dow), 4) AS residual
+FROM full_frames f JOIN seasonal s USING (event_type, dow)
+ORDER BY event_type, d""",
+
     "ts_autocorr" -> {
       def rSql(k: Int) =
         s"""(cnt$k * sxy$k - sx$k * sy$k) * 1.0

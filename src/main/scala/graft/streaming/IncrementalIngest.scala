@@ -319,12 +319,68 @@ object IncrementalIngest {
           .orderBy(col("lang"))
       })
 
+  /** The static enrichment dim for [[enrichEntry]]: event-type engagement
+    * weights, DELIBERATELY missing one live type ("error") so the entry
+    * exercises the left join's no-match path — unmatched facts must land
+    * with a null weight, never drop. One literal, both engines.
+    */
+  val EnrichWeights: Seq[(String, Int)] =
+    Seq("click" -> 5, "view" -> 1, "signup" -> 3, "purchase" -> 10)
+
+  private val enrichMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** End-to-end batch-comparable run of [[enrich]] — the stream-static
+    * broadcast join driven to an oracle-checked output (the join itself was
+    * spec-only before this entry). The rollup groups the enriched sink by
+    * (event_type, weight): every event of a dim-covered type must carry its
+    * weight, every "error"/null-type event a −1 sentinel (nullable INT
+    * output columns round-trip as float64+NaN through the driver's pandas
+    * compare — the same reason Scd2 uses a sentinel date). Type nulls are
+    * folded to '(unknown)' so the group key is never null on either engine.
+    */
+  def enrichEntry(spark: SparkSession, dir: String): DataFrame =
+    enrichMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-enrich/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        graft.Tables.events(spark, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(s"$base/src")
+        import spark.implicits._
+        val dim = EnrichWeights.toDF("event_type", "weight")
+        withStreamPartitions(spark) {
+          enrich(spark, s"$base/src", dim, s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
+        spark.read.parquet(s"$base/out")
+          .groupBy(
+            coalesce(col("event_type"), lit("(unknown)")).as("event_type"),
+            coalesce(col("weight"), lit(-1)).as("weight"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"), col("weight"))
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_attribution" -> (attributionEntry _),
     "stream_dedup_docs" -> (dedupDocsEntry _),
+    "stream_enrich" -> (enrichEntry _),
     "stream_windowed_counts" -> (windowedCountsEntry _))
 
   val oracle: Map[String, String] = Map(
+    "stream_enrich" -> {
+      val dimValues = EnrichWeights
+        .map { case (t, w) => s"('$t',$w)" }.mkString(",")
+      s"""WITH dim(event_type, weight) AS (VALUES $dimValues)
+SELECT coalesce(e.event_type, '(unknown)') AS event_type,
+       coalesce(d.weight, -1)::INT AS weight,
+       count(*)::BIGINT AS n_events
+FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2
+ORDER BY event_type, weight"""
+    },
+
     "stream_dedup_docs" -> """SELECT lang,
        count(DISTINCT md5(lower(trim(text))))::BIGINT AS n_docs
 FROM documents

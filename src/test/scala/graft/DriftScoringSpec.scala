@@ -174,6 +174,45 @@ class DriftScoringSpec extends SparkSpec {
     assert(tp.filter(size(split($"path", " > ")) =!= 3).count() === 0)
   }
 
+  test("stl-lite: decomposition reassembles and residuals balance per dow") {
+    val s = analytics.TimeSeries.stlLite(spark, sf).cache()
+    assert(s.count() > 0)
+    // x = trend + seasonal + residual (within the 4-dp rounding grid)
+    val broken = s.filter(
+      abs($"n" - ($"trend" + $"seasonal" + $"residual")) > 2e-4).count()
+    assert(broken === 0)
+    // seasonal indices are defined to zero the residual sum per dow group
+    val groupSums = s
+      .withColumn("dow", weekday($"d") + 1)
+      .groupBy($"event_type", $"dow")
+      .agg(sum($"residual").as("r"), count(lit(1)).as("m"))
+    assert(groupSums.filter(abs($"r") > $"m" * 2e-4).count() === 0)
+  }
+
+  test("stream enrich: left join lands every event, unmatched at -1") {
+    val e = streaming.IncrementalIngest.enrichEntry(spark, sf).cache()
+    val total = e.agg(sum($"n_events")).as[Long].first()
+    assert(total === Tables.events(spark, sf).count())
+    // the dim deliberately omits "error": it must land with the sentinel
+    assert(e.filter($"event_type" === "error" && $"weight" === -1)
+      .count() === 1)
+    assert(e.filter($"weight" === -1 &&
+      $"event_type".isin(
+        streaming.IncrementalIngest.EnrichWeights.map(_._1): _*))
+      .count() === 0)
+  }
+
+  test("junk dimension: dense keys, distinct combos, conserved usage") {
+    val j = warehouse.JunkDim.junkDimension(spark, sf).cache()
+    val n = j.count()
+    assert(j.select($"junk_key").as[Int].collect().sorted.toSeq ===
+      (1 to n.toInt))
+    assert(j.select($"order_status", $"order_priority", $"is_high_value")
+      .distinct().count() === n)
+    assert(j.agg(sum($"n_orders")).as[Long].first() ===
+      Tables.orders(spark, sf).count())
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()
