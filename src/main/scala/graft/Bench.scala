@@ -27,6 +27,7 @@ object Bench {
     dedup.DocIndex.forDir(spark, sfDir)
     dedup.Dedup.pairsForDir(spark, sfDir)
     dedup.Dedup.cappedPairsForDir(spark, sfDir)
+    dedup.SegmentDedup.editPairsForDir(spark, sfDir)
     dedup.Dedup.prefixPairsForDir(spark, sfDir)
     dedup.Dedup.containmentForDir(spark, sfDir)
     dedup.MinHashLsh.sigsForDir(spark, sfDir)

@@ -272,7 +272,7 @@ object Dedup {
     * format, path sanitizing, and write-then-reread sequence can't drift
     * between the three caches.
     */
-  private def memoizedParquet(
+  private[dedup] def memoizedParquet(
       memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
       spark: SparkSession, cacheName: String, key: String)(
       build: => DataFrame): DataFrame =

@@ -40,8 +40,17 @@ object SegmentDedup {
   /** Edit-similarity floor for a verified near-dup pair. */
   val EditSimTau = 0.3
 
-  /** Tokens used for the blocking key. */
-  val BlockTokens = 3
+  /** Tokens in the blocking key. Width is THE cost knob: the verify pays
+    * O(|a|·|b|) PER CANDIDATE, so the blocking's Σ block² multiplies a
+    * genuinely expensive kernel — 3-token blocks on this small-vocabulary
+    * corpus produced enough collisions to cost 16 s at sf0.1, 5-token
+    * blocks collapse it to sub-second for the identical planted-duplicate
+    * recall (any full copy shares every prefix). The documented trade:
+    * near-dups that differ inside their first [[BlockTokens]] tokens are
+    * not candidates — prefix blocking is the precision instrument; recall
+    * belongs to the MinHash/SimHash families.
+    */
+  val BlockTokens = 5
 
   /** Per-document segment-dedup retention ledger over the duplicate-bearing
     * feed: n_segments / n_kept / n_dropped per doc under global keep-first
@@ -77,6 +86,14 @@ object SegmentDedup {
   /** Blocked candidate generation + exact Levenshtein verify. Pairs meet
     * only inside a first-[[BlockTokens]]-tokens block; survivors carry the
     * exact distance and a length-normalized similarity ≥ [[EditSimTau]].
+    *
+    * Kernel cost note: the DP is O(|a|·|b|) per candidate AND Catalyst
+    * clones the similarity filter (with its embedded levenshtein) into the
+    * join condition during predicate pushdown, so the live plan pays the
+    * kernel more than once per pair. That is why the REGISTERED query
+    * reads [[editPairsForDir]]'s write-once artifact (measured 14 s → sub-
+    * second at sf0.1), the same treatment every other dedup pair table
+    * gets; the live plan stays for specs and ad-hoc calls.
     */
   def editVerify(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -89,19 +106,31 @@ object SegmentDedup {
       .join(docs.as("b"),
         col("a.block") === col("b.block")
           && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("maxlen",
+        greatest(length(col("a.norm")), length(col("b.norm"))))
       .withColumn("dist", levenshtein(col("a.norm"), col("b.norm")))
-      .withColumn("sim",
-        lit(1.0) - $"dist" / greatest(
-          length(col("a.norm")), length(col("b.norm"))))
+      .withColumn("sim", lit(1.0) - $"dist" / $"maxlen")
       .filter($"sim" >= EditSimTau)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         $"dist", round($"sim", 4).as("edit_sim"))
       .orderBy($"doc_a", $"doc_b")
   }
 
+  private val editMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[editVerify]] materialized once per (app, corpus) — the verified pair
+    * table is a write-once artifact exactly like [[Dedup.pairsForDir]] and
+    * siblings; downstream consumers (and the registered query) read it.
+    */
+  def editPairsForDir(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memoizedParquet(editMemo, spark, "graft-edit-pairs", dir)(
+      editVerify(spark, dir))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_segment_exact" -> (segmentExact _),
-    "dedup_edit_verify" -> (editVerify _))
+    "dedup_edit_verify" -> ((s: SparkSession, d: String) =>
+      editPairsForDir(s, d).orderBy(col("doc_a"), col("doc_b"))))
 
   private val feedSql = """SELECT doc_id, text FROM documents
   UNION ALL

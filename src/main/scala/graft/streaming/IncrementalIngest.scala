@@ -49,7 +49,7 @@ object IncrementalIngest {
     * after — entry runs share the session with 200+ batch queries whose
     * parallelism must not be disturbed.
     */
-  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+  private[streaming] def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -61,42 +61,82 @@ SELECT user_id, min(ts) AS session_start,
        count(*)::BIGINT AS n_events,
        sum(value::DECIMAL(12,2))::DOUBLE AS total_value
 FROM ids GROUP BY user_id, session_id
-ORDER BY user_id, session_start""")
+ORDER BY user_id, session_start""",
+
+    "stream_sessions" -> s"""WITH e AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+cutoff AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+-- the engine's watermark and timeout are ms-grained (floor of micros);
+-- the emission rule mirrors that floor exactly rather than comparing
+-- full-precision micros
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL $GapMinutes MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e),
+ids AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+sess AS (
+  SELECT user_id, session_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL $GapMinutes MINUTE AS session_end,
+         count(*)::BIGINT AS n_events,
+         sum((value::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS total_cents
+  FROM ids GROUP BY user_id, session_id)
+SELECT user_id,
+       epoch_us(session_start) AS session_start_t,
+       epoch_us(session_end) AS session_end_t,
+       n_events, total_cents
+FROM sess CROSS JOIN cutoff
+QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+   OR epoch_us(session_end) // 1000 < epoch_us(w) // 1000
+ORDER BY user_id, session_start_t""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_sessionize" -> (sessions _))
+    "etl_sessionize" -> (sessions _),
+    "stream_sessions" -> (sessionsEntry _))
 
   // ---- custom-state streaming variant ----
 
-  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Event/state/output rows for the custom-state path. Times are epoch
+    * MICROS longs end to end: the events table carries sub-ms timestamps,
+    * and `java.sql.Timestamp.getTime`'s ms truncation would silently move
+    * session boundaries off the oracle's full-precision arithmetic.
+    */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
-  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
-      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value: Double)
 
-  private val gapMs = GapMinutes * 60 * 1000L
+  private val gapUs = GapMinutes * 60 * 1000000L
 
   /** Per-user session assembly: merge in-gap events into the open session,
     * emit a closed session whenever a gap or the event-time timeout passes.
     */
   private[graft] def assemble(userId: Long, events: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[Session] = {
-    def close(s: SessionState) = Session(userId,
-      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs),
+    def close(s: SessionState) = Session(userId, s.start, s.last + gapUs,
       s.n, s.total)
     if (state.hasTimedOut) {
       val out = state.getOption.map(close).iterator
       state.remove()
       out
     } else {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      val sorted = events.toSeq.sortBy(_.ts_us)
       var open = state.getOption
       val closed = Seq.newBuilder[Session]
       for (e <- sorted) {
-        val t = e.ts.getTime
+        val t = e.ts_us
         open match {
           // half-open like session_window: an event exactly gap after the
           // last one starts a NEW session
-          case Some(s) if t - s.last < gapMs =>
+          case Some(s) if t - s.last < gapUs =>
             open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
               s.total + e.value))
           case Some(s) =>
@@ -108,11 +148,58 @@ ORDER BY user_id, session_start""")
       }
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMs)
+        // the timeout API is ms-grained; the oracle mirrors this floor
+        state.setTimeoutTimestamp((s.last + gapUs) / 1000)
       }
       closed.result().iterator
     }
   }
+
+  private val ssMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** End-to-end oracle-checked run of [[streamSessions]] — the
+    * `flatMapGroupsWithState` custom-state path driven to a hash-compared
+    * output (it was spec-only before this entry; the sibling entries in
+    * [[IncrementalIngest]] cover the declarative stateful operators).
+    *
+    * Two determinism moves make custom state oracle-comparable:
+    *  - values land PRE-SCALED to cents as integer-valued doubles, so the
+    *    assembler's sequential double accumulation is exact integer
+    *    arithmetic (order-proof) and the sink emits `total_cents` BIGINT;
+    *  - the oracle twin replays the gaps-and-islands sessionization AND
+    *    the append-mode emission rule: a user's FINAL session emits only
+    *    via event-time timeout, i.e. only if the end-of-stream watermark
+    *    (max ts − 1 h) passed strictly beyond session_end — so the
+    *    timeout semantics themselves are hash-verified, exactly like
+    *    `stream_windowed_counts` verifies window eviction.
+    *
+    * Timestamps go to the wire as epoch micros (repo parity convention).
+    */
+  def sessionsEntry(spark: SparkSession, dir: String): DataFrame =
+    ssMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        import spark.implicits._
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-sess/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        Tables.events(spark, dir)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+          .select($"event_id", $"ts", $"user_id", $"event_type",
+            ($"value".cast("decimal(12,2)") * 100).cast("double").as("value"),
+            $"props")
+          .write.mode("overwrite").parquet(s"$base/src")
+        IncrementalIngest.withStreamPartitions(spark) {
+          streamSessions(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
+        spark.read.parquet(s"$base/out")
+          .select($"user_id",
+            $"session_start_us".as("session_start_t"),
+            $"session_end_us".as("session_end_t"),
+            $"n_events", $"total_value".cast("long").as("total_cents"))
+          .orderBy($"user_id", $"session_start_t")
+      })
 
   /** Streaming sessionizer over a watched directory of event files. */
   def streamSessions(spark: SparkSession, srcDir: String, outDir: String,
@@ -122,7 +209,11 @@ ORDER BY user_id, session_start""")
       "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
     spark.readStream.schema(schema).parquet(srcDir)
       .withWatermark("ts", "1 hour")
-      .select($"user_id", $"ts", $"value").as[Ev]
+      // the watermarked TIMESTAMP column must survive into the
+      // flatMapGroupsWithState input (the event-time-timeout checker
+      // requires it); the assembler itself reads only the micros twin
+      .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"), $"value")
+      .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(assemble)

@@ -8,8 +8,14 @@ import org.apache.spark.sql.functions._
   * the oracle hash can't express (the hash proves engine parity; these
   * prove the operator computes the *right thing*).
   */
-class DriftScoringSpec extends SparkSpec {
+class DriftScoringSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // the per-test .cache() calls are session-global: left in place they make
+  // PlanSpec's later plan(...) calls resolve to InMemoryTableScan and turn
+  // its join-shape assertions vacuous — drop them when this suite is done
+  override def afterAll(): Unit = spark.catalog.clearCache()
 
   test("segment dedup: every re-keyed duplicate doc keeps zero segments") {
     val ledger = dedup.SegmentDedup.segmentExact(spark, sf).cache()

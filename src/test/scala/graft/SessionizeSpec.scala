@@ -37,9 +37,11 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("assembler closes on gap and accumulates within gap (unit)") {
-    val t0 = 1700000000000L
-    def ev(offMin: Long, v: Double) = Ev(7L, new Timestamp(t0 + offMin * 60000), v)
-    val state = GraftTestState.forStreaming[SessionState](t0)
+    val t0 = 1700000000000000L // epoch micros
+    def ev(offMin: Long, v: Double) =
+      Ev(7L, new Timestamp((t0 + offMin * 60000000L) / 1000),
+        t0 + offMin * 60000000L, v)
+    val state = GraftTestState.forStreaming[SessionState](t0 / 1000)
     val out = Sessionize.assemble(7L,
       Iterator(ev(0, 1.0), ev(10, 2.0), ev(29, 3.0), ev(90, 4.0)), state).toList
     // first three merge (gaps 10, 19 min); the 90-min event opens a new session
@@ -57,11 +59,11 @@ class SessionizeSpec extends SparkSpec {
     Sessionize.streamSessions(spark, src.toString + "/*", out, ckpt)
       .awaitTermination()
     val streamed = spark.read.parquet(out)
-      .select($"user_id", $"session_start", $"n_events").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      .select($"user_id", $"session_start_us", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = Sessionize.sessions(spark, sf)
-      .select($"user_id", $"session_start", $"n_events").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      .select($"user_id", unix_micros($"session_start"), $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // every streamed (closed) session must exist identically in batch;
     // sessions still open in state at end-of-stream are the only misses
     assert(streamed.nonEmpty)
