@@ -95,12 +95,13 @@ object SegmentDedup {
     * second at sf0.1), the same treatment every other dedup pair table
     * gets; the live plan stays for specs and ad-hoc calls.
     */
-  def editVerify(spark: SparkSession, dir: String): DataFrame = {
+  def editVerify(spark: SparkSession, dir: String,
+      blockTokens: Int = BlockTokens): DataFrame = {
     import spark.implicits._
     val docs = Dedup.dupFeed(spark, dir)
       .withColumn("norm", trim(lower($"text")))
       .withColumn("block",
-        md5(array_join(slice(split($"norm", "\\s+"), 1, BlockTokens), " ")))
+        md5(array_join(slice(split($"norm", "\\s+"), 1, blockTokens), " ")))
       .select($"doc_id", $"norm", $"block")
     docs.as("a")
       .join(docs.as("b"),

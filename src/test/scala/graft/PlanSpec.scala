@@ -531,6 +531,19 @@ class PlanSpec extends SparkSpec {
       "only the scalar n_baskets broadcast may nested-loop")
   }
 
+  test("stl-lite reuses the daily-aggregate exchange across its branches") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // the dense spine, the trend window, and the seasonal aggregate all
+    // derive from the same daily rollup; statically the plan duplicates
+    // that subtree, and AQE must fuse the duplicates at runtime or the
+    // query pays the corpus scan once per branch at 100 TB
+    val df = analytics.TimeSeries.stlLite(spark, sf)
+    df.collect() // reuse is decided adaptively — inspect the FINAL plan
+    val p = plan(df)
+    assert(collectAll(p) { case r: ReusedExchangeExec => r }.nonEmpty,
+      s"daily-aggregate exchange not reused:\n${p.toString.take(600)}")
+  }
+
   test("fk-orphan audit broadcasts its parent key sets") {
     val p = plan(ingest.FkOrphans.orphanAudit(spark, sf))
     assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,

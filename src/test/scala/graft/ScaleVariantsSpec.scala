@@ -290,4 +290,25 @@ class ScaleVariantsSpec extends SparkSpec {
     assert(salted.except(plain).count() == 0)
     assert(plain.except(salted).count() == 0)
   }
+
+  test("edit verify: wider blocks are a subset with identical distances") {
+    // blocking width is the recall knob: every pair surviving the wide
+    // (default) blocks must exist under narrower blocks with the SAME
+    // exact distance — narrowing only ADDS candidates, never changes a
+    // verified pair
+    val narrow = graft.dedup.SegmentDedup.editVerify(spark, sf,
+      blockTokens = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val wide = graft.dedup.SegmentDedup.editVerify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(wide.keySet.subsetOf(narrow.keySet))
+    wide.foreach { case (k, d) => assert(d == narrow(k)) }
+    // and the planted full copies survive ANY width (identical prefixes)
+    val planted = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(10)) === 0)
+      .count()
+    assert(wide.keys.count { case (a, b) => b == a + 1000000L } == planted)
+  }
 }
