@@ -41,7 +41,8 @@ object SparkEntry {
       ingest.DriftChecks.all ++ analytics.Reshape.all ++
       similarity.Matryoshka.all ++ privacy.DpRelease.all ++
       analytics.ValuePositions.all ++ ingest.FkOrphans.all ++
-      analytics.MarketBasket.all ++ warehouse.JunkDim.all
+      analytics.MarketBasket.all ++ warehouse.JunkDim.all ++
+      similarity.CentroidDrift.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -67,5 +68,6 @@ object SparkEntry {
       ingest.DriftChecks.oracle ++ analytics.Reshape.oracle ++
       similarity.Matryoshka.oracle ++ privacy.DpRelease.oracle ++
       analytics.ValuePositions.oracle ++ ingest.FkOrphans.oracle ++
-      analytics.MarketBasket.oracle ++ warehouse.JunkDim.oracle
+      analytics.MarketBasket.oracle ++ warehouse.JunkDim.oracle ++
+      similarity.CentroidDrift.oracle
 }

@@ -476,7 +476,49 @@ object TimeSeries {
       .orderBy($"event_type", $"d")
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every fancier
+    * forecaster must beat, and the one that needs no fitting: forecast
+    * f(d) = actual(d−7) on the dense per-type spine, scored over every day
+    * with a lag. Error metrics stay in the exact-integer domain: per type,
+    * total absolute error is a BIGINT sum, MAE and WAPE (Σ|e|/Σactual —
+    * the weighted form of MAPE that avoids one float division PER DAY) are
+    * single divisions. Complements [[stlLite]] (decomposition says a
+    * weekly cycle exists; this measures how predictive it is) and
+    * [[anomalyMad]] (large snaive error on a single day IS the anomaly
+    * signal).
+    *
+    * Scale: same spine + one lag window per type as [[autocorr]]; the
+    * metric rollup is |types| rows.
+    */
+  def snaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
+    val dense = spine.join(daily, Seq("event_type", "d"), "left")
+      .select($"event_type", $"d", coalesce($"n", lit(0L)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    dense
+      .withColumn("f", lag($"n", 7).over(w))
+      .filter($"f".isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(abs($"n" - $"f")).as("total_abs_err"),
+        sum($"n").as("total_actual"))
+      .select($"event_type", $"n_days", $"total_abs_err",
+        round($"total_abs_err" * lit(1.0) / $"n_days", 4).as("mae"),
+        round($"total_abs_err" * lit(1.0) / $"total_actual", 4).as("wape"))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_snaive_backtest" -> (snaiveBacktest _),
     "ts_stl_lite" -> (stlLite _),
     "ts_autocorr" -> (autocorr _),
     "ts_trend_slope" -> (trendSlope _),
@@ -505,6 +547,28 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ts_snaive_backtest" -> """WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM (SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1)),
+dense AS (
+  SELECT s.event_type, s.d, coalesce(daily.n, 0)::BIGINT AS n
+  FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d),
+lagged AS (
+  SELECT event_type, n,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS f
+  FROM dense)
+SELECT event_type,
+       count(*)::BIGINT AS n_days,
+       sum(abs(n - f))::BIGINT AS total_abs_err,
+       round(sum(abs(n - f)) * 1.0 / count(*), 4) AS mae,
+       round(sum(abs(n - f)) * 1.0 / sum(n), 4) AS wape
+FROM lagged WHERE f IS NOT NULL
+GROUP BY event_type ORDER BY event_type""",
+
     "ts_stl_lite" -> """WITH daily AS (
   SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
   FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL

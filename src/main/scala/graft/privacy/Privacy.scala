@@ -207,10 +207,40 @@ object Privacy {
       .orderBy($"age_group")
   }
 
+  /** The release operator the audits gate: a record-level extract with
+    * direct identifiers pseudonymized (salted md5, the
+    * [[graft.ingest.Ingest]] pseudonymization convention — stable joins,
+    * raw key never emitted) and QI suppression applied: rows in an
+    * equivalence class below [[K]] get their sex/location generalized to
+    * `*` (one Datafly suppression step; [[generalizationLadder]] prices
+    * the full lattice, this applies its cheapest rung). The `suppressed`
+    * flag makes the masking auditable — a release diff can count exactly
+    * which rows paid privacy cost.
+    *
+    * Scale: one window over the QI key for class sizes (QI-domain-bounded
+    * partitions), pure map-side masking after.
+    */
+  def releaseExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"age_group", $"sex", $"location")
+    qi(spark, dir)
+      .withColumn("class_size", count(lit(1)).over(w))
+      .select(
+        md5(concat(lit("rel:"), $"patient_id".cast("string")))
+          .as("pseudo_id"),
+        $"age_group",
+        when($"class_size" >= K, $"sex").otherwise("*").as("sex"),
+        when($"class_size" >= K, $"location").otherwise("*").as("location"),
+        ($"class_size" < K).as("suppressed"))
+      .orderBy($"pseudo_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_k_anonymity" -> (kAnonymity _),
     "priv_l_diversity" -> (lDiversity _),
     "priv_t_closeness" -> (tCloseness _),
+    "priv_release_extract" -> (releaseExtract _),
     "priv_generalization_ladder" -> (generalizationLadder _))
 
   /** DuckDB twins. QI construction is shared via the CTE; the age CASE
@@ -261,6 +291,18 @@ SELECT age_group,
        sum(CASE WHEN l_achieved < $L THEN class_size ELSE 0 END)::BIGINT
          AS n_patients_at_risk
 FROM classes GROUP BY age_group ORDER BY age_group""",
+
+    "priv_release_extract" -> s"""WITH qi AS ($qiSql),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY age_group, sex, location)
+              AS class_size
+  FROM qi)
+SELECT md5('rel:' || patient_id::VARCHAR) AS pseudo_id,
+       age_group,
+       CASE WHEN class_size >= $K THEN sex ELSE '*' END AS sex,
+       CASE WHEN class_size >= $K THEN location ELSE '*' END AS location,
+       class_size < $K AS suppressed
+FROM sized ORDER BY pseudo_id""",
 
     "priv_t_closeness" -> s"""WITH qi AS ($qiSql),
 rows_ AS (

@@ -219,6 +219,38 @@ class DriftScoringSpec extends SparkSpec
       Tables.orders(spark, sf).count())
   }
 
+  test("centroid drift: cohorts partition each label and cosine is bounded") {
+    val d = similarity.CentroidDrift.drift(spark, sf).cache()
+    assert(d.count() > 0)
+    assert(d.filter(abs($"centroid_cos") > 1.0 + 1e-6).count() === 0)
+    val total = d.agg(sum($"n_even" + $"n_odd")).as[Long].first()
+    assert(total === Tables.embeddings(spark, sf).count())
+  }
+
+  test("snaive backtest: error metrics agree with their integer numerators") {
+    val b = analytics.TimeSeries.snaiveBacktest(spark, sf).cache()
+    assert(b.count() > 0)
+    assert(b.filter($"wape" < 0.0 || $"mae" < 0.0).count() === 0)
+    assert(b.filter(
+      abs($"mae" * $"n_days" - $"total_abs_err") > $"n_days" * 1e-4)
+      .count() === 0)
+  }
+
+  test("release extract: every unsuppressed class clears K") {
+    val r = privacy.Privacy.releaseExtract(spark, sf).cache()
+    assert(r.count() === Tables.customer(spark, sf).count())
+    // suppressed rows are actually masked
+    assert(r.filter($"suppressed" &&
+      ($"sex" =!= "*" || $"location" =!= "*")).count() === 0)
+    // surviving (unmasked) QI classes all have >= K members in the release
+    val small = r.filter(!$"suppressed")
+      .groupBy($"age_group", $"sex", $"location").count()
+      .filter($"count" < privacy.Privacy.K)
+    assert(small.count() === 0)
+    // pseudonyms are unique (stable 1:1 masking, no collisions)
+    assert(r.select($"pseudo_id").distinct().count() === r.count())
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()

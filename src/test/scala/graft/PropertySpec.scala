@@ -54,7 +54,8 @@ class PropertySpec extends SparkSpec {
       "text_entropy", "dedup_edit_verify", "dedup_segment_exact",
       "agg_unpivot_monthly", "sim_matryoshka_prefix", "priv_dp_counts",
       "win_value_positions", "etl_fk_orphans", "agg_market_basket",
-      "agg_top_paths", "ts_stl_lite", "wh_junk_dimension")
+      "agg_top_paths", "ts_stl_lite", "wh_junk_dimension",
+      "sim_centroid_drift", "ts_snaive_backtest", "priv_release_extract")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
