@@ -42,7 +42,7 @@ object SparkEntry {
       similarity.Matryoshka.all ++ privacy.DpRelease.all ++
       analytics.ValuePositions.all ++ ingest.FkOrphans.all ++
       analytics.MarketBasket.all ++ warehouse.JunkDim.all ++
-      similarity.CentroidDrift.all
+      similarity.CentroidDrift.all ++ analytics.BitmapRollup.all
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -69,5 +69,5 @@ object SparkEntry {
       similarity.Matryoshka.oracle ++ privacy.DpRelease.oracle ++
       analytics.ValuePositions.oracle ++ ingest.FkOrphans.oracle ++
       analytics.MarketBasket.oracle ++ warehouse.JunkDim.oracle ++
-      similarity.CentroidDrift.oracle
+      similarity.CentroidDrift.oracle ++ analytics.BitmapRollup.oracle
 }

@@ -251,6 +251,16 @@ class DriftScoringSpec extends SparkSpec
     assert(r.select($"pseudo_id").distinct().count() === r.count())
   }
 
+  test("bitmap distinct: occupancy undercounts exact, never exceeds width") {
+    val b = analytics.BitmapRollup.bitmapDistinct(spark, sf).cache()
+    assert(b.count() > 0)
+    // hashing can only collide buckets: n_set <= exact, n_set <= bitmap bits
+    assert(b.filter($"n_set" > $"exact_distinct").count() === 0)
+    assert(b.filter($"n_set" > analytics.BitmapRollup.Buckets).count() === 0)
+    assert(b.filter($"occupancy_ratio" <= 0.0 ||
+      $"occupancy_ratio" > 1.0).count() === 0)
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()

@@ -55,7 +55,8 @@ class PropertySpec extends SparkSpec {
       "agg_unpivot_monthly", "sim_matryoshka_prefix", "priv_dp_counts",
       "win_value_positions", "etl_fk_orphans", "agg_market_basket",
       "agg_top_paths", "ts_stl_lite", "wh_junk_dimension",
-      "sim_centroid_drift", "ts_snaive_backtest", "priv_release_extract")
+      "sim_centroid_drift", "ts_snaive_backtest", "priv_release_extract",
+      "agg_bitmap_distinct")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
