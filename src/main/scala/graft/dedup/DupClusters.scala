@@ -108,10 +108,59 @@ object DupClusters {
       .orderBy($"cluster_id")
   }
 
+  /** Train share of the leakage-free split, in percent. */
+  val TrainPct = 90
+
+  /** Duplication-aware train/val split audit — the leakage guard
+    * [[graft.text.Curate]]'s hash split lacks: hashing DOC ids puts two
+    * near-duplicates on opposite sides of the split, so the val set
+    * contains paraphrases of training rows and the eval lies. Splitting by
+    * the duplicate-CLUSTER key (each unclustered doc is its own group; a
+    * cluster's key is its min member, which can never collide with an
+    * unclustered id) makes cross-split near-dup pairs structurally zero.
+    * The audit row carries both worlds: the aware split's crossing count
+    * (0 by construction — hash-verified, not asserted) next to the naive
+    * doc-hash split's crossing count, which is the leak it prevents.
+    *
+    * Scale: one broadcast-ish join of the label table onto the corpus,
+    * map-side hash assignment, and two id-joins of the (small) pair table
+    * — the cluster and pair artifacts are already materialized.
+    */
+  def leakfreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def side(c: org.apache.spark.sql.Column) =
+      pmod(graft.functions.Md5Hash.h32(concat(lit("split:"), c.cast("string"))),
+        lit(100)) < TrainPct
+    val assigned = graft.Tables.documents(spark, dir).select($"doc_id")
+      .join(clusters(spark, dir), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("gkey"))
+      .select($"doc_id",
+        side($"gkey").as("train_aware"), side($"doc_id").as("train_naive"))
+    val sides = assigned.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when($"train_aware", 1L).otherwise(0L)).as("n_train"),
+      sum(when(!$"train_aware", 1L).otherwise(0L)).as("n_val"))
+    val a = assigned.select($"doc_id".as("doc_a"),
+      $"train_aware".as("aw_a"), $"train_naive".as("nv_a"))
+    val b = assigned.select($"doc_id".as("doc_b"),
+      $"train_aware".as("aw_b"), $"train_naive".as("nv_b"))
+    val crossings = Dedup.pairsForDir(spark, dir)
+      .select($"doc_a", $"doc_b")
+      .join(a, "doc_a").join(b, "doc_b")
+      .agg(
+        count(lit(1)).as("n_neardup_pairs"),
+        sum(when($"aw_a" =!= $"aw_b", 1L).otherwise(0L))
+          .as("aware_crossing_pairs"),
+        sum(when($"nv_a" =!= $"nv_b", 1L).otherwise(0L))
+          .as("naive_crossing_pairs"))
+    sides.crossJoin(crossings)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // re-assert total order after the memoized parquet round-trip
     "dedup_clusters" -> ((s: SparkSession, d: String) =>
       clusters(s, d).orderBy(col("doc_id"))),
+    "curate_leakfree_split" -> (leakfreeSplit _),
     "dedup_cluster_sizes" -> ((s: SparkSession, d: String) => clusterSizes(s, d)),
     "dedup_keep_best" -> (keepBest _))
 
@@ -144,6 +193,32 @@ labels AS (
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> s"""$pairCte
 SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""",
+
+    "curate_leakfree_split" -> {
+      def sideSql(expr: String) =
+        s"(${graft.functions.Md5Hash.h32Sql(s"'split:' || ($expr)::VARCHAR")}) % 100 < $TrainPct"
+      s"""$pairCte,
+assigned AS (
+  SELECT d.doc_id,
+         ${sideSql("coalesce(l.cluster_id, d.doc_id)")} AS train_aware,
+         ${sideSql("d.doc_id")} AS train_naive
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+sides AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN train_aware THEN 1 ELSE 0 END)::BIGINT AS n_train,
+         sum(CASE WHEN NOT train_aware THEN 1 ELSE 0 END)::BIGINT AS n_val
+  FROM assigned),
+crossings AS (
+  SELECT count(*)::BIGINT AS n_neardup_pairs,
+         sum(CASE WHEN a.train_aware <> b.train_aware THEN 1 ELSE 0 END)::BIGINT
+           AS aware_crossing_pairs,
+         sum(CASE WHEN a.train_naive <> b.train_naive THEN 1 ELSE 0 END)::BIGINT
+           AS naive_crossing_pairs
+  FROM pairs p
+  JOIN assigned a ON p.doc_a = a.doc_id
+  JOIN assigned b ON p.doc_b = b.doc_id)
+SELECT * FROM sides CROSS JOIN crossings"""
+    },
 
     "dedup_cluster_sizes" -> s"""$pairCte
 SELECT cluster_id, count(*)::BIGINT AS n_docs

@@ -261,6 +261,15 @@ class DriftScoringSpec extends SparkSpec
       $"occupancy_ratio" > 1.0).count() === 0)
   }
 
+  test("leakfree split: zero aware crossings, sides partition the corpus") {
+    val r = dedup.DupClusters.leakfreeSplit(spark, sf).collect().head
+    assert(r.getAs[Long]("aware_crossing_pairs") === 0L)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val") ===
+      r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("naive_crossing_pairs") <=
+      r.getAs[Long]("n_neardup_pairs"))
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()
