@@ -517,7 +517,38 @@ object TimeSeries {
       .orderBy($"event_type")
   }
 
+  /** Daily new-vs-returning user split — the growth dashboard's second
+    * line after [[cumulativeUniques]]' total: per active day, how many of
+    * the day's users are seen for the FIRST time vs returning. Same
+    * first-seen-date backbone (one aggregate per user, never a
+    * count-distinct window over history), then a per-(day, user) presence
+    * table joins its user's first-seen date and classifies by equality.
+    * Shares are single divisions of the exact counts.
+    *
+    * Scale: two aggregates keyed on user_id / (date, user_id) with
+    * map-side partials, one join co-keyed on user_id; nothing scans
+    * history per output row.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .select($"user_id", to_date($"ts").as("d"))
+    val firstSeen = ev.groupBy($"user_id").agg(min($"d").as("first_d"))
+    val daily = ev.distinct() // one row per (user, active day)
+    daily.join(firstSeen, "user_id")
+      .groupBy($"d")
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when($"d" === $"first_d", 1L).otherwise(0L)).as("n_new"))
+      .select($"d", $"n_active", $"n_new",
+        ($"n_active" - $"n_new").as("n_returning"),
+        round($"n_new" * lit(1.0) / $"n_active", 4).as("new_share"))
+      .orderBy($"d")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_new_vs_returning" -> (newVsReturning _),
     "ts_snaive_backtest" -> (snaiveBacktest _),
     "ts_stl_lite" -> (stlLite _),
     "ts_autocorr" -> (autocorr _),
@@ -547,6 +578,19 @@ object TimeSeries {
   }
 
   val oracle: Map[String, String] = Map(
+    "agg_new_vs_returning" -> """WITH ev AS (
+  SELECT DISTINCT user_id, ts::DATE AS d
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+first_seen AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY 1)
+SELECT d, count(*)::BIGINT AS n_active,
+       sum(CASE WHEN d = first_d THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       (count(*) - sum(CASE WHEN d = first_d THEN 1 ELSE 0 END))::BIGINT
+         AS n_returning,
+       round(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS new_share
+FROM ev JOIN first_seen USING (user_id)
+GROUP BY d ORDER BY d""",
+
     "ts_snaive_backtest" -> """WITH daily AS (
   SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
   FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL

@@ -277,6 +277,47 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  private val fwMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Fixed-width (mainframe/COBOL-style) feed ingest — the third legacy
+    * interchange format beside CSV and JSONL: no delimiters, columns live
+    * at byte offsets. Spark has no fixed-width reader, and the CORRECT
+    * native shape is exactly this: `spark.read.text` + `substring` column
+    * expressions (codegen'd, pushdown-friendly) — never a per-line UDF.
+    * The feed is landed once per (app, corpus) from the events table
+    * (zero-padded ids, space-padded type, cents-scaled value so the
+    * layout is sign- and decimal-free), then parsed back and proven
+    * lossless against the parquet original by the oracle.
+    *
+    * Layout: event_id [1,12] · user_id [13,12] · event_type [25,12] ·
+    * value_cents [37,12].
+    */
+  def fixedWidthIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = fwMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val p = s"${sys.props("java.io.tmpdir")}/graft-fixedwidth/" +
+          s"${spark.sparkContext.applicationId}/" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        Tables.events(spark, dir)
+          .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+            $"event_type".isNotNull && $"value".isNotNull)
+          .select(format_string("%012d%012d%-12s%012d",
+            $"event_id", $"user_id", $"event_type",
+            ($"value".cast("decimal(12,2)") * 100).cast("long")).as("value"))
+          .write.mode("overwrite").text(p)
+        p
+      })
+    spark.read.text(path)
+      .select(
+        substring($"value", 1, 12).cast("bigint").as("event_id"),
+        substring($"value", 13, 12).cast("bigint").as("user_id"),
+        trim(substring($"value", 25, 12)).as("event_type"),
+        substring($"value", 37, 12).cast("bigint").as("value_cents"))
+      .orderBy($"event_id")
+  }
+
   /** Rows corrupted in the landed CSV feed: every id with this residue mod
     * [[CsvCorruptEvery]] becomes a single-field junk line.
     */
@@ -359,6 +400,7 @@ object Sources {
     "src_volume_procedures" -> (volumeProcedures _),
     "src_jsonl_roundtrip" -> (jsonlIngest _),
     "src_orc_roundtrip" -> (orcIngest _),
+    "src_fixed_width" -> (fixedWidthIngest _),
     "src_csv_quarantine" -> (csvQuarantine _))
 
   /** DuckDB h32 of a VARCHAR expression (shared parity base). */
@@ -450,6 +492,15 @@ FROM documents ORDER BY doc_id""",
     // the ORC round trip must likewise reproduce the parquet table
     "src_orc_roundtrip" -> """SELECT doc_id, text, lang, source, n_chars
 FROM documents ORDER BY doc_id""",
+
+    // the fixed-width round trip reproduces the clean slice exactly, with
+    // value carried as exact cents through the byte layout
+    "src_fixed_width" -> """SELECT event_id, user_id, event_type,
+       (value::DECIMAL(12,2) * 100)::BIGINT AS value_cents
+FROM events
+WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+  AND event_type IS NOT NULL AND value IS NOT NULL
+ORDER BY event_id""",
 
     // the CSV round trip drops exactly the planted-corrupt lines; double
     // formatting round-trips losslessly (shortest-repr write, exact parse)

@@ -270,6 +270,30 @@ class DriftScoringSpec extends SparkSpec
       r.getAs[Long]("n_neardup_pairs"))
   }
 
+  test("new-vs-returning: firsts conserve users and day one has no returns") {
+    val nv = analytics.TimeSeries.newVsReturning(spark, sf).cache()
+    val users = Tables.events(spark, sf)
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .select($"user_id").distinct().count()
+    assert(nv.agg(sum($"n_new")).as[Long].first() === users)
+    assert(nv.orderBy($"d").select($"n_returning").as[Long].first() === 0L)
+    assert(nv.filter($"n_active" =!= $"n_new" + $"n_returning").count() === 0)
+  }
+
+  test("fixed-width roundtrip conserves the clean slice") {
+    val fw = sources.Sources.fixedWidthIngest(spark, sf).cache()
+    val clean = Tables.events(spark, sf)
+      .filter($"event_id".isNotNull && $"user_id".isNotNull &&
+        $"event_type".isNotNull && $"value".isNotNull)
+    assert(fw.count() === clean.count())
+    // cents arithmetic is exact through the byte layout
+    val sumCents = fw.agg(sum($"value_cents")).as[Long].first()
+    val expected = clean
+      .agg(sum(($"value".cast("decimal(12,2)") * 100).cast("long")))
+      .as[Long].first()
+    assert(sumCents === expected)
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()

@@ -56,7 +56,8 @@ class PropertySpec extends SparkSpec {
       "win_value_positions", "etl_fk_orphans", "agg_market_basket",
       "agg_top_paths", "ts_stl_lite", "wh_junk_dimension",
       "sim_centroid_drift", "ts_snaive_backtest", "priv_release_extract",
-      "agg_bitmap_distinct", "curate_leakfree_split")
+      "agg_bitmap_distinct", "curate_leakfree_split",
+      "agg_new_vs_returning", "src_fixed_width")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
