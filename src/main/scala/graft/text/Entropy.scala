@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * inlined as the same literal lookup table into both plans. Via the
   * log-identity H = ln n − (Σ c·ln c)/n the whole statistic becomes the
   * exact BIGINT numerator n·lnS(n) − Σ c·lnS(c) (order-independent integer
-  * sum) over the exact denominator n·[[LnScale]], divided ONCE — both
-  * operands stay below 2⁵³, so the division is bit-identical everywhere.
+  * sum) over the exact denominator n·[[LnScale]], divided ONCE. The
+  * operands can exceed 2⁵³ (n·lnS(n) ≈ 1.6·10¹⁶ at the table ceiling),
+  * but int64→double conversion is IEEE round-to-nearest on both engines —
+  * the same two doubles enter the same single division everywhere.
   *
   * Scale: tokenize map-side, one shuffle on (doc_id, token) for the counts,
   * one on doc_id for the rollup — both high-cardinality keys; the ln table
