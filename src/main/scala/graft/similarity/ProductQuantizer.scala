@@ -103,6 +103,60 @@ object ProductQuantizer {
       .orderBy($"vec_id")
   }
 
+  /** Fixed-point scale for the distortion mean's exact accumulation. */
+  val ErrFxScale = 1000000L
+
+  /** Codebook utilization + distortion audit — the report to read BEFORE
+    * trusting a PQ index: per (subspace, code), how many subvectors the
+    * code absorbs and with what squared error. A fat code (high n, high
+    * max) means the codebook under-fits its region; codes absent from the
+    * output are DEAD (never the argmin) and waste index bits. This is the
+    * aggregate twin of [[codes]]' per-vector `sq_err`.
+    *
+    * Mean error follows the fixed-point discipline: each per-assignment
+    * distance is a deterministic double (in-order [[d2]] accumulation),
+    * floor-scaled to [[ErrFxScale]]ths and summed as exact BIGINT, divided
+    * once. Min/max are order-independent over deterministic doubles.
+    */
+  def distortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size($"embedding")).head.getInt(0)
+    val sd = subDim(dim)
+    val cb = codebook(spark, dir, dim)
+    val subs = e.select($"vec_id",
+      explode(expr(
+        s"""transform(sequence(0, ${M - 1}),
+           |  s -> struct(s AS s, slice(embedding, s * $sd + 1, $sd) AS sub))""".stripMargin)).as("x"))
+      .select($"vec_id", $"x.s", $"x.sub")
+    val w = Window.partitionBy($"vec_id", $"s").orderBy($"dist", $"code")
+    subs.join(broadcast(cb), "s")
+      .withColumn("dist", d2("sub", "codevec"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .groupBy($"s", $"code")
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        min($"dist").as("min_err"),
+        max($"dist").as("max_err"),
+        sum(floor($"dist" * ErrFxScale).cast("long")).as("fx"))
+      .select($"s", $"code", $"n_assigned", $"min_err", $"max_err",
+        round($"fx" * lit(1.0) / ($"n_assigned" * lit(ErrFxScale)), 6)
+          .as("mean_err"))
+      .orderBy($"s", $"code")
+  }
+
+  /** DuckDB twin of [[distortion]] off the shared assignment CTE chain. */
+  def distortionOracleSql: String =
+    s"""WITH $codesCtes
+SELECT s::INT AS s, code::INT AS code,
+       count(*)::BIGINT AS n_assigned,
+       min(d) AS min_err, max(d) AS max_err,
+       round(sum(CAST(floor(d * $ErrFxScale) AS BIGINT)) * 1.0
+               / (count(*) * $ErrFxScale), 6) AS mean_err
+FROM best WHERE rk = 1
+GROUP BY s, code ORDER BY s, code"""
+
   /** Oracle-side subvector width (the testdata dimensionality is
     * interpolated as a literal; the Spark side sizes from the actual corpus).
     */

@@ -442,6 +442,8 @@ object Similarity {
     "sim_label_centroids" -> (labelCentroidConfusion _),
     "sim_two_stage_topk" -> (twoStageTopK _),
     "sim_recall_report" -> (recallReport _),
+    "sim_pq_distortion" -> ((s: SparkSession, d: String) =>
+      ProductQuantizer.distortion(s, d)),
     "sim_pq_codes" -> ((s: SparkSession, d: String) =>
       ProductQuantizer.codes(s, d)),
     "sim_normalize" -> ((s: SparkSession, d: String) => normalize(s, d)),
@@ -558,6 +560,7 @@ LEFT JOIN hits h ON h.family = f.family AND h.query_id = p.query_id
 ORDER BY f.family, p.query_id""",
 
     "sim_pq_codes" -> ProductQuantizer.oracleSql,
+    "sim_pq_distortion" -> ProductQuantizer.distortionOracleSql,
     "sim_normalize" -> s"""WITH n AS (
   SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS norm
   FROM embeddings)

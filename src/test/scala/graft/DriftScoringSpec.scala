@@ -294,6 +294,18 @@ class DriftScoringSpec extends SparkSpec
     assert(sumCents === expected)
   }
 
+  test("pq distortion: assignments conserve subvectors and errors order") {
+    val d = similarity.ProductQuantizer.distortion(spark, sf).cache()
+    // every (vector, subspace) assigns exactly once: M * |corpus| total
+    val total = d.agg(sum($"n_assigned")).as[Long].first()
+    assert(total === similarity.ProductQuantizer.M *
+      Tables.embeddings(spark, sf).count())
+    assert(d.filter($"min_err" > $"max_err").count() === 0)
+    assert(d.filter($"min_err" < 0.0).count() === 0)
+    assert(d.filter($"mean_err" < $"min_err" - 1e-6 ||
+      $"mean_err" > $"max_err" + 1e-6).count() === 0)
+  }
+
   test("unpivot emits exactly the metric triple per month") {
     val u = analytics.Reshape.unpivotMonthly(spark, sf).cache()
     val perMonth = u.groupBy($"month").count()

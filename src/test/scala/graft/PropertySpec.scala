@@ -57,7 +57,7 @@ class PropertySpec extends SparkSpec {
       "agg_top_paths", "ts_stl_lite", "wh_junk_dimension",
       "sim_centroid_drift", "ts_snaive_backtest", "priv_release_extract",
       "agg_bitmap_distinct", "curate_leakfree_split",
-      "agg_new_vs_returning", "src_fixed_width")
+      "agg_new_vs_returning", "src_fixed_width", "sim_pq_distortion")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
