@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * the long side is metric-name keyed, so downstream per-metric operators
   * are plain filters.
   *
-  * All three metrics are cast to one DECIMAL(18,2) value column — melt
-  * requires a common type, and exact decimal keeps counts and revenue
-  * hash-identical (a double value column would put integer counts through
-  * float formatting).
+  * All three metrics land in one common-typed value column — melt requires
+  * it. The math runs in DECIMAL(18,2) (exact money), but the EMITTED column
+  * is DOUBLE: counts and 2-decimal money are exactly representable in
+  * float64, and the output boundary convention (see VerifySchemaSpec) is
+  * BIGINT/DOUBLE only — DECIMAL outputs materialize as python Decimal
+  * objects on one side and float64 on the other, tripping dtype-sensitive
+  * downstream comparisons.
   */
 object Reshape {
 
@@ -32,9 +35,9 @@ object Reshape {
         countDistinct($"o_custkey").as("n_customers"))
       .select($"month", expr(
         """stack(3,
-          |  'revenue',     cast(revenue    as decimal(18,2)),
-          |  'n_orders',    cast(n_orders   as decimal(18,2)),
-          |  'n_customers', cast(n_customers as decimal(18,2))
+          |  'revenue',     cast(cast(revenue as decimal(18,2)) as double),
+          |  'n_orders',    cast(n_orders    as double),
+          |  'n_customers', cast(n_customers as double)
           |) AS (metric, value)""".stripMargin))
       .orderBy($"month", $"metric")
   }
@@ -50,10 +53,10 @@ object Reshape {
          count(DISTINCT o_custkey)::BIGINT AS n_customers
   FROM orders GROUP BY 1)
 SELECT month, metric, value FROM (
-  SELECT month, 'revenue' AS metric, revenue::DECIMAL(18,2) AS value FROM wide
+  SELECT month, 'revenue' AS metric, revenue::DOUBLE AS value FROM wide
   UNION ALL
-  SELECT month, 'n_orders', n_orders::DECIMAL(18,2) FROM wide
+  SELECT month, 'n_orders', n_orders::DOUBLE FROM wide
   UNION ALL
-  SELECT month, 'n_customers', n_customers::DECIMAL(18,2) FROM wide)
+  SELECT month, 'n_customers', n_customers::DOUBLE FROM wide)
 ORDER BY month, metric""")
 }

@@ -34,8 +34,12 @@ object ValuePositions {
       Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.orders(spark, dir)
       .filter($"o_totalprice" > PriceFloor)
+      // Output boundary convention: EMIT double, not decimal — 2-decimal
+      // money is exactly representable in float64, so ordering and values
+      // are unchanged while the output schema stays BIGINT/DOUBLE-only
+      // (see VerifySchemaSpec).
       .select(year($"o_orderdate").as("o_year"), $"o_orderkey",
-        $"o_totalprice".cast("decimal(12,2)").as("price"))
+        $"o_totalprice".cast("decimal(12,2)").cast("double").as("price"))
       .select($"o_year", $"o_orderkey", $"price",
         first($"o_orderkey").over(full).as("leader_key"),
         nth_value($"o_orderkey", 2).over(full).as("runner_up_key"),
@@ -50,7 +54,7 @@ object ValuePositions {
   val oracle: Map[String, String] = Map(
     "win_value_positions" -> s"""WITH slice AS (
   SELECT year(o_orderdate)::INT AS o_year, o_orderkey,
-         o_totalprice::DECIMAL(12,2) AS price
+         o_totalprice::DECIMAL(12,2)::DOUBLE AS price
   FROM orders WHERE o_totalprice > $PriceFloor)
 SELECT o_year, o_orderkey, price,
        first_value(o_orderkey) OVER (PARTITION BY o_year

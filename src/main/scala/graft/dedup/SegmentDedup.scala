@@ -67,12 +67,17 @@ object SegmentDedup {
         $"toks")
       .select($"doc_id", $"s",
         md5(array_join(slice($"toks", $"s" + 1, lit(SegTokens)), " ")).as("fp"))
-    // global keep-first: one shuffle keyed on the segment fingerprint
+    // global keep-first: one shuffle keyed on the segment fingerprint.
+    // The canonical occurrence is min over the (doc_id, s) PAIR — a
+    // lexicographic struct min, never a packed doc_id*K+s integer: packing
+    // would let a position >= K bleed into the doc_id field and crown the
+    // wrong occurrence (both engines compare structs field-by-field, so
+    // parity holds for documents of ANY length).
     val canon = segs.groupBy($"fp")
-      .agg(min($"doc_id" * 100000L + $"s").as("first_key"))
+      .agg(min(struct($"doc_id", $"s")).as("first_key"))
     segs.join(canon, "fp")
       .withColumn("kept",
-        when($"doc_id" * 100000L + $"s" === $"first_key", 1L).otherwise(0L))
+        when(struct($"doc_id", $"s") === $"first_key", 1L).otherwise(0L))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
@@ -144,12 +149,12 @@ toks AS (
 segs AS (
   SELECT doc_id, s, md5(array_to_string(t[s+1 : s+$SegTokens], ' ')) AS fp
   FROM toks, LATERAL (SELECT unnest(range(0, len(t), $SegTokens)) AS s)),
-canon AS (SELECT fp, min(doc_id * 100000 + s) AS first_key FROM segs GROUP BY fp)
+canon AS (SELECT fp, min({'doc_id': doc_id, 's': s}) AS first_key FROM segs GROUP BY fp)
 SELECT s.doc_id,
        count(*)::BIGINT AS n_segments,
-       sum(CASE WHEN s.doc_id * 100000 + s.s = c.first_key THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-       (count(*) - sum(CASE WHEN s.doc_id * 100000 + s.s = c.first_key THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
-       round((count(*) - sum(CASE WHEN s.doc_id * 100000 + s.s = c.first_key THEN 1 ELSE 0 END)) * 100.0 / count(*), 2) AS pct_dropped
+       sum(CASE WHEN {'doc_id': s.doc_id, 's': s.s} = c.first_key THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN {'doc_id': s.doc_id, 's': s.s} = c.first_key THEN 1 ELSE 0 END))::BIGINT AS n_dropped,
+       round((count(*) - sum(CASE WHEN {'doc_id': s.doc_id, 's': s.s} = c.first_key THEN 1 ELSE 0 END)) * 100.0 / count(*), 2) AS pct_dropped
 FROM segs s JOIN canon c USING (fp)
 GROUP BY s.doc_id
 ORDER BY s.doc_id""",

@@ -9,18 +9,26 @@ import org.apache.spark.sql.functions._
   * (discrete Laplace) mechanism — the integer-valued DP primitive
   * (Ghosh–Roughgarden–Sundararajan 2009) that pairs with the
   * [[Privacy]] audits: k/l/t tell you whether a record-level release is
-  * safe; this operator releases the AGGREGATE safely regardless.
+  * safe; this operator implements the aggregate-release mechanism.
   *
-  * Engine-parity design: DP noise is usually sampled from a PRNG, which
-  * would make the output unverifiable. Here the noise is the deterministic
-  * inverse-CDF image of an md5-derived uniform (the [[Md5Hash.h32]]
-  * seeded-randomness convention): u = h32("dp:" ++ key) ∈ [0, 2³²), mapped
-  * through a Scala-precomputed threshold table (CDF of the two-sided
-  * geometric with α = e^(−ε), support truncated where the tail mass drops
-  * below 2⁻³²; the truncation's probability loss is itself < 2⁻³¹ —
-  * documented, not silent). Both engines join u against the SAME literal
-  * interval table, so the released counts hash-compare. Swapping the md5
-  * uniform for a real PRNG is a one-line change that touches no plan.
+  * PARITY HARNESS, NOT A PRIVATE RELEASE: DP noise must be sampled from a
+  * PRNG, which would make the output unverifiable — so THIS instantiation
+  * derives the "noise" deterministically from the PUBLIC group key
+  * (u = h32("dp:" ++ key) via [[Md5Hash.h32]]), which means anyone who
+  * knows the mechanism can recompute and subtract it: the ε here is
+  * NOMINAL (column `nominal_epsilon`) and the deterministic variant
+  * provides zero actual differential privacy. Its role is to pin the
+  * mechanism's plumbing (inverse-CDF mapping, truncation accounting,
+  * non-negativity clamp) against the oracle. A production release swaps
+  * `u` for a real per-release PRNG draw — a one-line change that touches
+  * no plan shape — and only then does the ε guarantee hold.
+  *
+  * Mechanism: u ∈ [0, 2³²) maps through a Scala-precomputed threshold
+  * table (CDF of the two-sided geometric with α = e^(−ε), support
+  * truncated where the tail mass drops below 2⁻³²; the truncation's
+  * probability loss is itself < 2⁻³¹ — documented, not silent). Both
+  * engines join u against the SAME literal interval table, so the
+  * released counts hash-compare.
   *
   * Scale: the true aggregate is a map-side-combined count per group; the
   * noise join is against a ~50-row broadcast literal. Release cost is the
@@ -73,7 +81,7 @@ object DpRelease {
       .join(broadcast(intervals), $"u" >= $"lo" && $"u" <= $"hi")
       .select($"group_key", $"true_count", $"noise",
         greatest($"true_count" + $"noise", lit(0L)).as("released_count"),
-        lit(Epsilon).as("epsilon"))
+        lit(Epsilon).as("nominal_epsilon"))
       .orderBy($"group_key")
   }
 
@@ -92,7 +100,7 @@ agg AS (
   FROM orders GROUP BY o_orderpriority)
 SELECT group_key, true_count, noise::INT AS noise,
        greatest(true_count + noise, 0)::BIGINT AS released_count,
-       ${Epsilon}::DOUBLE AS epsilon
+       ${Epsilon}::DOUBLE AS nominal_epsilon
 FROM agg JOIN intervals ON u >= lo AND u <= hi
 ORDER BY group_key""")
 }

@@ -60,23 +60,25 @@ object Matryoshka {
           .otherwise(0L)).as(s"overlap_$d"))
       }: _*)
     // ONE wide aggregate row carries every prefix's counters; the 3-row
-    // reshape happens on that bounded row (a |PrefixDims|-sized constant),
-    // so the probe×corpus pair set is scanned exactly once
+    // reshape is an in-plan `stack` over that bounded row (a
+    // |PrefixDims|-sized constant), so the probe×corpus pair set is scanned
+    // exactly once AND the whole query stays lazy — no driver round-trip,
+    // so merely building/EXPLAINing this entry costs nothing (every other
+    // registry entry has that property; this one must too).
     val wide = perQuery.agg(
       count(lit(1)).as("n_probes"),
       PrefixDims.flatMap { d => Seq(
         sum(when(col(s"top1_$d") === $"top1_full", 1L).otherwise(0L))
           .as(s"m_$d"),
         sum(col(s"overlap_$d")).as(s"o_$d"))
-      }: _*).first()
-    val n = wide.getAs[Long]("n_probes")
-    val rows = PrefixDims.map { d =>
-      val m = wide.getAs[Long](s"m_$d")
-      val o = wide.getAs[Long](s"o_$d")
-      (d, n, m, m * 1.0 / n, o * 1.0 / (n * k))
-    }
-    rows.toDF("prefix_dim", "n_probes", "top1_matches",
-      "top1_agreement", s"recall_at_$k")
+      }: _*)
+    val stackExpr = s"stack(${PrefixDims.size}, " + PrefixDims.map(d =>
+      s"$d, m_$d, o_$d").mkString(", ") + ") AS (prefix_dim, top1_matches, overlap)"
+    wide.select($"n_probes", expr(stackExpr))
+      .select($"prefix_dim".cast("int").as("prefix_dim"),
+        $"n_probes", $"top1_matches",
+        ($"top1_matches" * 1.0 / $"n_probes").as("top1_agreement"),
+        ($"overlap" * 1.0 / ($"n_probes" * k)).as(s"recall_at_$k"))
       .orderBy($"prefix_dim")
   }
 

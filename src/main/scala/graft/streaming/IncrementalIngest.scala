@@ -44,15 +44,20 @@ object IncrementalIngest {
     */
   val StreamShufflePartitions = 8
 
-  /** Run `body` (which starts + awaits a streaming query) under
-    * [[StreamShufflePartitions]], restoring the session's batch setting
-    * after — entry runs share the session with 200+ batch queries whose
-    * parallelism must not be disturbed.
+  /** Run `body` (which starts + awaits a streaming query) in a CLONED
+    * session (`spark.newSession()` — same SparkContext, shared state,
+    * independent conf) with [[StreamShufflePartitions]] set there. The
+    * entry runs share the application with 200+ batch queries whose
+    * parallelism must not be disturbed: a set/restore on the SHARED
+    * session would leak 8 partitions into any batch query planned
+    * concurrently, and two interleaved entries could restore in the wrong
+    * order and pin the session at 8 permanently. The clone makes the
+    * override invisible outside the stream by construction.
     */
-  private[streaming] def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  private[streaming] def withStreamPartitions[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    body(ss)
   }
 
   /** Stage: watch `srcDir` for event files, dedup on event_id within the
@@ -229,8 +234,8 @@ object IncrementalIngest {
           .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .write.mode("overwrite").parquet(s"$base/src")
-        withStreamPartitions(spark) {
-          streamAttribution(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+        withStreamPartitions(spark) { ss =>
+          streamAttribution(ss, s"$base/src", s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
@@ -266,8 +271,8 @@ object IncrementalIngest {
           .filter(col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .write.mode("overwrite").parquet(s"$base/src")
-        withStreamPartitions(spark) {
-          windowedCounts(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+        withStreamPartitions(spark) { ss =>
+          windowedCounts(ss, s"$base/src", s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
@@ -308,8 +313,8 @@ object IncrementalIngest {
             expr("ingest_ts + INTERVAL 10 MINUTES"))
         docs.unionByName(recrawl)
           .write.mode("overwrite").parquet(s"$base/src")
-        withStreamPartitions(spark) {
-          dedupDocs(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+        withStreamPartitions(spark) { ss =>
+          dedupDocs(ss, s"$base/src", s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
@@ -350,8 +355,8 @@ object IncrementalIngest {
           .write.mode("overwrite").parquet(s"$base/src")
         import spark.implicits._
         val dim = EnrichWeights.toDF("event_type", "weight")
-        withStreamPartitions(spark) {
-          enrich(spark, s"$base/src", dim, s"$base/out", s"$base/ckpt")
+        withStreamPartitions(spark) { ss =>
+          enrich(ss, s"$base/src", dim, s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")

@@ -189,8 +189,8 @@ ORDER BY user_id, session_start_t""")
             ($"value".cast("decimal(12,2)") * 100).cast("double").as("value"),
             $"props")
           .write.mode("overwrite").parquet(s"$base/src")
-        IncrementalIngest.withStreamPartitions(spark) {
-          streamSessions(spark, s"$base/src", s"$base/out", s"$base/ckpt")
+        IncrementalIngest.withStreamPartitions(spark) { ss =>
+          streamSessions(ss, s"$base/src", s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
