@@ -49,8 +49,12 @@ object Bench {
     // costs (first job scheduling, codegen compiler init, parquet
     // decompression paths) — at sf0.1 this mis-attributed ~8 s to
     // agg_approx_stats while its warm cost is ~1 s
+    // (customer/part/supplier joined the list when driver rounds showed
+    // wh_data_vault — a pure 4-scan aggregate — spiking 3-6× under
+    // contention: its first-read decompression was the only cold path left)
     for (t <- Seq(Tables.events _, Tables.documents _, Tables.orders _,
-        Tables.lineitem _))
+        Tables.lineitem _, Tables.customer _, Tables.part _,
+        Tables.supplier _))
       t(spark, sfDir).write.format("noop").mode("overwrite").save()
     // ... and the heavyweight aggregate codegen paths (multi-distinct
     // Expand, exact percentile, HLL sketch) on a 1k-row range, so the

@@ -42,7 +42,11 @@ object SparkEntry {
       similarity.Matryoshka.all ++ privacy.DpRelease.all ++
       analytics.ValuePositions.all ++ ingest.FkOrphans.all ++
       analytics.MarketBasket.all ++ warehouse.JunkDim.all ++
-      similarity.CentroidDrift.all ++ analytics.BitmapRollup.all
+      similarity.CentroidDrift.all ++ analytics.BitmapRollup.all ++
+      similarity.HubnessAnn.all ++ warehouse.FileManifest.all ++
+      warehouse.BloomManifest.all ++ text.PitFeatures.all ++
+      text.LengthBuckets.all ++ dedup.CdcChunks.all ++ text.LmCoverage.all
+      // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
   def oracleSql: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
@@ -69,5 +73,9 @@ object SparkEntry {
       similarity.Matryoshka.oracle ++ privacy.DpRelease.oracle ++
       analytics.ValuePositions.oracle ++ ingest.FkOrphans.oracle ++
       analytics.MarketBasket.oracle ++ warehouse.JunkDim.oracle ++
-      similarity.CentroidDrift.oracle ++ analytics.BitmapRollup.oracle
+      similarity.CentroidDrift.oracle ++ analytics.BitmapRollup.oracle ++
+      similarity.HubnessAnn.oracle ++ warehouse.FileManifest.oracle ++
+      warehouse.BloomManifest.oracle ++ text.PitFeatures.oracle ++
+      text.LengthBuckets.oracle ++ dedup.CdcChunks.oracle ++
+      text.LmCoverage.oracle
 }

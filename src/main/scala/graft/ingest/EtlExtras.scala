@@ -151,6 +151,20 @@ object EtlExtras {
     * classic exact DuckDB) re-scores each candidate, so emitted distances
     * hash-compare bit-for-bit; the oracle is the unindexed within-nation
     * join, which doubles as the recall proof.
+    *
+    * Fan-out bound (the df-cap question, audited): a (nation, i, wkey)
+    * group is the set of names identical everywhere EXCEPT position i, so
+    * with distinct names its size is capped by the alphabet at that
+    * position (≤ 10 for the digit positions here, ≤ |Σ| generally) —
+    * constant, never corpus-linear. Under exact-name DUPLICATION a group
+    * grows with the duplicate count d, but every within-group pair is then
+    * a TRUE dist-0 match the operator must emit, so candidate volume is
+    * Θ(output) — a df-cap would drop required matches, unlike the
+    * curate_ngram_overlap case where capped grams are redundant evidence.
+    * The production guard for duplicate-heavy feeds is upstream: collapse
+    * exact identities first (`etl_staging_dedup`), then link the distinct
+    * names. Shuffle volume is |rows|·L wildcard keys — linear in corpus
+    * size with a fixed-width id scheme.
     */
   def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

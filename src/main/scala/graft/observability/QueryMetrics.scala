@@ -21,6 +21,14 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * asynchrony). AQE wraps finished stages in [[QueryStageExec]] whose
   * subplans `collect` won't descend into — the walk below follows them
   * explicitly, same as the PlanSpec gates.
+  *
+  * Deliberately SPEC-ONLY (no `queries`/oracle entry): the output is a
+  * ledger of Spark PHYSICAL-PLAN metrics — operator names, shuffle bytes,
+  * spill counters — values that exist only in this engine's runtime.
+  * DuckDB has no corresponding quantity to compute, so an oracle row would
+  * either pin Spark internals as magic literals (brittle, meaningless) or
+  * compare nothing. The executable contract lives in ScaleVariantsSpec
+  * (shuffle/spill bounds) instead.
   */
 object QueryMetrics {
 

@@ -85,8 +85,49 @@ object DpRelease {
       .orderBy($"group_key")
   }
 
+  /** Per-record contribution clamp for [[dpSums]] (whole currency units).
+    * Clamping is not optional bookkeeping: an UNBOUNDED contribution makes
+    * a sum's sensitivity infinite and no finite noise provides any ε — the
+    * clamp is what the privacy accounting is ABOUT, so the ledger reports
+    * how many records it bit (`n_clamped` = the clamp's utility cost).
+    */
+  val ClampBound = 200000L
+
+  /** ε-DP SUM release — the second core primitive beside [[dpCounts]]
+    * (same PARITY-HARNESS caveat: deterministic key-derived "noise", ε
+    * nominal). Mechanism: each record's contribution is clamped to
+    * [0, [[ClampBound]]], the clamped sum is rounded to the C-lattice, and
+    * C-scaled two-sided-geometric noise is added — neighboring datasets
+    * move the lattice point by at most one step, the textbook discrete-
+    * Laplace-on-a-lattice argument. All integer arithmetic end to end.
+    */
+  def dpSums(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val intervals = NoiseIntervals.toDF("lo", "hi", "noise")
+    val c = ClampBound
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("group_key"),
+        least(floor($"o_totalprice").cast("long"), lit(c)).as("contrib"),
+        (floor($"o_totalprice").cast("long") > c).cast("long").as("clamped"))
+      .groupBy($"group_key")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"clamped").as("n_clamped"),
+        sum($"contrib").as("true_sum"))
+      // round-half-up to the C lattice: (s + C/2) div C — exact on longs
+      // (`div`, never `/`: Spark's `/` on longs is DOUBLE division)
+      .withColumn("lattice_sum", expr(s"(true_sum + ${c / 2}) div $c * $c"))
+      .withColumn("u", Md5Hash.h32(concat(lit("dpsum:"), $"group_key")))
+      .join(broadcast(intervals), $"u" >= $"lo" && $"u" <= $"hi")
+      .select($"group_key", $"n_rows", $"n_clamped", $"true_sum",
+        $"noise".cast("long").as("noise_steps"),
+        greatest($"lattice_sum" + $"noise" * c, lit(0L)).as("released_sum"),
+        lit(Epsilon).as("nominal_epsilon"))
+      .orderBy($"group_key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "priv_dp_counts" -> (dpCounts _))
+    "priv_dp_counts" -> (dpCounts _),
+    "priv_dp_sums" -> (dpSums _))
 
   private def intervalValuesSql: String =
     NoiseIntervals.map { case (lo, hi, k) => s"($lo,$hi,$k)" }.mkString(",")
@@ -100,6 +141,25 @@ agg AS (
   FROM orders GROUP BY o_orderpriority)
 SELECT group_key, true_count, noise::INT AS noise,
        greatest(true_count + noise, 0)::BIGINT AS released_count,
+       ${Epsilon}::DOUBLE AS nominal_epsilon
+FROM agg JOIN intervals ON u >= lo AND u <= hi
+ORDER BY group_key""",
+
+    "priv_dp_sums" -> s"""WITH intervals(lo, hi, noise) AS
+  (VALUES $intervalValuesSql),
+agg AS (
+  SELECT o_orderpriority AS group_key,
+         count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN floor(o_totalprice)::BIGINT > $ClampBound
+                  THEN 1 ELSE 0 END)::BIGINT AS n_clamped,
+         sum(least(floor(o_totalprice)::BIGINT, $ClampBound))::BIGINT
+           AS true_sum,
+         ${Md5Hash.h32Sql("'dpsum:' || o_orderpriority")} AS u
+  FROM orders GROUP BY o_orderpriority)
+SELECT group_key, n_rows, n_clamped, true_sum,
+       noise::BIGINT AS noise_steps,
+       greatest((true_sum + ${ClampBound / 2}) // $ClampBound * $ClampBound
+                + noise * $ClampBound, 0)::BIGINT AS released_sum,
        ${Epsilon}::DOUBLE AS nominal_epsilon
 FROM agg JOIN intervals ON u >= lo AND u <= hi
 ORDER BY group_key""")

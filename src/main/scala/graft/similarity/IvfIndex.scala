@@ -200,6 +200,51 @@ object IvfIndex {
       .orderBy($"cell")
   }
 
+  /** IVF maintenance plan — what an index OPERATOR does with
+    * [[cellStats]]' health numbers: per cell (INCLUDING empty ones, which
+    * the occupancy join alone never shows and which are exactly the merge
+    * candidates), the occupancy share and the planned action under the
+    * standard 2×/half thresholds — `split` above twice the mean cell,
+    * `merge` below half, `ok` between. Split/merge decisions are integer
+    * comparisons (`n·K` vs `2·total`) so the plan hash-compares; at a
+    * billion vectors this table IS the re-train work order: split cells
+    * re-run local Lloyd on one partition each, merge cells redirect their
+    * postings — nothing else is touched.
+    */
+  def rebalancePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, _) = build(spark, dir)
+    val per = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    val allCells = spark.range(K).select($"id".cast("int").as("cell"))
+    val occ = allCells.join(per, Seq("cell"), "left")
+      .select($"cell", coalesce($"n_vecs", lit(0L)).as("n_vecs"))
+    val tot = occ.agg(sum($"n_vecs").as("total"))
+    occ.crossJoin(broadcast(tot))
+      .select($"cell", $"n_vecs",
+        graft.functions.GraftFunctions.round2(
+          $"n_vecs" * lit(100.0) / $"total").as("pct"),
+        when($"n_vecs" * K > $"total" * 2, "split")
+          .when($"n_vecs" * K * 2 < $"total", "merge")
+          .otherwise("ok").as("action"))
+      .orderBy($"cell")
+  }
+
+  /** DuckDB twin of [[rebalancePlan]]. */
+  def rebalanceOracleSql: String = s"""WITH $searchCtes,
+per AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM af GROUP BY cell),
+cells AS (SELECT unnest(range(0, $K))::INT AS cell),
+occ AS (
+  SELECT c.cell, coalesce(p.n_vecs, 0)::BIGINT AS n_vecs
+  FROM cells c LEFT JOIN per p ON c.cell = p.cell),
+tot AS (SELECT sum(n_vecs)::BIGINT AS total FROM occ)
+SELECT cell, n_vecs,
+       FLOOR(n_vecs * 100.0 / total * 100 + 0.5) / 100.0 AS pct,
+       CASE WHEN n_vecs * $K > total * 2 THEN 'split'
+            WHEN n_vecs * $K * 2 < total THEN 'merge'
+            ELSE 'ok' END AS action
+FROM occ, tot
+ORDER BY cell"""
+
   /** The index+routing CTE chain (md5 seeding `c0`, every Lloyd round
     * unrolled, final assignment `af`, probe set `probes`, nprobe routing
     * `pc`) — shared between [[oracleSql]] and the IVF-PQ twin

@@ -71,7 +71,7 @@ object RandomHyperplaneLsh {
   }
 
   /** Signatures at Hamming distance ≤ 1 from `sig` (multi-probe set). */
-  private def probeSignatures(sig: Column): Column =
+  private[similarity] def probeSignatures(sig: Column): Column =
     array((sig +: (0 until Planes).map(p =>
       sig.bitwiseXOR(lit(1 << p)))): _*)
 
@@ -158,7 +158,7 @@ object RandomHyperplaneLsh {
        |      * ([${planeInts(OracleMaxDim)(p).mkString(", ")}][i] / 2147483648.0 - 1.0)))""".stripMargin
 
   /** DuckDB signature twin of [[signature]] over column `embedding`. */
-  private lazy val sigSql: String = (0 until Planes).map { p =>
+  private[similarity] lazy val sigSql: String = (0 until Planes).map { p =>
     s"CASE WHEN ${dotSql("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END"
   }.mkString("\n         + ")
 

@@ -82,6 +82,26 @@ object Similarity {
   /** Hub neighbors counted per vector in [[hubness]]. */
   val HubK = 5
 
+  /** Ceiling on the corpus size the exact O(n²) diagnostics
+    * ([[hubness]], [[cosinePairs]]) will scan — the documented envelope
+    * made LOUD: at 10⁵ vectors the pair scan is 10¹⁰ kernel evaluations
+    * (hours); beyond it the caller wanted [[HubnessAnn]] /
+    * [[RandomHyperplaneLsh.embeddingNearDups]] and should be told so
+    * rather than watch a job burn. sf0.1's corpus is ~10⁴, so the bench
+    * envelope clears the cap with two orders of margin.
+    */
+  val MaxExactScanVectors = 100000L
+
+  /** Fail-loud gate for the exact baselines (VerifySchemaSpec-style guard;
+    * parquet row counts come from footer metadata, so the check is ~free).
+    */
+  private[graft] def requireExactEnvelope(n: Long, op: String,
+      alternative: String): Unit =
+    require(n <= MaxExactScanVectors,
+      s"$op is the exact O(n^2) baseline, capped at $MaxExactScanVectors " +
+        s"vectors; this corpus has $n — run the bucketed variant " +
+        s"($alternative) at this scale")
+
   /** Hubness diagnostic (Radovanović et al., public literature) — the
     * high-dimensional pathology screen an embedding corpus gets before an
     * ANN index is trusted: count how often each vector appears in OTHER
@@ -98,6 +118,7 @@ object Similarity {
     import spark.implicits._
     register(spark)
     val e = Tables.embeddings(spark, dir)
+    requireExactEnvelope(e.count(), "sim_hubness", "sim_hubness_ann")
     val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
     val n = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
     val w = org.apache.spark.sql.expressions.Window
@@ -122,6 +143,7 @@ object Similarity {
     import spark.implicits._
     register(spark)
     val e = Tables.embeddings(spark, dir)
+    requireExactEnvelope(e.count(), "sim_cosine_pairs", "dedup_embedding_ann")
     val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     a.crossJoin(b)
@@ -459,6 +481,8 @@ object Similarity {
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => IvfIndex.topK(s, d)),
     "sim_ivf_cell_stats" -> ((s: SparkSession, d: String) =>
       IvfIndex.cellStats(s, d)),
+    "sim_ivf_rebalance" -> ((s: SparkSession, d: String) =>
+      IvfIndex.rebalancePlan(s, d)),
     "sim_ivf_pq_topk" -> ((s: SparkSession, d: String) => IvfPq.topK(s, d)),
     "sim_quantize_int8" -> ((s: SparkSession, d: String) => quantizeInt8(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) =>
@@ -682,6 +706,7 @@ ORDER BY query_id, kind, rk""",
     "sim_ann_lsh_topk" -> RandomHyperplaneLsh.oracleSql,
     "sim_ivf_topk" -> IvfIndex.oracleSql,
     "sim_ivf_cell_stats" -> IvfIndex.cellStatsOracleSql,
+    "sim_ivf_rebalance" -> IvfIndex.rebalanceOracleSql,
     "sim_ivf_pq_topk" -> IvfPq.oracleSql,
     "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql,
 

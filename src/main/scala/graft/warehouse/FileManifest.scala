@@ -110,4 +110,102 @@ object FileManifest {
         !($"max_value" < lo || $"min_value" > hi))
       .select($"file").as[String].collect().toSeq.sorted
   }
+
+  /** Pruning-demo probe range (inclusive) on `o_date_int`: calendar 1994.
+    * One pair of values, both engines.
+    */
+  val ProbeLo = 19940101L
+  val ProbeHi = 19941231L
+
+  /** Columns manifested in [[manifestEntry]]. */
+  val ManifestCols: Seq[String] = Seq("o_date_int", "o_orderkey")
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Oracle-checked end-to-end manifest demo (`wh_file_manifest`): land
+    * `orders` as one flat parquet file PER CALENDAR YEAR under
+    * deterministic names (`y1994.parquet` …), [[build]] the manifest from
+    * footers alone, and mark which files a calendar-1994 probe
+    * ([[ProbeLo]]..[[ProbeHi]] on the derived `o_date_int`) must open via
+    * [[filesForRange]]. Because the layout key IS the year, the DuckDB twin
+    * replays every emitted number from the data itself — per-year min/max/
+    * count per column and the envelope-intersection rule — so the footer
+    * reader, the envelope fold, AND the skipping predicate are all
+    * hash-verified. Expected shape: exactly one selected file per manifested
+    * corpus year containing 1994 (date envelopes partition by year;
+    * `o_orderkey` envelopes overlap across files — the classic
+    * clustered-vs-unclustered contrast in one table).
+    *
+    * Scale shape: the per-year landing is the demo's fixture (bounded
+    * driver loop over ~7 calendar years, memoized write-once); production
+    * manifests run [[build]] directly over whatever layout exists — the
+    * footer scan is the distributed part and the only part that grows.
+    */
+  def manifestEntry(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      import spark.implicits._
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-manifest/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      val o = graft.Tables.orders(spark, dir)
+        .withColumn("o_date_int",
+          (year($"o_orderdate") * 10000 + month($"o_orderdate") * 100 +
+            dayofmonth($"o_orderdate")).cast("long"))
+      // bounded: one entry per calendar year in the corpus (~7 for TPC-H)
+      val years = o.select(year($"o_orderdate").as("y")).distinct()
+        .as[Int].collect().sorted
+      val fs = new Path(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val flat = new Path(s"$base/flat")
+      fs.mkdirs(flat)
+      years.foreach { y =>
+        val tmp = s"$base/tmp_y$y"
+        o.filter(year($"o_orderdate") === y)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp))
+          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file landed for year $y"))
+        // deterministic flat name — the property that lets the oracle name
+        // the same files from the data alone
+        fs.rename(part.getPath, new Path(flat, s"y$y.parquet"))
+        fs.delete(new Path(tmp), true)
+      }
+      val m = build(spark, s"$base/flat", ManifestCols)
+      val selected = filesForRange(m, "o_date_int", ProbeLo, ProbeHi)
+      m.withColumnRenamed("column", "col_name")
+        .withColumn("selected", $"file".isin(selected: _*))
+        .orderBy($"file", $"col_name")
+    })
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_file_manifest" -> (manifestEntry _))
+
+  val oracle: Map[String, String] = Map(
+    "wh_file_manifest" -> s"""WITH o AS (
+  SELECT (year(o_orderdate) * 10000 + month(o_orderdate) * 100
+          + day(o_orderdate))::BIGINT AS o_date_int,
+         o_orderkey, year(o_orderdate)::INT AS y
+  FROM orders),
+env AS (
+  SELECT 'y' || y::VARCHAR || '.parquet' AS file,
+         'o_date_int' AS col_name,
+         min(o_date_int)::BIGINT AS min_value,
+         max(o_date_int)::BIGINT AS max_value,
+         count(*)::BIGINT AS n_rows
+  FROM o GROUP BY y
+  UNION ALL
+  SELECT 'y' || y::VARCHAR || '.parquet',
+         'o_orderkey',
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT,
+         count(*)::BIGINT
+  FROM o GROUP BY y),
+sel AS (
+  SELECT file FROM env
+  WHERE col_name = 'o_date_int'
+    AND NOT (max_value < $ProbeLo OR min_value > $ProbeHi))
+SELECT e.file, e.col_name, e.min_value, e.max_value, e.n_rows,
+       (e.file IN (SELECT file FROM sel)) AS selected
+FROM env e
+ORDER BY e.file, e.col_name""")
 }

@@ -58,6 +58,44 @@ object PartitionedFact {
         sum(when(col("has_report"), 1L).otherwise(0L)).as("n_with_report"))
       .orderBy(col("month_key"))
 
+  /** Dim slice selecting the dynamically-pruned months (year, quarter) —
+    * one pair of values, both engines. Distinct from [[MonthLo]]/[[MonthHi]]
+    * so the static and dynamic pruning entries exercise different months.
+    */
+  val DppYear = 1997
+  val DppQuarter = 2
+
+  /** DYNAMIC partition pruning over the month layout — the runtime sibling
+    * of [[monthPrunedScan]]'s static pruning, and the plan shape that makes
+    * star joins against a partitioned fact affordable at 100 TB: the filter
+    * here is on DIM ATTRIBUTES (`year`, `quarter`), not on the partition
+    * column, so no static rule can prune the fact scan. Catalyst's dynamic
+    * partition pruning instead evaluates the broadcast dim side first and
+    * injects its distinct `month_key` set into the fact scan's
+    * PartitionFilters at runtime — the fact reads 3 month directories out
+    * of ~80 without the query ever naming a month. PlanSpec asserts the
+    * executed fact scan carries a `dynamicpruning` partition filter, the
+    * same gate the IVF cell probes pass.
+    *
+    * One broadcast (month-grain dim, ≤ ~100 rows), one pruned fact scan,
+    * one keyed aggregate — no shuffle beyond the aggregate's.
+    */
+  def dppQuarterScan(spark: SparkSession, dir: String): DataFrame = {
+    val months = Warehouse.forDir(spark, dir).dimTime
+      .select((col("date_key") / 100).cast("int").as("month_key"),
+        col("year"), col("quarter"))
+      .distinct()
+      .filter(col("year") === DppYear && col("quarter") === DppQuarter)
+    factByMonth(spark, dir)
+      .join(broadcast(months), "month_key")
+      .groupBy(col("month_key"))
+      .agg(
+        count(lit(1)).as("n_encounters"),
+        countDistinct(col("patient_key")).as("n_patients"),
+        sum(col("num_procedures")).as("total_procedures"))
+      .orderBy(col("month_key"))
+  }
+
   /** Per-partition reconciliation fingerprints over the month layout: row
     * count, an order-independent key checksum (sum of md5-h32 over the
     * natural key, accumulated in exact DECIMAL then reduced mod 2^31−1 so
@@ -126,6 +164,13 @@ object PartitionedFact {
     * (partition, target-file)), and this entry emits its audit ledger.
     * SourcesSpec pins the file-count bound on the actual output directory;
     * the DuckDB row checks the ledger arithmetic itself.
+    *
+    * Bench note: the compaction REWRITE deliberately stays inside the timed
+    * entry — the write IS the operator — so this entry's first run carries
+    * a full read+rewrite of the month layout and is expected to dominate
+    * contended-round timings (driver rounds have shown 3-6× swings on this
+    * box; a quiet re-run is the comparable number). Subsequent calls are
+    * memoized.
     */
   def compactionLedger(spark: SparkSession, dir: String): DataFrame =
     compactMemo.computeIfAbsent(
@@ -143,6 +188,7 @@ object PartitionedFact {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_month_pruned_scan" -> (monthPrunedScan _),
+    "wh_dpp_quarter_scan" -> (dppQuarterScan _),
     "wh_partition_checksums" -> (partitionChecksums _),
     "wh_compaction_ledger" -> (compactionLedger _),
     "wh_skew_report" -> (skewReport _))
@@ -156,6 +202,18 @@ SELECT (date_key // 100)::INT AS month_key,
        sum(CASE WHEN has_report THEN 1 ELSE 0 END)::BIGINT AS n_with_report
 FROM fact_encounters
 WHERE date_key // 100 BETWEEN $MonthLo AND $MonthHi
+GROUP BY 1
+ORDER BY 1""",
+
+    "wh_dpp_quarter_scan" -> s"""${graft.analytics.OracleSql.prelude}
+SELECT (date_key // 100)::INT AS month_key,
+       count(*)::BIGINT AS n_encounters,
+       count(DISTINCT patient_key)::BIGINT AS n_patients,
+       sum(num_procedures)::BIGINT AS total_procedures
+FROM fact_encounters
+WHERE date_key // 100 IN (
+  SELECT DISTINCT date_key // 100 FROM dim_time
+  WHERE year = $DppYear AND quarter = $DppQuarter)
 GROUP BY 1
 ORDER BY 1""",
 

@@ -89,6 +89,36 @@ object Scd2 {
       .orderBy($"patient_id", $"version")
   }
 
+  /** SCD type 3 — the PRIOR-VALUE-COLUMN variant completing the slowly-
+    * changing-dimension family (SCD1 overwrite: `etl_merge_scd1`; SCD2 row
+    * versioning: [[scd2Patient]]): one row per key, the tracked attribute
+    * carried as (current, prior) column pair. The trade SCD3 encodes is
+    * bounded history (exactly one prior value) for an unversioned join key
+    * — fact queries need no as-of logic at all, which is why wide dims
+    * with rarely-changing attributes ship this shape at scale. Same
+    * deterministic [[changeBatch]] as SCD2, so the three strategies are
+    * directly comparable on one feed; `'N/A'` is the no-history sentinel
+    * (a nullable output column would be a dtype hazard cross-engine).
+    * One full-outer hash join on the key — dimension-sized, broadcastable.
+    */
+  def scd3Patient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Warehouse.forDir(spark, dir).dimPatient
+      .select($"patient_id", $"age_group", $"sex", $"location")
+    val chg = changeBatch(dim)
+      .select($"patient_id", $"age_group".as("c_age"), $"sex".as("c_sex"),
+        $"location".as("c_loc"))
+    dim.join(chg, Seq("patient_id"), "full_outer")
+      .select($"patient_id",
+        coalesce($"age_group", $"c_age").as("age_group"),
+        coalesce($"sex", $"c_sex").as("sex"),
+        coalesce($"c_loc", $"location").as("location"),
+        when($"c_loc".isNotNull && $"location".isNotNull, $"location")
+          .otherwise(lit("N/A")).as("prior_location"),
+        ($"c_loc".isNotNull && $"location".isNotNull).as("changed"))
+      .orderBy($"patient_id")
+  }
+
   /** Point-in-time (as-of) lookup against the versioned dimension — the
     * query SCD2 exists to serve: each encounter resolves the patient version
     * whose [valid_from, valid_to) interval contains its date. The half-open
@@ -121,7 +151,8 @@ object Scd2 {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_scd2_patient" -> (scd2Patient _),
-    "wh_scd2_asof_lookup" -> (scd2AsofLookup _))
+    "wh_scd2_asof_lookup" -> (scd2AsofLookup _),
+    "wh_scd3_patient" -> (scd3Patient _))
 
   /** The versioned-dimension CTE chain, shared by both oracles (one
     * definition of the merge semantics in SQL, like [[scd2Patient]] is the
@@ -178,5 +209,17 @@ JOIN scd s ON fe.patient_key = s.patient_id
           AND fe.encounter_date >= s.valid_from
           AND fe.encounter_date < s.valid_to
 GROUP BY s.version
-ORDER BY version""")
+ORDER BY version""",
+
+    "wh_scd3_patient" -> s"""${OracleSql.prelude},
+$scdCtes
+SELECT coalesce(d.patient_id, c.patient_id) AS patient_id,
+       coalesce(d.age_group, c.age_group) AS age_group,
+       coalesce(d.sex, c.sex) AS sex,
+       coalesce(c.location, d.location) AS location,
+       CASE WHEN c.location IS NOT NULL AND d.location IS NOT NULL
+            THEN d.location ELSE 'N/A' END AS prior_location,
+       (c.location IS NOT NULL AND d.location IS NOT NULL) AS changed
+FROM dim_patient d FULL OUTER JOIN changes c ON d.patient_id = c.patient_id
+ORDER BY patient_id""")
 }

@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN-sourced hubness candidates come from the bucket equi-join") {
+    // the whole point of sim_hubness_ann is replacing the exact O(n²) scan
+    // with the LSH index's result stream — its ANN branch must plan the
+    // bucket join as an equi-join (the exact-baseline branch inside the
+    // same report keeps its deliberate product; gate that it broadcasts)
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan(similarity.HubnessAnn.hubnessAnn(spark, sf))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "hubness-ann candidate generation must never plan a cartesian shuffle")
+    val nested = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(nested.size <= 1,
+      "only the labeled exact-baseline branch may plan a product")
+  }
+
   test("linkage and decontamination candidates come from equi-join indexes") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // the SymSpell wildcard index and the gram inverted index exist to keep
@@ -266,6 +280,25 @@ class PlanSpec extends SparkSpec {
       _.toString.toLowerCase.contains("bucket")))
     assert(pruned.nonEmpty,
       s"no bucket PartitionFilters; scans: ${scans.map(_.partitionFilters)}")
+  }
+
+  test("dpp quarter scan prunes the fact at runtime from the dim filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = warehouse.PartitionedFact.dppQuarterScan(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    // the fact scan's month_key filter must be DYNAMIC — injected from the
+    // broadcast dim side at runtime, since no literal month appears in the
+    // query text
+    val pruned = scans.filter(s => s.partitionFilters.exists(
+      _.toString.toLowerCase.contains("month_key")))
+    assert(pruned.nonEmpty,
+      s"no month_key PartitionFilters; scans: ${scans.map(_.partitionFilters)}")
+    assert(pruned.exists(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning"))),
+      "month_key filter should be dynamic (runtime) pruning from the dim")
   }
 
   test("month-pruned fact scan carries static month_key PartitionFilters") {

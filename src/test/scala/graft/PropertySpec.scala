@@ -57,7 +57,11 @@ class PropertySpec extends SparkSpec {
       "agg_top_paths", "ts_stl_lite", "wh_junk_dimension",
       "sim_centroid_drift", "ts_snaive_backtest", "priv_release_extract",
       "agg_bitmap_distinct", "curate_leakfree_split",
-      "agg_new_vs_returning", "src_fixed_width", "sim_pq_distortion")
+      "agg_new_vs_returning", "src_fixed_width", "sim_pq_distortion",
+      "sim_hubness_ann", "wh_file_manifest", "wh_bloom_manifest",
+      "wh_dpp_quarter_scan", "curate_pit_features", "curate_length_buckets",
+      "dedup_cdc_chunks", "wh_scd3_patient", "priv_dp_sums",
+      "sim_ivf_rebalance", "text_lm_coverage")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.CosineSimilarity
-import graft.similarity.{RandomHyperplaneLsh, SemDedup, Similarity}
+import graft.similarity.{HubnessAnn, RandomHyperplaneLsh, SemDedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search semantics: the native cosine Expression (interpreted
@@ -192,6 +192,32 @@ class SimilaritySpec extends SparkSpec {
     // always — the pairs an embedding dedup pass must not miss
     val strong = exact.filter(_._2 >= 0.9).keySet
     assert(strong.subsetOf(ann.keySet), s"missed: ${strong -- ann.keySet}")
+  }
+
+  test("exact-scan envelope guard rejects an over-cap corpus, admits the test one") {
+    // the O(n²) diagnostics fail loudly above MaxExactScanVectors rather
+    // than burning hours — the documented envelope, now executable
+    val e = intercept[IllegalArgumentException] {
+      Similarity.requireExactEnvelope(
+        Similarity.MaxExactScanVectors + 1, "sim_hubness", "sim_hubness_ann")
+    }
+    assert(e.getMessage.contains("sim_hubness_ann"))
+    Similarity.requireExactEnvelope(
+      Similarity.MaxExactScanVectors, "sim_hubness", "sim_hubness_ann")
+  }
+
+  test("ann hubness: histograms conserve the corpus; ann hubs can only shrink") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = HubnessAnn.hubnessAnn(spark, sf).collect()
+    // both histograms partition the corpus
+    assert(rows.map(_.getLong(1)).sum == n, "exact histogram must cover all vectors")
+    assert(rows.map(_.getLong(2)).sum == n, "ann histogram must cover all vectors")
+    // candidate truncation can only REMOVE k-occurrences, so total ann
+    // occurrences <= total exact occurrences (= HubK * n when every query
+    // has >= HubK candidates)
+    def occ(col: Int) = rows.map(r => r.getLong(0) * r.getLong(col)).sum
+    assert(occ(2) <= occ(1), "ann stream cannot create k-occurrences")
+    assert(occ(2) > 0, "ann stream found no neighbors at all")
   }
 
   test("label centroids: confusion matrix conserves vectors over the label domain") {
