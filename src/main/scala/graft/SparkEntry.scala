@@ -45,7 +45,9 @@ object SparkEntry {
       similarity.CentroidDrift.all ++ analytics.BitmapRollup.all ++
       similarity.HubnessAnn.all ++ warehouse.FileManifest.all ++
       warehouse.BloomManifest.all ++ text.PitFeatures.all ++
-      text.LengthBuckets.all ++ dedup.CdcChunks.all ++ text.LmCoverage.all
+      text.LengthBuckets.all ++ dedup.CdcChunks.all ++ text.LmCoverage.all ++
+      similarity.RrfFusion.all ++ similarity.JlProjection.all ++
+      text.UniMaxMix.all ++ warehouse.TimeTravel.all ++ warehouse.IvmJoin.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
   def oracleSql: Map[String, String] =
@@ -77,5 +79,7 @@ object SparkEntry {
       similarity.HubnessAnn.oracle ++ warehouse.FileManifest.oracle ++
       warehouse.BloomManifest.oracle ++ text.PitFeatures.oracle ++
       text.LengthBuckets.oracle ++ dedup.CdcChunks.oracle ++
-      text.LmCoverage.oracle
+      text.LmCoverage.oracle ++ similarity.RrfFusion.oracle ++
+      similarity.JlProjection.oracle ++ text.UniMaxMix.oracle ++
+      warehouse.TimeTravel.oracle ++ warehouse.IvmJoin.oracle
 }

@@ -618,7 +618,7 @@ object TextAnalysis {
 
   private val stopArr = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
 
-  private val keywordSearchOracle: String = {
+  private[graft] val keywordSearchOracle: String = {
     val tfCols = SearchTerms.indices.map(i =>
       s"         length(list_filter(toks, x -> x = '${SearchTerms(i)}'))::BIGINT AS tf$i")
       .mkString(",\n")

@@ -61,7 +61,10 @@ class PropertySpec extends SparkSpec {
       "sim_hubness_ann", "wh_file_manifest", "wh_bloom_manifest",
       "wh_dpp_quarter_scan", "curate_pit_features", "curate_length_buckets",
       "dedup_cdc_chunks", "wh_scd3_patient", "priv_dp_sums",
-      "sim_ivf_rebalance", "text_lm_coverage")
+      "sim_ivf_rebalance", "text_lm_coverage",
+      "sim_rrf_fusion", "sim_jl_project", "sim_jl_distortion",
+      "curate_unimax_epochs", "wh_time_travel_read", "wh_vacuum_plan",
+      "wh_ivm_join_view")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
