@@ -47,7 +47,9 @@ object SparkEntry {
       warehouse.BloomManifest.all ++ text.PitFeatures.all ++
       text.LengthBuckets.all ++ dedup.CdcChunks.all ++ text.LmCoverage.all ++
       similarity.RrfFusion.all ++ similarity.JlProjection.all ++
-      text.UniMaxMix.all ++ warehouse.TimeTravel.all ++ warehouse.IvmJoin.all
+      text.UniMaxMix.all ++ warehouse.TimeTravel.all ++ warehouse.IvmJoin.all ++
+      analytics.LpaCommunities.all ++ text.BpeTrain.all ++
+      warehouse.BinPack.all ++ text.FeatureHash.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
   def oracleSql: Map[String, String] =
@@ -81,5 +83,7 @@ object SparkEntry {
       text.LengthBuckets.oracle ++ dedup.CdcChunks.oracle ++
       text.LmCoverage.oracle ++ similarity.RrfFusion.oracle ++
       similarity.JlProjection.oracle ++ text.UniMaxMix.oracle ++
-      warehouse.TimeTravel.oracle ++ warehouse.IvmJoin.oracle
+      warehouse.TimeTravel.oracle ++ warehouse.IvmJoin.oracle ++
+      analytics.LpaCommunities.oracle ++ text.BpeTrain.oracle ++
+      warehouse.BinPack.oracle ++ text.FeatureHash.oracle
 }

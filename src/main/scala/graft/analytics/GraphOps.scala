@@ -355,7 +355,7 @@ object GraphOps {
     "graph_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
     "graph_bfs_hops" -> (bfsHops _))
 
-  private val edgesSql: String = """SELECT c_nationkey AS src,
+  private[graft] val edgesSql: String = """SELECT c_nationkey AS src,
          s_nationkey AS dst, count(*)::BIGINT AS w
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey

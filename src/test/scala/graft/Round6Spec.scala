@@ -116,6 +116,63 @@ class Round6Spec extends SparkSpec {
     assert(vac.forall(_.getAs[Long]("remove_version") == m + 1L))
   }
 
+  test("bpe train: compression monotone, merge counts non-increasing") {
+    val ledger = text.BpeTrain.bpeTrain(spark, sf)
+      .orderBy($"round").collect()
+    assert(ledger.length == text.BpeTrain.Rounds)
+    val toks = ledger.map(_.getAs[Long]("corpus_tokens_after"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => b < a },
+      s"each merge must shrink the corpus: ${toks.toSeq}")
+    val cnts = ledger.map(_.getAs[Long]("n_occurrences"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a },
+      s"best-pair counts can only decay: ${cnts.toSeq}")
+    ledger.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+    }
+  }
+
+  test("lpa: labels partition the node set") {
+    val comm = analytics.LpaCommunities.lpaCommunities(spark, sf).collect()
+    assert(comm.nonEmpty)
+    val nNodes = comm.map(_.getAs[Long]("n_nodes")).sum
+    // nodes = nations present in the sparsified edge list; every one must
+    // land in exactly one community (sum over a partition = total)
+    assert(nNodes >= 20 && nNodes <= 25, s"unexpected node count $nNodes")
+    comm.foreach { r =>
+      assert(r.getAs[Long]("min_node") <= r.getAs[Long]("max_node"))
+    }
+  }
+
+  test("binpack: bins tile the month range in order, no row lost") {
+    val bins = warehouse.BinPack.binpackPlan(spark, sf)
+      .orderBy($"bin").collect()
+    assert(bins.nonEmpty)
+    val total = Tables.orders(spark, sf).count()
+    assert(bins.map(_.getAs[Long]("bin_rows")).sum == total)
+    // layout order preserved: consecutive bins' month ranges never overlap
+    bins.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getAs[Int]("ym_to") < y.getAs[Int]("ym_from"))
+      case _ =>
+    }
+  }
+
+  test("feature hash: buckets cover every row, collisions flagged") {
+    val audit = text.FeatureHash.featureHash(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == 2 * nCust)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0
+        && r.getAs[Long]("bucket") < text.FeatureHash.Buckets)
+      assert((r.getAs[Long]("n_categories") > 1) ==
+        (r.getAs[Int]("collided") == 1))
+      assert((r.getAs[String]("first_category") !=
+        r.getAs[String]("last_category")) ==
+        (r.getAs[Long]("n_categories") > 1))
+    }
+  }
+
   test("ivm join view: delta terms tile the direct recompute exactly") {
     val v = warehouse.IvmJoin.ivmJoinView(spark, sf)
     val direct = Tables.orders(spark, sf)
