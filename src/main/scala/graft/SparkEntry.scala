@@ -49,7 +49,8 @@ object SparkEntry {
       similarity.RrfFusion.all ++ similarity.JlProjection.all ++
       text.UniMaxMix.all ++ warehouse.TimeTravel.all ++ warehouse.IvmJoin.all ++
       analytics.LpaCommunities.all ++ text.BpeTrain.all ++
-      warehouse.BinPack.all ++ text.FeatureHash.all
+      warehouse.BinPack.all ++ text.FeatureHash.all ++
+      warehouse.Expectations.all ++ similarity.HadamardRotation.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
   def oracleSql: Map[String, String] =
@@ -85,5 +86,6 @@ object SparkEntry {
       similarity.JlProjection.oracle ++ text.UniMaxMix.oracle ++
       warehouse.TimeTravel.oracle ++ warehouse.IvmJoin.oracle ++
       analytics.LpaCommunities.oracle ++ text.BpeTrain.oracle ++
-      warehouse.BinPack.oracle ++ text.FeatureHash.oracle
+      warehouse.BinPack.oracle ++ text.FeatureHash.oracle ++
+      warehouse.Expectations.oracle ++ similarity.HadamardRotation.oracle
 }

@@ -65,7 +65,8 @@ class PropertySpec extends SparkSpec {
       "sim_rrf_fusion", "sim_jl_project", "sim_jl_distortion",
       "curate_unimax_epochs", "wh_time_travel_read", "wh_vacuum_plan",
       "wh_ivm_join_view", "graph_lpa_communities", "text_bpe_train",
-      "wh_binpack_plan", "curate_feature_hash")
+      "wh_binpack_plan", "curate_feature_hash", "wh_expectations",
+      "sim_hadamard_balance")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -173,6 +173,37 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("hadamard rotation preserves total energy (orthogonality)") {
+    val rows = similarity.HadamardRotation.hadamardBalance(spark, sf).collect()
+    assert(rows.length == 8)
+    val before = rows.map(_.getAs[Double]("energy_before")).sum
+    val after = rows.map(_.getAs[Double]("energy_after")).sum
+    // H/8 is orthonormal, so total energy is invariant up to the
+    // fixed-point floor (each of 64 dims × n rows floors away < 1/2^20)
+    val tol = 64.0 * Tables.embeddings(spark, sf).count() /
+      similarity.HadamardRotation.Scale + 1e-6
+    assert(math.abs(before - after) <= tol,
+      s"energy drifted: $before -> $after (tol $tol)")
+    val shares = rows.map(_.getAs[Double]("share_after"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
+  test("expectations: suite green on clean data, red on planted violation") {
+    val ledger = warehouse.Expectations.expectations(spark, sf).collect()
+    assert(ledger.length == 6)
+    assert(ledger.forall(_.getAs[Int]("pass") == 1),
+      ledger.filter(_.getAs[Int]("pass") == 0)
+        .map(_.getAs[String]("check")).mkString(", "))
+    // the suite must be able to fail: a unique check over a table WITH
+    // duplicates reports the duplicate count and pass=0
+    val dup = Tables.orders(spark, sf).limit(100)
+    val doubled = dup.unionByName(dup)
+    val observed = doubled.agg(
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("v"))
+      .as[Long].head()
+    assert(observed == 100L)
+  }
+
   test("ivm join view: delta terms tile the direct recompute exactly") {
     val v = warehouse.IvmJoin.ivmJoinView(spark, sf)
     val direct = Tables.orders(spark, sf)
