@@ -50,7 +50,10 @@ object SparkEntry {
       text.UniMaxMix.all ++ warehouse.TimeTravel.all ++ warehouse.IvmJoin.all ++
       analytics.LpaCommunities.all ++ text.BpeTrain.all ++
       warehouse.BinPack.all ++ text.FeatureHash.all ++
-      warehouse.Expectations.all ++ similarity.HadamardRotation.all
+      warehouse.Expectations.all ++ similarity.HadamardRotation.all ++
+      privacy.EpsilonLedger.all ++ text.BigramNovelty.all ++
+      analytics.RfmSegments.all
+      // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
   def oracleSql: Map[String, String] =
@@ -87,5 +90,7 @@ object SparkEntry {
       warehouse.TimeTravel.oracle ++ warehouse.IvmJoin.oracle ++
       analytics.LpaCommunities.oracle ++ text.BpeTrain.oracle ++
       warehouse.BinPack.oracle ++ text.FeatureHash.oracle ++
-      warehouse.Expectations.oracle ++ similarity.HadamardRotation.oracle
+      warehouse.Expectations.oracle ++ similarity.HadamardRotation.oracle ++
+      privacy.EpsilonLedger.oracle ++ text.BigramNovelty.oracle ++
+      analytics.RfmSegments.oracle
 }

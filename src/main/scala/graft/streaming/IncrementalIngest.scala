@@ -208,6 +208,77 @@ object IncrementalIngest {
       .start()
   }
 
+  /** LEFT-OUTER stream-stream interval join — the missing half of
+    * [[streamAttribution]]: purchases WITHOUT an in-window click must also
+    * emit (they're the rows a conversion dashboard actually hunts), which
+    * inner stream joins silently drop. An outer streaming join is gated by
+    * state expiry: the null-extended row can only emit once the watermark
+    * proves no matching click can still arrive (click_ts would have to be
+    * ≥ purchase_ts − 1h, so expiry is watermark passing purchase_ts) —
+    * meaning purchases inside the final watermark horizon of a closed
+    * input NEVER emit their unmatched form, exactly like
+    * [[windowedCounts]]' absent final day. The oracle encodes that cutoff
+    * rule, so the append-mode outer-join semantics are hash-verified, not
+    * folklore.
+    */
+  def streamOuterAttribution(spark: SparkSession, srcDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val clicks = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""c_user = p_user AND
+             |click_ts <= purchase_ts AND
+             |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private val outerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** End-to-end run of [[streamOuterAttribution]] — null-extended columns
+    * land as sentinels (click_id −1, click_t 0): nullable INT output decays
+    * to float64 in the compare, and a dashboard keys on the sentinel
+    * anyway.
+    */
+  def outerAttributionEntry(spark: SparkSession, dir: String): DataFrame =
+    outerMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-oattr/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        graft.Tables.events(spark, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(s"$base/src")
+        withStreamPartitions(spark) { ss =>
+          streamOuterAttribution(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
+        spark.read.parquet(s"$base/out")
+          .select(col("purchase_id"), col("user_id"),
+            unix_micros(col("purchase_ts")).as("purchase_t"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"),
+            coalesce(unix_micros(col("click_ts")), lit(0L)).as("click_t"))
+          .orderBy(col("purchase_id"), col("click_id"))
+      })
+
   private val attrMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -369,6 +440,7 @@ object IncrementalIngest {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_attribution" -> (attributionEntry _),
+    "stream_outer_attribution" -> (outerAttributionEntry _),
     "stream_dedup_docs" -> (dedupDocsEntry _),
     "stream_enrich" -> (enrichEntry _),
     "stream_windowed_counts" -> (windowedCountsEntry _))
@@ -391,6 +463,44 @@ ORDER BY event_type, weight"""
 FROM documents
 GROUP BY lang
 ORDER BY lang""",
+
+    // the unmatched-row cutoff mirrors append-mode outer-join state expiry:
+    // a purchase's null-extended row emits once the GLOBAL watermark
+    // (min of both sides' max-event-time, − 1h horizon, ms precision)
+    // passes purchase_ts — purchases inside the final horizon never emit
+    "stream_outer_attribution" -> """WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM e WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT epoch_ms(max(click_ts)) FROM c),
+                    (SELECT epoch_ms(max(purchase_ts)) FROM p))
+              - 3600000 AS w_ms),
+matched AS (
+  SELECT purchase_id, p.user_id,
+         (epoch_ns(purchase_ts) // 1000)::BIGINT AS purchase_t,
+         click_id,
+         (epoch_ns(click_ts) // 1000)::BIGINT AS click_t
+  FROM p JOIN c USING (user_id)
+  WHERE click_ts <= purchase_ts
+    AND click_ts >= purchase_ts - INTERVAL 1 HOUR),
+unmatched AS (
+  SELECT purchase_id, p.user_id,
+         (epoch_ns(purchase_ts) // 1000)::BIGINT AS purchase_t,
+         -1::BIGINT AS click_id, 0::BIGINT AS click_t
+  FROM p, wm
+  WHERE epoch_ms(purchase_ts) < w_ms
+    AND NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = p.user_id
+        AND c.click_ts <= p.purchase_ts
+        AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR))
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+ORDER BY purchase_id, click_id""",
 
     "stream_attribution" -> """WITH e AS (
   SELECT event_id, ts, user_id, event_type FROM events

@@ -66,7 +66,8 @@ class PropertySpec extends SparkSpec {
       "curate_unimax_epochs", "wh_time_travel_read", "wh_vacuum_plan",
       "wh_ivm_join_view", "graph_lpa_communities", "text_bpe_train",
       "wh_binpack_plan", "curate_feature_hash", "wh_expectations",
-      "sim_hadamard_balance")
+      "sim_hadamard_balance", "priv_epsilon_ledger", "text_bigram_novelty",
+      "agg_rfm_segments")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

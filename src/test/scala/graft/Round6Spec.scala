@@ -204,6 +204,42 @@ class Round6Spec extends SparkSpec {
     assert(observed == 100L)
   }
 
+  test("outer stream join: inner results preserved, sentinels only added") {
+    val outer = streaming.IncrementalIngest
+      .outerAttributionEntry(spark, sf).collect()
+    val inner = streaming.IncrementalIngest
+      .attributionEntry(spark, sf).collect()
+    val matched = outer.filter(_.getAs[Long]("click_id") != -1L)
+    assert(matched.length == inner.length,
+      s"outer join must not change the matched set: ${matched.length} vs ${inner.length}")
+    val unmatched = outer.filter(_.getAs[Long]("click_id") == -1L)
+    assert(unmatched.nonEmpty, "fixture has purchases without clicks")
+    assert(unmatched.forall(_.getAs[Long]("click_t") == 0L))
+  }
+
+  test("rfm: quintile scores partition the customer base") {
+    val cells = analytics.RfmSegments.rfmSegments(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(cells.map(_.getAs[Long]("n_customers")).sum == nCust)
+    cells.foreach { c =>
+      Seq("r_score", "f_score", "m_score").foreach { s =>
+        val v = c.getAs[Int](s); assert(v >= 1 && v <= 5, s"$s=$v")
+      }
+    }
+  }
+
+  test("bigram novelty: shares in [0,1], review queue sorted") {
+    val rows = text.BigramNovelty.bigramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nov = rows.map(_.getAs[Double]("novelty"))
+    assert(nov.forall(v => v >= 0.0 && v <= 1.0))
+    assert(nov.toSeq == nov.sorted.reverse.toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rare") <= r.getAs[Long]("n_bigrams"))
+    }
+  }
+
   test("ivm join view: delta terms tile the direct recompute exactly") {
     val v = warehouse.IvmJoin.ivmJoinView(spark, sf)
     val direct = Tables.orders(spark, sf)
