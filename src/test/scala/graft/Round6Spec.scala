@@ -240,6 +240,21 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("graph beam search: valid walk, self excluded, some exact hits") {
+    val rows = similarity.GraphSearch.graphGreedySearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      (1 to similarity.GraphSearch.Rounds).foreach { h =>
+        assert(r.getAs[Long](s"hop$h") != q, s"walk visited its own query $q")
+      }
+      assert(r.getAs[Long]("exact_nn") != q)
+    }
+    // on the 50-vector corpus the beam must land at least some exact NNs —
+    // zero hits means the graph expansion or the argmax is broken
+    assert(rows.map(_.getAs[Int]("found_exact")).sum > 0)
+  }
+
   test("ivm join view: delta terms tile the direct recompute exactly") {
     val v = warehouse.IvmJoin.ivmJoinView(spark, sf)
     val direct = Tables.orders(spark, sf)
