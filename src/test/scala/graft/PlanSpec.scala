@@ -583,4 +583,31 @@ class PlanSpec extends SparkSpec {
       "key-only parent sides should broadcast")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
   }
+
+  test("hadamard rotation is one map-side pass: no joins anywhere") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan(similarity.HadamardRotation.hadamardBalance(spark, sf))
+    assert(collectAll(p) { case j: BaseJoinExec => j }.isEmpty,
+      "the 6 butterfly stages must fuse into a project, not join")
+  }
+
+  test("rrf fusion: top-k cuts are TakeOrdered, lists join without products") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val df = similarity.RrfFusion.rrfFusion(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "semantic top-K must plan as TakeOrderedAndProject, not a global sort")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("lpa, binpack, ivm, unimax: keyed plans, no pairwise products") {
+    for (df <- Seq(analytics.LpaCommunities.lpaCommunities(spark, sf),
+        warehouse.BinPack.binpackPlan(spark, sf),
+        warehouse.IvmJoin.ivmJoinView(spark, sf),
+        text.UniMaxMix.unimaxEpochs(spark, sf))) {
+      df.collect()
+      assert(collectAll(plan(df)) { case c: CartesianProductExec => c }.isEmpty)
+    }
+  }
 }
