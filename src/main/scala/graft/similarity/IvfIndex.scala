@@ -338,4 +338,123 @@ SELECT cell::INT AS cell, n_vecs,
        n_vecs * 1.0 / (total * 1.0 / n_cells) AS balance_factor
 FROM per, tot
 ORDER BY cell"""
+
+  /** nprobe values swept by [[nprobeSweep]] — the IVF operating points. */
+  val SweepNProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** The IVF operating curve — recall@k vs probe cost for nprobe ∈
+    * [[SweepNProbes]]: the ONE table an ANN deployment tunes from, because
+    * "what nprobe do we run?" is a cost/recall trade and guessing it is
+    * how indexes ship either slow or blind. Per sweep point: exact-top-k
+    * hits summed over the probe set, recall as a single division of
+    * integer sums, and the scanned-candidate row count (Σ probed cells'
+    * sizes — the cost IVF actually pays). The sweep shares ONE cell
+    * routing (ranked once to max nprobe, filtered per point) and the
+    * memoized index; at corpus scale this query reads the assignment
+    * table, never re-trains.
+    */
+  def nprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.register(spark)
+    val k = Similarity.TopK
+    val (assigned, centroids) = build(spark, dir)
+    val probes = assigned.filter($"vec_id" < Similarity.NumProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val maxNp = SweepNProbes.max
+    val routed = broadcast(probes).crossJoin(broadcast(centroids))
+      .withColumn("c_sim", expr("graft_cosine(q_emb, centroid)"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"c_sim".desc, $"cell")))
+      .filter($"c_rank" <= maxNp)
+      .select($"query_id", $"q_emb", $"cell", $"c_rank")
+    val cellSizes = assigned.groupBy($"cell").agg(count(lit(1)).as("sz"))
+    val exact = Similarity.bruteForceTopK(spark, dir, k)
+      .select($"query_id", $"neighbor_id")
+    val points = SweepNProbes.map { np =>
+      val ivf = routed.filter($"c_rank" <= np)
+        .join(assigned.select($"vec_id".as("neighbor_id"),
+          $"embedding".as("n_emb"), $"cell"), "cell")
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+        .select($"query_id", $"neighbor_id", $"cos").distinct()
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")))
+        .filter($"rank" <= k)
+      val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = routed.filter($"c_rank" <= np)
+        .join(cellSizes, "cell")
+        .agg(coalesce(sum($"sz"), lit(0L)).as("scanned_rows"))
+      hits.crossJoin(scanned).select(
+        lit(np.toLong).as("nprobe"), $"n_hits",
+        ($"n_hits" * lit(1.0) / lit((Similarity.NumProbes * k).toDouble))
+          .as("recall_at_k"),
+        $"scanned_rows")
+    }
+    points.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
+  /** DuckDB twin of [[nprobeSweep]] — same unrolled trainer, shared
+    * max-nprobe routing, per-point filters.
+    */
+  def nprobeSweepOracleSql: String = {
+    val cos = Similarity.cosSql _
+    val k = Similarity.TopK
+    val maxNp = SweepNProbes.max
+    val sweepVals = SweepNProbes.map(v => s"($v)").mkString(", ")
+    s"""WITH $searchCtes,
+routed AS (
+  SELECT query_id, q_emb, cell, rk AS c_rank FROM (
+    SELECT p.query_id, p.q_emb, c.cell,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY ${cos("p.q_emb", "c.centroid")} DESC,
+                                       c.cell) AS rk
+    FROM probes p CROSS JOIN c$LloydRounds c)
+  WHERE rk <= $maxNp),
+sweep(nprobe) AS (VALUES $sweepVals),
+scored AS (
+  SELECT DISTINCT s.nprobe, r.query_id, a.vec_id AS neighbor_id,
+         ${cos("r.q_emb", "a.embedding")} AS cos
+  FROM sweep s
+  JOIN routed r ON r.c_rank <= s.nprobe
+  JOIN af a ON a.cell = r.cell AND r.query_id <> a.vec_id),
+ivf AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT nprobe, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored)
+  WHERE rank <= $k),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ${cos("q.embedding", "n.embedding")}
+                                DESC, n.vec_id) AS rank
+    FROM embeddings q JOIN embeddings n
+      ON q.vec_id < ${Similarity.NumProbes} AND q.vec_id <> n.vec_id)
+  WHERE rank <= $k),
+sizes AS (SELECT cell, count(*)::BIGINT AS sz FROM af GROUP BY cell),
+hits AS (
+  SELECT s.nprobe, count(*)::BIGINT AS n_hits
+  FROM sweep s
+  JOIN ivf i ON i.nprobe = s.nprobe
+  JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY s.nprobe),
+cost AS (
+  SELECT s.nprobe, sum(z.sz)::BIGINT AS scanned_rows
+  FROM sweep s
+  JOIN routed r ON r.c_rank <= s.nprobe
+  JOIN sizes z ON z.cell = r.cell
+  GROUP BY s.nprobe)
+SELECT s.nprobe::BIGINT AS nprobe,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) * 1.0
+         / ${(Similarity.NumProbes * k).toDouble} AS recall_at_k,
+       coalesce(c.scanned_rows, 0)::BIGINT AS scanned_rows
+FROM sweep s
+LEFT JOIN hits h ON h.nprobe = s.nprobe
+LEFT JOIN cost c ON c.nprobe = s.nprobe
+ORDER BY nprobe"""
+  }
 }

@@ -483,6 +483,8 @@ object Similarity {
       IvfIndex.cellStats(s, d)),
     "sim_ivf_rebalance" -> ((s: SparkSession, d: String) =>
       IvfIndex.rebalancePlan(s, d)),
+    "sim_ivf_nprobe_sweep" -> ((s: SparkSession, d: String) =>
+      IvfIndex.nprobeSweep(s, d)),
     "sim_ivf_pq_topk" -> ((s: SparkSession, d: String) => IvfPq.topK(s, d)),
     "sim_quantize_int8" -> ((s: SparkSession, d: String) => quantizeInt8(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) =>
@@ -707,6 +709,7 @@ ORDER BY query_id, kind, rk""",
     "sim_ivf_topk" -> IvfIndex.oracleSql,
     "sim_ivf_cell_stats" -> IvfIndex.cellStatsOracleSql,
     "sim_ivf_rebalance" -> IvfIndex.rebalanceOracleSql,
+    "sim_ivf_nprobe_sweep" -> IvfIndex.nprobeSweepOracleSql,
     "sim_ivf_pq_topk" -> IvfPq.oracleSql,
     "dedup_embedding_ann" -> RandomHyperplaneLsh.embeddingNearDupsOracleSql,
 
