@@ -52,7 +52,8 @@ object SparkEntry {
       warehouse.BinPack.all ++ text.FeatureHash.all ++
       warehouse.Expectations.all ++ similarity.HadamardRotation.all ++
       privacy.EpsilonLedger.all ++ text.BigramNovelty.all ++
-      analytics.RfmSegments.all ++ similarity.GraphSearch.all
+      analytics.RfmSegments.all ++ similarity.GraphSearch.all ++
+      warehouse.Bitemporal.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -92,5 +93,6 @@ object SparkEntry {
       warehouse.BinPack.oracle ++ text.FeatureHash.oracle ++
       warehouse.Expectations.oracle ++ similarity.HadamardRotation.oracle ++
       privacy.EpsilonLedger.oracle ++ text.BigramNovelty.oracle ++
-      analytics.RfmSegments.oracle ++ similarity.GraphSearch.oracle
+      analytics.RfmSegments.oracle ++ similarity.GraphSearch.oracle ++
+      warehouse.Bitemporal.oracle
 }

@@ -67,7 +67,8 @@ class PropertySpec extends SparkSpec {
       "wh_ivm_join_view", "graph_lpa_communities", "text_bpe_train",
       "wh_binpack_plan", "curate_feature_hash", "wh_expectations",
       "sim_hadamard_balance", "priv_epsilon_ledger", "text_bigram_novelty",
-      "agg_rfm_segments", "sim_graph_greedy_search", "sim_ivf_nprobe_sweep")
+      "agg_rfm_segments", "sim_graph_greedy_search", "sim_ivf_nprobe_sweep",
+      "wh_bitemporal_asof")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
