@@ -255,6 +255,28 @@ class Round6Spec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("found_exact")).sum > 0)
   }
 
+  test("nprobe sweep: recall and cost both monotone in nprobe") {
+    val pts = similarity.IvfIndex.nprobeSweep(spark, sf)
+      .orderBy($"nprobe").collect()
+    assert(pts.length == similarity.IvfIndex.SweepNProbes.length)
+    val recalls = pts.map(_.getAs[Double]("recall_at_k"))
+    val costs = pts.map(_.getAs[Long]("scanned_rows"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must not drop as probes widen: ${recalls.toSeq}")
+    assert(costs.zip(costs.tail).forall { case (a, b) => b > a },
+      s"probing more cells must scan more rows: ${costs.toSeq}")
+  }
+
+  test("bitemporal: fuller knowledge can only add customers") {
+    val rows = warehouse.Bitemporal.bitemporalAsof(spark, sf).collect()
+    def total(label: String) = rows
+      .filter(_.getAs[String]("asof_label") == label)
+      .map(_.getAs[Long]("n_customers")).sum
+    assert(total("restated") >= total("printed"),
+      "a later knowledge date sees a superset of recorded rows")
+    assert(total("printed") > 0)
+  }
+
   test("ivm join view: delta terms tile the direct recompute exactly") {
     val v = warehouse.IvmJoin.ivmJoinView(spark, sf)
     val direct = Tables.orders(spark, sf)
