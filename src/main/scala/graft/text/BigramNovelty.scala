@@ -40,11 +40,17 @@ object BigramNovelty {
       .select($"doc_id",
         explode(expr("sequence(1, length(t) - 1)")).as("i"), $"t")
       .select($"doc_id", expr("substring(t, i, 2)").as("bg"))
-    val corpus = grams.groupBy($"bg").agg(count(lit(1)).as("cf"))
-    val perDoc = grams.join(corpus, "bg")
+    // aggregate to (doc, bigram) counts FIRST: the corpus model is then a
+    // rollup of that table (no second gram explode), and the rarity join
+    // runs over per-doc DISTINCT grams instead of every occurrence —
+    // same numbers, roughly half the explode work and a much smaller join
+    val perDocCounts = grams.groupBy($"doc_id", $"bg")
+      .agg(count(lit(1)).as("c"))
+    val corpus = perDocCounts.groupBy($"bg").agg(sum($"c").as("cf"))
+    val perDoc = perDocCounts.join(corpus, "bg")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when($"cf" < RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum($"c").as("n_bigrams"),
+        sum(when($"cf" < RareMax, $"c").otherwise(0L)).as("n_rare"))
       .withColumn("novelty", $"n_rare" * lit(1.0) / $"n_bigrams")
       .withColumn("flagged", ($"novelty" > NoveltyTau).cast("int"))
     perDoc
