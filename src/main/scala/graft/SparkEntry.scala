@@ -53,7 +53,7 @@ object SparkEntry {
       warehouse.Expectations.all ++ similarity.HadamardRotation.all ++
       privacy.EpsilonLedger.all ++ text.BigramNovelty.all ++
       analytics.RfmSegments.all ++ similarity.GraphSearch.all ++
-      warehouse.Bitemporal.all
+      warehouse.Bitemporal.all ++ analytics.Skyline.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -94,5 +94,5 @@ object SparkEntry {
       warehouse.Expectations.oracle ++ similarity.HadamardRotation.oracle ++
       privacy.EpsilonLedger.oracle ++ text.BigramNovelty.oracle ++
       analytics.RfmSegments.oracle ++ similarity.GraphSearch.oracle ++
-      warehouse.Bitemporal.oracle
+      warehouse.Bitemporal.oracle ++ analytics.Skyline.oracle
 }

@@ -277,6 +277,30 @@ class Round6Spec extends SparkSpec {
     assert(total("printed") > 0)
   }
 
+  test("skyline: frontier is an antichain no interior point beats") {
+    val pts = analytics.Skyline.skylineFrontier(spark, sf)
+      .orderBy($"frequency").collect()
+    assert(pts.nonEmpty)
+    // along the frontier, monetary must strictly DECREASE as frequency
+    // increases — otherwise a point would dominate its neighbor
+    val ms = pts.map(_.getAs[Double]("monetary"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => b < a },
+      s"frontier not an antichain: ${ms.toSeq}")
+    // no customer dominates any frontier point
+    val cust = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("f"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("m"))
+      .collect()
+    pts.foreach { p =>
+      val (f, m) = (p.getAs[Long]("frequency"), p.getAs[Double]("monetary"))
+      assert(!cust.exists { c =>
+        val (cf, cm) = (c.getAs[Long]("f"), c.getAs[Double]("m"))
+        (cf >= f && cm >= m) && (cf > f || cm > m)
+      }, s"frontier point (f=$f, m=$m) is dominated")
+    }
+  }
+
   test("ivm join view: delta terms tile the direct recompute exactly") {
     val v = warehouse.IvmJoin.ivmJoinView(spark, sf)
     val direct = Tables.orders(spark, sf)
