@@ -53,7 +53,8 @@ object SparkEntry {
       warehouse.Expectations.all ++ similarity.HadamardRotation.all ++
       privacy.EpsilonLedger.all ++ text.BigramNovelty.all ++
       analytics.RfmSegments.all ++ similarity.GraphSearch.all ++
-      warehouse.Bitemporal.all ++ analytics.Skyline.all
+      warehouse.Bitemporal.all ++ analytics.Skyline.all ++
+      similarity.FilteredAnn.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -94,5 +95,6 @@ object SparkEntry {
       warehouse.Expectations.oracle ++ similarity.HadamardRotation.oracle ++
       privacy.EpsilonLedger.oracle ++ text.BigramNovelty.oracle ++
       analytics.RfmSegments.oracle ++ similarity.GraphSearch.oracle ++
-      warehouse.Bitemporal.oracle ++ analytics.Skyline.oracle
+      warehouse.Bitemporal.oracle ++ analytics.Skyline.oracle ++
+      similarity.FilteredAnn.oracle
 }

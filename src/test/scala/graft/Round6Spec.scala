@@ -301,6 +301,18 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("filtered ann: postfilter starves, prefilter dominates recall") {
+    val rows = similarity.FilteredAnn.filteredAnn(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    val pre = rows("prefilter")
+    val post = rows("postfilter")
+    // the filter eats into the unfiltered top-k, so postfilter can never
+    // return MORE rows than prefilter, and its recall can't exceed it
+    assert(post.getAs[Long]("n_results") <= pre.getAs[Long]("n_results"))
+    assert(post.getAs[Double]("recall") <= pre.getAs[Double]("recall") + 1e-12)
+    assert(pre.getAs[Long]("n_hits") <= pre.getAs[Long]("n_results"))
+  }
+
   test("ivm join view: delta terms tile the direct recompute exactly") {
     val v = warehouse.IvmJoin.ivmJoinView(spark, sf)
     val direct = Tables.orders(spark, sf)
