@@ -68,7 +68,8 @@ class PropertySpec extends SparkSpec {
       "wh_binpack_plan", "curate_feature_hash", "wh_expectations",
       "sim_hadamard_balance", "priv_epsilon_ledger", "text_bigram_novelty",
       "agg_rfm_segments", "sim_graph_greedy_search", "sim_ivf_nprobe_sweep",
-      "wh_bitemporal_asof", "win_skyline_frontier", "sim_filtered_ann")
+      "wh_bitemporal_asof", "win_skyline_frontier", "sim_filtered_ann",
+      "curate_dsir_weights")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

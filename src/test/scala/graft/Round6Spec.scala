@@ -333,4 +333,41 @@ class Round6Spec extends SparkSpec {
     val crossTotal = v.agg(sum($"both_new_n")).as[Long].head()
     assert(crossTotal > 0, "ΔA⋈ΔB term empty — fixture too weak")
   }
+
+  test("scaled ln: exact below table ceiling, <2^-10 nats error above") {
+    import graft.functions.ScaledLn
+    // exact region: table IS math.log
+    for (x <- Seq(1L, 2L, 7L, 1023L, 2047L))
+      assert(ScaledLn.lnS(x) ==
+        math.rint(math.log(x.toDouble) * ScaledLn.Scale).toLong)
+    // mantissa region: deterministic underestimate within ln(1+1/1024)
+    val tol = math.log(1 + 1.0 / 1024) * ScaledLn.Scale + 1
+    for (x <- Seq(2048L, 4097L, 123456L, 98765432L, 1L << 40, (1L << 55) + 17)) {
+      val approx = ScaledLn.lnS(x)
+      val exact = math.log(x.toDouble) * ScaledLn.Scale
+      // the mantissa truncation UNDERSTATES; the only overshoot source is
+      // the rounding of the two fixed-point constants (≤0.5 each, ×53
+      // octaves worst case) — sub-picoNat noise, bounded by 32 units
+      assert(approx <= exact + 32, s"lnS($x) overshoots")
+      assert(exact - approx <= tol, s"lnS($x) error ${exact - approx}")
+    }
+    // monotone over a boundary-crossing sweep
+    val sweep = (2040L to 2060L) ++ Seq(4095L, 4096L, 4097L)
+    assert(sweep.map(ScaledLn.lnS) == sweep.map(ScaledLn.lnS).sorted)
+  }
+
+  test("dsir: quota exact, selected weights dominate unselected") {
+    val rows = text.DsirWeights.dsirWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nRaw = rows.length.toLong
+    val sel = rows.filter(_.getAs[Long]("selected") == 1L)
+    assert(sel.length.toLong == nRaw / text.DsirWeights.SelectDenom)
+    val minSel = sel.map(_.getAs[Double]("log_weight")).min
+    val maxUnsel = rows.filter(_.getAs[Long]("selected") == 0L)
+      .map(_.getAs[Double]("log_weight")).max
+    assert(minSel >= maxUnsel,
+      s"selection not a weight-threshold cut: $minSel < $maxUnsel")
+    // ranks are a permutation of 1..n_raw
+    assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to nRaw))
+  }
 }
