@@ -54,7 +54,8 @@ object SparkEntry {
       privacy.EpsilonLedger.all ++ text.BigramNovelty.all ++
       analytics.RfmSegments.all ++ similarity.GraphSearch.all ++
       warehouse.Bitemporal.all ++ analytics.Skyline.all ++
-      similarity.FilteredAnn.all ++ text.DsirWeights.all
+      similarity.FilteredAnn.all ++ text.DsirWeights.all ++
+      text.WeakLabels.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -96,5 +97,6 @@ object SparkEntry {
       privacy.EpsilonLedger.oracle ++ text.BigramNovelty.oracle ++
       analytics.RfmSegments.oracle ++ similarity.GraphSearch.oracle ++
       warehouse.Bitemporal.oracle ++ analytics.Skyline.oracle ++
-      similarity.FilteredAnn.oracle ++ text.DsirWeights.oracle
+      similarity.FilteredAnn.oracle ++ text.DsirWeights.oracle ++
+      text.WeakLabels.oracle
 }

@@ -370,4 +370,25 @@ class Round6Spec extends SparkSpec {
     // ranks are a permutation of 1..n_raw
     assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to nRaw))
   }
+
+  test("weak labels: conflict <= overlap <= coverage, lang LF total") {
+    val rows = text.WeakLabels.weakLabels(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (cov, ov, cf) = (r.getAs[Double]("coverage"),
+        r.getAs[Double]("overlaps"), r.getAs[Double]("conflicts"))
+      // a conflict needs a disagreeing co-vote, an overlap any co-vote,
+      // and both presuppose this LF voted at all
+      assert(cf <= ov + 1e-12, s"${r.getAs[String]("lf_name")}: $cf > $ov")
+      assert(ov <= cov + 1e-12, s"${r.getAs[String]("lf_name")}: $ov > $cov")
+      // keep+drop tallies ARE the coverage numerator
+      assert(r.getAs[Long]("n_keep") + r.getAs[Long]("n_drop") ==
+        math.rint(cov * r.getAs[Long]("n_docs")).toLong)
+    }
+    // the language LF never abstains
+    val lang = rows.find(_.getAs[String]("lf_name") == "lf_lang_en").get
+    assert(lang.getAs[Double]("coverage") == 1.0)
+    // the fixture must exercise actual disagreement or the audit is vacuous
+    assert(rows.exists(_.getAs[Double]("conflicts") > 0))
+  }
 }
