@@ -55,7 +55,7 @@ object SparkEntry {
       analytics.RfmSegments.all ++ similarity.GraphSearch.all ++
       warehouse.Bitemporal.all ++ analytics.Skyline.all ++
       similarity.FilteredAnn.all ++ text.DsirWeights.all ++
-      text.WeakLabels.all
+      text.WeakLabels.all ++ similarity.KCenterCoreset.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -98,5 +98,5 @@ object SparkEntry {
       analytics.RfmSegments.oracle ++ similarity.GraphSearch.oracle ++
       warehouse.Bitemporal.oracle ++ analytics.Skyline.oracle ++
       similarity.FilteredAnn.oracle ++ text.DsirWeights.oracle ++
-      text.WeakLabels.oracle
+      text.WeakLabels.oracle ++ similarity.KCenterCoreset.oracle
 }

@@ -391,4 +391,19 @@ class Round6Spec extends SparkSpec {
     // the fixture must exercise actual disagreement or the audit is vacuous
     assert(rows.exists(_.getAs[Double]("conflicts") > 0))
   }
+
+  test("k-center: radii non-increasing, occupancy tiles the corpus") {
+    val rows = similarity.KCenterCoreset.kcenterCoreset(spark, sf)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.length == similarity.KCenterCoreset.Rounds + 1)
+    // greedy farthest-point: each pick's covering radius can only shrink
+    val radii = rows.drop(1).map(_.getAs[Double]("radius")).toSeq
+    assert(radii == radii.sorted.reverse, s"radii not non-increasing: $radii")
+    assert(radii.forall(_ > 0), "degenerate pick at distance 0")
+    val centers = rows.map(_.getAs[Long]("center_id"))
+    assert(centers.distinct.length == centers.length, "duplicate center")
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum == corpus)
+    assert(rows.forall(_.getAs[Long]("n_assigned") >= 1L))
+  }
 }
