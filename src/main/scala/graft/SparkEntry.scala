@@ -55,7 +55,8 @@ object SparkEntry {
       analytics.RfmSegments.all ++ similarity.GraphSearch.all ++
       warehouse.Bitemporal.all ++ analytics.Skyline.all ++
       similarity.FilteredAnn.all ++ text.DsirWeights.all ++
-      text.WeakLabels.all ++ similarity.KCenterCoreset.all
+      text.WeakLabels.all ++ similarity.KCenterCoreset.all ++
+      text.DomainKl.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -98,5 +99,6 @@ object SparkEntry {
       analytics.RfmSegments.oracle ++ similarity.GraphSearch.oracle ++
       warehouse.Bitemporal.oracle ++ analytics.Skyline.oracle ++
       similarity.FilteredAnn.oracle ++ text.DsirWeights.oracle ++
-      text.WeakLabels.oracle ++ similarity.KCenterCoreset.oracle
+      text.WeakLabels.oracle ++ similarity.KCenterCoreset.oracle ++
+      text.DomainKl.oracle
 }

@@ -90,8 +90,11 @@ object DsirWeights {
         Window.orderBy($"logw".desc, $"doc_id")).cast("bigint"))
       .withColumn("n_raw", count(lit(1)).over(
         Window.partitionBy()).cast("bigint"))
+      // logw grows with document length and can pass 2^53 — explicit DOUBLE
+      // cast on BOTH engines (DuckDB `* 1.0` is DECIMAL math whose rounding
+      // into double differs from int64→double by 1 ulp; see DomainKl)
       .select($"doc_id", $"lang", $"n_tokens",
-        ($"logw" * lit(1.0) / ScaledLn.Scale).as("log_weight"),
+        ($"logw".cast("double") / ScaledLn.Scale).as("log_weight"),
         $"rk",
         when($"rk" * SelectDenom <= $"n_raw", 1L).otherwise(0L)
           .as("selected"))
@@ -146,7 +149,7 @@ ranked AS (
          (count(*) OVER ())::BIGINT AS n_raw
   FROM scored)
 SELECT doc_id, lang, n_tokens,
-       logw * 1.0 / ${ScaledLn.Scale} AS log_weight, rk,
+       logw::DOUBLE / ${ScaledLn.Scale} AS log_weight, rk,
        (CASE WHEN rk * $SelectDenom <= n_raw THEN 1 ELSE 0 END)::BIGINT
          AS selected
 FROM ranked

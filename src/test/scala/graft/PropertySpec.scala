@@ -69,7 +69,8 @@ class PropertySpec extends SparkSpec {
       "sim_hadamard_balance", "priv_epsilon_ledger", "text_bigram_novelty",
       "agg_rfm_segments", "sim_graph_greedy_search", "sim_ivf_nprobe_sweep",
       "wh_bitemporal_asof", "win_skyline_frontier", "sim_filtered_ann",
-      "curate_dsir_weights")
+      "curate_dsir_weights", "text_domain_kl", "curate_weak_labels",
+      "sim_kcenter_coreset")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

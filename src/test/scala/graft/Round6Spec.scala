@@ -406,4 +406,17 @@ class Round6Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_assigned")).sum == corpus)
     assert(rows.forall(_.getAs[Long]("n_assigned") >= 1L))
   }
+
+  test("domain kl: Gibbs bound holds, token accounting exact") {
+    val rows = text.DomainKl.domainKl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // KL >= 0 up to the ScaledLn truncation (<= 2·ln(1+1/1024) nats)
+    rows.foreach(r => assert(r.getAs[Double]("kl_nats") >= -0.002,
+      s"${r.getAs[String]("source")} violates Gibbs: ${r.getAs[Double]("kl_nats")}"))
+    assert(rows.exists(_.getAs[Double]("kl_nats") > 0.01),
+      "fixture has no domain signal — audit vacuous")
+    val total = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower($"text")), "\\s+"))).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
 }
