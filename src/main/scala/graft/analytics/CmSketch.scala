@@ -73,8 +73,44 @@ object CmSketch {
       .limit(TopK)
   }
 
+  /** CMS join-size estimation (the AMS/CMS inner-product bound, Cormode–
+    * Muthukrishnan §4.3): |events ⋈ orders on user key| = Σ_k nE(k)·nO(k)
+    * is what a cost-based planner wants BEFORE running the join, and the
+    * inner product of the two sketches' counter rows — min over the d
+    * rows — overestimates it by at most the collision mass. Both sides'
+    * grids are d×[[CmsW]] integers, so the estimate costs two key-grouped
+    * aggregates plus a few-KB broadcast — no pair materialization —
+    * while the exact value needs the key-join itself. Emitted side by
+    * side (exact here is cheap at test scale; at 100 TB it's the join
+    * you were trying to avoid), the overcount prices the sketch for the
+    * planner. All integers end to end.
+    */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grid(perKey: DataFrame): DataFrame = perKey
+      .select($"k", $"n", explode(sequence(lit(0), lit(CmsD - 1))).as("d"))
+      .withColumn("bucket",
+        pmod(Md5Hash.h32(concat(lit("cmsj"), $"d".cast("string"), lit(":"),
+          $"k".cast("string"))), lit(CmsW)))
+      .groupBy($"d", $"bucket").agg(sum($"n").as("cnt"))
+    val perE = Tables.events(spark, dir)
+      .groupBy($"user_id".as("k")).agg(count(lit(1)).as("n"))
+    val perO = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n"))
+    val est = grid(perE).withColumnRenamed("cnt", "ce")
+      .join(grid(perO).withColumnRenamed("cnt", "co"), Seq("d", "bucket"))
+      .groupBy($"d").agg(sum($"ce" * $"co").as("row_est"))
+      .agg(min($"row_est").as("cms_join_size"))
+    val exact = perE.join(perO.withColumnRenamed("n", "m"), "k")
+      .agg(coalesce(sum($"n" * $"m"), lit(0L)).as("exact_join_size"))
+    exact.crossJoin(est)
+      .select($"exact_join_size", $"cms_join_size",
+        ($"cms_join_size" - $"exact_join_size").as("overcount"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_cms_estimates" -> (cmsEstimates _))
+    "agg_cms_estimates" -> (cmsEstimates _),
+    "agg_cms_join_size" -> (cmsJoinSize _))
 
   private def bucketSql(d: String): String =
     s"(${Md5Hash.h32Sql(s"'cms' || $d::VARCHAR || ':' || user_id::VARCHAR")})" +
@@ -96,5 +132,33 @@ est AS (
 SELECT user_id, n_exact, cms_est, cms_est - n_exact AS overcount
 FROM est
 ORDER BY n_exact DESC, user_id
-LIMIT $TopK""")
+LIMIT $TopK""",
+
+    "agg_cms_join_size" -> s"""WITH per_e AS (
+  SELECT user_id AS k, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+per_o AS (
+  SELECT o_custkey AS k, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey),
+grid_e AS (
+  SELECT d.d, ${joinBucketSql("d.d")} AS bucket, sum(n)::BIGINT AS ce
+  FROM per_e, (SELECT unnest(range(0, $CmsD)) AS d) d
+  GROUP BY d.d, bucket),
+grid_o AS (
+  SELECT d.d, ${joinBucketSql("d.d")} AS bucket, sum(n)::BIGINT AS co
+  FROM per_o, (SELECT unnest(range(0, $CmsD)) AS d) d
+  GROUP BY d.d, bucket),
+est AS (
+  SELECT min(row_est)::BIGINT AS cms_join_size
+  FROM (SELECT e.d, sum(e.ce * o.co)::BIGINT AS row_est
+        FROM grid_e e JOIN grid_o o ON e.d = o.d AND e.bucket = o.bucket
+        GROUP BY e.d)),
+exact AS (
+  SELECT coalesce(sum(e.n * o.n), 0)::BIGINT AS exact_join_size
+  FROM per_e e JOIN per_o o ON e.k = o.k)
+SELECT exact_join_size, cms_join_size,
+       cms_join_size - exact_join_size AS overcount
+FROM exact, est""")
+
+  private def joinBucketSql(d: String): String =
+    s"(${Md5Hash.h32Sql(s"'cmsj' || $d::VARCHAR || ':' || k::VARCHAR")})" +
+      s" % $CmsW"
 }

@@ -419,4 +419,28 @@ class Round6Spec extends SparkSpec {
       .select(explode(split(trim(lower($"text")), "\\s+"))).count()
     assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
   }
+
+  test("training order: run accounting ties out, hash order interleaves") {
+    val rows = text.TrainingOrder.trainingOrder(spark, sf).collect()
+    val corpus = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_runs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_run") * r.getAs[Long]("n_runs")
+        >= r.getAs[Long]("n_docs"), "max_run below the pigeonhole floor")
+      // the md5 order must actually interleave: a source-length run means
+      // the shuffle leaked a sort
+      assert(r.getAs[Long]("max_run") < r.getAs[Long]("n_docs")
+        || r.getAs[Long]("n_docs") == 1L)
+    }
+  }
+
+  test("cms join size: estimate never undercounts the exact inner product") {
+    val r = analytics.CmSketch.cmsJoinSize(spark, sf).collect()(0)
+    val exact = r.getAs[Long]("exact_join_size")
+    val est = r.getAs[Long]("cms_join_size")
+    assert(exact > 0, "fixture join is empty — estimator untested")
+    assert(est >= exact, s"CMS inner product undercounted: $est < $exact")
+    assert(r.getAs[Long]("overcount") == est - exact)
+  }
 }
