@@ -56,7 +56,8 @@ object SparkEntry {
       warehouse.Bitemporal.all ++ analytics.Skyline.all ++
       similarity.FilteredAnn.all ++ text.DsirWeights.all ++
       text.WeakLabels.all ++ similarity.KCenterCoreset.all ++
-      text.DomainKl.all ++ text.TrainingOrder.all
+      text.DomainKl.all ++ text.TrainingOrder.all ++
+      text.BoilerplateStrip.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -100,5 +101,6 @@ object SparkEntry {
       warehouse.Bitemporal.oracle ++ analytics.Skyline.oracle ++
       similarity.FilteredAnn.oracle ++ text.DsirWeights.oracle ++
       text.WeakLabels.oracle ++ similarity.KCenterCoreset.oracle ++
-      text.DomainKl.oracle ++ text.TrainingOrder.oracle
+      text.DomainKl.oracle ++ text.TrainingOrder.oracle ++
+      text.BoilerplateStrip.oracle
 }

@@ -443,4 +443,33 @@ class Round6Spec extends SparkSpec {
     assert(est >= exact, s"CMS inner product undercounted: $est < $exact")
     assert(r.getAs[Long]("overcount") == est - exact)
   }
+
+  test("boilerplate strip: row-conserving, rebuild preserves kept order") {
+    val rows = text.BoilerplateStrip.boilerplateStrip(spark, sf).collect()
+    val corpus = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == corpus, "transform dropped document rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segments"))
+      val clean = r.getAs[String]("clean_text")
+      assert((r.getAs[Long]("n_kept") == 0L) == clean.isEmpty)
+    }
+    // the fixture must exercise actual removal AND survival
+    assert(rows.exists(_.getAs[Double]("pct_removed") > 0))
+    assert(rows.exists(r => r.getAs[Long]("n_kept") == r.getAs[Long]("n_segments")))
+    // kept segments appear in original order: clean_text must be a
+    // subsequence of the normalized original, segment-wise
+    val orig = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase).toMap
+    rows.filter(_.getAs[Long]("n_kept") > 0).take(50).foreach { r =>
+      val doc = orig(r.getAs[Long]("doc_id")).split("\\s+")
+      val segs = doc.grouped(text.BoilerplateStrip.SegTokens)
+        .map(_.mkString(" ")).toSeq
+      val cleanSegs = segs.filter(s =>
+        r.getAs[String]("clean_text").contains(s))
+      assert(cleanSegs.mkString(" ").contains(r.getAs[String]("clean_text"))
+        || segs.exists(_ == r.getAs[String]("clean_text")),
+        s"rebuild lost segment order for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }
