@@ -7,9 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bigram language-model coverage — the cheap "commonness" quality signal
-  * a corpus filter runs where a real LM perplexity score would need
-  * floating log-probs (which never hash-compare cross-engine — the
-  * [[TextAnalysis.tokenFreqScore]] lesson): score each document by the
+  * that needs no log-probs at all (the full fixed-point cross-entropy
+  * score lives in [[LmPerplexity]]; this is its constant-cost sibling for
+  * when a 200-row reference table beats a vocabulary-sized model join):
+  * score each document by the
   * fraction of its bigrams that land in the corpus's top-[[LmTopBigrams]]
   * bigram table. Documents far below the corpus norm are gibberish/noise
   * candidates; far above are boilerplate candidates — the two tails a

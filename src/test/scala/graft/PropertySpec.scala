@@ -70,7 +70,8 @@ class PropertySpec extends SparkSpec {
       "agg_rfm_segments", "sim_graph_greedy_search", "sim_ivf_nprobe_sweep",
       "wh_bitemporal_asof", "win_skyline_frontier", "sim_filtered_ann",
       "curate_dsir_weights", "text_domain_kl", "curate_weak_labels",
-      "sim_kcenter_coreset")
+      "sim_kcenter_coreset", "text_lm_perplexity", "curate_training_order",
+      "curate_boilerplate_strip")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

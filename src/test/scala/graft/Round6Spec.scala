@@ -472,4 +472,26 @@ class Round6Spec extends SparkSpec {
         s"rebuild lost segment order for doc ${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("lm perplexity: cross-entropy bounded by smoothed-model extremes") {
+    import graft.functions.ScaledLn
+    val rows = text.LmPerplexity.lmPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+    val vocab = toks.select($"w").distinct().count()
+    val total = toks.count()
+    // every -ln P term is positive (P < 1 since c2+1 < c1+V strictly
+    // whenever V >= 2) and at most lnS(max_c1 + V) - ln(2)
+    val hi = (ScaledLn.lnS(total + vocab) - ScaledLn.lnS(2L)).toDouble /
+      ScaledLn.Scale
+    rows.foreach { r =>
+      val h = r.getAs[Double]("cross_entropy_nats")
+      assert(h > 0, s"doc ${r.getAs[Long]("doc_id")}: H=$h not positive")
+      assert(h <= hi, s"doc ${r.getAs[Long]("doc_id")}: H=$h above ceiling $hi")
+    }
+    // docs with >= 2 tokens all score; the corpus must spread (filter signal)
+    val hs = rows.map(_.getAs[Double]("cross_entropy_nats"))
+    assert(hs.max - hs.min > 0.1, "no perplexity spread — filter vacuous")
+  }
 }
