@@ -57,7 +57,8 @@ object SparkEntry {
       similarity.FilteredAnn.all ++ text.DsirWeights.all ++
       text.WeakLabels.all ++ similarity.KCenterCoreset.all ++
       text.DomainKl.all ++ text.TrainingOrder.all ++
-      text.BoilerplateStrip.all ++ text.LmPerplexity.all
+      text.BoilerplateStrip.all ++ text.LmPerplexity.all ++
+      sources.NeymanAllocation.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -102,5 +103,6 @@ object SparkEntry {
       similarity.FilteredAnn.oracle ++ text.DsirWeights.oracle ++
       text.WeakLabels.oracle ++ similarity.KCenterCoreset.oracle ++
       text.DomainKl.oracle ++ text.TrainingOrder.oracle ++
-      text.BoilerplateStrip.oracle ++ text.LmPerplexity.oracle
+      text.BoilerplateStrip.oracle ++ text.LmPerplexity.oracle ++
+      sources.NeymanAllocation.oracle
 }

@@ -494,4 +494,24 @@ class Round6Spec extends SparkSpec {
     val hs = rows.map(_.getAs[Double]("cross_entropy_nats"))
     assert(hs.max - hs.min > 0.1, "no perplexity spread — filter vacuous")
   }
+
+  test("neyman: shares sum to one, allocation tracks n·s, not n alone") {
+    val rows = sources.NeymanAllocation.neymanAllocation(spark, sf).collect()
+    assert(rows.length >= 2)
+    val shares = rows.map(_.getAs[Double]("alloc_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum ${shares.sum}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("stddev") >= 0)
+      assert(r.getAs[Double]("alloc_n") >= 0)
+    }
+    // Neyman must deviate from proportional whenever stddevs differ;
+    // equality across the board would mean the fixture can't tell the
+    // designs apart
+    val nTot = rows.map(_.getAs[Long]("n_rows")).sum.toDouble
+    val dev = rows.map(r => math.abs(r.getAs[Double]("alloc_share")
+      - r.getAs[Long]("n_rows") / nTot)).max
+    val sdSpread = rows.map(_.getAs[Double]("stddev"))
+    if (sdSpread.max - sdSpread.min > 1e-6)
+      assert(dev > 0, "allocation identical to proportional despite variance spread")
+  }
 }
