@@ -40,10 +40,18 @@ object WeakLabels {
   /** lf_digit votes drop when digit chars exceed 1/[[DigitDenom]] of text. */
   val DigitDenom = 5
 
-  def weakLabels(spark: SparkSession, dir: String): DataFrame = {
+  /** The LF names, in vote-column order — shared by the audit and the
+    * Shapley attribution.
+    */
+  val LfNames: Seq[String] = Seq("lf_length", "lf_stopword", "lf_digit", "lf_lang_en")
+
+  /** Per-doc vote matrix (doc_id + one {−1,0,1} column per LF) — the
+    * shared input of [[weakLabels]] and [[LfShapley]].
+    */
+  def voted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stopArr = TextAnalysis.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
-    val voted = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .withColumn("n_toks", size(split(trim($"text"), "\\s+")))
       .withColumn("n_stop",
         expr(s"size(filter(split(trim(text), '\\\\s+'), t -> lower(t) IN $stopArr))"))
@@ -57,13 +65,37 @@ object WeakLabels {
         when($"n_digit" * DigitDenom > length($"text"), -1)
           .otherwise(0).as("v_digit"),
         when($"lang" === "en", 1).otherwise(-1).as("v_lang_en"))
+  }
+
+  /** DuckDB twin of [[voted]] (a complete SELECT, usable as a CTE body). */
+  private[text] def votedSql: String = {
+    val stopArr = TextAnalysis.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""SELECT doc_id,
+         CASE WHEN n_toks >= $LenKeep THEN 1
+              WHEN n_toks < $LenDrop THEN -1 ELSE 0 END AS v_length,
+         CASE WHEN n_stop >= $StopKeep THEN 1
+              WHEN n_stop = 0 THEN -1 ELSE 0 END AS v_stopword,
+         CASE WHEN n_digit * $DigitDenom > n_chars THEN -1 ELSE 0 END AS v_digit,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS v_lang_en
+  FROM (SELECT doc_id, lang, length(text) AS n_chars,
+               length(string_split_regex(trim(text), '\\s+')) AS n_toks,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> lower(t) IN $stopArr)) AS n_stop,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS n_digit
+        FROM documents)"""
+  }
+
+  def weakLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val voteDf = voted(spark, dir)
       .withColumn("n_pos",
         ($"v_length" === 1).cast("int") + ($"v_stopword" === 1).cast("int") +
           ($"v_digit" === 1).cast("int") + ($"v_lang_en" === 1).cast("int"))
       .withColumn("n_neg",
         ($"v_length" === -1).cast("int") + ($"v_stopword" === -1).cast("int") +
           ($"v_digit" === -1).cast("int") + ($"v_lang_en" === -1).cast("int"))
-    val stacked = voted.select($"n_pos", $"n_neg", expr(
+    val stacked = voteDf.select($"n_pos", $"n_neg", expr(
       "stack(4, 'lf_length', v_length, 'lf_stopword', v_stopword, " +
         "'lf_digit', v_digit, 'lf_lang_en', v_lang_en) AS (lf_name, vote)"))
     stacked.groupBy($"lf_name")
@@ -89,22 +121,7 @@ object WeakLabels {
     "curate_weak_labels" -> (weakLabels _))
 
   val oracle: Map[String, String] = {
-    val stopArr = TextAnalysis.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
-    Map("curate_weak_labels" -> s"""WITH voted AS (
-  SELECT doc_id,
-         CASE WHEN n_toks >= $LenKeep THEN 1
-              WHEN n_toks < $LenDrop THEN -1 ELSE 0 END AS v_length,
-         CASE WHEN n_stop >= $StopKeep THEN 1
-              WHEN n_stop = 0 THEN -1 ELSE 0 END AS v_stopword,
-         CASE WHEN n_digit * $DigitDenom > n_chars THEN -1 ELSE 0 END AS v_digit,
-         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS v_lang_en
-  FROM (SELECT doc_id, lang, length(text) AS n_chars,
-               length(string_split_regex(trim(text), '\\s+')) AS n_toks,
-               len(list_filter(string_split_regex(trim(text), '\\s+'),
-                   t -> lower(t) IN $stopArr)) AS n_stop,
-               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-                 AS n_digit
-        FROM documents)),
+    Map("curate_weak_labels" -> s"""WITH voted AS ($votedSql),
 tallied AS (
   SELECT *,
          (v_length = 1)::INT + (v_stopword = 1)::INT + (v_digit = 1)::INT

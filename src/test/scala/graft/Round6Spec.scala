@@ -514,4 +514,32 @@ class Round6Spec extends SparkSpec {
     if (sdSpread.max - sdSpread.min > 1e-6)
       assert(dev > 0, "allocation identical to proportional despite variance spread")
   }
+
+  test("lf shapley: efficiency identity holds exactly per document") {
+    // Σ_i φ_i(d) must equal sign(Σ votes) — the Shapley efficiency axiom
+    // as an INTEGER identity (numerators over the common denominator 12)
+    val voted = text.WeakLabels.voted(spark, sf).collect()
+    def sign(x: Int) = if (x > 0) 1 else if (x < 0) -1 else 0
+    val weights = text.LfShapley.WeightNum
+    voted.take(200).foreach { r =>
+      val v = Seq(r.getAs[Int]("v_length"), r.getAs[Int]("v_stopword"),
+        r.getAs[Int]("v_digit"), r.getAs[Int]("v_lang_en"))
+      val phiSum = v.indices.map { i =>
+        val others = v.indices.filterNot(_ == i)
+        others.toSet.subsets().map { s =>
+          val base = s.toSeq.map(v).sum
+          weights(s.size) * (sign(base + v(i)) - sign(base))
+        }.sum
+      }.sum
+      assert(phiSum == text.LfShapley.WeightDenom * sign(v.sum),
+        s"efficiency violated for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // and the aggregated table's mean_abs dominates |mean|
+    val rows = text.LfShapley.lfShapley(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean_shapley"))
+        <= r.getAs[Double]("mean_abs_shapley") + 1e-12)
+    }
+  }
 }
