@@ -58,7 +58,8 @@ object SparkEntry {
       text.WeakLabels.all ++ similarity.KCenterCoreset.all ++
       text.DomainKl.all ++ text.TrainingOrder.all ++
       text.BoilerplateStrip.all ++ text.LmPerplexity.all ++
-      sources.NeymanAllocation.all ++ text.LfShapley.all
+      sources.NeymanAllocation.all ++ text.LfShapley.all ++
+      analytics.QDigest.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -104,5 +105,6 @@ object SparkEntry {
       text.WeakLabels.oracle ++ similarity.KCenterCoreset.oracle ++
       text.DomainKl.oracle ++ text.TrainingOrder.oracle ++
       text.BoilerplateStrip.oracle ++ text.LmPerplexity.oracle ++
-      sources.NeymanAllocation.oracle ++ text.LfShapley.oracle
+      sources.NeymanAllocation.oracle ++ text.LfShapley.oracle ++
+      analytics.QDigest.oracle
 }

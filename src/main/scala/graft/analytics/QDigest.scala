@@ -1,0 +1,158 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q-digest — the DETERMINISTIC mergeable quantile sketch (Shrivastava,
+  * Buragohain, Agrawal, Suri 2004): unlike t-digest/GK (insertion-order-
+  * dependent, so never hash-comparable cross-engine), a q-digest is a pure
+  * function of the value multiset — build, merge, and query all replay
+  * bit-identically in DuckDB. This is the quantile sibling of the repo's
+  * KMV/CMS/HLL family: fixed space (≤ 3·[[K]] nodes), mergeable by count
+  * union + recompress, rank error ≤ [[Levels]]·n/[[K]].
+  *
+  * Structure: order values land in 2^[[Levels]] leaf cells of a binary
+  * tree over the value domain ([[CellDollars]]-dollar cells); compression
+  * walks levels bottom-up and pushes a sibling pair into its parent when
+  * the pair's mass is ≤ ⌊n/[[K]]⌋ — frequent ranges keep fine resolution,
+  * sparse ranges collapse. The build-from-scratch walk unrolls into
+  * [[Levels]] tiny keyed aggregates over ≤ 2^[[Levels]] rows (the leaf
+  * aggregation is the only corpus-scale pass — one map-side-combined
+  * groupBy); the DuckDB oracle replays every level as its own CTE, so the
+  * digest STRUCTURE, not just the quantile answers, is hash-verified.
+  *
+  * Query: kept nodes sorted by (right endpoint, deeper level first), the
+  * q-quantile estimate is the first right endpoint whose running mass
+  * reaches ⌈q·n⌉ — emitted beside the exact order statistic and the
+  * achieved rank, so the sketch's error is an audited number.
+  */
+object QDigest {
+
+  /** Compression parameter: digest ≤ 3k nodes, rank error ≤ L·n/k. */
+  val K = 64
+
+  /** Tree depth: the value domain has 2^[[Levels]] leaf cells. */
+  val Levels = 12
+
+  /** Dollars per leaf cell (domain cover: 2^12 cells × 256 ≥ max price). */
+  val CellDollars = 256
+
+  /** (numerator, denominator) of the audited quantiles. */
+  val Quantiles: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))
+
+  def qdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.orders(spark, dir)
+      .select(floor($"o_totalprice").cast("long").as("v"))
+      .withColumn("cell", expr(s"v div $CellDollars"))
+    val leaves = vals.groupBy($"cell".as("id"))
+      .agg(count(lit(1)).as("c"))
+    val tot = leaves.agg(sum($"c").as("n"))
+
+    // bottom-up compression: at each level, a sibling pair with mass
+    // <= floor(n/K) collapses into its parent; survivors are digest nodes
+    var cur = leaves
+    var kept = Seq.empty[DataFrame]
+    for (l <- Levels to 1 by -1) {
+      val width = 1L << (Levels - l)
+      val sib = cur.withColumn("pid", expr("id div 2"))
+        .groupBy($"pid").agg(sum($"c").as("s"))
+        .crossJoin(broadcast(tot))
+      kept = kept :+ cur.withColumn("pid", expr("id div 2"))
+        .join(sib.filter($"s" > expr(s"n div $K")).select($"pid"), "pid")
+        .select(lit(l).as("lvl"), $"id", $"c",
+          (($"id" + 1) * width - 1).as("rt"))
+      cur = sib.filter($"s" <= expr(s"n div $K"))
+        .select($"pid".as("id"), $"s".as("c"))
+    }
+    val root = cur.filter($"c" > 0)
+      .select(lit(0).as("lvl"), $"id", $"c",
+        lit((1L << Levels) - 1).as("rt"))
+    val digest = (kept :+ root).reduce(_ unionByName _)
+
+    val ordered = digest.withColumn("cum",
+      sum($"c").over(Window.orderBy($"rt", $"lvl".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nNodes = digest.agg(count(lit(1)).as("n_nodes"))
+
+    val exactCum = vals.groupBy($"v").agg(count(lit(1)).as("cv"))
+      .withColumn("cumv", sum($"cv").over(Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    Quantiles.map { case (qn, qd) =>
+      val t = broadcast(tot.select(
+        expr(s"(n * $qn + $qd - 1) div $qd").as("target"), $"n"))
+      val est = ordered.crossJoin(t)
+        .filter($"cum" >= $"target")
+        .agg(min($"rt").as("est_rt"))
+      val exact = exactCum.crossJoin(t)
+        .filter($"cumv" >= $"target")
+        .agg(min($"v").as("exact_value"))
+      val rankAt = leaves.crossJoin(broadcast(est))
+        .filter($"id" <= $"est_rt")
+        .agg(sum($"c").as("rank_at_est"))
+      t.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+        .crossJoin(broadcast(rankAt)).crossJoin(broadcast(nNodes))
+        .select(lit(qn * 1.0 / qd).as("q"), $"target".as("target_rank"),
+          (($"est_rt" + 1) * CellDollars - 1).as("est_value"),
+          $"exact_value", $"rank_at_est", $"n_nodes")
+    }.reduce(_ unionByName _).orderBy($"q")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_qdigest_quantiles" -> (qdigestQuantiles _))
+
+  val oracle: Map[String, String] = {
+    val lvlCtes = (Levels to 1 by -1).map { l =>
+      val width = 1L << (Levels - l)
+      s"""sib$l AS (
+  SELECT id // 2 AS pid, sum(c)::BIGINT AS s FROM lvl$l GROUP BY id // 2),
+kept$l AS (
+  SELECT $l AS lvl, v.id, v.c, ((v.id + 1) * $width - 1)::BIGINT AS rt
+  FROM lvl$l v JOIN sib$l s ON v.id // 2 = s.pid CROSS JOIN tot
+  WHERE s.s > tot.n // $K),
+lvl${l - 1} AS (
+  SELECT pid AS id, s AS c FROM sib$l CROSS JOIN tot WHERE s <= tot.n // $K)"""
+    }.mkString(",\n")
+    val keptUnion = ((Levels to 1 by -1).map(l => s"SELECT * FROM kept$l") :+
+      s"SELECT 0 AS lvl, id, c, ${(1L << Levels) - 1}::BIGINT AS rt FROM lvl0 WHERE c > 0")
+      .mkString("\nUNION ALL ")
+    val qRows = Quantiles.map { case (qn, qd) =>
+      s"""SELECT ${qn * 1.0 / qd} AS q,
+       (SELECT (n * $qn + $qd - 1) // $qd FROM tot)::BIGINT AS target_rank,
+       ((SELECT min(rt) FROM ordered
+         WHERE cum >= (SELECT (n * $qn + $qd - 1) // $qd FROM tot)) + 1)
+         * $CellDollars - 1 AS est_value,
+       (SELECT min(v) FROM exact_cum
+        WHERE cumv >= (SELECT (n * $qn + $qd - 1) // $qd FROM tot))
+         AS exact_value,
+       (SELECT sum(c) FROM lvl$Levels
+        WHERE id <= (SELECT min(rt) FROM ordered
+                     WHERE cum >= (SELECT (n * $qn + $qd - 1) // $qd FROM tot)))::BIGINT
+         AS rank_at_est,
+       (SELECT count(*) FROM digest)::BIGINT AS n_nodes"""
+    }.mkString("\nUNION ALL\n")
+    Map("agg_qdigest_quantiles" -> s"""WITH vals AS (
+  SELECT floor(o_totalprice)::BIGINT AS v,
+         floor(o_totalprice)::BIGINT // $CellDollars AS cell
+  FROM orders),
+lvl$Levels AS (SELECT cell AS id, count(*)::BIGINT AS c FROM vals GROUP BY cell),
+tot AS (SELECT sum(c)::BIGINT AS n FROM lvl$Levels),
+$lvlCtes,
+digest AS (
+$keptUnion),
+ordered AS (
+  SELECT lvl, id, c, rt,
+         sum(c) OVER (ORDER BY rt, lvl DESC
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM digest),
+exact_cum AS (
+  SELECT v, sum(count(*)) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cumv
+  FROM vals GROUP BY v)
+$qRows
+ORDER BY q""")
+  }
+}

@@ -542,4 +542,28 @@ class Round6Spec extends SparkSpec {
         <= r.getAs[Double]("mean_abs_shapley") + 1e-12)
     }
   }
+
+  test("q-digest: space bound, rank guarantee, universe covers domain") {
+    import analytics.QDigest._
+    val vals = Tables.orders(spark, sf)
+      .select(floor($"o_totalprice").cast("long").as("v"))
+    val maxCell = vals.agg(max(expr(s"v div $CellDollars"))).as[Long].head()
+    assert(maxCell < (1L << Levels), "value domain exceeds the tree universe")
+    val n = vals.count()
+    val maxLeaf = vals.groupBy(expr(s"v div $CellDollars"))
+      .count().agg(max($"count")).as[Long].head()
+    val rows = qdigestQuantiles(spark, sf).collect()
+    assert(rows.length == Quantiles.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") <= 3L * K, "digest exceeds 3k nodes")
+      val target = r.getAs[Long]("target_rank")
+      val rankAt = r.getAs[Long]("rank_at_est")
+      assert(rankAt >= target, "estimate rank below target — not an upper bound")
+      // q-digest rank slack: <= L·(n/k) absorbed mass, plus the terminal
+      // cell's own population (cells are atomic at CellDollars resolution)
+      assert(rankAt - target <= Levels * (n / K) + maxLeaf,
+        s"rank error ${rankAt - target} above bound")
+      assert(r.getAs[Long]("est_value") >= r.getAs[Long]("exact_value"))
+    }
+  }
 }
