@@ -610,4 +610,32 @@ class PlanSpec extends SparkSpec {
       assert(collectAll(plan(df)) { case c: CartesianProductExec => c }.isEmpty)
     }
   }
+
+  test("scaled-ln family, strip, sketches: no products, lookups broadcast") {
+    // DSIR / KL / perplexity join literal ln tables and tiny model tables:
+    // every lookup must arrive as a BroadcastHashJoin, never a cartesian
+    // (the 1-row adj/total factors ride BroadcastNestedLoop — bounded by
+    // construction, and distinct from CartesianProductExec)
+    val needBroadcast = Seq(text.DsirWeights.dsirWeights(spark, sf),
+      text.DomainKl.domainKl(spark, sf),
+      text.LmPerplexity.lmPerplexity(spark, sf),
+      analytics.QDigest.qdigestQuantiles(spark, sf),
+      analytics.CmSketch.cmsJoinSize(spark, sf),
+      sources.NeymanAllocation.neymanAllocation(spark, sf))
+    // join-free (training order, shapley) or fp-equi-join (strip) plans
+    // only carry the no-product gate
+    val productFreeOnly = Seq(text.BoilerplateStrip.boilerplateStrip(spark, sf),
+      text.TrainingOrder.trainingOrder(spark, sf),
+      text.LfShapley.lfShapley(spark, sf))
+    for (df <- needBroadcast ++ productFreeOnly) {
+      df.collect()
+      assert(collectAll(plan(df)) { case c: CartesianProductExec => c }.isEmpty)
+    }
+    for (df <- needBroadcast) {
+      val p = plan(df)
+      assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty
+        || collectAll(p) { case e: BroadcastExchangeExec => e }.nonEmpty,
+        "expected broadcast lookups in a ScaledLn/sketch plan")
+    }
+  }
 }
