@@ -26,6 +26,16 @@ class VerifySchemaSpec extends SparkSpec {
         violations.mkString("\n"))
   }
 
+  test("every registered query carries an oracle, and no oracle is orphaned") {
+    // the driver's correctness gate only scores queries WITH oracle SQL —
+    // a missing key silently downgrades a query to a rows-only smoke; an
+    // orphaned oracle key is dead SQL that never runs
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("the guard catches a deliberately-decimal schema (negative control)") {
     val df = Seq((1L, BigDecimal("1.50"))).toDF("k", "money")
     assert(OutputContract.decimalColumns(df.schema) == Seq("money"))
