@@ -59,7 +59,7 @@ object SparkEntry {
       text.DomainKl.all ++ text.TrainingOrder.all ++
       text.BoilerplateStrip.all ++ text.LmPerplexity.all ++
       sources.NeymanAllocation.all ++ text.LfShapley.all ++
-      analytics.QDigest.all
+      analytics.QDigest.all ++ similarity.PcaPower.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -106,5 +106,5 @@ object SparkEntry {
       text.DomainKl.oracle ++ text.TrainingOrder.oracle ++
       text.BoilerplateStrip.oracle ++ text.LmPerplexity.oracle ++
       sources.NeymanAllocation.oracle ++ text.LfShapley.oracle ++
-      analytics.QDigest.oracle
+      analytics.QDigest.oracle ++ similarity.PcaPower.oracle
 }
