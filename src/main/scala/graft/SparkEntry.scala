@@ -59,7 +59,8 @@ object SparkEntry {
       text.DomainKl.all ++ text.TrainingOrder.all ++
       text.BoilerplateStrip.all ++ text.LmPerplexity.all ++
       sources.NeymanAllocation.all ++ text.LfShapley.all ++
-      analytics.QDigest.all ++ similarity.PcaPower.all
+      analytics.QDigest.all ++ similarity.PcaPower.all ++
+      analytics.Modularity.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -106,5 +107,6 @@ object SparkEntry {
       text.DomainKl.oracle ++ text.TrainingOrder.oracle ++
       text.BoilerplateStrip.oracle ++ text.LmPerplexity.oracle ++
       sources.NeymanAllocation.oracle ++ text.LfShapley.oracle ++
-      analytics.QDigest.oracle ++ similarity.PcaPower.oracle
+      analytics.QDigest.oracle ++ similarity.PcaPower.oracle ++
+      analytics.Modularity.oracle
 }

@@ -40,19 +40,29 @@ object LpaCommunities {
     */
   val TopEdges = 1
 
-  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+  /** The symmetric (both-directions) weighted trade graph — detection
+    * runs on its sparsified kNN subgraph, evaluation ([[Modularity]]) on
+    * the full thing.
+    */
+  def denseEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val directed = GraphOps.tradeEdges(spark, dir)
-    // undirected view: each edge contributes its weight in both directions
-    val dense = directed.select($"src".as("v"), $"dst".as("u"), $"w")
+    directed.select($"src".as("v"), $"dst".as("u"), $"w")
       .unionByName(directed.select($"dst".as("v"), $"src".as("u"), $"w"))
       .groupBy($"v", $"u").agg(sum($"w").as("w"))
+  }
+
+  /** The converged (v, label) partition — shared by the rollup here and
+    * the [[Modularity]] evaluation.
+    */
+  private[analytics] def labelsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // kNN sparsification: the dense trade graph is near-complete, which
     // collapses LPA to one community in a round — keep each node's
     // [[TopEdges]] heaviest incident edges (the standard mutual-kNN prep
     // before community detection), deterministic tie-break on (w, u)
     val byNode = Window.partitionBy($"v").orderBy($"w".desc, $"u")
-    val edges = dense
+    val edges = denseEdges(spark, dir)
       .withColumn("erk", row_number().over(byNode))
       .filter($"erk" <= TopEdges)
       .select($"v", $"u", $"w")
@@ -69,7 +79,12 @@ object LpaCommunities {
         .filter($"rk" === 1)
         .select($"v", $"nbr_label".as("label"))
     }
-    labels.groupBy($"label".cast("bigint").as("community"))
+    labels
+  }
+
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    labelsDf(spark, dir).groupBy($"label".cast("bigint").as("community"))
       .agg(count(lit(1)).as("n_nodes"),
         min($"v").cast("bigint").as("min_node"),
         max($"v").cast("bigint").as("max_node"))
@@ -88,8 +103,11 @@ object LpaCommunities {
     GROUP BY e.v, p.label)
   WHERE rk = 1)"""
 
-  val oracle: Map[String, String] = Map(
-    "graph_lpa_communities" -> s"""WITH directed AS (
+  /** Shared CTE chain (directed → dense → edges → l0..l[[Rounds]]) — the
+    * oracle here and [[Modularity]]'s compose on top of it; `l$Rounds`
+    * holds the converged (v, label) partition.
+    */
+  private[analytics] def labelsCtes: String = s"""directed AS (
   ${GraphOps.edgesSql.replace("\n", "\n  ")}),
 dense AS (
   SELECT v, u, sum(w)::BIGINT AS w FROM (
@@ -104,7 +122,10 @@ edges AS (
     FROM dense)
   WHERE erk <= $TopEdges),
 l0 AS (SELECT DISTINCT v, v AS label FROM edges),
-${(1 to Rounds).map(r => roundSql(s"l${r - 1}", s"l$r")).mkString(",\n")}
+${(1 to Rounds).map(r => roundSql(s"l${r - 1}", s"l$r")).mkString(",\n")}"""
+
+  val oracle: Map[String, String] = Map(
+    "graph_lpa_communities" -> s"""WITH $labelsCtes
 SELECT label::BIGINT AS community, count(*)::BIGINT AS n_nodes,
        min(v)::BIGINT AS min_node, max(v)::BIGINT AS max_node
 FROM l$Rounds

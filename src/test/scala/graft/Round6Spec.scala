@@ -618,4 +618,18 @@ class Round6Spec extends SparkSpec {
     assert(rayleigh(loading) > rayleigh(seed),
       "power iteration failed to improve the Rayleigh quotient")
   }
+
+  test("modularity: Q in [-1/2, 1], accounting ties to the dense graph") {
+    val rows = analytics.Modularity.modularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getAs[Double]("contribution")).sum
+    assert(q >= -0.5 && q <= 1.0, s"Q=$q outside Newman bounds")
+    val twoW = analytics.LpaCommunities.denseEdges(spark, sf)
+      .agg(sum($"w")).as[Long].head()
+    // degree masses tile 2W exactly; intra weight never exceeds degree mass
+    assert(rows.map(_.getAs[Long]("degree_mass")).sum == twoW)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("intra_weight") <= r.getAs[Long]("degree_mass"))
+    }
+  }
 }
