@@ -71,12 +71,24 @@ object PcaPower {
     s"CAST(v$e AS DOUBLE) * CAST(s$e AS DOUBLE)").mkString(" + ")
   private def rayleighDen = dims.map(e => s"v$e * v$e").mkString(" + ")
 
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+  /** Integer mean row (m0..m63 in shifted 1024-scale, plus n) — shared
+    * with the [[AbttResidual]] audit.
+    */
+  private[similarity] def muRow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .selectExpr(dims.map(d => s"${xhatSpark(d)} AS x$d"): _*)
+      .selectExpr(
+        (dims.map(d => s"sum(x$d) AS sx$d") :+ "count(1) AS n"): _*)
+      .selectExpr((dims.map(d => s"sx$d div n AS m$d") :+ "n"): _*)
+  }
+
+  /** One-row model: loadings l0..l63 (unit double), explained_share,
+    * n_vectors — shared with the [[AbttResidual]] audit.
+    */
+  private[similarity] def loadingsRow(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val xhat = e.selectExpr(dims.map(d => s"${xhatSpark(d)} AS x$d"): _*)
-    val mu = xhat.selectExpr(
-      (dims.map(d => s"sum(x$d) AS sx$d") :+ "count(1) AS n"): _*)
-      .selectExpr((dims.map(d => s"sx$d div n AS m$d") :+ "n"): _*)
+    val mu = muRow(spark, dir)
     val centered = xhat.crossJoin(broadcast(mu))
       .selectExpr((dims.map(d => s"x$d - m$d AS c$d") :+ "n"): _*)
     val trace = centered.selectExpr(
@@ -95,11 +107,15 @@ object PcaPower {
           s"${normExpr(e => s"s$e")} AS nrm"): _*)
         .selectExpr(dims.map(vNextExpr): _*)
     }
-    val finalRow = s.crossJoin(broadcast(vPrev)).crossJoin(broadcast(trace))
+    s.crossJoin(broadcast(vPrev)).crossJoin(broadcast(trace))
       .selectExpr(
         (dims.map(d => s"CAST(s$d AS DOUBLE) / ${normExpr(e => s"s$e")} AS l$d") ++
           Seq(s"(($rayleighNum) / ($rayleighDen)) / CAST(tr AS DOUBLE) AS explained_share",
             "n AS n_vectors")): _*)
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val finalRow = loadingsRow(spark, dir)
     val stackExpr = s"stack($Dims, " +
       dims.map(d => s"$d, l$d").mkString(", ") + ") AS (dim, loading)"
     finalRow.selectExpr(stackExpr, "explained_share", "n_vectors")
@@ -111,7 +127,10 @@ object PcaPower {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pca_power" -> (pcaPower _))
 
-  val oracle: Map[String, String] = {
+  /** DuckDB CTE chain through `final` (the one-row model) — the oracle
+    * here and [[AbttResidual]]'s compose on top of it.
+    */
+  private[similarity] def modelCtes: String = {
     val iterCtes = (1 to Rounds).map { r =>
       s"""it$r AS (
   SELECT ${dims.map(d => s"sum(dot * c$d)::BIGINT AS s$d").mkString(", ")}
@@ -121,10 +140,7 @@ v$r AS (
   SELECT ${dims.map(d => s"CAST(floor(CAST(s$d AS DOUBLE) * $Scale / nrm + 0.5) AS BIGINT) AS v$d").mkString(", ")}
   FROM (SELECT *, ${normExpr(e => s"s$e")} AS nrm FROM it$r))"""
     }.mkString(",\n")
-    val loadRows = dims.map(d =>
-      s"SELECT $d AS dim, l$d AS loading, explained_share, n_vectors FROM final")
-      .mkString("\nUNION ALL ")
-    Map("sim_pca_power" -> s"""WITH xhat AS (
+    s"""xhat AS (
   SELECT ${dims.map(d => s"${xhatDuck(d)} AS x$d").mkString(", ")}
   FROM embeddings),
 mu AS (
@@ -145,7 +161,14 @@ final AS (
   SELECT ${dims.map(d => s"CAST(s$d AS DOUBLE) / ${normExpr(e => s"s$e")} AS l$d").mkString(",\n         ")},
          (($rayleighNum) / ($rayleighDen)) / CAST(tr AS DOUBLE) AS explained_share,
          n AS n_vectors
-  FROM it$Rounds CROSS JOIN v${Rounds - 1} CROSS JOIN trace)
+  FROM it$Rounds CROSS JOIN v${Rounds - 1} CROSS JOIN trace)"""
+  }
+
+  val oracle: Map[String, String] = {
+    val loadRows = dims.map(d =>
+      s"SELECT $d AS dim, l$d AS loading, explained_share, n_vectors FROM final")
+      .mkString("\nUNION ALL ")
+    Map("sim_pca_power" -> s"""WITH $modelCtes
 $loadRows
 ORDER BY dim""")
   }

@@ -632,4 +632,27 @@ class Round6Spec extends SparkSpec {
       assert(r.getAs[Long]("intra_weight") <= r.getAs[Long]("degree_mass"))
     }
   }
+
+  test("abtt: residual similarity bounded by the dimension effect") {
+    val r = similarity.AbttResidual.abttResidual(spark, sf).collect()(0)
+    val before = r.getAs[Double]("mean_abs_cos_before")
+    val after = r.getAs[Double]("mean_abs_cos_after")
+    assert(r.getAs[Long]("n_pairs") > 0)
+    assert(before >= 0 && before <= 1 + 1e-12)
+    assert(after >= 0 && after <= 1 + 1e-12)
+    // On an ANISOTROPIC corpus ABTT deflates |cos| outright. This fixture
+    // is deliberately near-isotropic with ≈0 mean, where the honest
+    // expectation is the pure dimensionality effect: dropping one of d
+    // directions scales E|cos| by ≈ sqrt(d/(d−1)) (E|cos| ~ sqrt(2/πd)).
+    // Anything beyond that factor would mean the transform ADDED common
+    // structure — the actual bug this spec guards against.
+    val d = similarity.PcaPower.Dims
+    val dimFactor = math.sqrt(d.toDouble / (d - 1))
+    assert(after <= before * dimFactor * (1 + 1e-2),
+      s"ABTT inflated mean |cos| beyond the dimension effect: $after vs $before")
+    // and the share it reports is the model's own
+    val share = similarity.PcaPower.pcaPower(spark, sf).collect()
+      .head.getAs[Double]("explained_share")
+    assert(r.getAs[Double]("explained_share") == share)
+  }
 }
