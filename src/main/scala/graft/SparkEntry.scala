@@ -60,7 +60,8 @@ object SparkEntry {
       text.BoilerplateStrip.all ++ text.LmPerplexity.all ++
       sources.NeymanAllocation.all ++ text.LfShapley.all ++
       analytics.QDigest.all ++ similarity.PcaPower.all ++
-      analytics.Modularity.all ++ similarity.AbttResidual.all
+      analytics.Modularity.all ++ similarity.AbttResidual.all ++
+      analytics.PoissonBootstrap.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -108,5 +109,6 @@ object SparkEntry {
       text.BoilerplateStrip.oracle ++ text.LmPerplexity.oracle ++
       sources.NeymanAllocation.oracle ++ text.LfShapley.oracle ++
       analytics.QDigest.oracle ++ similarity.PcaPower.oracle ++
-      analytics.Modularity.oracle ++ similarity.AbttResidual.oracle
+      analytics.Modularity.oracle ++ similarity.AbttResidual.oracle ++
+      analytics.PoissonBootstrap.oracle
 }

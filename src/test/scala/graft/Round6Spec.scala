@@ -655,4 +655,31 @@ class Round6Spec extends SparkSpec {
       .head.getAs[Double]("explained_share")
     assert(r.getAs[Double]("explained_share") == share)
   }
+
+  test("poisson bootstrap: weights concentrate, CI brackets the point") {
+    import analytics.PoissonBootstrap._
+    // interval table is a valid partition of [0, 2^32)
+    val iv = WeightIntervals
+    assert(iv.head._1 == 0L && iv.last._2 == 4294967295L)
+    iv.sliding(2).foreach {
+      case Seq(a, b) => assert(b._1 == a._2 + 1, "interval gap")
+      case _ =>
+    }
+    // Poisson(1): P(0) mass ≈ 36.8% of 2^32
+    assert(math.abs((iv.head._2 + 1) / 4294967296.0 - math.exp(-1)) < 1e-6)
+    val rows = poissonBootstrap(spark, sf).collect()
+    assert(rows.length == Replicates)
+    val n = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      // Poisson(1) total: n_eff within ±20% of n at these sizes
+      val ne = r.getAs[Long]("n_eff")
+      assert(math.abs(ne - n) * 5 <= n, s"replicate n_eff $ne far from $n")
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("boot_mean"))
+      assert(r.getAs[Double]("boot_mean") <= r.getAs[Double]("ci_hi"))
+    }
+    val r0 = rows.head
+    assert(r0.getAs[Double]("ci_lo") <= r0.getAs[Double]("point_mean") &&
+      r0.getAs[Double]("point_mean") <= r0.getAs[Double]("ci_hi"),
+      "percentile CI fails to bracket the point estimate")
+  }
 }
