@@ -682,4 +682,24 @@ class Round6Spec extends SparkSpec {
       r0.getAs[Double]("point_mean") <= r0.getAs[Double]("ci_hi"),
       "percentile CI fails to bracket the point estimate")
   }
+
+  test("key collisions: wider keys collide no more, birthday scale sane") {
+    val rows = warehouse.KeyCollision.keyCollision(spark, sf).collect()
+      .sortBy(_.getAs[Int]("key_bits"))
+    assert(rows.length == 2)
+    val Seq(r32, r62) = rows.toSeq
+    assert(r62.getAs[Long]("collisions") <= r32.getAs[Long]("collisions"))
+    assert(r62.getAs[Double]("expected_collisions") <
+      r32.getAs[Double]("expected_collisions"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("collisions") >= 0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_keys"))
+    }
+    // observed 32-bit collisions within 10x of the birthday expectation
+    // when the expectation is macroscopic (>= 1)
+    val exp32 = r32.getAs[Double]("expected_collisions")
+    if (exp32 >= 1.0)
+      assert(r32.getAs[Long]("collisions") <= exp32 * 10 + 10,
+        "collision count wildly off the birthday bound — hash broken?")
+  }
 }
