@@ -61,7 +61,8 @@ object SparkEntry {
       sources.NeymanAllocation.all ++ text.LfShapley.all ++
       analytics.QDigest.all ++ similarity.PcaPower.all ++
       analytics.Modularity.all ++ similarity.AbttResidual.all ++
-      analytics.PoissonBootstrap.all ++ warehouse.KeyCollision.all
+      analytics.PoissonBootstrap.all ++ warehouse.KeyCollision.all ++
+      text.SourceAblation.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -110,5 +111,6 @@ object SparkEntry {
       sources.NeymanAllocation.oracle ++ text.LfShapley.oracle ++
       analytics.QDigest.oracle ++ similarity.PcaPower.oracle ++
       analytics.Modularity.oracle ++ similarity.AbttResidual.oracle ++
-      analytics.PoissonBootstrap.oracle ++ warehouse.KeyCollision.oracle
+      analytics.PoissonBootstrap.oracle ++ warehouse.KeyCollision.oracle ++
+      text.SourceAblation.oracle
 }

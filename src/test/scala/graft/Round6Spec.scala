@@ -702,4 +702,28 @@ class Round6Spec extends SparkSpec {
       assert(r32.getAs[Long]("collisions") <= exp32 * 10 + 10,
         "collision count wildly off the birthday bound — hash broken?")
   }
+
+  test("source ablation: closed form matches a brute-force re-dedup") {
+    val rows = text.SourceAblation.sourceAblation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute force: for each source, apply the pairwise keep-lowest policy
+    // to the corpus minus that source, in Scala
+    val pairs = graft.dedup.Dedup.pairsForDir(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val srcOf = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+      .toMap
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val expected = pairs.filter { case (a, b) =>
+        srcOf(a) != s && srcOf(b) != s
+      }.map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("drops_without") == expected,
+        s"ablation of $s: ${r.getAs[Long]("drops_without")} != $expected")
+    }
+    // dropping a source can only change the drop count downward vs full
+    val fullDrops = pairs.map(_._2).distinct.length.toLong
+    rows.foreach(r => assert(r.getAs[Long]("drops_without") <= fullDrops))
+  }
 }
