@@ -726,4 +726,23 @@ class Round6Spec extends SparkSpec {
     val fullDrops = pairs.map(_._2).distinct.length.toLong
     rows.foreach(r => assert(r.getAs[Long]("drops_without") <= fullDrops))
   }
+
+  test("ks distance: equals a direct ECDF sup, flag matches threshold") {
+    val r = analytics.KsDistance.ksDistance(spark, sf).collect()(0)
+    val d = r.getAs[Double]("ks_distance")
+    assert(d >= 0 && d <= 1)
+    val vals = Tables.orders(spark, sf)
+      .select(floor($"o_totalprice").cast("long").as("v"),
+        dayofweek($"o_orderdate").isin(1, 7).cast("int").as("wk"))
+      .collect().map(x => (x.getAs[Long]("v"), x.getAs[Int]("wk")))
+    val a = vals.filter(_._2 == 1).map(_._1).sorted
+    val b = vals.filter(_._2 == 0).map(_._1).sorted
+    val sup = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length
+        - b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(d - sup) < 1e-12, s"KS $d != direct sup $sup")
+    assert((r.getAs[Int]("reject_05") == 1) ==
+      (d > r.getAs[Double]("crit_05")))
+  }
 }
