@@ -62,7 +62,8 @@ object SparkEntry {
       analytics.QDigest.all ++ similarity.PcaPower.all ++
       analytics.Modularity.all ++ similarity.AbttResidual.all ++
       analytics.PoissonBootstrap.all ++ warehouse.KeyCollision.all ++
-      text.SourceAblation.all ++ analytics.KsDistance.all
+      text.SourceAblation.all ++ analytics.KsDistance.all ++
+      analytics.MannWhitney.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -112,5 +113,6 @@ object SparkEntry {
       analytics.QDigest.oracle ++ similarity.PcaPower.oracle ++
       analytics.Modularity.oracle ++ similarity.AbttResidual.oracle ++
       analytics.PoissonBootstrap.oracle ++ warehouse.KeyCollision.oracle ++
-      text.SourceAblation.oracle ++ analytics.KsDistance.oracle
+      text.SourceAblation.oracle ++ analytics.KsDistance.oracle ++
+      analytics.MannWhitney.oracle
 }

@@ -745,4 +745,31 @@ class Round6Spec extends SparkSpec {
     assert((r.getAs[Int]("reject_05") == 1) ==
       (d > r.getAs[Double]("crit_05")))
   }
+
+  test("mann-whitney: U matches a direct average-rank computation") {
+    val r = analytics.MannWhitney.mannWhitney(spark, sf).collect()(0)
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val u1 = r.getAs[Double]("u1")
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2, s"U=$u1 outside [0, n1·n2]")
+    val vals = Tables.orders(spark, sf)
+      .select(floor($"o_totalprice").cast("long").as("v"),
+        dayofweek($"o_orderdate").isin(1, 7).cast("int").as("wk"))
+      .collect().map(x => (x.getAs[Long]("v"), x.getAs[Int]("wk")))
+    val sorted = vals.sortBy(_._1)
+    // average ranks with ties, directly
+    val ranks = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // mean of ranks i+1..j
+      i = j
+    }
+    val r1 = vals.filter(_._2 == 1).map(x => ranks(x._1)).sum
+    val expectU = r1 - n1.toDouble * (n1 + 1) / 2
+    assert(math.abs(u1 - expectU) < 1e-6, s"U=$u1 != direct $expectU")
+    // effect size consistent with U
+    assert(math.abs(r.getAs[Double]("rank_biserial")
+      - (1 - 2 * u1 / (n1.toDouble * n2))) < 1e-12)
+  }
 }
