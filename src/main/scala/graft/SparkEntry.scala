@@ -63,7 +63,7 @@ object SparkEntry {
       analytics.Modularity.all ++ similarity.AbttResidual.all ++
       analytics.PoissonBootstrap.all ++ warehouse.KeyCollision.all ++
       text.SourceAblation.all ++ analytics.KsDistance.all ++
-      analytics.MannWhitney.all
+      analytics.MannWhitney.all ++ analytics.HierReconcile.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -114,5 +114,5 @@ object SparkEntry {
       analytics.Modularity.oracle ++ similarity.AbttResidual.oracle ++
       analytics.PoissonBootstrap.oracle ++ warehouse.KeyCollision.oracle ++
       text.SourceAblation.oracle ++ analytics.KsDistance.oracle ++
-      analytics.MannWhitney.oracle
+      analytics.MannWhitney.oracle ++ analytics.HierReconcile.oracle
 }

@@ -772,4 +772,21 @@ class Round6Spec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rank_biserial")
       - (1 - 2 * u1 / (n1.toDouble * n2))) < 1e-12)
   }
+
+  test("hier reconcile: bottom-up coheres by construction, gap is real") {
+    val rows = analytics.HierReconcile.hierReconcile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the emitted gap must be exactly direct − bottom_up
+      assert(r.getAs[Long]("coherence_gap") ==
+        r.getAs[Long]("direct_fc") - r.getAs[Long]("bottom_up_fc"))
+      assert(r.getAs[Long]("n_months") >= 1)
+      assert(r.getAs[Long]("mae_num_direct") >= 0)
+    }
+    // the floor nonlinearity (and nation-months missing history) must
+    // produce at least one incoherent region or the fixture can't tell
+    // reconciliation strategies apart
+    assert(rows.exists(_.getAs[Long]("coherence_gap") != 0L),
+      "all regions coherent — base forecaster degenerate for this test")
+  }
 }
