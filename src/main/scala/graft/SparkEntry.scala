@@ -63,7 +63,8 @@ object SparkEntry {
       analytics.Modularity.all ++ similarity.AbttResidual.all ++
       analytics.PoissonBootstrap.all ++ warehouse.KeyCollision.all ++
       text.SourceAblation.all ++ analytics.KsDistance.all ++
-      analytics.MannWhitney.all ++ analytics.HierReconcile.all
+      analytics.MannWhitney.all ++ analytics.HierReconcile.all ++
+      warehouse.FdDiscovery.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -114,5 +115,6 @@ object SparkEntry {
       analytics.Modularity.oracle ++ similarity.AbttResidual.oracle ++
       analytics.PoissonBootstrap.oracle ++ warehouse.KeyCollision.oracle ++
       text.SourceAblation.oracle ++ analytics.KsDistance.oracle ++
-      analytics.MannWhitney.oracle ++ analytics.HierReconcile.oracle
+      analytics.MannWhitney.oracle ++ analytics.HierReconcile.oracle ++
+      warehouse.FdDiscovery.oracle
 }

@@ -789,4 +789,25 @@ class Round6Spec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("coherence_gap") != 0L),
       "all regions coherent — base forecaster degenerate for this test")
   }
+
+  test("fd discovery: key FDs hold, attribute FDs fail, accounting ties") {
+    val rows = warehouse.FdDiscovery.fdDiscovery(spark, sf).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) -> r).toMap
+    assert(rows.size == warehouse.FdDiscovery.Candidates.size)
+    // primary-key determinations must hold
+    assert(rows(("o_orderkey", "o_custkey")).getAs[Int]("holds") == 1)
+    assert(rows(("o_orderkey", "o_orderstatus")).getAs[Int]("holds") == 1)
+    assert(rows(("c_custkey", "c_mktsegment")).getAs[Int]("holds") == 1)
+    // attribute→attribute with high-cardinality groups must fail
+    assert(rows(("o_orderstatus", "o_orderpriority")).getAs[Int]("holds") == 0)
+    assert(rows(("c_nationkey", "c_mktsegment")).getAs[Int]("holds") == 0)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("violating_groups") <= r.getAs[Long]("n_groups"))
+      assert((r.getAs[Int]("holds") == 1) ==
+        (r.getAs[Long]("violating_groups") == 0L))
+      assert(r.getAs[Long]("violating_rows") >= r.getAs[Long]("violating_groups") * 2
+        || r.getAs[Long]("violating_groups") == 0L,
+        "a violating group needs at least two rows")
+    }
+  }
 }
