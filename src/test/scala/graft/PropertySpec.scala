@@ -71,7 +71,11 @@ class PropertySpec extends SparkSpec {
       "wh_bitemporal_asof", "win_skyline_frontier", "sim_filtered_ann",
       "curate_dsir_weights", "text_domain_kl", "curate_weak_labels",
       "sim_kcenter_coreset", "text_lm_perplexity", "curate_training_order",
-      "curate_boilerplate_strip")
+      "curate_boilerplate_strip", "src_neyman_allocation", "curate_lf_shapley",
+      "agg_qdigest_quantiles", "sim_pca_power", "graph_modularity",
+      "sim_abtt_residual", "agg_poisson_bootstrap", "wh_key_collision_audit",
+      "curate_source_ablation", "agg_ks_distance", "agg_mann_whitney",
+      "ts_hier_reconcile", "wh_fd_discovery", "agg_cms_join_size")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
