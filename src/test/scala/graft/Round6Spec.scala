@@ -810,4 +810,23 @@ class Round6Spec extends SparkSpec {
         "a violating group needs at least two rows")
     }
   }
+
+  test("ind discovery: reference chains hold, cross-key candidates fail") {
+    val rows = warehouse.IndDiscovery.indDiscovery(spark, sf).collect()
+      .map(r => r.getAs[String]("lhs") -> r).toMap
+    assert(rows.size == warehouse.IndDiscovery.Candidates.size)
+    // the declared TPC-H FK chains must hold
+    for (k <- Seq("lineitem.l_orderkey", "customer.c_nationkey",
+        "nation.n_regionkey"))
+      assert(rows(k).getAs[Int]("holds") == 1, s"$k should hold")
+    // order keys are not customer keys
+    assert(rows("orders.o_orderkey").getAs[Int]("holds") == 0)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("orphan_values") <= r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("orphan_rows") >= r.getAs[Long]("orphan_values")
+        || r.getAs[Long]("orphan_values") == 0L)
+      assert((r.getAs[Int]("holds") == 1) ==
+        (r.getAs[Long]("orphan_values") == 0L))
+    }
+  }
 }
