@@ -64,7 +64,8 @@ object SparkEntry {
       analytics.PoissonBootstrap.all ++ warehouse.KeyCollision.all ++
       text.SourceAblation.all ++ analytics.KsDistance.all ++
       analytics.MannWhitney.all ++ analytics.HierReconcile.all ++
-      warehouse.FdDiscovery.all ++ warehouse.IndDiscovery.all
+      warehouse.FdDiscovery.all ++ warehouse.IndDiscovery.all ++
+      analytics.ChiSquare.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -116,5 +117,6 @@ object SparkEntry {
       analytics.PoissonBootstrap.oracle ++ warehouse.KeyCollision.oracle ++
       text.SourceAblation.oracle ++ analytics.KsDistance.oracle ++
       analytics.MannWhitney.oracle ++ analytics.HierReconcile.oracle ++
-      warehouse.FdDiscovery.oracle ++ warehouse.IndDiscovery.oracle
+      warehouse.FdDiscovery.oracle ++ warehouse.IndDiscovery.oracle ++
+      analytics.ChiSquare.oracle
 }

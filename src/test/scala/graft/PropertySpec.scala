@@ -75,7 +75,8 @@ class PropertySpec extends SparkSpec {
       "agg_qdigest_quantiles", "sim_pca_power", "graph_modularity",
       "sim_abtt_residual", "agg_poisson_bootstrap", "wh_key_collision_audit",
       "curate_source_ablation", "agg_ks_distance", "agg_mann_whitney",
-      "ts_hier_reconcile", "wh_fd_discovery", "agg_cms_join_size")
+      "ts_hier_reconcile", "wh_fd_discovery", "agg_cms_join_size",
+      "wh_ind_discovery", "agg_chi2_independence")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -829,4 +829,26 @@ class Round6Spec extends SparkSpec {
         (r.getAs[Long]("orphan_values") == 0L))
     }
   }
+
+  test("chi2: matches a direct contingency computation") {
+    val r = analytics.ChiSquare.chiSquare(spark, sf).collect()(0)
+    val chi2 = r.getAs[Double]("chi2")
+    assert(chi2 >= 0)
+    assert(r.getAs[Long]("dof") ==
+      (r.getAs[Long]("n_statuses") - 1) * (r.getAs[Long]("n_priorities") - 1))
+    val cells = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus", $"o_orderpriority").count().collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("count")).toMap
+    val n = cells.values.sum.toDouble
+    val rs = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cs = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val direct = cells.map { case ((s, p), o) =>
+      val e = rs(s) * cs(p) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2 - direct) < 1e-8 * (1 + direct),
+      s"chi2 $chi2 != direct $direct")
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0 && v <= 1 + 1e-12)
+  }
 }
