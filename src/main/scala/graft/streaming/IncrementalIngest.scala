@@ -403,6 +403,86 @@ object IncrementalIngest {
   val EnrichWeights: Seq[(String, Int)] =
     Seq("click" -> 5, "view" -> 1, "signup" -> 3, "purchase" -> 10)
 
+  /** Versioned enrichment dim for the TEMPORAL (as-of) stream enrich:
+    * every event type's weight changes mid-month ([[Scd2CutoverMs]]), so a
+    * correct event-time lookup MUST pick the version valid at ts — a
+    * current-version join (the stream_enrich shape) would silently apply
+    * new weights to old events, the classic streaming-SCD2 bug. Validity
+    * is epoch-millis BIGINT on both engines (no timestamp-literal
+    * parsing in the join condition).
+    */
+  val Scd2CutoverMs: Long = 1705276800000L // 2024-01-15T00:00:00Z
+
+  /** (event_type, weight, valid_from_ms, valid_to_ms); v2 = v1 + 10. */
+  val Scd2Weights: Seq[(String, Int, Long, Long)] =
+    EnrichWeights.flatMap { case (t, w) => Seq(
+      (t, w, 0L, Scd2CutoverMs),
+      (t, w + 10, Scd2CutoverMs, Long.MaxValue))
+    }
+
+  /** Stage: temporal stream-static enrich — each micro-batch joins events
+    * to the dim version VALID AT EVENT TIME (foreachBatch: the non-equi
+    * as-of condition isn't expressible as a streaming equi-join, and the
+    * per-batch re-plan is also what picks up dim updates between batches —
+    * the standard pattern for SCD2 lookup in a stream). Dim broadcasts;
+    * state is zero (stateless per batch).
+    */
+  def asofEnrich(spark: SparkSession, srcDir: String, dim: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch
+          .join(broadcast(dim),
+            batch("event_type") === dim("event_type") &&
+              unix_millis(batch("ts")) >= dim("valid_from_ms") &&
+              unix_millis(batch("ts")) < dim("valid_to_ms"),
+            "left")
+          .select(batch("event_id"), batch("ts"), batch("event_type"),
+            dim("weight"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private val asofEnrichMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** End-to-end batch-comparable run of [[asofEnrich]]: events land, the
+    * stream replays them through the temporal lookup, and the rollup per
+    * (event_type, weight) hash-compares against DuckDB running the same
+    * as-of predicate — both weight VERSIONS of each type must appear,
+    * split exactly at the cutover.
+    */
+  def asofEnrichEntry(spark: SparkSession, dir: String): DataFrame =
+    asofEnrichMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-asof/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        graft.Tables.events(spark, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(s"$base/src")
+        import spark.implicits._
+        val dim = Scd2Weights
+          .toDF("event_type", "weight", "valid_from_ms", "valid_to_ms")
+        withStreamPartitions(spark) { ss =>
+          asofEnrich(ss, s"$base/src", dim, s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
+        spark.read.parquet(s"$base/out")
+          .groupBy(
+            coalesce(col("event_type"), lit("(unknown)")).as("event_type"),
+            coalesce(col("weight"), lit(-1)).as("weight"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"), col("weight"))
+      })
+
   private val enrichMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -443,9 +523,26 @@ object IncrementalIngest {
     "stream_outer_attribution" -> (outerAttributionEntry _),
     "stream_dedup_docs" -> (dedupDocsEntry _),
     "stream_enrich" -> (enrichEntry _),
+    "stream_asof_enrich" -> (asofEnrichEntry _),
     "stream_windowed_counts" -> (windowedCountsEntry _))
 
   val oracle: Map[String, String] = Map(
+    "stream_asof_enrich" -> {
+      val dimValues = Scd2Weights
+        .map { case (t, w, f, to) => s"('$t',$w,$f,$to)" }.mkString(",")
+      s"""WITH dim(event_type, weight, valid_from_ms, valid_to_ms) AS
+  (VALUES $dimValues)
+SELECT coalesce(e.event_type, '(unknown)') AS event_type,
+       coalesce(d.weight, -1)::INT AS weight,
+       count(*)::BIGINT AS n_events
+FROM events e LEFT JOIN dim d
+  ON e.event_type = d.event_type
+ AND epoch_ms(e.ts)::BIGINT >= d.valid_from_ms
+ AND epoch_ms(e.ts)::BIGINT < d.valid_to_ms
+GROUP BY 1, 2
+ORDER BY event_type, weight"""
+    },
+
     "stream_enrich" -> {
       val dimValues = EnrichWeights
         .map { case (t, w) => s"('$t',$w)" }.mkString(",")

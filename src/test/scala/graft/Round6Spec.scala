@@ -851,4 +851,23 @@ class Round6Spec extends SparkSpec {
     val v = r.getAs[Double]("cramers_v")
     assert(v >= 0 && v <= 1 + 1e-12)
   }
+
+  test("stream asof enrich: both dim versions hit, split at the cutover") {
+    import streaming.IncrementalIngest._
+    val rows = asofEnrichEntry(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val events = Tables.events(spark, sf)
+      .filter($"event_type".isNotNull)
+    for ((t, w) <- EnrichWeights) {
+      val versions = byType.getOrElse(t, Array.empty)
+        .map(r => r.getAs[Int]("weight") -> r.getAs[Long]("n_events")).toMap
+      assert(versions.keySet == Set(w, w + 10),
+        s"$t must carry exactly its two SCD2 versions, got ${versions.keySet}")
+      // the version split must equal the batch count on each side of the
+      // cutover — the exact thing a current-version join would get wrong
+      val pre = events.filter($"event_type" === t &&
+        expr(s"unix_millis(ts) < ${Scd2CutoverMs}L")).count()
+      assert(versions(w) == pre, s"$t v1 count ${versions(w)} != batch $pre")
+    }
+  }
 }
