@@ -870,4 +870,30 @@ class Round6Spec extends SparkSpec {
       assert(versions(w) == pre, s"$t v1 count ${versions(w)} != batch $pre")
     }
   }
+
+  test("spearman: matches a direct tie-averaged rank correlation") {
+    val r = analytics.SpearmanCorr.spearmanCorr(spark, sf).collect()(0)
+    val rho = r.getAs[Double]("spearman_rho")
+    assert(rho >= -1 - 1e-12 && rho <= 1 + 1e-12)
+    val vals = Tables.orders(spark, sf)
+      .select(floor($"o_totalprice").cast("long").as("x"),
+        datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("y"))
+      .collect().map(x => (x.getAs[Long]("x"), x.getAs[Long]("y")))
+    def ranks(xs: Seq[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted
+      sorted.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = ranks(vals.map(_._1).toSeq); val ry = ranks(vals.map(_._2).toSeq)
+    val xs = vals.map(v => rx(v._1)); val ys = vals.map(v => ry(v._2))
+    val n = vals.length
+    val mx = xs.sum / n; val my = ys.sum / n
+    val direct = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(rho - direct) < 1e-9, s"rho $rho != direct $direct")
+  }
 }
