@@ -38,6 +38,9 @@ object Bench {
     similarity.RandomHyperplaneLsh.index(spark, sfDir)
     analytics.GraphOps.coEdges(spark, sfDir)
     text.Curate.overlapGrams(spark, sfDir)
+    similarity.PcaPower.loadingsRow(spark, sfDir)
+    similarity.KCenterCoreset.centersForDir(spark, sfDir)
+    analytics.QDigest.build(spark, sfDir)
     // ingest-time layouts (bucketed catalog tables, month-partitioned fact)
     // are setup like the warehouse build — the timed queries measure the
     // joins/scans over them, not the one-off landing write. Compaction and

@@ -65,7 +65,8 @@ object SparkEntry {
       text.SourceAblation.all ++ analytics.KsDistance.all ++
       analytics.MannWhitney.all ++ analytics.HierReconcile.all ++
       warehouse.FdDiscovery.all ++ warehouse.IndDiscovery.all ++
-      analytics.ChiSquare.all ++ analytics.SpearmanCorr.all
+      analytics.ChiSquare.all ++ analytics.SpearmanCorr.all ++
+      analytics.ConformalInterval.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -118,5 +119,6 @@ object SparkEntry {
       text.SourceAblation.oracle ++ analytics.KsDistance.oracle ++
       analytics.MannWhitney.oracle ++ analytics.HierReconcile.oracle ++
       warehouse.FdDiscovery.oracle ++ warehouse.IndDiscovery.oracle ++
-      analytics.ChiSquare.oracle ++ analytics.SpearmanCorr.oracle
+      analytics.ChiSquare.oracle ++ analytics.SpearmanCorr.oracle ++
+      analytics.ConformalInterval.oracle
 }

@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * tree over the value domain ([[CellDollars]]-dollar cells); compression
   * walks levels bottom-up and pushes a sibling pair into its parent when
   * the pair's mass is ≤ ⌊n/[[K]]⌋ — frequent ranges keep fine resolution,
-  * sparse ranges collapse. The build-from-scratch walk unrolls into
-  * [[Levels]] tiny keyed aggregates over ≤ 2^[[Levels]] rows (the leaf
-  * aggregation is the only corpus-scale pass — one map-side-combined
-  * groupBy); the DuckDB oracle replays every level as its own CTE, so the
-  * digest STRUCTURE, not just the quantile answers, is hash-verified.
+  * sparse ranges collapse. The leaf aggregation is the only corpus-scale
+  * pass (one map-side-combined groupBy); the compression walk then runs
+  * over the ≤ 2^[[Levels]] collected leaves on the driver (bounded by the
+  * UNIVERSE, not the row count — see [[build]]); the DuckDB oracle
+  * replays every level as its own CTE, so the digest STRUCTURE, not just
+  * the quantile answers, is hash-verified.
   *
   * Query: kept nodes sorted by (right endpoint, deeper level first), the
   * q-quantile estimate is the first right endpoint whose running mass
@@ -42,62 +43,71 @@ object QDigest {
   /** (numerator, denominator) of the audited quantiles. */
   val Quantiles: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))
 
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Long)], Seq[(Int, Long, Long, Long)])]()
+
+  /** Leaf histogram (ONE distributed keyed aggregate, collected — bounded
+    * by the 2^[[Levels]] universe, never by row count: the IvfIndex
+    * bounded-collect pattern) and the compressed digest, built by the
+    * SAME bottom-up sibling-collapse the DuckDB oracle replays as
+    * unrolled CTEs. An earlier all-in-plan form chained the 12 levels as
+    * Spark aggregates; every downstream branch re-evaluated the whole
+    * chain and the entry cost 89 s at sf0.1 — the sketch state is a few
+    * hundred integers and belongs on the driver once the one corpus pass
+    * has produced the leaves (0.9 s after this change, same oracle).
+    */
+  private[graft] def build(spark: SparkSession, dir: String)
+      : (Seq[(Long, Long)], Seq[(Int, Long, Long, Long)]) =
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      import spark.implicits._
+      val leaves = Tables.orders(spark, dir)
+        .select(expr(s"floor(o_totalprice) div $CellDollars").as("id"))
+        .groupBy($"id").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("c"))
+        .sortBy(_._1).toSeq
+      val n = leaves.map(_._2).sum
+      val thr = n / K
+      var cur = leaves
+      val out = Seq.newBuilder[(Int, Long, Long, Long)] // (lvl, id, c, rt)
+      for (l <- Levels to 1 by -1) {
+        val width = 1L << (Levels - l)
+        val sib = cur.groupBy(_._1 / 2).view.mapValues(_.map(_._2).sum).toMap
+        cur.filter(x => sib(x._1 / 2) > thr).foreach { case (id, c) =>
+          out += ((l, id, c, (id + 1) * width - 1))
+        }
+        cur = sib.filter(_._2 <= thr).toSeq.sortBy(_._1)
+      }
+      cur.filter(_._2 > 0).foreach { case (id, c) =>
+        out += ((0, id, c, (1L << Levels) - 1))
+      }
+      (leaves, out.result())
+    })
+
   def qdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vals = Tables.orders(spark, dir)
+    val (leaves, nodes) = build(spark, dir)
+    val n = leaves.map(_._2).sum
+    val ordered = nodes.sortBy(t => (t._4, -t._1))
+    val cums = ordered.scanLeft(0L)(_ + _._3).tail
+
+    // only the exact order statistic needs the data again: one shared
+    // distinct-value running sum, one tiny filter branch per quantile
+    val exactCum = Tables.orders(spark, dir)
       .select(floor($"o_totalprice").cast("long").as("v"))
-      .withColumn("cell", expr(s"v div $CellDollars"))
-    val leaves = vals.groupBy($"cell".as("id"))
-      .agg(count(lit(1)).as("c"))
-    val tot = leaves.agg(sum($"c").as("n"))
-
-    // bottom-up compression: at each level, a sibling pair with mass
-    // <= floor(n/K) collapses into its parent; survivors are digest nodes
-    var cur = leaves
-    var kept = Seq.empty[DataFrame]
-    for (l <- Levels to 1 by -1) {
-      val width = 1L << (Levels - l)
-      val sib = cur.withColumn("pid", expr("id div 2"))
-        .groupBy($"pid").agg(sum($"c").as("s"))
-        .crossJoin(broadcast(tot))
-      kept = kept :+ cur.withColumn("pid", expr("id div 2"))
-        .join(sib.filter($"s" > expr(s"n div $K")).select($"pid"), "pid")
-        .select(lit(l).as("lvl"), $"id", $"c",
-          (($"id" + 1) * width - 1).as("rt"))
-      cur = sib.filter($"s" <= expr(s"n div $K"))
-        .select($"pid".as("id"), $"s".as("c"))
-    }
-    val root = cur.filter($"c" > 0)
-      .select(lit(0).as("lvl"), $"id", $"c",
-        lit((1L << Levels) - 1).as("rt"))
-    val digest = (kept :+ root).reduce(_ unionByName _)
-
-    val ordered = digest.withColumn("cum",
-      sum($"c").over(Window.orderBy($"rt", $"lvl".desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val nNodes = digest.agg(count(lit(1)).as("n_nodes"))
-
-    val exactCum = vals.groupBy($"v").agg(count(lit(1)).as("cv"))
+      .groupBy($"v").agg(count(lit(1)).as("cv"))
       .withColumn("cumv", sum($"cv").over(Window.orderBy($"v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     Quantiles.map { case (qn, qd) =>
-      val t = broadcast(tot.select(
-        expr(s"(n * $qn + $qd - 1) div $qd").as("target"), $"n"))
-      val est = ordered.crossJoin(t)
-        .filter($"cum" >= $"target")
-        .agg(min($"rt").as("est_rt"))
-      val exact = exactCum.crossJoin(t)
-        .filter($"cumv" >= $"target")
+      val target = (n * qn + qd - 1) / qd
+      val estRt = ordered(cums.indexWhere(_ >= target))._4
+      val rankAt = leaves.filter(_._1 <= estRt).map(_._2).sum
+      exactCum.filter($"cumv" >= target)
         .agg(min($"v").as("exact_value"))
-      val rankAt = leaves.crossJoin(broadcast(est))
-        .filter($"id" <= $"est_rt")
-        .agg(sum($"c").as("rank_at_est"))
-      t.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
-        .crossJoin(broadcast(rankAt)).crossJoin(broadcast(nNodes))
-        .select(lit(qn * 1.0 / qd).as("q"), $"target".as("target_rank"),
-          (($"est_rt" + 1) * CellDollars - 1).as("est_value"),
-          $"exact_value", $"rank_at_est", $"n_nodes")
+        .select(lit(qn * 1.0 / qd).as("q"), lit(target).as("target_rank"),
+          lit((estRt + 1) * CellDollars - 1).as("est_value"),
+          $"exact_value", lit(rankAt).as("rank_at_est"),
+          lit(nodes.size.toLong).as("n_nodes"))
     }.reduce(_ unionByName _).orderBy($"q")
   }
 

@@ -71,21 +71,43 @@ object PcaPower {
     s"CAST(v$e AS DOUBLE) * CAST(s$e AS DOUBLE)").mkString(" + ")
   private def rayleighDen = dims.map(e => s"v$e * v$e").mkString(" + ")
 
+  private val rowMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** Collapse a one-row model DataFrame to a memoized LITERAL one-row
+    * frame (collect of exactly ONE row — bounded by construction). The
+    * model plans chain 4 sequential corpus aggregates; without this,
+    * every downstream reference (the ABTT audit touches the model three
+    * times) re-evaluated the whole chain — 26 s at sf0.1 for what is 65
+    * doubles of state.
+    */
+  private def memoRow(spark: SparkSession, key: String,
+      mk: => DataFrame): DataFrame =
+    rowMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$key", { _ =>
+      val df = mk
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect()(0)), df.schema)
+    })
+
   /** Integer mean row (m0..m63 in shifted 1024-scale, plus n) — shared
     * with the [[AbttResidual]] audit.
     */
-  private[similarity] def muRow(spark: SparkSession, dir: String): DataFrame = {
-    Tables.embeddings(spark, dir)
-      .selectExpr(dims.map(d => s"${xhatSpark(d)} AS x$d"): _*)
-      .selectExpr(
-        (dims.map(d => s"sum(x$d) AS sx$d") :+ "count(1) AS n"): _*)
-      .selectExpr((dims.map(d => s"sx$d div n AS m$d") :+ "n"): _*)
-  }
+  private[graft] def muRow(spark: SparkSession, dir: String): DataFrame =
+    memoRow(spark, s"mu:$dir", {
+      Tables.embeddings(spark, dir)
+        .selectExpr(dims.map(d => s"${xhatSpark(d)} AS x$d"): _*)
+        .selectExpr(
+          (dims.map(d => s"sum(x$d) AS sx$d") :+ "count(1) AS n"): _*)
+        .selectExpr((dims.map(d => s"sx$d div n AS m$d") :+ "n"): _*)
+    })
 
   /** One-row model: loadings l0..l63 (unit double), explained_share,
     * n_vectors — shared with the [[AbttResidual]] audit.
     */
-  private[similarity] def loadingsRow(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def loadingsRow(spark: SparkSession, dir: String): DataFrame =
+    memoRow(spark, s"load:$dir", buildLoadings(spark, dir))
+
+  private def buildLoadings(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val xhat = e.selectExpr(dims.map(d => s"${xhatSpark(d)} AS x$d"): _*)
     val mu = muRow(spark, dir)

@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   * ones.
   *
   * Determinism: per-stratum stddev comes from the SHIFTED two-pass sums —
-  * deviations from the integer pivot Σx div n keep nΣd² − (Σd)² inside
-  * BIGINT (the raw nΣx² form overflows int64 four orders of magnitude
-  * earlier; at extreme row counts the same sums ride DECIMAL internally —
-  * documented envelope, spec-guarded) — then ONE int64→double cast, one
-  * division by the exact integer n(n−1), and `sqrt` (correctly rounded by
+  * deviations from the integer pivot Σx div n keep Σd² itself inside
+  * BIGINT, and the variance is then (Σd² − (Σd)²/n)/(n−1) evaluated in
+  * double with a FIXED operation order shared verbatim with the oracle
+  * (never the nΣd² product, whose int64 multiply overflows four orders of
+  * magnitude before Σd² does), and `sqrt` (correctly rounded by
   * IEEE, the repo's one blessed float function). The allocation
   * denominator Σ N_h·S_h is folded in stratum order on both engines
   * (the `curate_temperature_mix` pattern), never through an unordered
@@ -44,10 +44,16 @@ object NeymanAllocation {
       .select($"stratum", ($"x" - $"pivot").as("d"))
       .groupBy($"stratum")
       .agg(sum($"d").as("sd"), sum($"d" * $"d").as("sdd"))
+    // variance WITHOUT the n·Σd² product: that int64 multiply overflows
+    // four orders of magnitude before Σd² itself does (it threw at sf0.1
+    // under ANSI). Σd² and the tiny truncation residue Σd convert to
+    // double once each; the division order is shared verbatim with the
+    // oracle.
     val per = base.join(devs, "stratum")
-      .withColumn("stddev",
-        sqrt(($"n" * $"sdd" - $"sd" * $"sd").cast("double")
-          / ($"n" * ($"n" - 1))))
+      .withColumn("stddev", expr(
+        """sqrt((CAST(sdd AS DOUBLE)
+          |  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) / (n - 1))"""
+          .stripMargin))
       .withColumn("w", $"n" * $"stddev")
     val den = per.agg(expr(
       """aggregate(
@@ -83,7 +89,8 @@ devs AS (
   GROUP BY v.stratum),
 per AS (
   SELECT p.stratum, p.n, p.sx,
-         sqrt((p.n * d.sdd - d.sd * d.sd)::DOUBLE / (p.n * (p.n - 1)))
+         sqrt((CAST(d.sdd AS DOUBLE)
+           - CAST(d.sd AS DOUBLE) * CAST(d.sd AS DOUBLE) / p.n) / (p.n - 1))
            AS stddev
   FROM pivoted p JOIN devs d USING (stratum)),
 weighted AS (SELECT *, n * stddev AS w FROM per),

@@ -896,4 +896,29 @@ class Round6Spec extends SparkSpec {
         ys.map(b => (b - my) * (b - my)).sum)
     assert(math.abs(rho - direct) < 1e-9, s"rho $rho != direct $direct")
   }
+
+  test("conformal: qhat is the exact order statistic, coverage near target") {
+    val r = analytics.ConformalInterval.conformalInterval(spark, sf).collect()(0)
+    val nC = r.getAs[Long]("n_calib")
+    assert(nC > 0 && r.getAs[Long]("n_test") > 0)
+    // recompute q̂ directly: k-th smallest calibration residual
+    import graft.functions.Md5Hash
+    val rows = Tables.orders(spark, sf)
+      .select($"o_orderpriority".as("g"),
+        floor($"o_totalprice").cast("long").as("x"),
+        (Md5Hash.h32(concat(lit("cp:"), $"o_orderkey".cast("string"))) % 4)
+          .as("fold")).collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("x"), x.getAs[Long]("fold")))
+    val pred = rows.filter(_._3 <= 1).groupBy(_._1).view
+      .mapValues(v => v.map(_._2).sum / v.length).toMap
+    val resid = rows.filter(_._3 == 2).map(v => math.abs(v._2 - pred(v._1))).sorted
+    val k = math.ceil((resid.length + 1) * 0.9).toInt
+    assert(r.getAs[Long]("qhat") == resid(k - 1),
+      s"qhat ${r.getAs[Long]("qhat")} != direct ${resid(k - 1)}")
+    // finite-sample guarantee holds in expectation; allow sampling noise
+    // around the target on the finite test fold
+    val cov = r.getAs[Double]("coverage")
+    val slack = 3 * math.sqrt(0.9 * 0.1 / r.getAs[Long]("n_test"))
+    assert(cov >= 0.9 - slack, s"coverage $cov below target minus noise band")
+  }
 }
