@@ -76,7 +76,8 @@ class PropertySpec extends SparkSpec {
       "sim_abtt_residual", "agg_poisson_bootstrap", "wh_key_collision_audit",
       "curate_source_ablation", "agg_ks_distance", "agg_mann_whitney",
       "ts_hier_reconcile", "wh_fd_discovery", "agg_cms_join_size",
-      "wh_ind_discovery", "agg_chi2_independence", "agg_spearman_corr")
+      "wh_ind_discovery", "agg_chi2_independence", "agg_spearman_corr",
+      "agg_conformal_interval")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
