@@ -65,23 +65,48 @@ object QDigest {
         .groupBy($"id").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("c"))
         .sortBy(_._1).toSeq
-      val n = leaves.map(_._2).sum
-      val thr = n / K
-      var cur = leaves
-      val out = Seq.newBuilder[(Int, Long, Long, Long)] // (lvl, id, c, rt)
-      for (l <- Levels to 1 by -1) {
-        val width = 1L << (Levels - l)
-        val sib = cur.groupBy(_._1 / 2).view.mapValues(_.map(_._2).sum).toMap
-        cur.filter(x => sib(x._1 / 2) > thr).foreach { case (id, c) =>
-          out += ((l, id, c, (id + 1) * width - 1))
-        }
-        cur = sib.filter(_._2 <= thr).toSeq.sortBy(_._1)
-      }
-      cur.filter(_._2 > 0).foreach { case (id, c) =>
-        out += ((0, id, c, (1L << Levels) - 1))
-      }
-      (leaves, out.result())
+      (leaves, compress(leaves.map { case (id, c) => (Levels, id) -> c }.toMap,
+        leaves.map(_._2).sum))
     })
+
+  /** General q-digest compression over counts at ANY levels — the form
+    * MERGE needs (two digests' node counts union at mixed levels, then
+    * recompress under the combined n): bottom-up, a sibling pair whose
+    * mass plus the parent's own count fits ⌊n/[[K]]⌋ collapses into the
+    * parent. On leaf-only input (parents all zero) this is exactly the
+    * build walk the DuckDB oracle replays.
+    */
+  private[graft] def compress(counts: Map[(Int, Long), Long], n: Long)
+      : Seq[(Int, Long, Long, Long)] = {
+    val thr = n / K
+    val byLevel = scala.collection.mutable.Map.empty[Int,
+      scala.collection.mutable.Map[Long, Long]]
+    counts.foreach { case ((l, id), c) =>
+      val m = byLevel.getOrElseUpdate(l, scala.collection.mutable.Map.empty)
+      m(id) = m.getOrElse(id, 0L) + c
+    }
+    val out = Seq.newBuilder[(Int, Long, Long, Long)] // (lvl, id, c, rt)
+    for (l <- Levels to 1 by -1) {
+      val width = 1L << (Levels - l)
+      val cur = byLevel.getOrElse(l, scala.collection.mutable.Map.empty)
+      val parents = byLevel.getOrElseUpdate(l - 1,
+        scala.collection.mutable.Map.empty)
+      cur.keys.map(_ / 2).toSeq.distinct.sorted.foreach { pid =>
+        val s = cur.getOrElse(2 * pid, 0L) + cur.getOrElse(2 * pid + 1, 0L)
+        if (s + parents.getOrElse(pid, 0L) <= thr)
+          parents(pid) = parents.getOrElse(pid, 0L) + s
+        else Seq(2 * pid, 2 * pid + 1).foreach { id =>
+          cur.get(id).filter(_ > 0).foreach(c =>
+            out += ((l, id, c, (id + 1) * width - 1)))
+        }
+      }
+    }
+    byLevel.getOrElse(0, scala.collection.mutable.Map.empty)
+      .toSeq.sortBy(_._1).foreach { case (id, c) =>
+        if (c > 0) out += ((0, id, c, (1L << Levels) - 1))
+      }
+    out.result()
+  }
 
   def qdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -921,4 +921,41 @@ class Round6Spec extends SparkSpec {
     val slack = 3 * math.sqrt(0.9 * 0.1 / r.getAs[Long]("n_test"))
     assert(cov >= 0.9 - slack, s"coverage $cov below target minus noise band")
   }
+
+  test("q-digest merge: union + recompress keeps the rank guarantee") {
+    import analytics.QDigest._
+    // two digests from DISJOINT halves, merged the way a two-executor
+    // rollup would: node-count union, recompress under the combined n
+    val halves = Tables.orders(spark, sf)
+      .select(expr(s"floor(o_totalprice) div $CellDollars").as("id"),
+        (dayofweek($"o_orderdate").isin(1, 7)).cast("int").as("wk"))
+      .groupBy($"id").agg(
+        sum($"wk".cast("long")).as("a"), sum(lit(1L) - $"wk").as("b"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val la = halves.filter(_._2 > 0).map(h => (Levels, h._1) -> h._2).toMap
+    val lb = halves.filter(_._3 > 0).map(h => (Levels, h._1) -> h._3).toMap
+    val d1 = compress(la, la.values.sum)
+    val d2 = compress(lb, lb.values.sum)
+    val union = (d1 ++ d2).groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val n = la.values.sum + lb.values.sum
+    val merged = compress(union, n)
+    assert(merged.map(_._3).sum == n, "merge lost mass")
+    assert(merged.size <= 3 * K, "merged digest exceeds 3k nodes")
+    // rank guarantee after ONE merge: error <= 2·L·n/k (each input digest
+    // contributes up to L·n_i/k absorbed mass), plus the terminal cell
+    val leafTotals = halves.map(h => h._1 -> (h._2 + h._3)).toMap
+    val maxLeaf = leafTotals.values.max
+    val ordered = merged.sortBy(t => (t._4, -t._1))
+    val cums = ordered.scanLeft(0L)(_ + _._3).tail
+    for ((qn, qd) <- Quantiles) {
+      val target = (n * qn + qd - 1) / qd
+      val rt = ordered(cums.indexWhere(_ >= target))._4
+      val rankAt = leafTotals.filter(_._1 <= rt).values.sum
+      assert(rankAt >= target)
+      assert(rankAt - target <= 2 * Levels * (n / K) + maxLeaf,
+        s"merged digest rank error ${rankAt - target} above the merge bound")
+    }
+  }
 }
