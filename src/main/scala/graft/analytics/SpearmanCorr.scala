@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * tail (Pearson on raw prices is dominated by outliers; on RANKS it is
   * exactly Spearman's ρ with proper tie handling). Both variables' ranks
   * ride the [[MannWhitney]] doubled-rank trick (tie-averaged rank ×2 is
-  * an integer), so every moment in
+  * an integer), so every MOMENT (Σx, Σy, Σx², Σy², Σxy) is a BIGINT sum;
+  * the covariance assembly then runs in double as
   *
-  *   ρ = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+  *   ρ = (Σxy − ΣxΣy/n) / (√(Σx² − (Σx)²/n) · √(Σy² − (Σy)²/n))
   *
-  * is a BIGINT until the two blessed sqrts and one division (int64-exact
-  * to n ≈ 10⁵ at 2n-scale ranks — beyond that the same sums ride DECIMAL;
-  * documented envelope, same as [[ChiSquare]]).
+  * with a FIXED operation order shared verbatim with the oracle — never
+  * the n·Σ products, whose int64 multiply overflows at 150 k rows where
+  * the moments themselves are exact to n ≈ 3·10⁵ (beyond that the sums
+  * ride DECIMAL; documented envelope, same as [[ChiSquare]]).
   *
   * Scale: two distinct-value rank tables (running sums over value
   * domains), two lookup joins back to the rows, one moment aggregate.
@@ -42,11 +44,17 @@ object SpearmanCorr {
         sum($"rx").as("sx"), sum($"ry").as("sy"),
         sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"),
         sum($"rx" * $"ry").as("sxy"))
+    // covariance form WITHOUT the n·Σ products: those int64 multiplies
+    // overflow at 150k rows (2n-scale ranks cube the magnitudes) — the
+    // NeymanAllocation lesson. Each BIGINT moment converts to double once;
+    // operation order is shared verbatim with the oracle.
     moments.selectExpr("n",
-      """CAST(n * sxy - sx * sy AS DOUBLE)
-        | / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho"""
-        .stripMargin)
+      """(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        | / (sqrt(CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |    * sqrt(CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+        | AS spearman_rho""".stripMargin)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -74,8 +82,11 @@ moments AS (
          sum(rx * ry)::BIGINT AS sxy
   FROM vals JOIN rx USING (x) JOIN ry USING (y))
 SELECT n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (sqrt(CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+            * sqrt(CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+         AS spearman_rho
 FROM moments""")
 }

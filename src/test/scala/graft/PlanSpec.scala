@@ -619,14 +619,16 @@ class PlanSpec extends SparkSpec {
     val needBroadcast = Seq(text.DsirWeights.dsirWeights(spark, sf),
       text.DomainKl.domainKl(spark, sf),
       text.LmPerplexity.lmPerplexity(spark, sf),
-      analytics.QDigest.qdigestQuantiles(spark, sf),
       analytics.CmSketch.cmsJoinSize(spark, sf),
       sources.NeymanAllocation.neymanAllocation(spark, sf))
-    // join-free (training order, shapley) or fp-equi-join (strip) plans
-    // only carry the no-product gate
+    // join-free (training order, shapley), fp-equi-join (strip), or
+    // literal-composed (q-digest: the sketch folds on the driver and only
+    // the exact order statistic scans data) plans carry the no-product
+    // gate only
     val productFreeOnly = Seq(text.BoilerplateStrip.boilerplateStrip(spark, sf),
       text.TrainingOrder.trainingOrder(spark, sf),
-      text.LfShapley.lfShapley(spark, sf))
+      text.LfShapley.lfShapley(spark, sf),
+      analytics.QDigest.qdigestQuantiles(spark, sf))
     for (df <- needBroadcast ++ productFreeOnly) {
       df.collect()
       assert(collectAll(plan(df)) { case c: CartesianProductExec => c }.isEmpty)
