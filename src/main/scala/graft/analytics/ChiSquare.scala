@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * ([[KsDistance]], [[MannWhitney]]): does the status distribution differ
   * by priority, and by how much after the sample size is factored out?
   *
-  * Numerics: each cell's term is ((n·o − r·c)²)/(n·r·c) with EVERYTHING
-  * inside the square a BIGINT (n·o ≤ 2^53-ish at bench scale — envelope
-  * documented; DECIMAL beyond), converted once to double; the ~R·C term
-  * doubles are summed in SORTED CELL ORDER through the
+  * Numerics: each cell's term is ((n·o − r·c)²)/(n·r·c) with the RESIDUAL
+  * n·o − r·c an exact BIGINT and the square taken in double (squaring in
+  * int64 overflows on strongly-associated tables long before the residual
+  * does); the ~R·C term doubles are summed in SORTED CELL ORDER through the
   * collect_list/sort_array fold (the `curate_temperature_mix` pattern) —
   * never an unordered float aggregate. Degrees of freedom come from the
   * observed category counts; V = sqrt(χ²/(n·min(R−1, C−1))).
@@ -33,8 +33,12 @@ object ChiSquare {
       countDistinct($"s").as("nr"), countDistinct($"p").as("nc"))
     val terms = cells.join(broadcast(rm), "s").join(broadcast(cm), "p")
       .crossJoin(broadcast(tot))
+      // the residual n·o − r·c is int64-exact; its SQUARE is taken in
+      // double (a strongly-associated table pushes the squared BIGINT past
+      // 2^63 while the residual itself is fine — the Spearman/Neyman
+      // overflow lesson applied preemptively)
       .selectExpr("s", "p", "n", "nr", "nc",
-        """CAST((n * o - r * c) * (n * o - r * c) AS DOUBLE)
+        """CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE)
           | / (CAST(n AS DOUBLE) * r * c) AS term""".stripMargin)
     terms.groupBy($"n", $"nr", $"nc")
       .agg(expr(
@@ -63,7 +67,8 @@ tot AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT s)::BIGINT AS nr,
         FROM cells),
 terms AS (
   SELECT ce.s, ce.p, t.n, t.nr, t.nc,
-         CAST((t.n * ce.o - rm.r * cm.c) * (t.n * ce.o - rm.r * cm.c) AS DOUBLE)
+         CAST(t.n * ce.o - rm.r * cm.c AS DOUBLE)
+           * CAST(t.n * ce.o - rm.r * cm.c AS DOUBLE)
            / (CAST(t.n AS DOUBLE) * rm.r * cm.c) AS term
   FROM cells ce
   JOIN rm USING (s) JOIN cm USING (p) CROSS JOIN tot t),
