@@ -66,7 +66,8 @@ object SparkEntry {
       analytics.MannWhitney.all ++ analytics.HierReconcile.all ++
       warehouse.FdDiscovery.all ++ warehouse.IndDiscovery.all ++
       analytics.ChiSquare.all ++ analytics.SpearmanCorr.all ++
-      analytics.ConformalInterval.all
+      analytics.ConformalInterval.all ++ analytics.DailyOhlc.all ++
+      ingest.LatenessProfile.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -120,5 +121,6 @@ object SparkEntry {
       analytics.MannWhitney.oracle ++ analytics.HierReconcile.oracle ++
       warehouse.FdDiscovery.oracle ++ warehouse.IndDiscovery.oracle ++
       analytics.ChiSquare.oracle ++ analytics.SpearmanCorr.oracle ++
-      analytics.ConformalInterval.oracle
+      analytics.ConformalInterval.oracle ++ analytics.DailyOhlc.oracle ++
+      ingest.LatenessProfile.oracle
 }
