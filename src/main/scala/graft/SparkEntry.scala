@@ -67,7 +67,8 @@ object SparkEntry {
       warehouse.FdDiscovery.all ++ warehouse.IndDiscovery.all ++
       analytics.ChiSquare.all ++ analytics.SpearmanCorr.all ++
       analytics.ConformalInterval.all ++ analytics.DailyOhlc.all ++
-      ingest.LatenessProfile.all
+      ingest.LatenessProfile.all ++ ingest.JsonOps.all ++
+      observability.QueryMetrics.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -122,5 +123,6 @@ object SparkEntry {
       warehouse.FdDiscovery.oracle ++ warehouse.IndDiscovery.oracle ++
       analytics.ChiSquare.oracle ++ analytics.SpearmanCorr.oracle ++
       analytics.ConformalInterval.oracle ++ analytics.DailyOhlc.oracle ++
-      ingest.LatenessProfile.oracle
+      ingest.LatenessProfile.oracle ++ ingest.JsonOps.oracle ++
+      observability.QueryMetrics.oracle
 }

@@ -3,7 +3,7 @@ package graft.ingest
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.types.{MapType, StringType, StructType}
 
 /** Semi-structured JSON extraction — the capability that turns an event
   * stream's opaque `props` payload into relational columns without a
@@ -37,7 +37,7 @@ object JsonOps {
     import spark.implicits._
     Tables.events(spark, dir)
       .select($"event_type",
-        from_json($"props", "k BIGINT").getField("k").as("k"),
+        from_json($"props", StructType.fromDDL("k BIGINT")).getField("k").as("k"),
         expr("CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)")
           .as("cents"))
       .withColumn("k_band",

@@ -22,13 +22,16 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * subplans `collect` won't descend into — the walk below follows them
   * explicitly, same as the PlanSpec gates.
   *
-  * Deliberately SPEC-ONLY (no `queries`/oracle entry): the output is a
-  * ledger of Spark PHYSICAL-PLAN metrics — operator names, shuffle bytes,
-  * spill counters — values that exist only in this engine's runtime.
-  * DuckDB has no corresponding quantity to compute, so an oracle row would
-  * either pin Spark internals as magic literals (brittle, meaningless) or
-  * compare nothing. The executable contract lives in ScaleVariantsSpec
-  * (shuffle/spill bounds) instead.
+  * Most of the ledger is SPEC-ONLY: operator names, shuffle bytes, spill
+  * counters are values that exist only in this engine's runtime — DuckDB
+  * has no corresponding quantity, so an oracle row would pin Spark
+  * internals as magic literals. The executable contract for those lives in
+  * PlanSpec/ScaleVariantsSpec (shuffle/spill bounds). The slice that IS
+  * engine-invariant — the profiled query's own output cardinality and the
+  * unfiltered scan's row count — is promoted to the oracle-checked
+  * `obs_query_profile` entry below: it proves the accumulator-walk
+  * machinery reads the right numbers, using quantities any engine can
+  * recompute.
   */
 object QueryMetrics {
 
@@ -84,4 +87,35 @@ object QueryMetrics {
       .toDF("op_id", "operator", "metric_key", "metric", "value")
     (ledgerDf, prof)
   }
+
+  /** Oracle-checkable profile: run the canonical event-type rollup through
+    * [[profile]] and report the engine-invariant slice of its ledger —
+    * the query's output cardinality and the rows the (unfiltered,
+    * full-table) scan produced. Both are data facts, not engine facts, so
+    * DuckDB recomputes them as `count(DISTINCT event_type)` and
+    * `count(*)`; a wrong accumulator walk (missed AQE stage, double-counted
+    * scan leaf) shows up as a value mismatch here.
+    */
+  def queryProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = graft.Tables.events(spark, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val (_, prof) = profile(q)
+    Seq(("output_rows", prof.outputRows), ("scan_rows", prof.scanRows))
+      .toDF("metric", "value")
+      .orderBy($"metric")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "obs_query_profile" -> (queryProfile _))
+
+  val oracle: Map[String, String] = Map(
+    "obs_query_profile" -> """SELECT metric, value FROM (
+  SELECT 'output_rows' AS metric,
+         (SELECT count(DISTINCT event_type) FROM events)::BIGINT AS value
+  UNION ALL
+  SELECT 'scan_rows' AS metric,
+         (SELECT count(*) FROM events)::BIGINT AS value)
+ORDER BY metric""")
 }

@@ -611,6 +611,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filtered/graph/coreset ANN entries never plan pairwise products") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // sim_filtered_ann routes through the LSH bucket equi-join; the graph
+    // greedy search expands via neighbor-list equi-joins; the k-center
+    // coreset assigns points to (driver-bounded, k-row) centers. None may
+    // degenerate to a cartesian shuffle, and every nested-loop join that
+    // remains must broadcast a BOUNDED side (probe set / center table /
+    // scalar aggregate) — asserted on the executed plan's runtime metric,
+    // so a corpus×corpus product can't hide behind a broadcast hint.
+    // only the side's OWN broadcast stage — descending further would read
+    // unrelated exchanges deeper in the DAG (e.g. a dim side of an inner
+    // hash join) and mis-attribute their sizes to this nested loop
+    def broadcastRows(side: SparkPlan): Seq[Long] = {
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          unwrap(q.plan)
+        case r: ReusedExchangeExec => unwrap(r.child)
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          unwrap(w.child)
+        case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case other => other
+      }
+      unwrap(side) match {
+        case b: BroadcastExchangeExec => Seq(b.metrics("numOutputRows").value)
+        case _ => Nil
+      }
+    }
+    for (df <- Seq(similarity.FilteredAnn.filteredAnn(spark, sf),
+        similarity.GraphSearch.graphGreedySearch(spark, sf),
+        similarity.KCenterCoreset.kcenterCoreset(spark, sf))) {
+      df.collect()
+      val p = plan(df)
+      assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+        "ANN candidate generation must never plan a cartesian shuffle")
+      for (n <- collectAll(p) { case n: BroadcastNestedLoopJoinExec => n }) {
+        val side = if (n.buildSide == BuildLeft) n.left else n.right
+        val rows = broadcastRows(side)
+        assert(rows.nonEmpty, s"nested-loop build side has no exchange metric:\n$n")
+        assert(rows.forall(_ <= 64),
+          s"nested-loop broadcast side must stay bounded (probes/centers/" +
+            s"scalars), saw ${rows.max} rows")
+      }
+    }
+  }
+
   test("scaled-ln family, strip, sketches: no products, lookups broadcast") {
     // DSIR / KL / perplexity join literal ln tables and tiny model tables:
     // every lookup must arrive as a BroadcastHashJoin, never a cartesian
