@@ -20,8 +20,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * classes, so plans are identical either way.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // optimizer extension: redundant-enrichment-join elimination (a rewrite
+    // OSS Catalyst lacks; soundness conditions in the rule's doc)
+    ext.injectOptimizerRule(_ => graft.plans.EliminateRedundantLeftJoin)
+  }
 }
 
 object GraftExtensions {

@@ -68,7 +68,8 @@ object SparkEntry {
       analytics.ChiSquare.all ++ analytics.SpearmanCorr.all ++
       analytics.ConformalInterval.all ++ analytics.DailyOhlc.all ++
       ingest.LatenessProfile.all ++ ingest.JsonOps.all ++
-      observability.QueryMetrics.all
+      plans.JoinEliminationQueries.all ++
+      observability.QueryMetrics.all ++ observability.ColumnLineage.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -124,5 +125,6 @@ object SparkEntry {
       analytics.ChiSquare.oracle ++ analytics.SpearmanCorr.oracle ++
       analytics.ConformalInterval.oracle ++ analytics.DailyOhlc.oracle ++
       ingest.LatenessProfile.oracle ++ ingest.JsonOps.oracle ++
-      observability.QueryMetrics.oracle
+      plans.JoinEliminationQueries.oracle ++
+      observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.observability.ColumnLineage
+import org.apache.spark.sql.functions._
+
+/** Plan-walk coverage for [[ColumnLineage]] beyond the oracle-checked
+  * canonical query: generators, unions, dedup keys, and literal-born
+  * columns each exercise a distinct branch of the walk.
+  */
+class ColumnLineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explode traces generator output to the generator's inputs") {
+    val q = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val edges = ColumnLineage.lineage(q)
+    assert(edges.contains(("token", "documents", "text", "value")))
+    assert(edges.contains(("doc_id", "documents", "doc_id", "value")))
+  }
+
+  test("union merges value sources per output position") {
+    val a = Tables.orders(spark, sf).select($"o_orderkey".as("k"))
+    val b = Tables.lineitem(spark, sf).select($"l_orderkey".as("k"))
+    val edges = ColumnLineage.lineage(a.unionByName(b))
+    assert(edges.contains(("k", "orders", "o_orderkey", "value")))
+    assert(edges.contains(("k", "lineitem", "l_orderkey", "value")))
+  }
+
+  test("dropDuplicates keys become predicate edges") {
+    val q = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus")
+      .dropDuplicates("o_orderstatus")
+    val edges = ColumnLineage.lineage(q)
+    assert(edges.contains(("*", "orders", "o_orderstatus", "predicate")))
+  }
+
+  test("literal-born columns have no source edge") {
+    val q = Tables.orders(spark, sf)
+      .select($"o_orderkey", lit(1).as("one"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"o_orderkey")).as("rn"))
+    val edges = ColumnLineage.lineage(q)
+    assert(!edges.exists(e => e._1 == "one"),
+      "a literal column must not claim a source")
+    // rn DOES have a source: its order is decided by o_orderkey
+    assert(edges.contains(("rn", "orders", "o_orderkey", "value")))
+  }
+
+  test("computed columns union the sources of every referenced input") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val q = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(concat($"o_orderstatus", lit(":"), $"c_mktsegment").as("tag"))
+    val edges = ColumnLineage.lineage(q)
+    assert(edges.contains(("tag", "orders", "o_orderstatus", "value")))
+    assert(edges.contains(("tag", "customer", "c_mktsegment", "value")))
+    assert(edges.contains(("*", "orders", "o_custkey", "predicate")))
+    assert(edges.contains(("*", "customer", "c_custkey", "predicate")))
+  }
+}
