@@ -94,7 +94,37 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Second sample of the slowest entries: this box's run-to-run variance
+    // (documented at PartitionedFact.scala — contention swings 3-6× on
+    // file-IO entries) makes a single sample unadjudicable; re-timing the
+    // tail after the sweep (everything warm, no concurrent setup) separates
+    // a real regression from scheduler noise.
+    val second = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map {
+      case (name, _) =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => name -> -1.0 }
+    }
+    val secondJson = second.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Price the join-elimination rule: same consumer with the rule on vs a
+    // child session without it, wall + shuffle bytes from the metrics
+    // ledger — the measured value of not paying unread enrichment joins.
+    val ruleJson = try {
+      val (_, on) = observability.QueryMetrics.profile(
+        plans.JoinEliminationQueries.reportBase(spark, sfDir))
+      val (_, off) = observability.QueryMetrics.profile(
+        plans.JoinEliminationQueries.reportBaseNoRule(spark, sfDir))
+      s""","join_rule":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
+        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes},""" +
+        s""""on_scan_rows":${on.scanRows},"off_scan_rows":${off.scanRows}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] join_rule ledger FAILED: ${e.getMessage}"); ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,7 +68,7 @@ object SparkEntry {
       analytics.ChiSquare.all ++ analytics.SpearmanCorr.all ++
       analytics.ConformalInterval.all ++ analytics.DailyOhlc.all ++
       ingest.LatenessProfile.all ++ ingest.JsonOps.all ++
-      plans.JoinEliminationQueries.all ++
+      plans.JoinEliminationQueries.all ++ warehouse.SkewAdvisor.all ++
       observability.QueryMetrics.all ++ observability.ColumnLineage.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
@@ -125,6 +125,6 @@ object SparkEntry {
       analytics.ChiSquare.oracle ++ analytics.SpearmanCorr.oracle ++
       analytics.ConformalInterval.oracle ++ analytics.DailyOhlc.oracle ++
       ingest.LatenessProfile.oracle ++ ingest.JsonOps.oracle ++
-      plans.JoinEliminationQueries.oracle ++
+      plans.JoinEliminationQueries.oracle ++ warehouse.SkewAdvisor.oracle ++
       observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle
 }

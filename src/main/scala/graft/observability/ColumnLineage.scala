@@ -95,6 +95,19 @@ object ColumnLineage {
         val (m, pr) = walk(d.child)
         // key columns decide which rows survive — predicate-kind edges
         (m, pr ++ d.keys.flatMap(a => m.getOrElse(a.exprId, Set.empty)))
+      case e: Expand =>
+        // rollup/cube/grouping-sets/pivot lower to Expand, which mints
+        // FRESH exprIds for its outputs (one projection row per grouping
+        // set). Without this case the UnaryNode pass-through loses every
+        // downstream edge — each output traces to the union of its
+        // column's sources across all projection rows (null'd grouping
+        // slots contribute nothing; spark_grouping_id is literal-born).
+        val (m, pr) = walk(e.child)
+        val merged = e.output.zipWithIndex.map { case (out, i) =>
+          out.exprId -> e.projections.flatMap(_(i).references.toSeq
+            .flatMap(r => m.getOrElse(r.exprId, Set.empty[Src]))).toSet
+        }.toMap
+        (m ++ merged, pr)
       case u: UnaryNode => // Sort, Limit, SubqueryAlias, Repartition, ...
         walk(u.child)
       case other =>
@@ -151,8 +164,47 @@ object ColumnLineage {
       .orderBy($"scope", $"src_table", $"src_column", $"dep_kind")
   }
 
+  /** Lineage through an [[Expand]]-lowered plan (CUBE): the round-7 walk
+    * fell through to the UnaryNode pass-through and silently reported NO
+    * edges for every cube output — the wrong direction for an audit tool.
+    * Fixed query mirroring `agg_cube`; the oracle pins the hand-derived
+    * edges (y→o_orderdate, status→o_orderstatus; count and the
+    * grouping-flag columns are literal-born, no predicate edges).
+    */
+  def cubeLineage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("y"), $"o_orderstatus".as("status"))
+      .cube($"y", $"status")
+      .agg(count(lit(1)).as("n"),
+        grouping($"y").cast("int").as("g_y"),
+        grouping($"status").cast("int").as("g_s"))
+    lineage(q).toDF("scope", "src_table", "src_column", "dep_kind")
+      .orderBy($"scope", $"src_table", $"src_column", $"dep_kind")
+  }
+
+  /** Lineage of a published matview (mv_procedure_volume) back to the
+    * MATERIALIZED warehouse tables — the impact-analysis query a governed
+    * warehouse runs before dropping/re-consenting a column ("which
+    * published aggregates read fact_encounters.facility_key?"). Edges are
+    * hand-derived from the matview definition
+    * (`sql/03_warehouse.sql:146-156`): the two bridge/fact/dim join keys
+    * are predicate edges; modality and the two distinct-counts are value
+    * edges; procedure_count is count(1), literal-born.
+    */
+  def matviewLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = graft.warehouse.Warehouse.forDir(spark, dir)
+    val q = graft.warehouse.MatViews.procedureVolume(wh)
+    lineage(q).toDF("scope", "src_table", "src_column", "dep_kind")
+      .orderBy($"scope", $"src_table", $"src_column", $"dep_kind")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "obs_column_lineage" -> (queryLineage _))
+    "obs_column_lineage" -> (queryLineage _),
+    "obs_lineage_cube" -> (cubeLineage _),
+    "obs_lineage_matview" -> (matviewLineage _))
 
   val oracle: Map[String, String] = Map(
     // hand-derived from the fixed query above: o_orderpriority and the two
@@ -166,6 +218,31 @@ object ColumnLineage {
   ('o_orderpriority', 'orders', 'o_orderpriority', 'value'),
   ('revenue',         'orders', 'o_totalprice',    'value'),
   ('rk',              'orders', 'o_totalprice',    'value'))
+ AS t(scope, src_table, src_column, dep_kind)
+ORDER BY scope, src_table, src_column, dep_kind""",
+
+    // hand-derived: both cube outputs trace through Expand to their orders
+    // source column; n/g_y/g_s are literal-born (count(1), grouping bits of
+    // the minted spark_grouping_id) and a cube has no filter/join, so no
+    // predicate rows exist.
+    "obs_lineage_cube" -> """SELECT * FROM (VALUES
+  ('status', 'orders', 'o_orderstatus', 'value'),
+  ('y',      'orders', 'o_orderdate',   'value'))
+ AS t(scope, src_table, src_column, dep_kind)
+ORDER BY scope, src_table, src_column, dep_kind""",
+
+    // hand-derived from sql/03_warehouse.sql:146-156 over the MATERIALIZED
+    // table names: join keys (bridge⋈fact on encounter_key, bridge⋈dim on
+    // procedure_key) are predicate edges; modality + the two
+    // count-distinct columns are value edges; procedure_count = count(1).
+    "obs_lineage_matview" -> """SELECT * FROM (VALUES
+  ('*', 'bridge_encounter_procedure', 'encounter_key', 'predicate'),
+  ('*', 'bridge_encounter_procedure', 'procedure_key', 'predicate'),
+  ('*', 'dim_procedure',              'procedure_key', 'predicate'),
+  ('*', 'fact_encounters',            'encounter_key', 'predicate'),
+  ('facilities_performed', 'fact_encounters', 'facility_key', 'value'),
+  ('modality',             'dim_procedure',   'modality',     'value'),
+  ('unique_patients',      'fact_encounters', 'patient_key',  'value'))
  AS t(scope, src_table, src_column, dep_kind)
 ORDER BY scope, src_table, src_column, dep_kind""")
 }

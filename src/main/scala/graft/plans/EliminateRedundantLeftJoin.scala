@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Redundant-left-join elimination — a [[Rule]] Catalyst does not ship.
+/** Redundant-left-join elimination.
   *
   * The warehouse idiom this library uses everywhere (the reference's
   * correlated-subquery columns, `src/populate_warehouse.py:157-175`,
@@ -15,11 +15,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `num_diagnoses`, `has_report`). A wide "enriched fact" view carries many
   * such joins so every consumer can pick the columns it needs — and any
   * consumer that does NOT read an enrichment still pays its full shuffle +
-  * aggregate build. Postgres and commercial engines elide provably-no-op
-  * joins (their planners know PK/FK constraints); open-source Spark has no
-  * join-elimination rule at all, so at 100 TB the unused enrichment is a
-  * full extra pass over `lineitem` per query. This rule closes that gap for
-  * the cases whose soundness is provable from the plan alone.
+  * aggregate build; at 100 TB the unused enrichment is a full extra pass
+  * over `lineitem` per query. This rule drops the join wherever soundness
+  * is provable from the plan alone.
+  *
+  * RELATION TO THE BUILT-IN: Spark 4's own `EliminateOuterJoin` reaches the
+  * same conclusion for most of these plans — but only while
+  * `spark.sql.optimizer.propagateDistinctKeys.enabled` is on (the
+  * `DistinctKeyVisitor` supplies its uniqueness evidence, and that
+  * propagation is a real knob operators turn off on very deep plans, where
+  * key-set propagation has measurable planning cost). This rule proves
+  * uniqueness structurally at the join itself, so the no-unused-joins
+  * guarantee holds regardless of that setting — insurance, not duplication;
+  * JoinEliminationSpec pins exactly this (rule fires with propagation
+  * disabled; kill-switch restores the joins). The measured value of
+  * elimination — by whichever rule — is ledgered per bench run
+  * ([[graft.Bench]]'s `join_rule` block: wall, shuffle bytes, scan rows of
+  * the enriched consumer with ALL elimination paths on vs off).
   *
   * `a LEFT JOIN b ON a.k = b.pk` is a no-op with respect to `a`'s rows iff
   * `b.pk` is unique: every left row then appears exactly once — matched
@@ -50,13 +62,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object EliminateRedundantLeftJoin extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Session kill-switch (default ON). `spark.sql.optimizer.excludedRules`
+    * cannot reach extension-injected rules, so the OFF control for A/B
+    * plan measurement (opt_join_baseline, the Bench on/off ledger) needs a
+    * flag the rule checks itself — the standard custom-rule pattern.
+    */
+  val EnabledKey = "spark.sql.graft.joinElimination.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transformUp {
     // only Project and Aggregate genuinely BOUND the column set flowing up
     // out of the join; any other parent may forward right-side columns to
     // consumers we can't see from here, so nothing else fires the rewrite
-    case p: Project   => p.withNewChildren(Seq(eliminate(p.child, p.references)))
-    case a: Aggregate => a.withNewChildren(Seq(eliminate(a.child, a.references)))
-  }
+      case p: Project   => p.withNewChildren(Seq(eliminate(p.child, p.references)))
+      case a: Aggregate => a.withNewChildren(Seq(eliminate(a.child, a.references)))
+    }
 
   /** Drop every directly-stacked redundant left join under `plan` whose
     * right side the consumer (references `consumed`) never reads. Enriched

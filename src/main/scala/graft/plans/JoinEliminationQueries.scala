@@ -79,9 +79,39 @@ object JoinEliminationQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** CONTROL twin of [[reportBase]] with the rule deliberately ABSENT — a
+    * fresh child session whose `experimental.extraOptimizations` starts
+    * empty, so the plan pays both unread enrichment joins (full lineitem
+    * scan + aggregate + two shuffle joins). Registered so every bench run
+    * prices the rule: BENCH per-query seconds carry the on/off pair, and
+    * [[graft.Bench]] additionally ledgers the shuffle-bytes delta via
+    * [[graft.observability.QueryMetrics]]. Same oracle as the optimized
+    * entry — identical results, different plan — which is the point.
+    */
+  def reportBaseNoRule(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    // The control must pay the enrichment joins, so BOTH elimination paths
+    // go dark: the graft rule via its kill-switch (extensions carry over to
+    // child sessions, so a fresh session alone doesn't shed it), and Spark
+    // 4's built-in equivalent (EliminateOuterJoin + distinct-key
+    // propagation, which independently removes unread unique-keyed left
+    // joins) via excludedRules + the propagation flag.
+    spark.conf.set(EliminateRedundantLeftJoin.EnabledKey, "false")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.EliminateOuterJoin")
+    spark.conf.set("spark.sql.optimizer.propagateDistinctKeys.enabled", "false")
+    import spark.implicits._
+    enrichedOrders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"o_orderpriority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_join_elimination" -> (reportBase _),
-    "opt_join_retained" -> (reportWithItems _))
+    "opt_join_retained" -> (reportWithItems _),
+    "opt_join_baseline" -> (reportBaseNoRule _))
 
   /** Oracles spell out the FULL enriched view, joins included — equality
     * with the join-free Spark plan is the soundness proof.
@@ -100,6 +130,14 @@ object JoinEliminationQueries {
 
   val oracle: Map[String, String] = Map(
     "opt_join_elimination" -> s"""WITH $viewSql
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers
+FROM enriched
+GROUP BY 1
+ORDER BY o_orderpriority""",
+
+    "opt_join_baseline" -> s"""WITH $viewSql
 SELECT o_orderpriority,
        count(*)::BIGINT AS n_orders,
        count(DISTINCT o_custkey)::BIGINT AS n_customers

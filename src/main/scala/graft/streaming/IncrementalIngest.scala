@@ -66,9 +66,14 @@ object IncrementalIngest {
     * the watermark.
     */
   def stage(spark: SparkSession, srcDir: String, stagingDir: String,
-      checkpointDir: String): StreamingQuery = {
-    spark.readStream
+      checkpointDir: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
       .schema(eventSchema)
+    // batch-size bound (the reference's BATCH_SIZE, src/config.py): an
+    // AvailableNow catch-up splits into one micro-batch per N files, each
+    // committing sink+state atomically — the unit of restart safety
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(srcDir)
       .withWatermark("ts", "1 day")
       .dropDuplicates("event_id")

@@ -57,4 +57,28 @@ class ColumnLineageSpec extends SparkSpec {
     assert(edges.contains(("*", "orders", "o_custkey", "predicate")))
     assert(edges.contains(("*", "customer", "c_custkey", "predicate")))
   }
+
+  test("rollup/cube (Expand) outputs keep their sources; grouping flags stay literal-born") {
+    val q = Tables.orders(spark, sf)
+      .select(year($"o_orderdate").as("y"), $"o_orderstatus".as("status"))
+      .rollup($"y", $"status")
+      .agg(count(lit(1)).as("n"), grouping($"y").cast("int").as("g_y"))
+    val edges = ColumnLineage.lineage(q)
+    // pre-fix, Expand's fresh exprIds severed these — both were empty
+    assert(edges.contains(("y", "orders", "o_orderdate", "value")))
+    assert(edges.contains(("status", "orders", "o_orderstatus", "value")))
+    assert(!edges.exists(e => e._1 == "n" || e._1 == "g_y"),
+      "count(1) and grouping() are literal-born")
+  }
+
+  test("grouping sets via SQL GROUPING SETS also trace through Expand") {
+    Tables.orders(spark, sf).createOrReplaceTempView("lin_orders")
+    val q = spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(1) AS n
+        |FROM lin_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)
+    val edges = ColumnLineage.lineage(q)
+    assert(edges.contains(("o_orderpriority", "orders", "o_orderpriority", "value")))
+    assert(edges.contains(("o_orderstatus", "orders", "o_orderstatus", "value")))
+  }
 }

@@ -78,4 +78,53 @@ class JoinEliminationSpec extends SparkSpec {
     val report = joined.groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
     assert(logicalJoins(report) == 0, "alias on the grouping key is still unique evidence")
   }
+
+  test("graft rule holds the guarantee when distinct-key propagation is off") {
+    // Spark 4's built-in EliminateOuterJoin covers the common case — but
+    // only with propagateDistinctKeys on. With propagation disabled, the
+    // built-in goes blind and ONLY the graft rule (structural uniqueness
+    // proof at the join) still removes the unread enrichment.
+    val s = spark.newSession() // GraftExtensions carry over; built-in blinded:
+    s.conf.set("spark.sql.optimizer.propagateDistinctKeys.enabled", "false")
+    def report(sess: org.apache.spark.sql.SparkSession) = {
+      val o = Tables.orders(sess, sf)
+      val stats = Tables.lineitem(sess, sf)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      o.join(stats, o("o_orderkey") === stats("l_orderkey"), "left")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    }
+    assert(logicalJoins(report(s)) == 0,
+      "graft rule must fire independently of distinct-key propagation")
+    // negative control: kill-switch off in the same propagation-off session
+    // → nobody eliminates, the join survives
+    s.conf.set(EliminateRedundantLeftJoin.EnabledKey, "false")
+    assert(logicalJoins(report(s)) == 1,
+      "with both paths dark the enrichment join must survive")
+    s.conf.unset(EliminateRedundantLeftJoin.EnabledKey)
+  }
+
+  test("rule removes physical Exchanges, not just logical joins (on vs off)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def exchanges(p: SparkPlan): Int = {
+      val here = p.collect { case e: Exchange => e }.size
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case q: QueryStageExec => exchanges(q.plan)
+      }.sum
+      here + nested
+    }
+    val on = JoinEliminationQueries.all("opt_join_elimination")(spark, sf)
+    val off = JoinEliminationQueries.all("opt_join_baseline")(spark, sf)
+    // force execution so AQE finalizes both physical plans before counting
+    on.write.format("noop").mode("overwrite").save()
+    off.write.format("noop").mode("overwrite").save()
+    val (nOn, nOff) = (exchanges(on.queryExecution.executedPlan),
+      exchanges(off.queryExecution.executedPlan))
+    assert(nOn < nOff,
+      s"rule-on plan has $nOn exchanges, rule-off $nOff — elimination must shed shuffles")
+    // and the identical-results contract of the pair
+    assert(on.collect().toSeq == off.collect().toSeq)
+  }
 }

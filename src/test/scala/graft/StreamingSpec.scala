@@ -47,6 +47,48 @@ class StreamingSpec extends SparkSpec {
     assert(staged.select($"event_id").distinct().count() == n0)
   }
 
+  test("kill mid-run + restart from checkpoint = exactly-once, equals the one-shot run") {
+    // the reference's headline guarantee — "the pipeline can be run
+    // multiple times safely" (README.md:202) — under the harshest version:
+    // a catch-up run KILLED between micro-batches, then restarted from its
+    // checkpoint. Offsets are WAL'd before a batch runs and the parquet
+    // sink registers files per-batch in its manifest, so an interrupted
+    // batch replays on restart without double-landing — the restarted
+    // stream must equal a never-killed control run exactly.
+    val src = Files.createTempDirectory("restart-src")
+    val ev = Tables.events(spark, sf)
+    for (i <- 0 until 3) // three disjoint slices = three files = three batches
+      ev.filter($"event_id" % 3 === i).write.mode("overwrite")
+        .parquet(src.resolve(s"slice$i").toString)
+
+    // control: one uninterrupted run on its own checkpoint
+    val (ctlStaging, ctlCkpt) = (tmp("restart-ctl-out"), tmp("restart-ctl-ckpt"))
+    IncrementalIngest.stage(spark, src.toString + "/*", ctlStaging, ctlCkpt,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    // victim: same source, stopped as soon as the first batch commits
+    val (staging, ckpt) = (tmp("restart-out"), tmp("restart-ckpt"))
+    val q = IncrementalIngest.stage(spark, src.toString + "/*", staging, ckpt,
+      maxFilesPerTrigger = Some(1))
+    while (q.isActive && !q.recentProgress.exists(_.numInputRows > 0))
+      Thread.sleep(5)
+    q.stop(); q.awaitTermination()
+
+    // restart from the same checkpoint: replays any uncommitted batch and
+    // finishes the remainder — never re-lands a committed one
+    IncrementalIngest.stage(spark, src.toString + "/*", staging, ckpt,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    val out = IncrementalIngest.staged(spark, staging)
+    val ctl = IncrementalIngest.staged(spark, ctlStaging)
+    assert(out.count() == ctl.count(), "restarted run must land exactly the control's rows")
+    assert(out.select($"event_id").distinct().count() == out.count(),
+      "no event may land twice across the kill/restart boundary")
+    assert(out.select($"event_id").except(ctl.select($"event_id")).isEmpty &&
+      ctl.select($"event_id").except(out.select($"event_id")).isEmpty,
+      "restarted run and one-shot run must be set-identical")
+  }
+
   test("streaming scd2 maintenance: foreachBatch merge versions once, replays are no-ops") {
     import graft.streaming.DimMaintain
     import java.sql.Date
