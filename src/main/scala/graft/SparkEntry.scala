@@ -69,6 +69,7 @@ object SparkEntry {
       analytics.ConformalInterval.all ++ analytics.DailyOhlc.all ++
       ingest.LatenessProfile.all ++ ingest.JsonOps.all ++
       plans.JoinEliminationQueries.all ++ warehouse.SkewAdvisor.all ++
+      streaming.StreamNearDedup.all ++
       observability.QueryMetrics.all ++ observability.ColumnLineage.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
@@ -126,5 +127,6 @@ object SparkEntry {
       analytics.ConformalInterval.oracle ++ analytics.DailyOhlc.oracle ++
       ingest.LatenessProfile.oracle ++ ingest.JsonOps.oracle ++
       plans.JoinEliminationQueries.oracle ++ warehouse.SkewAdvisor.oracle ++
+      streaming.StreamNearDedup.oracle ++
       observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle
 }

@@ -44,7 +44,7 @@ object Dedup {
     *    the identical near-dup pair set at τ=0.2. Shingle width is THE
     *    fan-out knob for Jaccard at corpus scale.
     */
-  private[dedup] def withShingles(df: DataFrame): DataFrame =
+  private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", tokens)
       .withColumn("sh",
         when(size(col("toks")) >= 3,

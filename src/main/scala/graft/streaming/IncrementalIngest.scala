@@ -54,7 +54,7 @@ object IncrementalIngest {
     * order and pin the session at 8 permanently. The clone makes the
     * override invisible outside the stream by construction.
     */
-  private[streaming] def withStreamPartitions[T](spark: SparkSession)(body: SparkSession => T): T = {
+  private[graft] def withStreamPartitions[T](spark: SparkSession)(body: SparkSession => T): T = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
     body(ss)
