@@ -70,7 +70,8 @@ object SparkEntry {
       ingest.LatenessProfile.all ++ ingest.JsonOps.all ++
       plans.JoinEliminationQueries.all ++ warehouse.SkewAdvisor.all ++
       streaming.StreamNearDedup.all ++
-      observability.QueryMetrics.all ++ observability.ColumnLineage.all
+      observability.QueryMetrics.all ++ observability.ColumnLineage.all ++
+      observability.PlanFingerprint.all ++ warehouse.JoinAdvisor.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -128,5 +129,6 @@ object SparkEntry {
       ingest.LatenessProfile.oracle ++ ingest.JsonOps.oracle ++
       plans.JoinEliminationQueries.oracle ++ warehouse.SkewAdvisor.oracle ++
       streaming.StreamNearDedup.oracle ++
-      observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle
+      observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle ++
+      observability.PlanFingerprint.oracle ++ warehouse.JoinAdvisor.oracle
 }
