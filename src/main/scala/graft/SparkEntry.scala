@@ -71,7 +71,8 @@ object SparkEntry {
       plans.JoinEliminationQueries.all ++ warehouse.SkewAdvisor.all ++
       streaming.StreamNearDedup.all ++
       observability.QueryMetrics.all ++ observability.ColumnLineage.all ++
-      observability.PlanFingerprint.all ++ warehouse.JoinAdvisor.all
+      observability.PlanFingerprint.all ++ warehouse.JoinAdvisor.all ++
+      ingest.ForgetFlow.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -130,5 +131,6 @@ object SparkEntry {
       plans.JoinEliminationQueries.oracle ++ warehouse.SkewAdvisor.oracle ++
       streaming.StreamNearDedup.oracle ++
       observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle ++
-      observability.PlanFingerprint.oracle ++ warehouse.JoinAdvisor.oracle
+      observability.PlanFingerprint.oracle ++ warehouse.JoinAdvisor.oracle ++
+      ingest.ForgetFlow.oracle
 }
