@@ -108,6 +108,13 @@ object ColumnLineage {
             .flatMap(r => m.getOrElse(r.exprId, Set.empty[Src]))).toSet
         }.toMap
         (m ++ merged, pr)
+      case s: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+        // streaming sources carry lineage too (the audit question "which
+        // stream feeds this column" is the same question); the table name
+        // is the source kind — the concrete path is a runtime detail
+        val src = s.sourceName.takeWhile(_ != '[')
+        (s.output.map(a => a.exprId -> Set((s"stream:$src", a.name))).toMap,
+          Set.empty[Src])
       case u: UnaryNode => // Sort, Limit, SubqueryAlias, Repartition, ...
         walk(u.child)
       case other =>

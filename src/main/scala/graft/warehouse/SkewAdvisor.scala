@@ -45,8 +45,12 @@ object SkewAdvisor {
   /** Target rows per salted sub-task — ONE definition in both engines. */
   val TargetRows = 100L
 
-  /** Hot iff key_rows > HotFactor × fair share. */
-  val HotFactor = 2L
+  /** Hot iff key_rows > HotFactor × fair share. 1.5× flags the dominant
+    * key of a web-crawl-shaped feed (English ~40% of a 5-language corpus,
+    * fair share 20%) at every scale factor; 2× sat exactly on the sf0.001
+    * boundary (38.6% vs a 40% cut) and went quiet there.
+    */
+  val HotFactor = 1.5
 
   /** Skew profile of the `documents.lang` join key. */
   def skewAdvisor(spark: SparkSession, dir: String): DataFrame = {

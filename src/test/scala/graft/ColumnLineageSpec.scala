@@ -71,6 +71,19 @@ class ColumnLineageSpec extends SparkSpec {
       "count(1) and grouping() are literal-born")
   }
 
+  test("streaming plans trace columns to their stream source") {
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, value DOUBLE"))
+      .parquet(java.nio.file.Files.createTempDirectory("lineage-stream").toString)
+      .filter($"value" > 0)
+      .select($"event_id", ($"value" * 2).as("doubled"))
+    val edges = ColumnLineage.lineage(stream)
+    assert(edges.contains(("doubled", "stream:FileSource", "value", "value")))
+    assert(edges.contains(("event_id", "stream:FileSource", "event_id", "value")))
+    assert(edges.contains(("*", "stream:FileSource", "value", "predicate")))
+  }
+
   test("grouping sets via SQL GROUPING SETS also trace through Expand") {
     Tables.orders(spark, sf).createOrReplaceTempView("lin_orders")
     val q = spark.sql(

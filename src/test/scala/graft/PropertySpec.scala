@@ -77,7 +77,12 @@ class PropertySpec extends SparkSpec {
       "curate_source_ablation", "agg_ks_distance", "agg_mann_whitney",
       "ts_hier_reconcile", "wh_fd_discovery", "agg_cms_join_size",
       "wh_ind_discovery", "agg_chi2_independence", "agg_spearman_corr",
-      "agg_conformal_interval")
+      "agg_conformal_interval",
+      // round 8: the advisor pair (share_pct / weighted_chars are single
+      // post-aggregate divisions over exact long sums) and the strategy
+      // ledger (pure counts)
+      "wh_skew_advisor", "join_skew_advised", "wh_join_advisor",
+      "etl_forget_cascade")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
