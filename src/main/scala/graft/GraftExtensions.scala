@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer extension: redundant-enrichment-join elimination (a rewrite
     // OSS Catalyst lacks; soundness conditions in the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.EliminateRedundantLeftJoin)
+    // planner extension: the native as-of merge join (AsOfJoinPlan →
+    // AsOfJoinExec); DataFrame users get it lazily via AsOfJoin.register
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -72,7 +72,7 @@ object SparkEntry {
       streaming.StreamNearDedup.all ++
       observability.QueryMetrics.all ++ observability.ColumnLineage.all ++
       observability.PlanFingerprint.all ++ warehouse.JoinAdvisor.all ++
-      ingest.ForgetFlow.all
+      ingest.ForgetFlow.all ++ plans.AsOfJoinQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -132,5 +132,5 @@ object SparkEntry {
       streaming.StreamNearDedup.oracle ++
       observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle ++
       observability.PlanFingerprint.oracle ++ warehouse.JoinAdvisor.oracle ++
-      ingest.ForgetFlow.oracle
+      ingest.ForgetFlow.oracle ++ plans.AsOfJoinQueries.oracle
 }

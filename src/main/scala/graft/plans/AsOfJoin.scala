@@ -1,0 +1,233 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graft.PlanDF
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native AS-OF join — the whole Catalyst extension stack for one operator
+  * Spark lacks: a custom [[LogicalPlan]] node, a planner [[SparkStrategy]],
+  * and a physical [[BinaryExecNode]] that merges two co-partitioned sorted
+  * streams in one pass.
+  *
+  * Semantics (left as-of): every left row keeps exactly one output row,
+  * enriched with the LATEST right row of the same key whose time is
+  * at-or-before the left time (`rightTime <= leftTime`), nulls when no such
+  * row exists — kdb's `aj`, DuckDB's `ASOF LEFT JOIN`, Flink's temporal
+  * join. An optional tolerance drops matches older than `toleranceUs`
+  * microseconds; because the as-of pick is the NEWEST qualifying right row,
+  * a post-check on that single candidate IS the tolerance semantics (any
+  * older candidate is farther away).
+  *
+  * Why a physical operator instead of the union-window composition
+  * (`WindowExtras.asofClickAttribution`) or a range join:
+  *
+  *  - the range-join form (`l.key = r.key AND r.t <= l.t`, then max) fans
+  *    out quadratically in rows-per-key before the aggregate prunes it;
+  *  - the union-window form is linear but pays a union, a window sort over
+  *    BOTH sides interleaved, and a filter back to the left rows;
+  *  - this exec declares `ClusteredDistribution` on the key and a
+  *    `(key, time)` sort per child, so Catalyst plans exactly one exchange
+  *    + sort per side (reused if the data is already bucketed/sorted), and
+  *    the merge itself is a single forward scan holding ONE buffered right
+  *    row — no per-key state, no fan-out, spill-free at any key width.
+  *    At 100 TB that is the floor: you cannot enrich ticks with quotes for
+  *    fewer passes.
+  *
+  * Keys and times must be LongType (ids, epoch micros) — the merge compares
+  * raw longs instead of interpreting generic orderings, which keeps the
+  * inner loop allocation-free; callers cast (`unix_micros`) upstream.
+  * Null key or time on the left yields an unmatched output row; on the
+  * right the row is skipped (SQL comparison semantics: NULL can never
+  * satisfy `<=`).
+  *
+  * Reference motivation: the attribution queries' "latest prior event"
+  * pattern (`sql/analytics_queries.sql` latest-report-per-patient shapes);
+  * registered via [[graft.GraftExtensions]] (`injectPlannerStrategy`) and
+  * lazily through `spark.experimental.extraStrategies` for DataFrame users.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // exactly one output row per left row — the planner can use the bound
+  override def maxRows: Option[Long] = left.maxRows
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKey, p.leftTime, p.rightKey, p.rightTime,
+        p.toleranceUs, planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Single-pass merge over two (key, time)-sorted co-partitioned children.
+  * State per partition: the right cursor plus at most ONE copied candidate
+  * row — memory O(1) regardless of key skew, which is what lets the hot-key
+  * partitions of a skewed feed stream through instead of buffering.
+  */
+case class AsOfJoinExec(
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  require(Seq(leftKey, leftTime, rightKey, rightTime)
+    .forall(_.dataType == LongType),
+    "as-of join keys and times must be LongType (cast ids / unix_micros upstream)")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  // one exchange per side, co-partitioned on the key — the same contract
+  // SortMergeJoin declares, so bucketing / AQE reuse applies unchanged
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val (lOut, rOut) = (left.output, right.output)
+    val lKT = Seq(leftKey, leftTime)
+    val rKT = Seq(rightKey, rightTime)
+    val outAttrs = output
+    val tol = toleranceUs.getOrElse(-1L)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lProj = UnsafeProjection.create(lKT, lOut)
+      val rProj = UnsafeProjection.create(rKT, rOut)
+      // bind the right side NULLABLE: the unmatched-row null fields must
+      // survive the projection (a non-nullable binding skips the null
+      // check and reads zeros out of the all-null row)
+      val result = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      // right cursor: the next not-yet-consumed right row, nulls skipped
+      var rHas = false
+      var rRow: InternalRow = null
+      var rKey = 0L
+      var rTime = 0L
+      def advance(): Unit = {
+        rHas = false
+        while (!rHas && rIter.hasNext) {
+          val row = rIter.next()
+          val kt = rProj(row)
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+            rRow = row; rKey = kt.getLong(0); rTime = kt.getLong(1)
+            rHas = true
+          }
+        }
+      }
+      advance()
+      // the single buffered candidate: last right row seen with
+      // key == current left key and time <= current left time
+      var candValid = false
+      var candKey = 0L
+      var candTime = 0L
+      var cand: InternalRow = null
+      lIter.map { lRow =>
+        val kt = lProj(lRow)
+        val matched =
+          if (kt.isNullAt(0) || kt.isNullAt(1)) false
+          else {
+            val lk = kt.getLong(0)
+            val lt = kt.getLong(1)
+            // keys ascend on both sides: a candidate from an earlier key
+            // can never match again
+            if (candValid && candKey != lk) candValid = false
+            while (rHas && (rKey < lk || (rKey == lk && rTime <= lt))) {
+              if (rKey == lk) {
+                // shuffle readers reuse row buffers — copy on candidacy
+                cand = rRow.copy(); candKey = lk; candTime = rTime
+                candValid = true
+              }
+              advance()
+            }
+            candValid && candKey == lk && (tol < 0L || lt - candTime <= tol)
+          }
+        numOut += 1
+        if (matched) { numMatched += 1; result(joined(lRow, cand)) }
+        else result(joined(lRow, nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+
+  /** Idempotent DataFrame-API registration (mirrors the lazy function
+    * registration pattern): SQL-config users get the strategy from
+    * [[graft.GraftExtensions]] instead.
+    */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** Public API: left as-of join `left` to `right` on long key/time columns.
+    * Right column names must not collide with left's (rename upstream) so
+    * the flat output schema stays unambiguous.
+    */
+  def asofLeft(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty,
+      s"as-of sides must not share column names, got: ${collisions.mkString(", ")}")
+    val lPlan = PlanDF.analyzed(left)
+    val rPlan = PlanDF.analyzed(right)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+    PlanDF.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(lPlan, leftTime),
+      attr(rPlan, rightKey), attr(rPlan, rightTime), toleranceUs))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registered queries for the native [[AsOfJoinExec]] operator — the same
+  * attribution semantics as `join_asof_attribution` (every purchase enriched
+  * with the user's latest at-or-before click), but executed by the custom
+  * merge exec instead of the union-window composition, plus a tolerance
+  * variant no built-in composition expresses as cheaply. The DuckDB oracle
+  * is its native `ASOF LEFT JOIN` — an independent engine's implementation
+  * of the operator, the strongest equivalence check available.
+  *
+  * Clicks are pre-collapsed to one per (user, ts) — max event_id — so tie
+  * resolution is deterministic in both engines. Times ride as epoch
+  * microseconds (the exec's LongType contract); the delay output stays in
+  * integer microseconds end-to-end, so the hash compare is exact.
+  */
+object AsOfJoinQueries {
+
+  /** Tolerance for the bounded variant: 2 days in epoch micros. Chosen to
+    * split the observed delay distribution (median ~30 h, p90 ~4 days), so
+    * the CASE actually fires both ways. ONE constant, interpolated into
+    * both engines.
+    */
+  val TolUs: Long = 2L * 86400L * 1000000L
+
+  private def asofBase(spark: SparkSession, dir: String,
+      toleranceUs: Option[Long]): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("c_uid"), unix_micros($"ts").as("c_us"),
+        $"click_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+    AsOfJoin.asofLeft(purchases, clicks,
+        leftKey = "user_id", leftTime = "p_us",
+        rightKey = "c_uid", rightTime = "c_us", toleranceUs = toleranceUs)
+      .select($"event_id", $"user_id", $"click_id".as("prior_click_id"),
+        coalesce($"p_us" - $"c_us", lit(-1L)).as("delay_us"))
+      .orderBy($"event_id")
+  }
+
+  def asofExec(spark: SparkSession, dir: String): DataFrame =
+    asofBase(spark, dir, None)
+
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame =
+    asofBase(spark, dir, Some(TolUs))
+
+  private val oraclePrelude = """WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL),
+j AS (
+  SELECT p.event_id, p.user_id, c.click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS d
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts)
+"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_exec" -> (asofExec _),
+    "join_asof_tolerance" -> (asofTolerance _))
+
+  val oracle: Map[String, String] = Map(
+    "join_asof_exec" -> (oraclePrelude + """SELECT event_id, user_id,
+       click_id AS prior_click_id,
+       coalesce(d, -1)::BIGINT AS delay_us
+FROM j ORDER BY event_id"""),
+
+    // tolerance = post-filter on the single ASOF candidate: the pick is the
+    // NEWEST qualifying right row, so if IT exceeds the bound every other
+    // candidate does too — exact equivalence, not an approximation
+    "join_asof_tolerance" -> (oraclePrelude + s"""SELECT event_id, user_id,
+       CASE WHEN d IS NOT NULL AND d <= $TolUs THEN click_id END
+         AS prior_click_id,
+       coalesce(CASE WHEN d <= $TolUs THEN d END, -1)::BIGINT AS delay_us
+FROM j ORDER BY event_id"""))
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.plans.{AsOfJoin, AsOfJoinExec, AsOfJoinQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The native as-of merge join: semantics on hand-built edge cases, the
+  * equivalence with the union-window composition on real data, and the
+  * physical plan contract (one AsOfJoinExec, shuffled + sorted children,
+  * no pairwise product anywhere).
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val inner = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)(pf)
+    }.flatten
+    here ++ inner
+  }
+
+  private def ticks(rows: (Long, Long, String)*): DataFrame =
+    rows.toDF("k", "t", "tag")
+
+  private def quotes(rows: (Long, Long, Double)*): DataFrame =
+    rows.toDF("qk", "qt", "px")
+
+  private def run(l: DataFrame, r: DataFrame,
+      tol: Option[Long] = None): Set[(Long, Long, Option[Double])] =
+    AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt", tol)
+      .select($"k", $"t", $"px")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2))))
+      .toSet
+
+  test("picks the latest at-or-before right row, nulls when none") {
+    val l = ticks((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "pre"),
+      (2L, 7L, "c"), (3L, 9L, "lonely"))
+    val r = quotes((1L, 6L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0),
+      (2L, 7L, 4.0), (4L, 1L, 9.9))
+    assert(run(l, r) === Set(
+      (1L, 5L, None),        // before any quote
+      (1L, 10L, Some(2.0)),  // equal timestamp matches (>= bound)
+      (1L, 20L, Some(3.0)),  // latest of several
+      (2L, 7L, Some(4.0)),
+      (3L, 9L, None)))       // key only on left
+  }
+
+  test("tolerance drops matches older than the bound, keeps newer ones") {
+    val l = ticks((1L, 100L, "x"), (1L, 200L, "y"))
+    val r = quotes((1L, 95L, 1.0), (1L, 110L, 2.0))
+    // at t=200 the latest quote is 110 (90 ticks back): tol 50 drops it —
+    // and must NOT fall back to an even older quote
+    assert(run(l, r, tol = Some(50L)) ===
+      Set((1L, 100L, Some(1.0)), (1L, 200L, None)))
+  }
+
+  test("empty right side, duplicate left timestamps, null times") {
+    val l = ticks((1L, 10L, "a"), (1L, 10L, "b"))
+    assert(run(l, quotes()) === Set((1L, 10L, None)))
+    // null left time -> unmatched; null right time -> skipped
+    val lNull = Seq((1L, Some(10L), "a"), (1L, None, "n"))
+      .toDF("k", "t", "tag")
+    val rNull = Seq((1L, Some(5L), 1.0), (1L, None, 7.7))
+      .toDF("qk", "qt", "px")
+    val out = AsOfJoin.asofLeft(lNull, rNull, "k", "t", "qk", "qt")
+      .select($"tag", $"px").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    assert(out === Set(("a", Some(1.0)), ("n", None)))
+  }
+
+  test("matches the union-window composition on real events data") {
+    val ev = Tables.events(spark, sf).filter($"ts".isNotNull)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("c_uid"), unix_micros($"ts").as("c_us"), $"click_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+    val native = AsOfJoin.asofLeft(purchases, clicks,
+        "user_id", "p_us", "c_uid", "c_us")
+      .select($"event_id", coalesce($"click_id", lit(-1L)).as("click_id"))
+    // the composed reference: tag, union, running last() per user
+    val cTagged = clicks.select($"c_uid".as("user_id"), $"c_us".as("us"),
+      lit(0).as("tag"), $"click_id", lit(null).cast("bigint").as("event_id"))
+    val pTagged = purchases.select($"user_id", $"p_us".as("us"),
+      lit(1).as("tag"), lit(null).cast("bigint").as("click_id"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = cTagged.unionByName(pTagged)
+      .withColumn("prior", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", coalesce($"prior", lit(-1L)).as("click_id"))
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "native exec and union-window composition must agree row-for-row")
+    assert(native.count() === purchases.count(),
+      "left as-of preserves exactly one row per left row")
+  }
+
+  test("plan: one AsOfJoinExec, shuffled+sorted children, no products") {
+    val df = AsOfJoinQueries.asofExec(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan
+    val execs = collectAll(p) { case e: AsOfJoinExec => e }
+    assert(execs.size === 1, s"expected one AsOfJoinExec:\n$p")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, "children must be hash-clustered on the key")
+    val products = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(products.isEmpty, "as-of must never plan a pairwise product")
+    // the exec DECLARES (key, time) output ordering — downstream sorts get
+    // elided on its strength, so verify it on the raw join output (the
+    // registered query re-ranges by event_id afterwards)
+    val l = (1 to 400).map(i => (i.toLong % 7, i.toLong, i)).toDF("k", "t", "v")
+    val r = (1 to 50).map(i => (i.toLong % 7, i.toLong, i * 1.0)).toDF("qk", "qt", "px")
+    val okWithin = AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt")
+      .select($"k", $"t").rdd
+      .mapPartitions { it =>
+        val rows = it.map(row => (row.getLong(0), row.getLong(1))).toSeq
+        Iterator.single(rows == rows.sorted)
+      }.collect()
+    assert(okWithin.forall(identity), "output must stay (key, time)-sorted per partition")
+  }
+
+  test("exec survives skewed co-partitioning (all rows one key)") {
+    val n = 5000
+    val l = (1 to n).map(i => (7L, i.toLong * 2, s"e$i")).toDF("k", "t", "tag")
+    val r = (0 until n).map(i => (7L, i.toLong * 2 + 1, i.toDouble)).toDF("qk", "qt", "px")
+    val out = AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt")
+      .agg(count(lit(1)), sum($"px")).collect().head
+    assert(out.getLong(0) === n.toLong)
+    // left t=2i matches quote t=2i-1 (px=i-1): sum = 0+1+...+(n-1)
+    assert(out.getDouble(1) === (n.toLong - 1) * n / 2.0)
+  }
+}

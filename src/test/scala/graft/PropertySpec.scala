@@ -82,7 +82,10 @@ class PropertySpec extends SparkSpec {
       // post-aggregate divisions over exact long sums) and the strategy
       // ledger (pure counts)
       "wh_skew_advisor", "join_skew_advised", "wh_join_advisor",
-      "etl_forget_cascade")
+      "etl_forget_cascade",
+      // the native as-of exec: merge is per-partition, so its output must
+      // not depend on how co-partitioning slices the keys
+      "join_asof_exec", "join_asof_tolerance")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
