@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnaryMinus, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -214,7 +214,30 @@ object AsOfJoin {
   def asofLeft(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None): DataFrame =
+    build(left, right, leftKey, leftTime, rightKey, rightTime,
+      toleranceUs, forward = false)
+
+  /** Forward as-of: the EARLIEST right row at-or-after the left time
+    * (time-to-next-event / conversion lag). Implemented as the backward
+    * merge over NEGATED time expressions — earliest `rt >= lt` is exactly
+    * latest `-rt <= -lt`, equal-time inclusivity preserved, and the
+    * tolerance check `(-lt) - (-rt) <= tol` is the forward wait `rt - lt`.
+    * Same exec, zero new runtime code — the operator generalizes at the
+    * expression layer. (Epoch micros sit ~2^50, so negation cannot
+    * overflow a long.)
+    */
+  def asofForwardLeft(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    build(left, right, leftKey, leftTime, rightKey, rightTime,
+      toleranceUs, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      toleranceUs: Option[Long], forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val collisions = left.columns.toSet.intersect(right.columns.toSet)
@@ -226,8 +249,12 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+    def time(plan: LogicalPlan, name: String): Expression = {
+      val a = attr(plan, name)
+      if (forward) UnaryMinus(a, failOnError = false) else a
+    }
     PlanDF.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(lPlan, leftTime),
-      attr(rPlan, rightKey), attr(rPlan, rightTime), toleranceUs))
+      attr(lPlan, leftKey), time(lPlan, leftTime),
+      attr(rPlan, rightKey), time(rPlan, rightTime), toleranceUs))
   }
 }

@@ -50,6 +50,30 @@ object AsOfJoinQueries {
   def asofTolerance(spark: SparkSession, dir: String): DataFrame =
     asofBase(spark, dir, Some(TolUs))
 
+  /** Forward as-of: each click enriched with the user's NEXT purchase
+    * at-or-after it — time-to-conversion, the attribution mirror of
+    * [[asofExec]]. Both sides collapse to one row per (user, ts) so the
+    * equal-timestamp pick is deterministic in both engines.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id", unix_micros($"ts").as("c_us"), $"click_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+      .select($"user_id".as("p_uid"), unix_micros($"ts").as("p_us"),
+        $"purchase_id")
+    AsOfJoin.asofForwardLeft(clicks, purchases,
+        leftKey = "user_id", leftTime = "c_us",
+        rightKey = "p_uid", rightTime = "p_us")
+      .select($"click_id", $"user_id",
+        $"purchase_id".as("next_purchase_id"),
+        coalesce($"p_us" - $"c_us", lit(-1L)).as("wait_us"))
+      .orderBy($"click_id")
+  }
+
   private val oraclePrelude = """WITH clicks AS (
   SELECT user_id, ts, max(event_id) AS click_id
   FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2),
@@ -65,7 +89,8 @@ j AS (
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_exec" -> (asofExec _),
-    "join_asof_tolerance" -> (asofTolerance _))
+    "join_asof_tolerance" -> (asofTolerance _),
+    "join_asof_forward" -> (asofForward _))
 
   val oracle: Map[String, String] = Map(
     "join_asof_exec" -> (oraclePrelude + """SELECT event_id, user_id,
@@ -80,5 +105,17 @@ FROM j ORDER BY event_id"""),
        CASE WHEN d IS NOT NULL AND d <= $TolUs THEN click_id END
          AS prior_click_id,
        coalesce(CASE WHEN d <= $TolUs THEN d END, -1)::BIGINT AS delay_us
-FROM j ORDER BY event_id"""))
+FROM j ORDER BY event_id"""),
+
+    "join_asof_forward" -> """WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2),
+purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2)
+SELECT c.click_id, c.user_id, p.purchase_id AS next_purchase_id,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1)::BIGINT AS wait_us
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.click_id""")
 }

@@ -54,6 +54,27 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 9L, None)))       // key only on left
   }
 
+  test("forward as-of picks the earliest at-or-after right row") {
+    val l = ticks((1L, 10L, "a"), (1L, 30L, "b"), (2L, 50L, "c"))
+    val r = quotes((1L, 10L, 1.0), (1L, 25L, 2.0), (1L, 5L, 0.5),
+      (2L, 40L, 3.0))
+    val out = AsOfJoin.asofForwardLeft(l, r, "k", "t", "qk", "qt")
+      .select($"k", $"t", $"px").collect()
+      .map(row => (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toSet
+    assert(out === Set(
+      (1L, 10L, Some(1.0)),  // equal timestamp matches (inclusive bound)
+      (1L, 30L, None),       // nothing at-or-after 30 for key 1
+      (2L, 50L, None)))      // quote at 40 is BEFORE — must not match
+    // forward tolerance bounds the wait, no fallback to later rows
+    val tl = ticks((1L, 10L, "x"))
+    val tr = quotes((1L, 100L, 9.0))
+    val withTol = AsOfJoin.asofForwardLeft(tl, tr, "k", "t", "qk", "qt",
+        toleranceUs = Some(50L))
+      .select($"px").collect().head
+    assert(withTol.isNullAt(0), "wait of 90 exceeds tolerance 50")
+  }
+
   test("tolerance drops matches older than the bound, keeps newer ones") {
     val l = ticks((1L, 100L, "x"), (1L, 200L, "y"))
     val r = quotes((1L, 95L, 1.0), (1L, 110L, 2.0))
