@@ -32,7 +32,16 @@ object Bucketing {
     * first (CREATE refuses to reuse one).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int): Unit =
+    writeBucketedSorted(df, table, key, buckets, Seq(key))
+
+  /** [[writeBucketed]] with an explicit in-bucket sort order — the layout
+    * that feeds order-sensitive merges (the as-of exec's `(key, time)`
+    * requirement) exchange-free: bucket pruning satisfies the key
+    * clustering, the per-bucket sort satisfies the child ordering.
+    */
+  def writeBucketedSorted(df: DataFrame, table: String, key: String,
+      buckets: Int, sortCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
@@ -40,7 +49,7 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, key).sortBy(sortCols.head, sortCols.tail: _*)
       .format("parquet").saveAsTable(table)
   }
 

@@ -153,6 +153,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(okWithin.forall(identity), "output must stay (key, time)-sorted per partition")
   }
 
+  test("bucketed (key, time)-sorted tables feed the exec with ZERO exchanges") {
+    // the 100 TB story: pay the layout once at ingest, then every as-of
+    // run on that key is scan + merge — no shuffle anywhere in the plan
+    val ev = Tables.events(spark, sf).filter($"ts".isNotNull)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("c_uid"), unix_micros($"ts").as("c_us"), $"click_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+    warehouse.Bucketing.writeBucketedSorted(purchases,
+      "asof_purch_b", "user_id", 4, Seq("user_id", "p_us"))
+    warehouse.Bucketing.writeBucketedSorted(clicks,
+      "asof_clicks_b", "c_uid", 4, Seq("c_uid", "c_us"))
+    val df = AsOfJoin.asofLeft(spark.table("asof_purch_b"),
+      spark.table("asof_clicks_b"), "user_id", "p_us", "c_uid", "c_us")
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"bucketed as-of must plan zero exchanges:\n$p")
+    assert(collectAll(p) { case e: AsOfJoinExec => e }.size === 1)
+    // and the result equals the shuffling plan's
+    val plain = AsOfJoin.asofLeft(purchases, clicks,
+      "user_id", "p_us", "c_uid", "c_us")
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty,
+      "bucketed and shuffled as-of must agree row-for-row")
+  }
+
   test("exec survives skewed co-partitioning (all rows one key)") {
     val n = 5000
     val l = (1 to n).map(i => (7L, i.toLong * 2, s"e$i")).toDF("k", "t", "tag")
