@@ -124,7 +124,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] join_rule ledger FAILED: ${e.getMessage}"); ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson,"sf":"$sfDir"}""")
+    // Price the native as-of exec against the union-window composition —
+    // same semantics, two plans; wall + shuffle bytes says which to reach
+    // for at scale (the exec shuffles each side separately; the composition
+    // shuffles the union once but window-sorts BOTH sides interleaved).
+    val asofJson = try {
+      val (_, native) = observability.QueryMetrics.profile(
+        plans.AsOfJoinQueries.asofExec(spark, sfDir))
+      val (_, composed) = observability.QueryMetrics.profile(
+        analytics.WindowExtras.asofClickAttribution(spark, sfDir))
+      s""","asof":{"native_sec":${native.wallMs / 1e3},"composed_sec":${composed.wallMs / 1e3},""" +
+        s""""native_shuffle_bytes":${native.shuffleWriteBytes},"composed_shuffle_bytes":${composed.shuffleWriteBytes}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] asof ledger FAILED: ${e.getMessage}"); ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
