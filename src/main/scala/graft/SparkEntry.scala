@@ -72,7 +72,8 @@ object SparkEntry {
       streaming.StreamNearDedup.all ++
       observability.QueryMetrics.all ++ observability.ColumnLineage.all ++
       observability.PlanFingerprint.all ++ warehouse.JoinAdvisor.all ++
-      ingest.ForgetFlow.all ++ plans.AsOfJoinQueries.all
+      ingest.ForgetFlow.all ++ plans.AsOfJoinQueries.all ++
+      sources.v2.GenQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -132,5 +133,6 @@ object SparkEntry {
       streaming.StreamNearDedup.oracle ++
       observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle ++
       observability.PlanFingerprint.oracle ++ warehouse.JoinAdvisor.oracle ++
-      ingest.ForgetFlow.oracle ++ plans.AsOfJoinQueries.oracle
+      ingest.ForgetFlow.oracle ++ plans.AsOfJoinQueries.oracle ++
+      sources.v2.GenQueries.oracle
 }

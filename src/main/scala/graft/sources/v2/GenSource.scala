@@ -1,0 +1,192 @@
+package graft.sources.v2
+
+import java.util.OptionalLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector: the deterministic row generator
+  * (`spark.read.format("graft-gen").option("rows", n)`) every 100 TB
+  * load test needs, with the full pushdown surface a real connector
+  * carries —
+  *
+  *  - **filter pushdown** ([[SupportsPushDownFilters]]): range/equality
+  *    predicates on `id` tighten the generator's `[lo, hi)` bounds and are
+  *    consumed EXACTLY, so Catalyst drops the post-scan Filter node
+  *    entirely (`pushFilters` returns only the residue);
+  *  - **partition pruning**: input partitions are planned AFTER the bounds
+  *    tighten, so a restricted scan plans proportionally fewer tasks — the
+  *    DSv2 analogue of parquet row-group pruning;
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): the reader
+  *    materializes only requested fields (a `select(k)` never computes the
+  *    string column);
+  *  - **statistics** ([[SupportsReportStatistics]]): post-pushdown row and
+  *    byte counts feed the planner's broadcast/AQE decisions.
+  *
+  * The row function is pure integer arithmetic chosen to be reproducible
+  * in any engine WITHOUT wraparound (DuckDB BIGINT errors on int64
+  * overflow where non-ANSI Spark wraps): `k = id % KMod`,
+  * `v = (id * LehmerA) % LehmerM` (Lehmer LCG step; `id * 48271` stays
+  * under 2^63 for any id < 2^47), `seg = 's' || id % SegMod`. That makes
+  * the source its own oracle: DuckDB regenerates the identical table from
+  * `range(n)`.
+  */
+class GenSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-gen"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GenTable(
+      rows = Option(properties.get("rows")).map(_.toLong)
+        .getOrElse(GenSource.DefaultRows),
+      slices = Option(properties.get("slices")).map(_.toInt)
+        .getOrElse(GenSource.DefaultSlices))
+}
+
+object GenSource {
+  val DefaultRows = 1000000L
+  val DefaultSlices = 32
+
+  /** Generator constants — ONE definition, interpolated into oracle SQL. */
+  val KMod = 97L
+  val SegMod = 8L
+  val LehmerA = 48271L
+  val LehmerM = 2147483647L
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("k", LongType, nullable = false),
+    StructField("v", LongType, nullable = false),
+    StructField("seg", StringType, nullable = false)))
+}
+
+private[v2] class GenTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_gen($rows)"
+  override def schema(): StructType = GenSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, slices)
+}
+
+private[v2] class GenScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GenSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("id", _: java.lang.Long) => true
+      case GreaterThan("id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("id", x: java.lang.Long) =>
+        lo = math.max(lo, x); hi = math.min(hi, x + 1L)
+      case GreaterThan("id", x: java.lang.Long) => lo = math.max(lo, x + 1L)
+      case GreaterThanOrEqual("id", x: java.lang.Long) => lo = math.max(lo, x.longValue())
+      case LessThan("id", x: java.lang.Long) => hi = math.min(hi, x.longValue())
+      case LessThanOrEqual("id", x: java.lang.Long) => hi = math.min(hi, x + 1L)
+      case _ =>
+    }
+    pushed = accepted
+    // accepted bounds are applied EXACTLY by the generator, so Spark need
+    // not re-evaluate them: only the residue goes back for post-filtering
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GenScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
+      required, pushed)
+}
+
+private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GenScan [$lo, $hi) cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=${pushed.mkString(",")}"
+
+  // planned AFTER pushdown: a tightened range plans fewer partitions
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) return Array.empty
+    val parts = math.min(slices.toLong, n).toInt
+    (0 until parts).map { i =>
+      val s = lo + i * n / parts
+      val e = lo + (i + 1) * n / parts
+      GenPartition(s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(n * (required.fields.length.toLong * 8L + 8L))
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+  }
+}
+
+private[v2] case class GenPartition(start: Long, end: Long)
+    extends InputPartition
+
+private[v2] class GenReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GenPartition]
+    new GenReader(gp.start, gp.end, required)
+  }
+}
+
+private[v2] class GenReader(start: Long, end: Long, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import GenSource._
+
+  // pre-resolve the column generators once per partition, not per row
+  private val gens: Array[Long => Any] = required.fields.map { f =>
+    f.name match {
+      case "id" => (id: Long) => id
+      case "k" => (id: Long) => id % KMod
+      case "v" => (id: Long) => (id * LehmerA) % LehmerM
+      case "seg" => (id: Long) => UTF8String.fromString(s"s${id % SegMod}")
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+  }
+  private var cur = start - 1
+
+  override def next(): Boolean = { cur += 1; cur < end }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(gens.map(g => g(cur)).toIndexedSeq)
+  override def close(): Unit = ()
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.v2.{GenQueries, GenSource}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 connector's pushdown contract: filters consumed exactly (no
+  * residual Filter node), columns pruned at the reader, partitions planned
+  * from the TIGHTENED range, stats reported post-pushdown.
+  */
+class GenSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen(rows: Long = 1000L, slices: Int = 8) =
+    spark.read.format("graft-gen")
+      .option("rows", rows).option("slices", slices).load()
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val inner = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)(pf)
+    }.flatten
+    here ++ inner
+  }
+
+  test("generates the documented row function") {
+    val rows = gen(rows = 200L).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length === 200)
+    rows.foreach { case (id, k, v, seg) =>
+      assert(k === id % GenSource.KMod)
+      assert(v === (id * GenSource.LehmerA) % GenSource.LehmerM)
+      assert(seg === s"s${id % GenSource.SegMod}")
+    }
+    assert(rows.map(_._1).toSet === (0L until 200L).toSet)
+  }
+
+  test("id range filters push into the source and leave NO Filter node") {
+    val df = gen(rows = 10000L).filter($"id" >= 2000L && $"id" < 3000L)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val filters = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.isEmpty,
+      s"exact pushdown must drop the post-scan Filter:\n$p")
+    assert(df.count() === 1000L)
+    val scans = collectAll(p) { case s: BatchScanExec => s }
+    assert(scans.nonEmpty && scans.head.scan.description.contains("pushed="),
+      "scan description should carry the pushed predicates")
+  }
+
+  test("tightened range plans proportionally fewer input partitions") {
+    val full = gen(rows = 10000L, slices = 8)
+    val narrow = full.filter($"id" >= 9000L && $"id" < 9500L)
+    // 500 rows over 8 slices still plans 8 tiny splits; but a range below
+    // the slice count collapses to one partition per row at most
+    val tiny = full.filter($"id" === 42L)
+    assert(tiny.rdd.getNumPartitions === 1,
+      "a single-id scan must plan exactly one partition")
+    assert(narrow.collect().length === 500)
+    assert(tiny.collect().map(_.getLong(0)).toSeq === Seq(42L))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = gen(rows = 100L).select($"k")
+    df.collect()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("k"),
+      "reader must materialize only the requested column")
+  }
+
+  test("non-id predicates stay as residual filters and still apply") {
+    val df = gen(rows = 1000L).filter($"k" === 5L)
+    assert(df.collect().forall(_.getLong(1) === 5L))
+    // residual path: a Filter node (or scan-level runtime filter) must
+    // still enforce k = 5 above the scan
+    assert(df.count() === (0L until 1000L).count(_ % GenSource.KMod == 5L))
+  }
+
+  test("registered queries run and the pushdown query scans half the ids") {
+    val pd = GenQueries.genPushdown(spark, sf)
+    val n = pd.agg(sum($"n")).collect().head.getLong(0)
+    assert(n === GenQueries.RangeHi - GenQueries.RangeLo)
+    assert(GenQueries.genSegments(spark, sf).count() === GenSource.SegMod)
+  }
+}
