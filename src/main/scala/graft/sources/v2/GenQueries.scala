@@ -42,9 +42,54 @@ object GenQueries {
       .orderBy($"seg")
   }
 
+  /** Stream-drain shape: 100k ids in 30k-row admission-limited batches —
+    * 4 micro-batches (30/30/30/10), each committing sink + offset
+    * atomically. ONE definition each, interpolated into the oracle.
+    */
+  val StreamRows = 100000L
+  val StreamBatch = 30000L
+
+  private val streamMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The connector's MICRO_BATCH_READ path driven end-to-end: readStream
+    * over the generator (rate-limited by rowsPerBatch), AvailableNow drain
+    * into a parquet sink, then a batch rollup of the landed rows — the
+    * oracle recomputes the same rollup from `range(n)`, so offset
+    * bookkeeping (no id lost, none doubled across batch boundaries) is what
+    * the hash actually checks.
+    */
+  def genStreamIngest(spark: SparkSession, dir: String): DataFrame =
+    streamMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        import org.apache.spark.sql.streaming.Trigger
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-gen/" +
+          s"${spark.sparkContext.applicationId}"
+        graft.streaming.IncrementalIngest.withStreamPartitions(spark) { ss =>
+          ss.readStream.format("graft-gen")
+            .option("rows", StreamRows)
+            .option("slices", 8)
+            .option("rowsPerBatch", StreamBatch)
+            .load()
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        import spark.implicits._
+        spark.read.parquet(s"$base/out")
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+          .orderBy($"k")
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_gen_pushdown" -> (genPushdown _),
-    "src_gen_segments" -> (genSegments _))
+    "src_gen_segments" -> (genSegments _),
+    "stream_gen_ingest" -> (genStreamIngest _))
 
   import GenSource._
   private val genSql =
@@ -63,5 +108,11 @@ GROUP BY k ORDER BY k""",
     "src_gen_segments" -> s"""SELECT seg, count(*)::BIGINT AS n,
        min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
 FROM $genSql g
-GROUP BY seg ORDER BY seg""")
+GROUP BY seg ORDER BY seg""",
+
+    "stream_gen_ingest" -> s"""SELECT range % $KMod AS k,
+       count(*)::BIGINT AS n,
+       sum((range * $LehmerA) % $LehmerM)::BIGINT AS sum_v
+FROM range($StreamRows)
+GROUP BY 1 ORDER BY 1""")
 }

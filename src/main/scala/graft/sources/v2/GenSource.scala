@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,12 +47,16 @@ class GenSource extends TableProvider
     GenSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    val rows = Option(properties.get("rows")).map(_.toLong)
+      .getOrElse(GenSource.DefaultRows)
     new GenTable(
-      rows = Option(properties.get("rows")).map(_.toLong)
-        .getOrElse(GenSource.DefaultRows),
+      rows = rows,
       slices = Option(properties.get("slices")).map(_.toInt)
-        .getOrElse(GenSource.DefaultSlices))
+        .getOrElse(GenSource.DefaultSlices),
+      rowsPerBatch = Option(properties.get("rowsPerBatch")).map(_.toLong)
+        .getOrElse(rows))
+  }
 }
 
 object GenSource {
@@ -71,17 +76,18 @@ object GenSource {
     StructField("seg", StringType, nullable = false)))
 }
 
-private[v2] class GenTable(rows: Long, slices: Int)
+private[v2] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices)
+    new GenScanBuilder(rows, slices, rowsPerBatch)
 }
 
-private[v2] class GenScanBuilder(rows: Long, slices: Int)
+private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -122,15 +128,17 @@ private[v2] class GenScanBuilder(rows: Long, slices: Int)
 
   override def build(): Scan =
     new GenScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
-      required, pushed)
+      rowsPerBatch, required, pushed)
 }
 
 private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, pushed: Array[Filter])
+    rowsPerBatch: Long, required: StructType, pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, slices, rowsPerBatch, required)
   override def description(): String =
     s"GenScan [$lo, $hi) cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
@@ -160,6 +168,62 @@ private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
 
 private[v2] case class GenPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Streaming offsets are row positions — trivially serializable, totally
+  * ordered, replayable: re-planning any [start, end) range after a restart
+  * regenerates byte-identical rows, which is the exactly-once contract a
+  * replayable source owes the checkpoint.
+  */
+private[v2] case class GenOffset(n: Long) extends Offset {
+  override def json: String = n.toString
+}
+
+/** Micro-batch read path: each trigger admits at most `rowsPerBatch` ids
+  * ([[SupportsTriggerAvailableNow]], so `Trigger.AvailableNow` drains the
+  * table in ceil(n / rowsPerBatch) rate-limited batches and stops).
+  * Column pruning flows in from the shared [[GenScanBuilder]].
+  */
+private[v2] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    rowsPerBatch: Long, required: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = GenOffset(lo)
+
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerBatch)
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "rate-limited source: use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GenOffset].n
+    GenOffset(math.min(s + rowsPerBatch, hi))
+  }
+
+  override def reportLatestOffset(): Offset = GenOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].n
+    val e = end.asInstanceOf[GenOffset].n
+    val n = e - s
+    if (n <= 0) return Array.empty
+    val parts = math.min(slices.toLong, n).toInt
+    (0 until parts).map { i =>
+      GenPartition(s + i * n / parts, s + (i + 1) * n / parts): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[v2] class GenReaderFactory(required: StructType)
     extends PartitionReaderFactory {

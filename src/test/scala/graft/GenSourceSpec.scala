@@ -85,6 +85,27 @@ class GenSourceSpec extends SparkSpec {
     assert(df.count() === (0L until 1000L).count(_ % GenSource.KMod == 5L))
   }
 
+  test("micro-batch stream drains in rate-limited batches, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("gen-stream").toString
+    val q = spark.readStream.format("graft-gen")
+      .option("rows", 1000L).option("slices", 4).option("rowsPerBatch", 300L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 1000 ids at 300/batch = 4 admission-limited micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) === 4,
+      s"expected 4 rate-limited batches, got:\n" +
+        q.recentProgress.map(p => p.numInputRows).mkString(", "))
+    val landed = spark.read.parquet(s"$base/out")
+    assert(landed.count() === 1000L)
+    assert(landed.select($"id").distinct().count() === 1000L,
+      "no id may land twice across micro-batch boundaries")
+  }
+
   test("registered queries run and the pushdown query scans half the ids") {
     val pd = GenQueries.genPushdown(spark, sf)
     val n = pd.agg(sum($"n")).collect().head.getLong(0)
