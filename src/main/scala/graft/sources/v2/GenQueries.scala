@@ -86,10 +86,36 @@ object GenQueries {
           .orderBy($"k")
       })
 
+  private val auditMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The DSv2 WRITE path driven end-to-end: events flow through the
+    * graft-audit sink (task tallies → commit messages → one atomically
+    * published manifest), and the entry returns the manifest. The oracle
+    * recomputes (rows, checksum) from the same table in DuckDB, so the
+    * hash compare checks the COMMIT PROTOCOL — every row tallied exactly
+    * once across partitions — not row content.
+    */
+  def auditSink(spark: SparkSession, dir: String): DataFrame =
+    auditMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val out = s"${sys.props("java.io.tmpdir")}/graft-audit-sink/" +
+          s"${spark.sparkContext.applicationId}/$safe"
+        graft.Tables.events(spark, dir)
+          .write.format("graft-audit")
+          .option("path", out).option("keyCol", "event_id")
+          .mode("append").save()
+        import spark.implicits._
+        spark.read.json(s"$out/manifest.json")
+          .select($"rows".as("n_rows"), $"checksum")
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_gen_pushdown" -> (genPushdown _),
     "src_gen_segments" -> (genSegments _),
-    "stream_gen_ingest" -> (genStreamIngest _))
+    "stream_gen_ingest" -> (genStreamIngest _),
+    "src_v2sink_manifest" -> (auditSink _))
 
   import GenSource._
   private val genSql =
@@ -114,5 +140,9 @@ GROUP BY seg ORDER BY seg""",
        count(*)::BIGINT AS n,
        sum((range * $LehmerA) % $LehmerM)::BIGINT AS sum_v
 FROM range($StreamRows)
-GROUP BY 1 ORDER BY 1""")
+GROUP BY 1 ORDER BY 1""",
+
+    "src_v2sink_manifest" -> s"""SELECT count(*)::BIGINT AS n_rows,
+       sum((event_id * $LehmerA) % $LehmerM)::BIGINT AS checksum
+FROM events""")
 }

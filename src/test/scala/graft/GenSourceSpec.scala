@@ -106,6 +106,26 @@ class GenSourceSpec extends SparkSpec {
       "no id may land twice across micro-batch boundaries")
   }
 
+  test("audit sink commits one atomic manifest matching the batch aggregate") {
+    import graft.sources.v2.GenSource.{LehmerA, LehmerM}
+    val out = java.nio.file.Files.createTempDirectory("audit-sink").toString
+    val df = gen(rows = 5000L, slices = 8).select($"id", $"v")
+    df.write.format("graft-audit")
+      .option("path", out).option("keyCol", "id").mode("append").save()
+    val m = spark.read.json(s"$out/manifest.json").collect().head
+    val expect = df.select(
+      count(lit(1)),
+      sum(($"id" * LehmerA) % LehmerM)).collect().head
+    assert(m.getAs[Long]("rows") === expect.getLong(0))
+    assert(m.getAs[Long]("checksum") === expect.getLong(1))
+    assert(m.getAs[Long]("tasks") > 1L, "fold must span several tasks")
+    // re-run replaces the manifest atomically: no torn temp file survives
+    df.write.format("graft-audit")
+      .option("path", out).option("keyCol", "id").mode("append").save()
+    val files = new java.io.File(out).list().toSeq
+    assert(files === Seq("manifest.json"), s"unexpected files: $files")
+  }
+
   test("registered queries run and the pushdown query scans half the ids") {
     val pd = GenQueries.genPushdown(spark, sf)
     val n = pd.agg(sum($"n")).collect().head.getLong(0)

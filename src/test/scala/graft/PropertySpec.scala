@@ -88,7 +88,8 @@ class PropertySpec extends SparkSpec {
       "join_asof_exec", "join_asof_tolerance", "join_asof_forward",
       // the DSv2 generator source: pure integer arithmetic per id, so any
       // partition arrangement must produce the same aggregate
-      "src_gen_pushdown", "src_gen_segments", "stream_gen_ingest")
+      "src_gen_pushdown", "src_gen_segments", "stream_gen_ingest",
+      "src_v2sink_manifest")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
