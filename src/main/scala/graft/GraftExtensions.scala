@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner extension: the native as-of merge join (AsOfJoinPlan →
     // AsOfJoinExec); DataFrame users get it lazily via AsOfJoin.register
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ... and the node's own filter-pushdown rule (custom operators owe
+    // the optimizer the rewrites it cannot infer)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }
 }
 

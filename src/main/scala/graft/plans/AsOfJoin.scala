@@ -205,6 +205,9 @@ object AsOfJoin {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    // the node's pushdown rule travels with the node: a filter above an
+    // as-of must reach the scans, not park on an opaque operator
+    PushFilterThroughAsOf.install(spark)
   }
 
   /** Public API: left as-of join `left` to `right` on long key/time columns.

@@ -47,6 +47,21 @@ object AsOfJoinQueries {
   def asofExec(spark: SparkSession, dir: String): DataFrame =
     asofBase(spark, dir, None)
 
+  /** Filter bound for [[asofFiltered]] — ONE definition, both engines. */
+  val FilterMaxUser = 75L
+
+  /** A predicate applied ABOVE the as-of join, as a consumer would write
+    * it; [[PushFilterThroughAsOf]] moves it into both children, so the
+    * parquet scans read one user-slice instead of everything (spec-pinned:
+    * both scans carry the pushed user_id predicate). The oracle applies
+    * the same filter post-join — the equivalence that makes the pushdown
+    * sound is exactly what the hash compares.
+    */
+  def asofFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asofBase(spark, dir, None).filter($"user_id" <= FilterMaxUser)
+  }
+
   def asofTolerance(spark: SparkSession, dir: String): DataFrame =
     asofBase(spark, dir, Some(TolUs))
 
@@ -90,7 +105,8 @@ j AS (
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_exec" -> (asofExec _),
     "join_asof_tolerance" -> (asofTolerance _),
-    "join_asof_forward" -> (asofForward _))
+    "join_asof_forward" -> (asofForward _),
+    "join_asof_filtered" -> (asofFiltered _))
 
   val oracle: Map[String, String] = Map(
     "join_asof_exec" -> (oraclePrelude + """SELECT event_id, user_id,
@@ -117,5 +133,12 @@ SELECT c.click_id, c.user_id, p.purchase_id AS next_purchase_id,
        coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1)::BIGINT AS wait_us
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts <= p.ts
-ORDER BY c.click_id""")
+ORDER BY c.click_id""",
+
+    // the post-join form of the same predicate: pushdown must not change
+    // the result, so the oracle deliberately does NOT pre-filter
+    "join_asof_filtered" -> (oraclePrelude + s"""SELECT event_id, user_id,
+       click_id AS prior_click_id,
+       coalesce(d, -1)::BIGINT AS delay_us
+FROM j WHERE user_id <= $FilterMaxUser ORDER BY event_id"""))
 }

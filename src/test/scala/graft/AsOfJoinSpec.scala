@@ -181,6 +181,65 @@ class AsOfJoinSpec extends SparkSpec {
       "bucketed and shuffled as-of must agree row-for-row")
   }
 
+  test("filters above the as-of push into BOTH parquet scans") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode}
+    val df = AsOfJoinQueries.asofFiltered(spark, sf)
+    df.collect()
+    // structural assert (scan .toString truncates long PushedFilters
+    // lists): each child subtree must hold a Filter DIRECTLY over its
+    // relation carrying the user bound — from there FileSourceStrategy
+    // turns it into the scan's pushed filter at physical planning
+    val asof = df.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoinPlan => a
+    }.head
+    def boundOverRelation(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect {
+        case f: LFilter if f.child.isInstanceOf[LeafNode] &&
+          f.condition.toString.contains(s"<= ${AsOfJoinQueries.FilterMaxUser}") => f
+      }.nonEmpty
+    assert(boundOverRelation(asof.left),
+      s"left scan must carry the user bound:\n${asof.left}")
+    assert(boundOverRelation(asof.right),
+      s"key-pruned right scan must carry the user bound:\n${asof.right}")
+    // no Filter may remain parked above the as-of node
+    val parked = df.queryExecution.optimizedPlan.collect {
+      case f: LFilter if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+    }
+    assert(parked.isEmpty, "pushdown rule must consume the left-only filter")
+  }
+
+  test("pushdown kill-switch: same rows with the rule on and off") {
+    val on = AsOfJoinQueries.asofFiltered(spark, sf).collect().toSeq
+    spark.conf.set(graft.plans.PushFilterThroughAsOf.EnabledKey, "false")
+    try {
+      val df = AsOfJoinQueries.asofFiltered(spark, sf)
+      val parked = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+      }
+      assert(parked.nonEmpty, "with the rule off the filter stays above the node")
+      assert(df.collect().toSeq === on, "pushdown must be result-invariant")
+    } finally spark.conf.unset(graft.plans.PushFilterThroughAsOf.EnabledKey)
+  }
+
+  test("time-only and right-side predicates are handled soundly") {
+    val l = ticks((1L, 10L, "a"), (1L, 20L, "b"), (2L, 7L, "c"))
+    val r = quotes((1L, 6L, 1.0), (1L, 15L, 3.0), (2L, 7L, 4.0))
+    // time-only predicate: pushes LEFT only — the t=20 tick still matches
+    // the t=15 quote even though 15 fails the left bound
+    val timeFiltered = AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt")
+      .filter($"t" >= 20L)
+      .select($"k", $"t", $"px").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2))).toSet
+    assert(timeFiltered === Set((1L, 20L, 3.0)))
+    // right-side predicate: must stay post-join (unmatched rows filtered
+    // AFTER nulls appear)
+    val rightFiltered = AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt")
+      .filter($"px" > 2.0)
+      .select($"tag").collect().map(_.getString(0)).toSet
+    assert(rightFiltered === Set("b", "c"))
+  }
+
   test("exec survives skewed co-partitioning (all rows one key)") {
     val n = 5000
     val l = (1 to n).map(i => (7L, i.toLong * 2, s"e$i")).toDF("k", "t", "tag")
