@@ -240,6 +240,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(rightFiltered === Set("b", "c"))
   }
 
+  test("column pruning reaches through the as-of node (generic fallback)") {
+    // Catalyst's ColumnPruning generic case prunes ANY node's children by
+    // its references — pin that it keeps working for AsOfJoinPlan, since a
+    // regression here silently re-widens every child scan at 100 TB
+    val ev = Tables.events(spark, sf).filter($"ts".isNotNull)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_uid"), unix_micros($"ts").as("c_us"),
+        $"event_id".as("click_id"), $"value".as("c_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"), $"value")
+    val df = AsOfJoin.asofLeft(purchases, clicks,
+        "user_id", "p_us", "c_uid", "c_us")
+      .select($"event_id", $"click_id")
+    val asof = df.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoinPlan => a
+    }.head
+    val childCols = (asof.left.output ++ asof.right.output).map(_.name).toSet
+    assert(!childCols.contains("value") && !childCols.contains("c_value"),
+      s"unused value columns must be pruned below the node, kept: $childCols")
+  }
+
   test("exec survives skewed co-partitioning (all rows one key)") {
     val n = 5000
     val l = (1 to n).map(i => (7L, i.toLong * 2, s"e$i")).toDF("k", "t", "tag")
