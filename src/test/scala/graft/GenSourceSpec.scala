@@ -126,6 +126,30 @@ class GenSourceSpec extends SparkSpec {
     assert(files === Seq("manifest.json"), s"unexpected files: $files")
   }
 
+  test("kill mid-drain + restart from checkpoint lands each id exactly once") {
+    // the claim the row-position offsets make: re-planning any [start, end)
+    // range after a restart regenerates identical rows, so an interrupted
+    // AvailableNow drain resumes without losing or doubling an id
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("gen-restart").toString
+    def start() = spark.readStream.format("graft-gen")
+      .option("rows", 2000L).option("slices", 4).option("rowsPerBatch", 400L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val q = start()
+    while (q.isActive && !q.recentProgress.exists(_.numInputRows > 0))
+      Thread.sleep(5)
+    q.stop(); q.awaitTermination()
+    start().awaitTermination()
+    val landed = spark.read.parquet(s"$base/out")
+    assert(landed.count() === 2000L, "restart must finish the drain")
+    assert(landed.select($"id").distinct().count() === 2000L,
+      "no id may land twice across the kill/restart boundary")
+  }
+
   test("registered queries run and the pushdown query scans half the ids") {
     val pd = GenQueries.genPushdown(spark, sf)
     val n = pd.agg(sum($"n")).collect().head.getLong(0)
