@@ -81,5 +81,11 @@ object GraftExtensions {
         "graft_winnow"),
       arity("graft_winnow", 1, "graft_winnow(string)") {
         args => graft.functions.WinnowFingerprints(args.head,
-          text.TextAnalysis.WinnowK, text.TextAnalysis.WinnowW) }))
+          text.TextAnalysis.WinnowK, text.TextAnalysis.WinnowW) }),
+    (FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.functions.KmvAgg].getName,
+        "graft_kmv"),
+      arity("graft_kmv", 1, "graft_kmv(bigint h32 hash) aggregate") {
+        args => graft.functions.KmvAgg(args.head,
+          analytics.WindowExtras.KmvK) }))
 }

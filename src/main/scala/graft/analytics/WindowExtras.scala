@@ -802,6 +802,24 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
       .orderBy($"event_type")
   }
 
+  /** [[kmvDistinct]]'s estimator as the native [[graft.functions.KmvAgg]]
+    * TypedImperativeAggregate — ONE aggregate instead of
+    * DISTINCT→rank→k-th: map-side partials carry at most [[KmvK]] longs
+    * per group through the shuffle. Same hash, same estimator, same
+    * oracle arithmetic; equality with the composed form is what the
+    * DuckDB hash-compare proves.
+    */
+  def kmvNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftExtensions.registerAll(spark)
+    Tables.events(spark, dir)
+      .select($"event_type", graft.functions.Md5Hash
+        .h32(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+      .groupBy($"event_type")
+      .agg(expr("graft_kmv(h)").as("kmv_estimate"))
+      .orderBy($"event_type")
+  }
+
   /** Histogram bin width (value units) — one definition, both engines. */
   val HistBinWidth = 25.0
 
@@ -826,6 +844,7 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_value_histogram" -> (valueHistogram _),
     "agg_kmv_distinct" -> (kmvDistinct _),
+    "agg_kmv_native" -> (kmvNative _),
     "agg_kmv_overlap" -> (kmvOverlap _),
     "agg_kmv_nway" -> (kmvNway _),
     "agg_pareto_suppliers" -> (paretoSuppliers _),
@@ -946,6 +965,26 @@ SELECT e.event_type, n_exact, hk,
          AS kmv_estimate
 FROM exact e JOIN kth USING (event_type)
 ORDER BY e.event_type""",
+
+    "agg_kmv_native" -> s"""WITH h AS (
+  SELECT DISTINCT event_type,
+         ${graft.functions.Md5Hash.h32Sql("'kmv:' || CAST(user_id AS VARCHAR)")}
+           AS h
+  FROM events),
+hs AS (SELECT event_type, count(*)::BIGINT AS n_hashes FROM h GROUP BY 1),
+kth AS (
+  SELECT event_type, h AS hk, n_hashes
+  FROM (SELECT h.event_type, h.h, hs.n_hashes,
+               row_number() OVER (PARTITION BY h.event_type ORDER BY h.h)
+                 AS rn
+        FROM h JOIN hs USING (event_type))
+  WHERE rn = least($KmvK, n_hashes))
+SELECT event_type,
+       CASE WHEN n_hashes < $KmvK THEN n_hashes::DOUBLE
+            ELSE ${(KmvK - 1).toDouble * 4294967296.0} / hk END
+         AS kmv_estimate
+FROM kth
+ORDER BY event_type""",
 
     "agg_kmv_overlap" -> s"""WITH h AS (
   SELECT DISTINCT event_type,
