@@ -208,10 +208,30 @@ object ColumnLineage {
       .orderBy($"scope", $"src_table", $"src_column", $"dep_kind")
   }
 
+  /** Lineage of a STREAMING plan — same walk, the source is a
+    * [[org.apache.spark.sql.execution.streaming.runtime.StreamingRelation]]
+    * reported as `stream:<sourceKind>`. No query runs: lineage is a plan
+    * property, which is exactly why the audit works on a stream you cannot
+    * replay. Hand-derived oracle: doubled/event_id trace to the stream's
+    * columns, the filter contributes the predicate edge, ts is unread.
+    */
+  def streamLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, value DOUBLE"))
+      .parquet(java.nio.file.Files.createTempDirectory("lineage-stream").toString)
+      .filter($"value" > 0)
+      .select($"event_id", ($"value" * 2).as("doubled"))
+    lineage(stream).toDF("scope", "src_table", "src_column", "dep_kind")
+      .orderBy($"scope", $"src_table", $"src_column", $"dep_kind")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "obs_column_lineage" -> (queryLineage _),
     "obs_lineage_cube" -> (cubeLineage _),
-    "obs_lineage_matview" -> (matviewLineage _))
+    "obs_lineage_matview" -> (matviewLineage _),
+    "obs_lineage_stream" -> (streamLineage _))
 
   val oracle: Map[String, String] = Map(
     // hand-derived from the fixed query above: o_orderpriority and the two
@@ -250,6 +270,16 @@ ORDER BY scope, src_table, src_column, dep_kind""",
   ('facilities_performed', 'fact_encounters', 'facility_key', 'value'),
   ('modality',             'dim_procedure',   'modality',     'value'),
   ('unique_patients',      'fact_encounters', 'patient_key',  'value'))
+ AS t(scope, src_table, src_column, dep_kind)
+ORDER BY scope, src_table, src_column, dep_kind""",
+
+    // hand-derived from the fixed streaming plan in streamLineage: both
+    // selected outputs trace to the FileSource stream's columns, the
+    // filter contributes the predicate edge, ts is never read.
+    "obs_lineage_stream" -> """SELECT * FROM (VALUES
+  ('*',        'stream:FileSource', 'value',    'predicate'),
+  ('doubled',  'stream:FileSource', 'value',    'value'),
+  ('event_id', 'stream:FileSource', 'event_id', 'value'))
  AS t(scope, src_table, src_column, dep_kind)
 ORDER BY scope, src_table, src_column, dep_kind""")
 }
