@@ -111,9 +111,24 @@ object GenQueries {
           .select($"rows".as("n_rows"), $"checksum")
       })
 
+  /** Complete aggregate pushdown: count/min/max over a filtered id range
+    * answered from the scan bounds alone (one pre-aggregated row, zero
+    * generated rows — GenSourceSpec proves it at a trillion rows). The
+    * oracle recomputes the same three numbers by actually aggregating.
+    */
+  def genAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft-gen")
+      .option("rows", Rows).option("slices", 32).load()
+      .filter($"id" >= RangeLo && $"id" < RangeHi)
+      .agg(count(lit(1)).as("n"), min($"id").as("min_id"),
+        max($"id").as("max_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_gen_pushdown" -> (genPushdown _),
     "src_gen_segments" -> (genSegments _),
+    "src_gen_agg_pushdown" -> (genAggPushdown _),
     "stream_gen_ingest" -> (genStreamIngest _),
     "src_v2sink_manifest" -> (auditSink _))
 
@@ -144,5 +159,10 @@ GROUP BY 1 ORDER BY 1""",
 
     "src_v2sink_manifest" -> s"""SELECT count(*)::BIGINT AS n_rows,
        sum((event_id * $LehmerA) % $LehmerM)::BIGINT AS checksum
-FROM events""")
+FROM events""",
+
+    "src_gen_agg_pushdown" -> s"""SELECT count(*)::BIGINT AS n,
+       min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
+FROM (SELECT range AS id FROM range($Rows))
+WHERE id >= $RangeLo AND id < $RangeHi""")
 }

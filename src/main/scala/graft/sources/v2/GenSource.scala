@@ -5,7 +5,8 @@ import java.util.OptionalLong
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -90,12 +91,51 @@ private[v2] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
 private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GenSource.schema
+  // COMPLETE aggregate pushdown: the kept funcs, in Aggregation order
+  private var aggFuncs: Seq[String] = Nil
+
+  /** COUNT(*) / MIN(id) / MAX(id) over an id range are answerable from the
+    * tightened `[lo, hi)` bounds alone — the scan then emits ONE
+    * pre-aggregated row and generates nothing, the same contract parquet
+    * footer-count pushdown honors. Only ungrouped, fully-answerable
+    * aggregations are accepted (complete pushdown); anything else —
+    * grouping, min/max over the derived columns — declines and runs as a
+    * normal aggregate over the generated rows.
+    */
+  private def handled(agg: Aggregation): Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty) return None
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min => m.column match {
+        case f: NamedReference if f.fieldNames.toSeq == Seq("id") => Some("min")
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case f: NamedReference if f.fieldNames.toSeq == Seq("id") => Some("max")
+        case _ => None
+      }
+      case _ => None
+    }
+    if (funcs.forall(_.isDefined)) Some(funcs.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    handled(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    handled(agg) match {
+      case Some(funcs) => aggFuncs = funcs; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -128,23 +168,32 @@ private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
 
   override def build(): Scan =
     new GenScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
-      rowsPerBatch, required, pushed)
+      rowsPerBatch, required, pushed, aggFuncs)
 }
 
 private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
-    rowsPerBatch: Long, required: StructType, pushed: Array[Filter])
+    rowsPerBatch: Long, required: StructType, pushed: Array[Filter],
+    aggFuncs: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (aggFuncs.isEmpty) required
+    else StructType(aggFuncs.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f}_$i", LongType, nullable = f != "count")
+    })
+
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GenMicroBatchStream(lo, hi, slices, rowsPerBatch, required)
   override def description(): String =
     s"GenScan [$lo, $hi) cols=${required.fieldNames.mkString(",")} " +
-      s"pushed=${pushed.mkString(",")}"
+      s"pushed=${pushed.mkString(",")}" +
+      (if (aggFuncs.nonEmpty) s" aggPushed=${aggFuncs.mkString(",")}" else "")
 
-  // planned AFTER pushdown: a tightened range plans fewer partitions
+  // planned AFTER pushdown: a tightened range plans fewer partitions; a
+  // completely-pushed aggregation plans ONE partition emitting one row
   override def planInputPartitions(): Array[InputPartition] = {
+    if (aggFuncs.nonEmpty) return Array(GenPartition(lo, hi))
     val n = hi - lo
     if (n <= 0) return Array.empty
     val parts = math.min(slices.toLong, n).toInt
@@ -156,7 +205,8 @@ private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenReaderFactory(required)
+    if (aggFuncs.nonEmpty) new GenAggReaderFactory(aggFuncs)
+    else new GenReaderFactory(required)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val n = math.max(hi - lo, 0L)
@@ -223,6 +273,30 @@ private[v2] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Answers a completely-pushed aggregation from the range bounds alone:
+  * one row, zero generated rows — count = hi−lo, min = lo, max = hi−1
+  * (min/max null on an empty range, matching SQL).
+  */
+private[v2] class GenAggReaderFactory(aggFuncs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GenPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val n = math.max(gp.end - gp.start, 0L)
+        InternalRow.fromSeq(aggFuncs.map {
+          case "count" => n
+          case "min" => if (n > 0) gp.start else null
+          case "max" => if (n > 0) gp.end - 1 else null
+        }.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[v2] class GenReaderFactory(required: StructType)

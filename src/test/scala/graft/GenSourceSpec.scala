@@ -126,6 +126,33 @@ class GenSourceSpec extends SparkSpec {
     assert(files === Seq("manifest.json"), s"unexpected files: $files")
   }
 
+  test("complete aggregate pushdown answers from bounds: a trillion-row count is instant") {
+    // count/min/max over an id range are answerable from [lo, hi) alone —
+    // the scan emits ONE pre-aggregated row and generates nothing, which is
+    // only demonstrable at a scale where generating is impossible
+    val trillion = 1000L * 1000L * 1000L * 1000L
+    val df = gen(rows = trillion, slices = 32)
+      .filter($"id" >= 1000L && $"id" < trillion - 5L)
+      .agg(count(lit(1)).as("n"), min($"id").as("min_id"), max($"id").as("max_id"))
+    val r = df.collect().head
+    assert(r.getLong(0) === trillion - 5L - 1000L)
+    assert(r.getLong(1) === 1000L)
+    assert(r.getLong(2) === trillion - 6L)
+    val scans = collectAll(df.queryExecution.executedPlan) { case s: BatchScanExec => s }
+    assert(scans.head.scan.description.contains("aggPushed=count,min,max"),
+      s"scan must report the pushed aggregation: ${scans.head.scan.description}")
+    // empty range: count 0, null min/max — matching SQL
+    val empty = gen(rows = 100L).filter($"id" > 200L)
+      .agg(count(lit(1)), min($"id"), max($"id")).collect().head
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1) && empty.isNullAt(2))
+    // non-pushable shapes decline and stay correct: grouping, min over v
+    val grouped = gen(rows = 1000L).groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(grouped.agg(sum($"n")).collect().head.getLong(0) === 1000L)
+    val minV = gen(rows = 1000L).agg(min($"v")).collect().head.getLong(0)
+    assert(minV === (0L until 1000L)
+      .map(id => (id * GenSource.LehmerA) % GenSource.LehmerM).min)
+  }
+
   test("kill mid-drain + restart from checkpoint lands each id exactly once") {
     // the claim the row-position offsets make: re-planning any [start, end)
     // range after a restart regenerates identical rows, so an interrupted
