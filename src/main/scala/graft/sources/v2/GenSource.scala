@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -92,7 +92,8 @@ private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var lo = 0L
   private var hi = rows
@@ -126,6 +127,16 @@ private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
       case _ => None
     }
     if (funcs.forall(_.isDefined)) Some(funcs.flatten) else None
+  }
+
+  /** LIMIT n truncates the generator range itself: deterministic here
+    * because the source is id-ordered (a LIMIT over an unordered source is
+    * allowed to return any n rows — this one returns the first n ids).
+    * Fully pushed, so Spark drops its own Limit node.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =

@@ -153,6 +153,16 @@ class GenSourceSpec extends SparkSpec {
       .map(id => (id * GenSource.LehmerA) % GenSource.LehmerM).min)
   }
 
+  test("limit pushdown truncates the generator range itself") {
+    // a trillion-row table with LIMIT 10: only 10 ids ever exist
+    val trillion = 1000L * 1000L * 1000L * 1000L
+    val rows = gen(rows = trillion, slices = 32)
+      .filter($"id" >= 500L).limit(10).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (500L until 510L))
+    assert(gen(rows = 10000L).limit(7).rdd.getNumPartitions <= 7,
+      "pushed limit must shrink the planned range, not post-filter it")
+  }
+
   test("kill mid-drain + restart from checkpoint lands each id exactly once") {
     // the claim the row-position offsets make: re-planning any [start, end)
     // range after a restart regenerates identical rows, so an interrupted
