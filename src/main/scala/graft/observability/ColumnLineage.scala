@@ -215,12 +215,17 @@ object ColumnLineage {
     * replay. Hand-derived oracle: doubled/event_id trace to the stream's
     * columns, the filter contributes the predicate edge, ts is unread.
     */
+  // one shared source dir: the entry runs many times per harness pass
+  // (Verify, PropertySpec twice, CatalogSpec) and must not litter /tmp
+  private lazy val streamLineageDir: String =
+    java.nio.file.Files.createTempDirectory("lineage-stream").toString
+
   def streamLineage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stream = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, ts TIMESTAMP, value DOUBLE"))
-      .parquet(java.nio.file.Files.createTempDirectory("lineage-stream").toString)
+      .parquet(streamLineageDir)
       .filter($"value" > 0)
       .select($"event_id", ($"value" * 2).as("doubled"))
     lineage(stream).toDF("scope", "src_table", "src_column", "dep_kind")

@@ -99,6 +99,8 @@ case class AsOfJoinExec(
   require(Seq(leftKey, leftTime, rightKey, rightTime)
     .forall(_.dataType == LongType),
     "as-of join keys and times must be LongType (cast ids / unix_micros upstream)")
+  require(toleranceUs.forall(_ >= 0L),
+    s"toleranceUs must be non-negative, got $toleranceUs")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -241,6 +243,10 @@ object AsOfJoin {
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
       toleranceUs: Option[Long], forward: Boolean): DataFrame = {
+    require(toleranceUs.forall(_ >= 0L),
+      s"toleranceUs must be non-negative, got $toleranceUs (the exec uses " +
+        "a negative sentinel internally for 'unbounded' — a caller-supplied " +
+        "negative window must reject loudly, not silently match everything)")
     val spark = left.sparkSession
     register(spark)
     val collisions = left.columns.toSet.intersect(right.columns.toSet)

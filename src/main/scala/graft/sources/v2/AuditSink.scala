@@ -92,7 +92,10 @@ private[v2] class AuditBatchWrite(path: String, ordinal: Int)
       s"""{"rows":$rows,"checksum":$checksum,"tasks":${messages.length}}"""
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val tmp = dir.resolve("manifest.json.tmp")
+    // unique temp name: two jobs committing to the same path must not
+    // share a staging file, or one driver can publish the other's tally
+    val tmp = dir.resolve(
+      s"manifest.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     // all-or-nothing publication: a concurrent reader never sees a torn file
     Files.move(tmp, dir.resolve("manifest.json"),

@@ -132,12 +132,15 @@ private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
   /** LIMIT n truncates the generator range itself: deterministic here
     * because the source is id-ordered (a LIMIT over an unordered source is
     * allowed to return any n rows — this one returns the first n ids).
-    * Fully pushed, so Spark drops its own Limit node.
+    * The truncated range yields EXACTLY min(limit, hi-lo) rows, so the
+    * push is total and Spark may drop its own Limit.
     */
   override def pushLimit(limit: Int): Boolean = {
     hi = math.min(hi, lo + limit)
     true
   }
+
+  override def isPartiallyPushed(): Boolean = false
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     handled(agg).isDefined
@@ -157,13 +160,17 @@ private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
       case LessThanOrEqual("id", _: java.lang.Long) => true
       case _ => false
     }
+    // saturating successor: x+1 at Long.MaxValue must clamp, not wrap —
+    // a wrapped bound silently widens an accepted (non-re-checked) filter
+    def succ(x: Long): Long = if (x == Long.MaxValue) x else x + 1L
     accepted.foreach {
       case EqualTo("id", x: java.lang.Long) =>
-        lo = math.max(lo, x); hi = math.min(hi, x + 1L)
-      case GreaterThan("id", x: java.lang.Long) => lo = math.max(lo, x + 1L)
+        lo = math.max(lo, x); hi = math.min(hi, succ(x))
+      case GreaterThan("id", x: java.lang.Long) =>
+        if (x == Long.MaxValue) hi = lo else lo = math.max(lo, succ(x))
       case GreaterThanOrEqual("id", x: java.lang.Long) => lo = math.max(lo, x.longValue())
       case LessThan("id", x: java.lang.Long) => hi = math.min(hi, x.longValue())
-      case LessThanOrEqual("id", x: java.lang.Long) => hi = math.min(hi, x + 1L)
+      case LessThanOrEqual("id", x: java.lang.Long) => hi = math.min(hi, succ(x))
       case _ =>
     }
     pushed = accepted
@@ -220,9 +227,13 @@ private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
     else new GenReaderFactory(required)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = math.max(hi - lo, 0L)
+    // a completely-pushed aggregation emits ONE row — report that, or the
+    // planner treats the 1-row result as a huge relation and never
+    // broadcasts it
+    private val n =
+      if (aggFuncs.nonEmpty) 1L else math.max(hi - lo, 0L)
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(n * (required.fields.length.toLong * 8L + 8L))
+      OptionalLong.of(n * (readSchema().fields.length.toLong * 8L + 8L))
     override def numRows(): OptionalLong = OptionalLong.of(n)
   }
 }

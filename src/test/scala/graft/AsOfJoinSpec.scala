@@ -16,16 +16,6 @@ import org.apache.spark.sql.functions._
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val here = p.collect(pf)
-    val inner = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)(pf)
-    }.flatten
-    here ++ inner
-  }
-
   private def ticks(rows: (Long, Long, String)*): DataFrame =
     rows.toDF("k", "t", "tag")
 
@@ -82,6 +72,18 @@ class AsOfJoinSpec extends SparkSpec {
     // and must NOT fall back to an even older quote
     assert(run(l, r, tol = Some(50L)) ===
       Set((1L, 100L, Some(1.0)), (1L, 200L, None)))
+  }
+
+  test("negative tolerance is rejected loudly, not treated as unbounded") {
+    val l = ticks((1L, 10L, "a"))
+    val r = quotes((1L, 5L, 1.0))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt", toleranceUs = Some(-1L))
+    }
+    // zero tolerance is legal: only an exact-timestamp match survives
+    assert(run(l, r, tol = Some(0L)) === Set((1L, 10L, None)))
+    assert(run(ticks((1L, 5L, "x")), r, tol = Some(0L)) ===
+      Set((1L, 5L, Some(1.0))))
   }
 
   test("empty right side, duplicate left timestamps, null times") {

@@ -17,16 +17,6 @@ class GenSourceSpec extends SparkSpec {
     spark.read.format("graft-gen")
       .option("rows", rows).option("slices", slices).load()
 
-  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val here = p.collect(pf)
-    val inner = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)(pf)
-    }.flatten
-    here ++ inner
-  }
-
   test("generates the documented row function") {
     val rows = gen(rows = 200L).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
@@ -151,6 +141,14 @@ class GenSourceSpec extends SparkSpec {
     val minV = gen(rows = 1000L).agg(min($"v")).collect().head.getLong(0)
     assert(minV === (0L until 1000L)
       .map(id => (id * GenSource.LehmerA) % GenSource.LehmerM).min)
+  }
+
+  test("boundary filters at Long.MaxValue saturate instead of wrapping") {
+    // accepted filters are never re-checked, so a wrapped bound would
+    // silently return ALL rows for `id > Long.MaxValue`
+    assert(gen(rows = 100L).filter($"id" > Long.MaxValue).count() === 0L)
+    assert(gen(rows = 100L).filter($"id" <= Long.MaxValue).count() === 100L)
+    assert(gen(rows = 100L).filter($"id" === Long.MaxValue).count() === 0L)
   }
 
   test("limit pushdown truncates the generator range itself") {

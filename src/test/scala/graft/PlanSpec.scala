@@ -19,17 +19,7 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan
 
-  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val here = p.collect(pf)
-    // AdaptiveSparkPlanExec and QueryStageExec wrap their real subplans as
-    // non-child fields, so plain collect() stops at them — descend manually
-    val inner = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)(pf)
-    }.flatten
-    here ++ inner
-  }
+  // collectAll (the AQE-aware plan collector) comes from SparkSpec
 
   test("star matview build broadcasts its dimension sides (J1-J3)") {
     // q01-q03 read the materialized matviews; the star join runs in the

@@ -27,4 +27,21 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = TestSpark.sf
+
+  /** AQE-aware physical-plan collector: AdaptiveSparkPlanExec and
+    * QueryStageExec wrap their real subplans as non-child fields, so a
+    * plain collect() stops at them — descend manually. Shared here so the
+    * traversal logic can't drift between plan-shape specs.
+    */
+  def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val inner = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectAll(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)(pf)
+    }.flatten
+    here ++ inner
+  }
 }
