@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -77,7 +77,7 @@ object GenSource {
     StructField("seg", StringType, nullable = false)))
 }
 
-private[v2] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
+private[graft] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GenSource.schema
@@ -88,7 +88,7 @@ private[v2] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
     new GenScanBuilder(rows, slices, rowsPerBatch)
 }
 
-private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
+private[graft] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -189,10 +189,34 @@ private[v2] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
       rowsPerBatch, required, pushed, aggFuncs)
 }
 
-private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
+private[graft] class GenScan(lo: Long, hi: Long, slices: Int,
     rowsPerBatch: Long, required: StructType, pushed: Array[Filter],
     aggFuncs: Seq[String] = Nil)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // runtime (DPP-style) filtering: a join against a filtered dim hands the
+  // scan the dim's id set AFTER planning; the generator applies it EXACTLY
+  // (emit precisely those ids) so the join side reads |dim| rows instead
+  // of the range — the v2 analogue of dynamic partition pruning
+  private var idSet: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("id", vs) =>
+      val longs = vs.collect { case l: java.lang.Long => l.longValue() }
+      if (longs.length == vs.length) {
+        val inRange = longs.filter(v => v >= lo && v < hi).sorted.distinct
+        idSet = Some(idSet.map(_.intersect(inRange)).getOrElse(inRange))
+      }
+    case EqualTo("id", v: java.lang.Long) =>
+      val x = v.longValue()
+      val inRange = if (x >= lo && x < hi) Array(x) else Array.empty[Long]
+      idSet = Some(idSet.map(_.intersect(inRange)).getOrElse(inRange))
+    case _ => // unhandled runtime filters are advisory — ignore
+  }
 
   override def readSchema(): StructType =
     if (aggFuncs.isEmpty) required
@@ -208,18 +232,27 @@ private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
       s"pushed=${pushed.mkString(",")}" +
       (if (aggFuncs.nonEmpty) s" aggPushed=${aggFuncs.mkString(",")}" else "")
 
-  // planned AFTER pushdown: a tightened range plans fewer partitions; a
-  // completely-pushed aggregation plans ONE partition emitting one row
+  // planned AFTER pushdown (and re-planned after runtime filtering): a
+  // tightened range plans fewer partitions; a completely-pushed
+  // aggregation plans ONE partition emitting one row; a runtime id set
+  // plans only the matching ids
   override def planInputPartitions(): Array[InputPartition] = {
     if (aggFuncs.nonEmpty) return Array(GenPartition(lo, hi))
-    val n = hi - lo
-    if (n <= 0) return Array.empty
-    val parts = math.min(slices.toLong, n).toInt
-    (0 until parts).map { i =>
-      val s = lo + i * n / parts
-      val e = lo + (i + 1) * n / parts
-      GenPartition(s, e): InputPartition
-    }.toArray
+    idSet match {
+      case Some(ids) =>
+        if (ids.isEmpty) Array.empty
+        else ids.grouped(math.max(1, ids.length / slices))
+          .map(g => GenSetPartition(g): InputPartition).toArray
+      case None =>
+        val n = hi - lo
+        if (n <= 0) return Array.empty
+        val parts = math.min(slices.toLong, n).toInt
+        (0 until parts).map { i =>
+          val s = lo + i * n / parts
+          val e = lo + (i + 1) * n / parts
+          GenPartition(s, e): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -238,7 +271,11 @@ private[v2] class GenScan(lo: Long, hi: Long, slices: Int,
   }
 }
 
-private[v2] case class GenPartition(start: Long, end: Long)
+private[graft] case class GenPartition(start: Long, end: Long)
+    extends InputPartition
+
+/** Explicit id list from a runtime (join-driven) filter. */
+private[graft] case class GenSetPartition(ids: Array[Long])
     extends InputPartition
 
 /** Streaming offsets are row positions — trivially serializable, totally
@@ -246,7 +283,7 @@ private[v2] case class GenPartition(start: Long, end: Long)
   * regenerates byte-identical rows, which is the exactly-once contract a
   * replayable source owes the checkpoint.
   */
-private[v2] case class GenOffset(n: Long) extends Offset {
+private[graft] case class GenOffset(n: Long) extends Offset {
   override def json: String = n.toString
 }
 
@@ -255,7 +292,7 @@ private[v2] case class GenOffset(n: Long) extends Offset {
   * table in ceil(n / rowsPerBatch) rate-limited batches and stops).
   * Column pruning flows in from the shared [[GenScanBuilder]].
   */
-private[v2] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
+private[graft] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
     rowsPerBatch: Long, required: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -301,7 +338,7 @@ private[v2] class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
   * one row, zero generated rows — count = hi−lo, min = lo, max = hi−1
   * (min/max null on an empty range, matching SQL).
   */
-private[v2] class GenAggReaderFactory(aggFuncs: Seq[String])
+private[graft] class GenAggReaderFactory(aggFuncs: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GenPartition]
@@ -321,15 +358,23 @@ private[v2] class GenAggReaderFactory(aggFuncs: Seq[String])
   }
 }
 
-private[v2] class GenReaderFactory(required: StructType)
+private[graft] class GenReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GenPartition]
-    new GenReader(gp.start, gp.end, required)
-  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case gp: GenPartition =>
+        // Iterator.range is Int-typed; the generator domain is Long
+        val longRange = new Iterator[Long] {
+          private var c = gp.start
+          override def hasNext: Boolean = c < gp.end
+          override def next(): Long = { val r = c; c += 1; r }
+        }
+        new GenReader(longRange, required)
+      case sp: GenSetPartition => new GenReader(sp.ids.iterator, required)
+    }
 }
 
-private[v2] class GenReader(start: Long, end: Long, required: StructType)
+private[graft] class GenReader(ids: Iterator[Long], required: StructType)
     extends PartitionReader[InternalRow] {
   import GenSource._
 
@@ -343,9 +388,13 @@ private[v2] class GenReader(start: Long, end: Long, required: StructType)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
   }
-  private var cur = start - 1
+  private var cur = 0L
 
-  override def next(): Boolean = { cur += 1; cur < end }
+  override def next(): Boolean = {
+    val has = ids.hasNext
+    if (has) cur = ids.next()
+    has
+  }
   override def get(): InternalRow =
     InternalRow.fromSeq(gens.map(g => g(cur)).toIndexedSeq)
   override def close(): Unit = ()
