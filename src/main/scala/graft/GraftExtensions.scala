@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ... and the node's own filter-pushdown rule (custom operators owe
     // the optimizer the rewrites it cannot infer)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    // table-valued function surface: SELECT ... FROM graft_gen(n)
+    ext.injectTableFunction(graft.sources.v2.GenTvf.Info)
   }
 }
 

@@ -125,10 +125,23 @@ object GenQueries {
         max($"id").as("max_id"))
   }
 
+  /** The TVF surface: same generator as SQL `FROM graft_gen(n)` — the plan
+    * expands to Project-over-Range, so the whole query runs in one
+    * whole-stage-codegen'd pass with Range's native splits.
+    */
+  def genTvfRollup(spark: SparkSession, dir: String): DataFrame = {
+    GenTvf.register(spark)
+    spark.sql(s"""SELECT seg, count(*) AS n, sum(v) AS sum_v
+FROM graft_gen($Rows)
+WHERE id % 2 = 0
+GROUP BY seg ORDER BY seg""")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_gen_pushdown" -> (genPushdown _),
     "src_gen_segments" -> (genSegments _),
     "src_gen_agg_pushdown" -> (genAggPushdown _),
+    "src_gen_tvf" -> (genTvfRollup _),
     "stream_gen_ingest" -> (genStreamIngest _),
     "src_v2sink_manifest" -> (auditSink _))
 
@@ -164,5 +177,11 @@ FROM events""",
     "src_gen_agg_pushdown" -> s"""SELECT count(*)::BIGINT AS n,
        min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
 FROM (SELECT range AS id FROM range($Rows))
-WHERE id >= $RangeLo AND id < $RangeHi""")
+WHERE id >= $RangeLo AND id < $RangeHi""",
+
+    "src_gen_tvf" -> s"""SELECT seg, count(*)::BIGINT AS n,
+       sum(v)::BIGINT AS sum_v
+FROM $genSql g
+WHERE id % 2 = 0
+GROUP BY seg ORDER BY seg""")
 }

@@ -207,6 +207,24 @@ class GenSourceSpec extends SparkSpec {
       "no id may land twice across the kill/restart boundary")
   }
 
+  test("TVF surface: FROM graft_gen(n) equals the connector, codegen'd over Range") {
+    graft.sources.v2.GenTvf.register(spark)
+    val viaTvf = spark.sql("SELECT * FROM graft_gen(500)")
+    val viaConnector = gen(rows = 500L)
+    assert(viaTvf.exceptAll(viaConnector).isEmpty &&
+      viaConnector.exceptAll(viaTvf).isEmpty,
+      "TVF and connector must generate identical rows")
+    // the TVF expands to Project-over-Range: ordinary operators, no
+    // connector scan anywhere in the plan
+    val planStr = viaTvf.queryExecution.executedPlan.toString
+    assert(planStr.contains("Range") && !planStr.contains("BatchScan"),
+      s"TVF must run as plain Range, not a scan:\n${planStr.take(800)}")
+    // usable through the extensions path too (session built with them)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_gen(77)")
+      .collect().head.getLong(0) === 77L)
+    intercept[Exception] { spark.sql("SELECT * FROM graft_gen('x')").collect() }
+  }
+
   test("registered queries run and the pushdown query scans half the ids") {
     val pd = GenQueries.genPushdown(spark, sf)
     val n = pd.agg(sum($"n")).collect().head.getLong(0)

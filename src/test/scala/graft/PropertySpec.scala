@@ -91,7 +91,7 @@ class PropertySpec extends SparkSpec {
       // partition arrangement must produce the same aggregate
       "src_gen_pushdown", "src_gen_segments", "stream_gen_ingest",
       "src_v2sink_manifest", "agg_kmv_native", "obs_lineage_stream",
-      "src_gen_agg_pushdown")
+      "src_gen_agg_pushdown", "src_gen_tvf")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
