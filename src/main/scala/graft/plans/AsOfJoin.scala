@@ -55,9 +55,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
+    leftKeys: Seq[Expression],
     leftTime: Expression,
-    rightKey: Expression,
+    rightKeys: Seq[Expression],
     rightTime: Expression,
     toleranceUs: Option[Long]) extends BinaryNode {
 
@@ -76,7 +76,7 @@ case class AsOfJoinPlan(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
-      AsOfJoinExec(p.leftKey, p.leftTime, p.rightKey, p.rightTime,
+      AsOfJoinExec(p.leftKeys, p.leftTime, p.rightKeys, p.rightTime,
         p.toleranceUs, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
@@ -88,15 +88,17 @@ object AsOfJoinStrategy extends SparkStrategy {
   * partitions of a skewed feed stream through instead of buffering.
   */
 case class AsOfJoinExec(
-    leftKey: Expression,
+    leftKeys: Seq[Expression],
     leftTime: Expression,
-    rightKey: Expression,
+    rightKeys: Seq[Expression],
     rightTime: Expression,
     toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  require(Seq(leftKey, leftTime, rightKey, rightTime)
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs one or more key pairs")
+  require((leftKeys ++ rightKeys ++ Seq(leftTime, rightTime))
     .forall(_.dataType == LongType),
     "as-of join keys and times must be LongType (cast ids / unix_micros upstream)")
   require(toleranceUs.forall(_ >= 0L),
@@ -112,24 +114,25 @@ case class AsOfJoinExec(
   // one exchange per side, co-partitioned on the key — the same contract
   // SortMergeJoin declares, so bucketing / AQE reuse applies unchanged
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) ::
-      ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOut = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val (lOut, rOut) = (left.output, right.output)
-    val lKT = Seq(leftKey, leftTime)
-    val rKT = Seq(rightKey, rightTime)
+    val nk = leftKeys.length
+    val lKT = leftKeys :+ leftTime
+    val rKT = rightKeys :+ rightTime
     val outAttrs = output
     val tol = toleranceUs.getOrElse(-1L)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -142,48 +145,72 @@ case class AsOfJoinExec(
         lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
+      // lexicographic compound-key compare over reused long buffers
+      def cmp(a: Array[Long], b: Array[Long]): Int = {
+        var i = 0
+        while (i < nk) {
+          if (a(i) != b(i)) return java.lang.Long.compare(a(i), b(i))
+          i += 1
+        }
+        0
+      }
+      def anyNull(kt: InternalRow): Boolean = {
+        var i = 0
+        while (i <= nk) { if (kt.isNullAt(i)) return true; i += 1 }
+        false
+      }
       // right cursor: the next not-yet-consumed right row, nulls skipped
       var rHas = false
       var rRow: InternalRow = null
-      var rKey = 0L
+      val rKeys = new Array[Long](nk)
       var rTime = 0L
       def advance(): Unit = {
         rHas = false
         while (!rHas && rIter.hasNext) {
           val row = rIter.next()
           val kt = rProj(row)
-          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
-            rRow = row; rKey = kt.getLong(0); rTime = kt.getLong(1)
+          if (!anyNull(kt)) {
+            rRow = row
+            var i = 0
+            while (i < nk) { rKeys(i) = kt.getLong(i); i += 1 }
+            rTime = kt.getLong(nk)
             rHas = true
           }
         }
       }
       advance()
       // the single buffered candidate: last right row seen with
-      // key == current left key and time <= current left time
+      // keys == current left keys and time <= current left time
       var candValid = false
-      var candKey = 0L
+      val candKeys = new Array[Long](nk)
       var candTime = 0L
       var cand: InternalRow = null
+      val lKeys = new Array[Long](nk)
       lIter.map { lRow =>
         val kt = lProj(lRow)
         val matched =
-          if (kt.isNullAt(0) || kt.isNullAt(1)) false
+          if (anyNull(kt)) false
           else {
-            val lk = kt.getLong(0)
-            val lt = kt.getLong(1)
+            var i = 0
+            while (i < nk) { lKeys(i) = kt.getLong(i); i += 1 }
+            val lt = kt.getLong(nk)
             // keys ascend on both sides: a candidate from an earlier key
             // can never match again
-            if (candValid && candKey != lk) candValid = false
-            while (rHas && (rKey < lk || (rKey == lk && rTime <= lt))) {
-              if (rKey == lk) {
+            if (candValid && cmp(candKeys, lKeys) != 0) candValid = false
+            var c = if (rHas) cmp(rKeys, lKeys) else 0
+            while (rHas && (c < 0 || (c == 0 && rTime <= lt))) {
+              if (c == 0) {
                 // shuffle readers reuse row buffers — copy on candidacy
-                cand = rRow.copy(); candKey = lk; candTime = rTime
+                cand = rRow.copy()
+                System.arraycopy(rKeys, 0, candKeys, 0, nk)
+                candTime = rTime
                 candValid = true
               }
               advance()
+              if (rHas) c = cmp(rKeys, lKeys)
             }
-            candValid && candKey == lk && (tol < 0L || lt - candTime <= tol)
+            candValid && cmp(candKeys, lKeys) == 0 &&
+              (tol < 0L || lt - candTime <= tol)
           }
         numOut += 1
         if (matched) { numMatched += 1; result(joined(lRow, cand)) }
@@ -220,7 +247,19 @@ object AsOfJoin {
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
       toleranceUs: Option[Long] = None): DataFrame =
-    build(left, right, leftKey, leftTime, rightKey, rightTime,
+    build(left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
+      toleranceUs, forward = false)
+
+  /** Compound-key form: latest at-or-before match within each
+    * (k1, …, kn) group — (symbol, venue) in tick enrichment,
+    * (user, same-day) in windowed attribution. Keys compare
+    * lexicographically in the merge.
+    */
+  def asofLeftKeys(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], leftTime: String,
+      rightKeys: Seq[String], rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    build(left, right, leftKeys, leftTime, rightKeys, rightTime,
       toleranceUs, forward = false)
 
   /** Forward as-of: the EARLIEST right row at-or-after the left time
@@ -236,12 +275,12 @@ object AsOfJoin {
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
       toleranceUs: Option[Long] = None): DataFrame =
-    build(left, right, leftKey, leftTime, rightKey, rightTime,
+    build(left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
       toleranceUs, forward = true)
 
   private def build(left: DataFrame, right: DataFrame,
-      leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String,
+      leftKeys: Seq[String], leftTime: String,
+      rightKeys: Seq[String], rightTime: String,
       toleranceUs: Option[Long], forward: Boolean): DataFrame = {
     require(toleranceUs.forall(_ >= 0L),
       s"toleranceUs must be non-negative, got $toleranceUs (the exec uses " +
@@ -263,7 +302,7 @@ object AsOfJoin {
       if (forward) UnaryMinus(a, failOnError = false) else a
     }
     PlanDF.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), time(lPlan, leftTime),
-      attr(rPlan, rightKey), time(rPlan, rightTime), toleranceUs))
+      leftKeys.map(attr(lPlan, _)), time(lPlan, leftTime),
+      rightKeys.map(attr(rPlan, _)), time(rPlan, rightTime), toleranceUs))
   }
 }

@@ -102,11 +102,42 @@ j AS (
     ON p.user_id = c.user_id AND p.ts >= c.ts)
 """
 
+  /** Epoch micros per UTC day — ONE definition, both engines. */
+  val DayUs: Long = 86400L * 1000000L
+
+  /** Compound-key as-of: the latest click at-or-before the purchase
+    * WITHIN THE SAME UTC DAY — the windowed form of [[asofExec]], keyed
+    * (user_id, day). The day number is integer division of the same epoch
+    * micros the merge orders by, so the bucket boundary is exact in both
+    * engines; a purchase whose nearest click is yesterday stays unmatched
+    * even though the plain as-of would take it.
+    */
+  def asofSameDay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("c_uid"), unix_micros($"ts").as("c_us"),
+        $"click_id")
+      .withColumn("c_day", expr(s"c_us DIV $DayUs"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+      .withColumn("p_day", expr(s"p_us DIV $DayUs"))
+    AsOfJoin.asofLeftKeys(purchases, clicks,
+        leftKeys = Seq("user_id", "p_day"), leftTime = "p_us",
+        rightKeys = Seq("c_uid", "c_day"), rightTime = "c_us")
+      .select($"event_id", $"user_id",
+        $"click_id".as("same_day_click_id"),
+        coalesce($"p_us" - $"c_us", lit(-1L)).as("delay_us"))
+      .orderBy($"event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_exec" -> (asofExec _),
     "join_asof_tolerance" -> (asofTolerance _),
     "join_asof_forward" -> (asofForward _),
-    "join_asof_filtered" -> (asofFiltered _))
+    "join_asof_filtered" -> (asofFiltered _),
+    "join_asof_same_day" -> (asofSameDay _))
 
   val oracle: Map[String, String] = Map(
     "join_asof_exec" -> (oraclePrelude + """SELECT event_id, user_id,
@@ -140,5 +171,24 @@ ORDER BY c.click_id""",
     "join_asof_filtered" -> (oraclePrelude + s"""SELECT event_id, user_id,
        click_id AS prior_click_id,
        coalesce(d, -1)::BIGINT AS delay_us
-FROM j WHERE user_id <= $FilterMaxUser ORDER BY event_id"""))
+FROM j WHERE user_id <= $FilterMaxUser ORDER BY event_id"""),
+
+    // DuckDB's ASOF accepts extra equality conditions (even on
+    // expressions): same generator-day bucket, same >= time bound
+    "join_asof_same_day" -> s"""WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL),
+j AS (
+  SELECT p.event_id, p.user_id, c.click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS d
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id
+   AND (epoch_us(p.ts) // $DayUs) = (epoch_us(c.ts) // $DayUs)
+   AND p.ts >= c.ts)
+SELECT event_id, user_id, click_id AS same_day_click_id,
+       coalesce(d, -1)::BIGINT AS delay_us
+FROM j ORDER BY event_id""")
 }

@@ -50,14 +50,25 @@ object PushFilterThroughAsOf extends Rule[LogicalPlan] with PredicateHelper {
           p.deterministic && p.references.subsetOf(leftOut))
         if (pushable.isEmpty) f
         else {
-          val keyPrune = (asof.leftKey, asof.rightKey) match {
-            case (lk: Attribute, rk: Attribute) =>
-              pushable.filter(_.references == AttributeSet(Seq(lk)))
-                .map(_.transform {
-                  case a: Attribute if a.semanticEquals(lk) => rk
-                })
-            case _ => Nil // derived keys: skip the replication, rule 1 still applies
+          // KEY-only predicates replicate to the right side, each left key
+          // attribute substituted with its positional right twin — sound
+          // for any subset of the compound key (an excluded key tuple can
+          // never match a surviving left row)
+          val keyPairs = asof.leftKeys.zip(asof.rightKeys).collect {
+            case (lk: Attribute, rk: Attribute) => lk -> rk
           }
+          val keyPrune =
+            if (keyPairs.length != asof.leftKeys.length) Nil // derived keys
+            else {
+              val lkSet = AttributeSet(keyPairs.map(_._1))
+              val subst = keyPairs.toMap
+              pushable.filter(p =>
+                  p.references.nonEmpty && p.references.subsetOf(lkSet))
+                .map(_.transform {
+                  case a: Attribute if subst.keySet.exists(_.semanticEquals(a)) =>
+                    subst.find(_._1.semanticEquals(a)).get._2
+                })
+            }
           val newLeft = pushFully(Filter(pushable.reduce(And), asof.left))
           val newRight = keyPrune.reduceOption(And)
             .map(p => pushFully(Filter(p, asof.right))).getOrElse(asof.right)

@@ -74,6 +74,24 @@ class AsOfJoinSpec extends SparkSpec {
       Set((1L, 100L, Some(1.0)), (1L, 200L, None)))
   }
 
+  test("compound keys match lexicographically, never across groups") {
+    val l = Seq((1L, 10L, 105L, "a"), (1L, 20L, 205L, "b"),
+      (2L, 10L, 103L, "c"))
+      .toDF("k1", "k2", "t", "tag")
+    val r = Seq((1L, 10L, 100L, 1.0), (1L, 20L, 200L, 2.0),
+      (1L, 10L, 104L, 1.5), (2L, 20L, 100L, 9.9))
+      .toDF("q1", "q2", "qt", "px")
+    val out = AsOfJoin.asofLeftKeys(l, r,
+        Seq("k1", "k2"), "t", Seq("q1", "q2"), "qt")
+      .select($"tag", $"px").collect()
+      .map(row => (row.getString(0),
+        if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toSet
+    assert(out === Set(
+      ("a", Some(1.5)),  // (1,10): latest of the two same-group quotes
+      ("b", Some(2.0)),  // (1,20)
+      ("c", None)))      // (2,10): (2,20)'s quote must NOT leak across k2
+  }
+
   test("negative tolerance is rejected loudly, not treated as unbounded") {
     val l = ticks((1L, 10L, "a"))
     val r = quotes((1L, 5L, 1.0))
