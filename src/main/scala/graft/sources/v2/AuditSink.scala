@@ -52,7 +52,7 @@ class AuditSink extends TableProvider
     new AuditTable(schema)
 }
 
-private[graft] class AuditTable(writeSchema: StructType)
+private[v2] class AuditTable(writeSchema: StructType)
     extends Table with SupportsWrite {
   override def name(): String = "graft_audit_sink"
   override def schema(): StructType = writeSchema
@@ -75,10 +75,10 @@ private[graft] class AuditTable(writeSchema: StructType)
   }
 }
 
-private[graft] case class AuditTally(rows: Long, checksum: Long)
+private[v2] case class AuditTally(rows: Long, checksum: Long)
     extends WriterCommitMessage
 
-private[graft] class AuditBatchWrite(path: String, ordinal: Int)
+private[v2] class AuditBatchWrite(path: String, ordinal: Int)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -106,12 +106,12 @@ private[graft] class AuditBatchWrite(path: String, ordinal: Int)
   // nothing to clean: task state never touched storage
 }
 
-private[graft] class AuditWriterFactory(ordinal: Int) extends DataWriterFactory {
+private[v2] class AuditWriterFactory(ordinal: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AuditWriter(ordinal)
 }
 
-private[graft] class AuditWriter(ordinal: Int) extends DataWriter[InternalRow] {
+private[v2] class AuditWriter(ordinal: Int) extends DataWriter[InternalRow] {
   import GenSource.{LehmerA, LehmerM}
   private var rows = 0L
   private var checksum = 0L

@@ -206,11 +206,12 @@ private[graft] class GenScan(lo: Long, hi: Long, slices: Int,
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case org.apache.spark.sql.sources.In("id", vs) =>
+      // null / non-long entries can never equal a generated id — drop
+      // them and keep pruning with the rest (abandoning the whole set
+      // would silently regenerate the full range)
       val longs = vs.collect { case l: java.lang.Long => l.longValue() }
-      if (longs.length == vs.length) {
-        val inRange = longs.filter(v => v >= lo && v < hi).sorted.distinct
-        idSet = Some(idSet.map(_.intersect(inRange)).getOrElse(inRange))
-      }
+      val inRange = longs.filter(v => v >= lo && v < hi).sorted.distinct
+      idSet = Some(idSet.map(_.intersect(inRange)).getOrElse(inRange))
     case EqualTo("id", v: java.lang.Long) =>
       val x = v.longValue()
       val inRange = if (x >= lo && x < hi) Array(x) else Array.empty[Long]

@@ -164,13 +164,12 @@ class GenSourceSpec extends SparkSpec {
   test("runtime filtering: an id set narrows the scan to exactly those ids") {
     import org.apache.spark.sql.sources.{EqualTo => SEqualTo, In => SIn}
     // unit-level: the contract BatchScanExec drives after planning
-    val scanned = gen(rows = 1000000L, slices = 8)
-    scanned.collect() // force scan construction is not needed; build directly:
     val builder = new graft.sources.v2.GenScanBuilder(1000000L, 8, 1000000L)
     val scan = builder.build().asInstanceOf[graft.sources.v2.GenScan]
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       SIn("id", Array[Any](Long.box(5L), Long.box(99999L), Long.box(77L),
-        Long.box(2000000L))))) // 2000000 outside the range: dropped
+        Long.box(2000000L), // outside the range: dropped
+        null)))) // a null dim key can't equal any id: dropped, prune kept
     val parts = scan.planInputPartitions()
     val ids = parts.flatMap(_.asInstanceOf[graft.sources.v2.GenSetPartition].ids)
     assert(ids.sorted.toSeq === Seq(5L, 77L, 99999L),
