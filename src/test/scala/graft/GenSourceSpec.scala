@@ -182,6 +182,23 @@ class GenSourceSpec extends SparkSpec {
     assert(again.toSeq === Seq(77L))
   }
 
+  test("runtime filtering fires end-to-end: a selective dim join injects DPP") {
+    // integration proof for the unit-pinned contract: joining the
+    // generator to a SELECTIVELY FILTERED dim makes Spark plan a
+    // dynamic-pruning subquery against the scan, which hands GenScan the
+    // dim's id set at runtime — |dim-slice| rows generated, not the range
+    val dimPath = java.nio.file.Files.createTempDirectory("rf-dim").toString
+    spark.range(0, 200000).selectExpr("id AS did", "id % 1000 AS grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val big = gen(rows = 1000000L, slices = 16)
+    val dim = spark.read.parquet(dimPath).filter($"grp" === 7L)
+    val joined = big.join(dim, $"id" === $"did")
+    assert(joined.count() === 200L)
+    val s = joined.queryExecution.executedPlan.toString
+    assert(s.contains("dynamicpruningexpression"),
+      s"the scan must carry a DPP runtime filter:\n${s.take(1200)}")
+  }
+
   test("kill mid-drain + restart from checkpoint lands each id exactly once") {
     // the claim the row-position offsets make: re-planning any [start, end)
     // range after a restart regenerates identical rows, so an interrupted
