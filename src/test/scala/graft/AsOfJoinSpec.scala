@@ -281,6 +281,48 @@ class AsOfJoinSpec extends SparkSpec {
       s"unused value columns must be pruned below the node, kept: $childCols")
   }
 
+  test("compound-key as-of over tables bucketed on the key PREFIX: zero exchanges") {
+    // HashPartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    // day) — rows sharing the full compound key are co-located by the
+    // prefix alone — so bucketing by the coarse key serves every
+    // finer-keyed as-of, provided the in-bucket sort covers (keys…, time).
+    // CAVEAT the knob: co-partitioned binary nodes additionally require
+    // the FULL clustering as partition keys unless
+    // spark.sql.requireAllClusterKeysForCoPartition is off (a skew
+    // safety default) — the deployment flips it when dims are bucketed
+    // on stable coarse keys, exactly this layout.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+    val ev = Tables.events(spark, sf).filter($"ts".isNotNull)
+    val day = AsOfJoinQueries.DayUs
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id".as("c_uid"), unix_micros($"ts").as("c_us"), $"click_id")
+      .withColumn("c_day", expr(s"c_us DIV $day"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+      .withColumn("p_day", expr(s"p_us DIV $day"))
+    warehouse.Bucketing.writeBucketedSorted(purchases,
+      "asof_purch_ck", "user_id", 4, Seq("user_id", "p_day", "p_us"))
+    warehouse.Bucketing.writeBucketedSorted(clicks,
+      "asof_clicks_ck", "c_uid", 4, Seq("c_uid", "c_day", "c_us"))
+    val df = AsOfJoin.asofLeftKeys(spark.table("asof_purch_ck"),
+      spark.table("asof_clicks_ck"),
+      Seq("user_id", "p_day"), "p_us", Seq("c_uid", "c_day"), "c_us")
+    df.collect()
+    val shuffles = collectAll(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty,
+      s"prefix-bucketed compound-key as-of must plan zero exchanges:\n" +
+        df.queryExecution.executedPlan)
+    val plain = AsOfJoin.asofLeftKeys(purchases, clicks,
+      Seq("user_id", "p_day"), "p_us", Seq("c_uid", "c_day"), "c_us")
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+    } finally
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+  }
+
   test("exec survives skewed co-partitioning (all rows one key)") {
     val n = 5000
     val l = (1 to n).map(i => (7L, i.toLong * 2, s"e$i")).toDF("k", "t", "tag")
