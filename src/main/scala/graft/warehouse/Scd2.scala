@@ -149,9 +149,48 @@ object Scd2 {
       .orderBy($"version")
   }
 
+  /** The same point-in-time lookup through the native as-of merge exec —
+    * the warehouse's own use of [[graft.plans.AsOfJoinExec]]. Because SCD2's
+    * half-open intervals PARTITION time, "the version whose interval
+    * contains the date" and "the version with the latest valid_from
+    * at-or-before the date" are the same row, so the interval join and the
+    * as-of merge must agree — this entry reuses the interval-join oracle
+    * verbatim, making that equivalence the thing the hash checks. At scale
+    * the trade: the broadcast interval join re-checks bounds per probe; the
+    * as-of merge sorts once and streams, and never fans out when a key's
+    * version count grows (deep-history dims).
+    */
+  def scd2AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Warehouse.forDir(spark, dir).factEncounters
+      .select($"encounter_key", $"patient_key", $"encounter_date")
+      .withColumn("e_day",
+        datediff($"encounter_date", lit("1970-01-01")).cast("long"))
+    val dim = scd2Patient(spark, dir)
+      .select($"patient_id", $"version", $"location", $"valid_from")
+      .withColumn("v_day",
+        datediff($"valid_from", lit("1970-01-01")).cast("long"))
+    graft.plans.AsOfJoin.asofLeft(fact, dim,
+        leftKey = "patient_key", leftTime = "e_day",
+        rightKey = "patient_id", rightTime = "v_day")
+      // mirror the interval join's INNER semantics: encounters before the
+      // first version (no as-of match) drop
+      .filter($"version".isNotNull)
+      .groupBy($"version")
+      .agg(
+        count(lit(1)).as("n_encounters"),
+        countDistinct($"patient_id").as("n_patients"),
+        sum(when($"location".startsWith("RELOCATED-"), 1L).otherwise(0L))
+          .as("n_relocated"),
+        min($"encounter_date").as("first_date"),
+        max($"encounter_date").as("last_date"))
+      .orderBy($"version")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_scd2_patient" -> (scd2Patient _),
     "wh_scd2_asof_lookup" -> (scd2AsofLookup _),
+    "wh_scd2_asof_exec" -> (scd2AsofExec _),
     "wh_scd3_patient" -> (scd3Patient _))
 
   /** The versioned-dimension CTE chain, shared by both oracles (one
@@ -196,6 +235,25 @@ FROM scd
 ORDER BY patient_id, version""",
 
     "wh_scd2_asof_lookup" -> s"""${OracleSql.prelude},
+$scdCtes
+SELECT s.version::INT AS version,
+       count(*)::BIGINT AS n_encounters,
+       count(DISTINCT s.patient_id)::BIGINT AS n_patients,
+       sum(CASE WHEN s.location LIKE 'RELOCATED-%' THEN 1 ELSE 0 END)::BIGINT
+         AS n_relocated,
+       min(fe.encounter_date) AS first_date,
+       max(fe.encounter_date) AS last_date
+FROM fact_encounters fe
+JOIN scd s ON fe.patient_key = s.patient_id
+          AND fe.encounter_date >= s.valid_from
+          AND fe.encounter_date < s.valid_to
+GROUP BY s.version
+ORDER BY version""",
+
+    // DELIBERATELY the interval-join SQL again: intervals partition time,
+    // so the as-of merge exec must reproduce the interval join exactly —
+    // the equivalence IS the check
+    "wh_scd2_asof_exec" -> s"""${OracleSql.prelude},
 $scdCtes
 SELECT s.version::INT AS version,
        count(*)::BIGINT AS n_encounters,

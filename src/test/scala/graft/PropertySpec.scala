@@ -86,7 +86,7 @@ class PropertySpec extends SparkSpec {
       // the native as-of exec: merge is per-partition, so its output must
       // not depend on how co-partitioning slices the keys
       "join_asof_exec", "join_asof_tolerance", "join_asof_forward",
-      "join_asof_filtered", "join_asof_same_day",
+      "join_asof_filtered", "join_asof_same_day", "wh_scd2_asof_exec",
       // the DSv2 generator source: pure integer arithmetic per id, so any
       // partition arrangement must produce the same aggregate
       "src_gen_pushdown", "src_gen_segments", "stream_gen_ingest",
