@@ -981,7 +981,7 @@ kth AS (
   WHERE rn = least($KmvK, n_hashes))
 SELECT event_type,
        CASE WHEN n_hashes < $KmvK THEN n_hashes::DOUBLE
-            ELSE ${(KmvK - 1).toDouble * 4294967296.0} / hk END
+            ELSE ${(KmvK - 1).toDouble * 4294967296.0} / greatest(hk, 1) END
          AS kmv_estimate
 FROM kth
 ORDER BY event_type""",

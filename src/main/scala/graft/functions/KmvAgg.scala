@@ -70,7 +70,12 @@ case class KmvAgg(
 
   override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any =
     if (buffer.size < k) buffer.size.toDouble
-    else (k - 1).toDouble * 4294967296.0 / buffer.last.longValue()
+    // kth == 0 is unreachable for k distinct values in [0, 2^32) (the k-th
+    // smallest of k >= 2 distinct non-negatives is >= 1), but the division
+    // must not be able to produce Infinity on adversarial input — saturate
+    // to the full-domain estimate instead; the oracle mirrors the guard
+    else (k - 1).toDouble * 4294967296.0 /
+      math.max(buffer.last.longValue(), 1L)
 
   override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + buffer.size * 8)

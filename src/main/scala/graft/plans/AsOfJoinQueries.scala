@@ -119,10 +119,14 @@ j AS (
       .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
       .select($"user_id".as("c_uid"), unix_micros($"ts").as("c_us"),
         $"click_id")
-      .withColumn("c_day", expr(s"c_us DIV $DayUs"))
+      // exact FLOOR division (subtract the non-negative pmod remainder,
+      // then the division is exact): Spark's DIV truncates toward zero
+      // while the oracle's // floors, and the two disagree on negative
+      // (pre-1970) epoch micros — the floor form agrees on all inputs
+      .withColumn("c_day", expr(s"(c_us - pmod(c_us, ${DayUs}L)) DIV ${DayUs}L"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
-      .withColumn("p_day", expr(s"p_us DIV $DayUs"))
+      .withColumn("p_day", expr(s"(p_us - pmod(p_us, ${DayUs}L)) DIV ${DayUs}L"))
     AsOfJoin.asofLeftKeys(purchases, clicks,
         leftKeys = Seq("user_id", "p_day"), leftTime = "p_us",
         rightKeys = Seq("c_uid", "c_day"), rightTime = "c_us")

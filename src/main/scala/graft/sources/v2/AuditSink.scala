@@ -26,7 +26,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    sees either the complete manifest or nothing — job-level atomicity.
   *
   * The checksum is order-independent integer arithmetic
-  * (`sum((key * LehmerA) % LehmerM)` over non-null keys, nulls contribute
+  * (`sum(((key % LehmerM) * LehmerA) % LehmerM)` over non-null keys — the
+  * mod-first form keeps the product under 2^47 so it cannot wrap int64 in
+  * any engine, ANSI or not — nulls contribute
   * zero), so any engine can recompute it: the oracle re-derives the
   * manifest from the same rows in DuckDB, which makes the hash compare a
   * check of the COMMIT PROTOCOL (every row tallied exactly once across
@@ -119,7 +121,12 @@ private[v2] class AuditWriter(ordinal: Int) extends DataWriter[InternalRow] {
   override def write(record: InternalRow): Unit = {
     rows += 1
     if (!record.isNullAt(ordinal))
-      checksum += (record.getLong(ordinal) * LehmerA) % LehmerM
+      // reduce the key mod M BEFORE the multiply: |key % M| < 2^31 times
+      // A = 48271 stays under 2^47, so the product provably fits int64 in
+      // every engine — the raw (key * A) form wraps for |key| >~ 1.9e14 in
+      // non-ANSI Spark while an ANSI engine errors, silently breaking the
+      // "any engine can recompute the checksum" contract
+      checksum += ((record.getLong(ordinal) % LehmerM) * LehmerA) % LehmerM
   }
 
   override def commit(): WriterCommitMessage = AuditTally(rows, checksum)

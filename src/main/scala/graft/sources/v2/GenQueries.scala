@@ -171,7 +171,7 @@ FROM range($StreamRows)
 GROUP BY 1 ORDER BY 1""",
 
     "src_v2sink_manifest" -> s"""SELECT count(*)::BIGINT AS n_rows,
-       sum((event_id * $LehmerA) % $LehmerM)::BIGINT AS checksum
+       sum(((event_id % $LehmerM) * $LehmerA) % $LehmerM)::BIGINT AS checksum
 FROM events""",
 
     "src_gen_agg_pushdown" -> s"""SELECT count(*)::BIGINT AS n,

@@ -105,7 +105,7 @@ class GenSourceSpec extends SparkSpec {
     val m = spark.read.json(s"$out/manifest.json").collect().head
     val expect = df.select(
       count(lit(1)),
-      sum(($"id" * LehmerA) % LehmerM)).collect().head
+      sum((($"id" % LehmerM) * LehmerA) % LehmerM)).collect().head
     assert(m.getAs[Long]("rows") === expect.getLong(0))
     assert(m.getAs[Long]("checksum") === expect.getLong(1))
     assert(m.getAs[Long]("tasks") > 1L, "fold must span several tasks")
