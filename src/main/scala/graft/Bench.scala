@@ -94,13 +94,40 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    // Second sample of the slowest entries: this box's run-to-run variance
-    // (documented at PartitionedFact.scala — contention swings 3-6× on
-    // file-IO entries) makes a single sample unadjudicable; re-timing the
-    // tail after the sweep (everything warm, no concurrent setup) separates
-    // a real regression from scheduler noise.
-    val second = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map {
-      case (name, _) =>
+    // Prior committed run (bench_out.json at repo root): any entry whose
+    // first sample blew past 3× its prior time joins the re-timed set —
+    // that is the adjudication evidence a phantom regression needs (r8:
+    // wh_accumulating_snapshot read 5.4s in the official round, 1.1s on
+    // every quiet re-run, and was not in the top-5 re-timed tail).
+    val prior: Map[String, Double] = try {
+      val f = new java.io.File("bench_out.json")
+      if (!f.isFile) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        if (node.path("sf").asText() != sfDir) Map.empty
+        else {
+          val it = node.path("queries").fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    // Second sample of the suspicious entries: this box's run-to-run
+    // variance (documented at PartitionedFact.scala — contention swings
+    // 3-6× on file-IO entries) makes a single sample unadjudicable;
+    // re-timing after the sweep (everything warm, no concurrent setup)
+    // separates a real regression from scheduler noise. Memos.newGeneration
+    // first: entries whose timed work is memoized (streaming runs, sink
+    // commits, compaction) must REPEAT that work in a fresh scratch area —
+    // r8's second sample measured stream_near_dedup's memo hit (0.38s)
+    // instead of the stream (11.2s).
+    Memos.newGeneration()
+    val ok = results.filter(_._2 >= 0)
+    val suspicious = ok.filter { case (n, t) =>
+      prior.get(n).exists(p => p > 0 && t > 3 * p && t > 1.0) }
+    val retime = (ok.sortBy(-_._2).take(5) ++ suspicious).distinct.take(12)
+    val second = retime.map { case (name, _) =>
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
@@ -138,7 +165,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof ledger FAILED: ${e.getMessage}"); ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson,"sf":"$sfDir"}"""
+    println(json)
+    // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
+    // is exactly what broke the driver's JSON parse through r8 ("parsed":
+    // null, 2000-char tail) — the file at the repo root is the full,
+    // prefix-free record, and doubles as next round's `prior` baseline.
+    // Partial dev runs (SPARK_GRAFT_ONLY) must not clobber it.
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

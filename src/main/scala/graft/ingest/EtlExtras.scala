@@ -34,10 +34,10 @@ object EtlExtras {
     */
   private def landGenerations(spark: SparkSession, dir: String): (String, String) =
     evolveMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-evolve/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         val e = Tables.events(spark, dir)
         e.filter(isGen0)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))

@@ -52,7 +52,7 @@ object GraphSearch {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def graphGreedySearch(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir",
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir",
       _ => searchImpl(spark, dir))
 
   private def searchImpl(spark: SparkSession, dir: String): DataFrame = {

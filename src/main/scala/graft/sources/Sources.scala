@@ -234,10 +234,10 @@ object Sources {
     */
   def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
     val path = jsonlMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val p = s"${sys.props("java.io.tmpdir")}/graft-jsonl/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         Tables.documents(spark, dir).write.mode("overwrite").json(p)
         p
       })
@@ -263,10 +263,10 @@ object Sources {
     */
   def orcIngest(spark: SparkSession, dir: String): DataFrame = {
     val path = orcMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val p = s"${sys.props("java.io.tmpdir")}/graft-orc/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         Tables.documents(spark, dir).write.mode("overwrite").orc(p)
         p
       })
@@ -296,7 +296,7 @@ object Sources {
   def fixedWidthIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = fwMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val p = s"${sys.props("java.io.tmpdir")}/graft-fixedwidth/" +
           s"${spark.sparkContext.applicationId}/" +
           dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -349,10 +349,10 @@ object Sources {
 
   private[graft] def csvRead(spark: SparkSession, dir: String): DataFrame = {
     val path = csvMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val p = s"${sys.props("java.io.tmpdir")}/graft-csv/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         Tables.events(spark, dir)
           .select(when(
             pmod(col("event_id"), lit(CsvCorruptEvery)) === CsvCorruptAt,

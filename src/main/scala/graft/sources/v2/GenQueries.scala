@@ -61,10 +61,10 @@ object GenQueries {
     */
   def genStreamIngest(spark: SparkSession, dir: String): DataFrame =
     streamMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         import org.apache.spark.sql.streaming.Trigger
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-gen/" +
-          s"${spark.sparkContext.applicationId}"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}"
         graft.streaming.IncrementalIngest.withStreamPartitions(spark) { ss =>
           ss.readStream.format("graft-gen")
             .option("rows", StreamRows)
@@ -98,10 +98,10 @@ object GenQueries {
     */
   def auditSink(spark: SparkSession, dir: String): DataFrame =
     auditMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val out = s"${sys.props("java.io.tmpdir")}/graft-audit-sink/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         graft.Tables.events(spark, dir)
           .write.format("graft-audit")
           .option("path", out).option("keyCol", "event_id")

@@ -264,10 +264,10 @@ object IncrementalIngest {
     */
   def outerAttributionEntry(spark: SparkSession, dir: String): DataFrame =
     outerMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-oattr/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         graft.Tables.events(spark, dir)
           .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -302,10 +302,10 @@ object IncrementalIngest {
     */
   def attributionEntry(spark: SparkSession, dir: String): DataFrame =
     attrMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-attr/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         graft.Tables.events(spark, dir)
           .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -339,10 +339,10 @@ object IncrementalIngest {
     */
   def windowedCountsEntry(spark: SparkSession, dir: String): DataFrame =
     wcMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-wc/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         graft.Tables.events(spark, dir)
           .filter(col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -375,10 +375,10 @@ object IncrementalIngest {
     */
   def dedupDocsEntry(spark: SparkSession, dir: String): DataFrame =
     ddMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-dedup/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         val docs = graft.Tables.documents(spark, dir)
           .select(col("doc_id"), col("text"), col("lang"), col("source"),
             col("n_chars"),
@@ -466,10 +466,10 @@ object IncrementalIngest {
     */
   def asofEnrichEntry(spark: SparkSession, dir: String): DataFrame =
     asofEnrichMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-asof/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         graft.Tables.events(spark, dir)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .write.mode("overwrite").parquet(s"$base/src")
@@ -502,10 +502,10 @@ object IncrementalIngest {
     */
   def enrichEntry(spark: SparkSession, dir: String): DataFrame =
     enrichMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-enrich/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         graft.Tables.events(spark, dir)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .write.mode("overwrite").parquet(s"$base/src")

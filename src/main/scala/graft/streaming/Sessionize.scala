@@ -178,11 +178,11 @@ ORDER BY user_id, session_start_t""")
     */
   def sessionsEntry(spark: SparkSession, dir: String): DataFrame =
     ssMemo.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         import spark.implicits._
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-sess/" +
-          s"${spark.sparkContext.applicationId}/$safe"
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         Tables.events(spark, dir)
           .filter($"user_id".isNotNull && $"ts".isNotNull)
           .select($"event_id", $"ts", $"user_id", $"event_type",

@@ -172,10 +172,10 @@ object StreamNearDedup {
     * to prove checkpointed claims kill later-batch mirrors.
     */
   def entry(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val base = s"${sys.props("java.io.tmpdir")}/graft-stream-neardedup/" +
-        s"${spark.sparkContext.applicationId}/$safe"
+        s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
       feed(spark, dir).write.mode("overwrite").parquet(s"$base/src")
       IncrementalIngest.withStreamPartitions(spark) { ss =>
         nearDedup(ss, s"$base/src", s"$base/out", s"$base/ckpt")

@@ -40,7 +40,7 @@ object BpeTrain {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", _ => {
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", _ => {
       import spark.implicits._
       var words = Tables.documents(spark, dir)
         .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))

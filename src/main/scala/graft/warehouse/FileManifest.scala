@@ -143,11 +143,11 @@ object FileManifest {
     * footer scan is the distributed part and the only part that grows.
     */
   def manifestEntry(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+    memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
       import spark.implicits._
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val base = s"${sys.props("java.io.tmpdir")}/graft-manifest/" +
-        s"${spark.sparkContext.applicationId}/$safe"
+        s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
       val o = graft.Tables.orders(spark, dir)
         .withColumn("o_date_int",
           (year($"o_orderdate") * 10000 + month($"o_orderdate") * 100 +
