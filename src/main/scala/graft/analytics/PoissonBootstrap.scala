@@ -54,9 +54,28 @@ object PoissonBootstrap {
     }
   }
 
+  /** The interval table as a codegen'd chained CASE: the Poisson(1) CDF is
+    * a step function over [[MaxW]] literal cutpoints, so `w(u)` is pure
+    * per-row arithmetic — no join node at all (the earlier broadcast
+    * interval join planned a BroadcastNestedLoopJoin in the hot path:
+    * bounded at 9 comparisons/row, but still the bench's slowest batch
+    * query). The chain tests ascending k, which is also
+    * most-probable-first for Poisson(1) (P(0)≈P(1)≈.37, P(2)≈.18), so
+    * the expected branch depth is ~2. PoissonBootstrapPlanSpec pins the
+    * no-BNLJ plan; the oracle keeps the equivalent interval-join form.
+    */
+  private[analytics] def weightOf(u: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val chain = WeightIntervals.init.foldLeft(
+        Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (_, hi, k)) =>
+        Some(acc.fold(when(u <= hi, k))(_.when(u <= hi, k)))
+    }
+    chain.get.otherwise(MaxW)
+  }
+
   def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val intervals = WeightIntervals.toDF("lo", "hi", "w")
     val vals = Tables.orders(spark, dir)
       .select($"o_orderkey", floor($"o_totalprice").cast("long").as("x"))
     val weighted = vals
@@ -64,7 +83,7 @@ object PoissonBootstrap {
         explode(sequence(lit(0), lit(Replicates - 1))).as("b"))
       .withColumn("u", Md5Hash.h32(concat(lit("boot"), $"b".cast("string"),
         lit(":"), $"o_orderkey".cast("string"))))
-      .join(broadcast(intervals), $"u" >= $"lo" && $"u" <= $"hi")
+      .withColumn("w", weightOf($"u"))
       .groupBy($"b")
       .agg(sum($"w".cast("long")).as("n_eff"),
         sum($"w" * $"x").as("wx"))

@@ -75,6 +75,24 @@ class PlanSpec extends SparkSpec {
       "only the labeled exact-baseline branch may plan a product")
   }
 
+  test("poisson bootstrap weights are a codegen'd CASE, not an interval join") {
+    // the Poisson(1) inverse-CDF is a step function over 9 literal
+    // cutpoints: it must plan as per-row arithmetic — the interval-table
+    // form planned a BroadcastNestedLoopJoin in the hot path (r8's slowest
+    // batch query)
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan(analytics.PoissonBootstrap.poissonBootstrap(spark, sf))
+    val nested = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    // the ONE allowed product is replicate-rows × the 1-row point estimate
+    // (16 × 1, above the aggregate); the per-row weight path must carry none
+    assert(nested.size <= 1 &&
+        nested.forall(_.right.output.map(_.name) == Seq("point_mean")),
+      s"only the 1-row point-estimate cross may remain, saw:\n$nested")
+    assert(p.toString.contains("CASE WHEN"),
+      "weights must plan as a codegen'd CASE chain")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("linkage and decontamination candidates come from equi-join indexes") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // the SymSpell wildcard index and the gram inverted index exist to keep
