@@ -29,10 +29,16 @@ import java.util.concurrent.ConcurrentHashMap
   * Scale notes (100 TB/day): the stream never joins or shuffles documents
   * — each doc's signature is computed map-side, and the only shuffle is
   * the (band, bucket) keyed exchange into the state store, 8 small rows
-  * per doc. State is one boolean per distinct bucket (bounded by corpus
-  * diversity, not corpus size, and evictable via `GroupStateTimeout` in a
-  * production deployment where re-crawls cluster in time — the same
-  * horizon argument as `dropDuplicatesWithinWatermark`). Greedy
+  * per doc. State is one boolean per distinct bucket WITHIN THE CLAIM
+  * HORIZON: every claim carries an event-time timeout
+  * (`GroupStateTimeout.EventTimeTimeout`, expiry = claim time +
+  * [[DefaultClaimHorizonMs]]) and is REMOVED once the watermark passes it,
+  * so state size is bounded by the horizon's bucket diversity, not by
+  * corpus size — for novel text at 100 TB/day those are very different
+  * numbers. The contract is the one `dropDuplicatesWithinWatermark`
+  * documents: a mirror inside the horizon is dropped, a re-delivery past
+  * it is kept (and re-claims); StreamNearDedupSpec proves both directions
+  * plus the post-expiry state bound. Greedy
   * any-band-collision is the standard streaming relaxation of
   * LSH-then-verify: candidates are dropped without the exact-Jaccard
   * confirmation pass (which needs the full shingle index), trading the
@@ -55,23 +61,52 @@ object StreamNearDedup {
   val MirrorIdOffset = 1000000L
   val MirrorSuffix = " syndicated mirror copy"
 
+  /** Event-time claim horizon: a (band, bucket) claim older than this (and
+    * not refreshed by newer hits) expires out of the state store. 30 days
+    * covers the re-crawl clustering a syndication feed exhibits while
+    * keeping state bounded by a month's bucket diversity instead of the
+    * corpus's lifetime size.
+    */
+  val DefaultClaimHorizonMs: Long = 30L * 86400L * 1000L
+
+  /** Deterministic event time for the oracle-checked feed — one constant,
+    * so the single-batch entry can never interact with the watermark and
+    * the ledger stays exactly the batch first-claim semantics.
+    */
+  val FeedEpochSec = 1700000000L
+
   // public: codegen'd row projections live outside this object and cannot
   // touch private classes
-  case class BandRow(doc_id: Long, lang: String, band: Int, bucket: String)
+  case class BandRow(doc_id: Long, lang: String, band: Int, bucket: String,
+      ts: java.sql.Timestamp)
   case class BandVerdict(doc_id: Long, lang: String, band: Int, fresh: Boolean)
 
   /** First-claim state function: a (band, bucket) group's state is "has
-    * this bucket ever been claimed". Within a batch the min-doc_id row is
-    * the claimant (deterministic); across batches the checkpointed state
-    * wins. Emits one verdict row per (doc, band).
+    * this bucket been claimed within the horizon". Within a batch the
+    * min-doc_id row is the claimant (deterministic); across batches the
+    * checkpointed state wins. Every invocation with data refreshes the
+    * claim's event-time timeout to (newest hit + horizon); when the
+    * watermark passes a claim's timeout the group is invoked with
+    * `hasTimedOut` and the claim is REMOVED — a later re-delivery of the
+    * same content claims the bucket afresh. Emits one verdict row per
+    * (doc, band).
     */
-  private def claim(key: (Int, String), rows: Iterator[BandRow],
+  private def claim(horizonMs: Long)(key: (Int, String),
+      rows: Iterator[BandRow],
       state: GroupState[Boolean]): Iterator[BandVerdict] = {
-    val sorted = rows.toArray.sortBy(_.doc_id)
-    val alreadyClaimed = state.exists && state.get
-    state.update(true)
-    sorted.iterator.zipWithIndex.map { case (r, i) =>
-      BandVerdict(r.doc_id, r.lang, r.band, !alreadyClaimed && i == 0)
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      val alreadyClaimed = state.exists && state.get
+      state.update(true)
+      // watermark-filtered input guarantees maxTs >= watermark, so the
+      // timeout is always legally in the watermark's future
+      state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + horizonMs)
+      sorted.iterator.zipWithIndex.map { case (r, i) =>
+        BandVerdict(r.doc_id, r.lang, r.band, !alreadyClaimed && i == 0)
+      }
     }
   }
 
@@ -98,7 +133,7 @@ object StreamNearDedup {
       .withColumn("hs", expr(
         s"transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % ${p}L)"))
       .withColumn("sig", array(sigCols: _*))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("ts"),
         explode(expr(
           s"""transform(sequence(0, ${MinHashLsh.Bands - 1}),
              |  b -> struct(CAST(b AS INT) AS band,
@@ -107,24 +142,32 @@ object StreamNearDedup {
              |                                ${MinHashLsh.RowsPerBand}),
              |                          v -> cast(v AS STRING)))) AS bucket))
              |""".stripMargin)).as("bb"))
-      .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bucket"),
+        col("ts"))
   }
 
   /** The streaming query: file source → map-side banding → bucket-claim
-    * state → per-(doc, band) verdict rows appended to `outDir`.
+    * state (event-time claim expiry after `horizonMs`) → per-(doc, band)
+    * verdict rows appended to `outDir`.
     */
   def nearDedup(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      horizonMs: Long = DefaultClaimHorizonMs): StreamingQuery = {
     import spark.implicits._
     val docs = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id BIGINT, text STRING, lang STRING"))
+        "doc_id BIGINT, text STRING, lang STRING, ts TIMESTAMP"))
       .parquet(srcDir)
+      .filter(col("ts").isNotNull)
+      // zero-delay watermark: claims expire as soon as observed event time
+      // passes them; a production feed with out-of-order arrival would set
+      // its lateness tolerance here
+      .withWatermark("ts", "0 seconds")
     banded(docs)
       .as[BandRow]
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(claim)
+        GroupStateTimeout.EventTimeTimeout)(claim(horizonMs))
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -155,7 +198,8 @@ object StreamNearDedup {
     */
   private[graft] def feed(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"))
+      .select(col("doc_id"), col("text"), col("lang"),
+        timestamp_seconds(lit(FeedEpochSec)).as("ts"))
     docs.unionByName(docs
       .filter(pmod(col("doc_id"), lit(MirrorModulo)) === 0)
       .withColumn("doc_id", col("doc_id") + lit(MirrorIdOffset))

@@ -63,17 +63,22 @@ class StreamNearDedupSpec extends SparkSpec {
   test("claims persist across RUNS: a bucket claimed in run 1 kills run 2's mirror") {
     val src = Files.createTempDirectory("neardedup-src")
     val (out, ckpt) = (tmp("neardedup-out"), tmp("neardedup-ckpt"))
-    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"lang")
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"lang",
+      timestamp_seconds(lit(StreamNearDedup.FeedEpochSec)).as("ts"))
     // run 1: originals only
     docs.write.mode("overwrite").parquet(src.resolve("originals").toString)
     streaming.IncrementalIngest.withStreamPartitions(spark) { ss =>
       StreamNearDedup.nearDedup(ss, src.toString + "/*", out, ckpt)
         .awaitTermination()
     }
-    // run 2: the mirrors arrive later, as a separate catch-up run
+    // run 2: the mirrors arrive later (one hour of event time — inside the
+    // claim horizon, and safely past run 1's watermark so none is late), as
+    // a separate catch-up run
     docs.filter(pmod($"doc_id", lit(StreamNearDedup.MirrorModulo)) === 0)
       .withColumn("doc_id", $"doc_id" + lit(StreamNearDedup.MirrorIdOffset))
       .withColumn("text", concat($"text", lit(StreamNearDedup.MirrorSuffix)))
+      .withColumn("ts",
+        timestamp_seconds(lit(StreamNearDedup.FeedEpochSec + 3600L)))
       .write.mode("overwrite").parquet(src.resolve("mirrors").toString)
     streaming.IncrementalIngest.withStreamPartitions(spark) { ss =>
       StreamNearDedup.nearDedup(ss, src.toString + "/*", out, ckpt)
@@ -91,5 +96,67 @@ class StreamNearDedupSpec extends SparkSpec {
     // the two-run ledger must equal the single-batch one
     assert(twoRun == batchLedger(StreamNearDedup.feed(spark, sf)),
       "checkpointed bucket claims must carry across runs")
+  }
+
+  test("claims expire with event time: in-horizon mirror dropped, " +
+      "past-horizon redelivery kept, state bounded by the recent window") {
+    import java.sql.Timestamp
+    val src = Files.createTempDirectory("neardedup-evict-src")
+    val (out, ckpt) = (tmp("neardedup-evict-out"), tmp("neardedup-evict-ckpt"))
+    val horizonMs = 3600L * 1000L // 1 hour claim horizon
+    val t0 = StreamNearDedup.FeedEpochSec * 1000L
+    val hour = 3600L * 1000L
+    // identical text => identical shingles => ALL 8 bands collide, so the
+    // drop/keep verdicts below are deterministic, not S-curve-probabilistic
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    def land(name: String, rows: Seq[(Long, String, String, Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "ts")
+        .write.mode("overwrite").parquet(src.resolve(name).toString)
+    def run(): Long = {
+      var stateRows = -1L
+      streaming.IncrementalIngest.withStreamPartitions(spark) { ss =>
+        val q = StreamNearDedup.nearDedup(ss, src.toString + "/*", out, ckpt,
+          horizonMs)
+        q.awaitTermination()
+        val progress = q.lastProgress
+        if (progress != null && progress.stateOperators.nonEmpty)
+          stateRows = progress.stateOperators.head.numRowsTotal
+      }
+      stateRows
+    }
+    // batch 1: doc A claims its buckets at t0
+    land("b1", Seq((1L, textA, "en", new Timestamp(t0))))
+    run()
+    // batch 2: (a) an IN-HORIZON mirror of A (30 min later) must be
+    // dropped; a clock doc advances the watermark to t0+10h at batch end
+    land("b2", Seq(
+      (2L, textA, "en", new Timestamp(t0 + hour / 2)),
+      (3L, "one two three four five six seven", "en",
+        new Timestamp(t0 + 10 * hour))))
+    run()
+    // batch 3: watermark (t0+10h) is past A's refreshed timeout
+    // (t0+30min+1h), so A's claims are evicted during THIS batch — which
+    // receives no data for them; the clock doc pushes the watermark on
+    land("b3", Seq((4L, "six seven eight nine ten eleven twelve", "en",
+      new Timestamp(t0 + 20 * hour))))
+    run()
+    // batch 4: (b) a PAST-HORIZON redelivery of A's exact content finds
+    // its buckets unclaimed and must be kept
+    land("b4", Seq((9L, textA, "en", new Timestamp(t0 + 21 * hour))))
+    val finalStateRows = run()
+    val keep = spark.read.parquet(out)
+      .groupBy($"doc_id")
+      .agg(min(when($"fresh", 1).otherwise(0)).as("keep"))
+      .as[(Long, Int)].collect().toMap
+    assert(keep(1L) == 1, "the first claimant is kept")
+    assert(keep(2L) == 0, "an in-horizon mirror must be dropped")
+    assert(keep(3L) == 1 && keep(4L) == 1, "novel clock docs are kept")
+    assert(keep(9L) == 1,
+      "a redelivery past the claim horizon must be KEPT (claims expired)")
+    // (c) post-expiry state holds only the recent window's claims (the
+    // redelivery + the newest clock doc <= 2 docs x 8 bands), not the
+    // 5 x 8 = 40 buckets ever claimed
+    assert(finalStateRows > 0 && finalStateRows <= 16,
+      s"state must be bounded by the horizon window, saw $finalStateRows rows")
   }
 }
