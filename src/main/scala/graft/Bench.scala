@@ -165,7 +165,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof ledger FAILED: ${e.getMessage}"); ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson,"sf":"$sfDir"}"""
+    // The same pair over a planted 80%-one-key feed: the uniform ledger
+    // above shows parity (expected at sf0.1), the skew ledger shows where
+    // the exec's O(1)-buffered-row merge separates from the union-window
+    // composition's hot-partition sort.
+    val asofSkewJson = try {
+      val (_, native) = observability.QueryMetrics.profile(
+        plans.AsOfJoinQueries.asofSkewExec(spark, sfDir))
+      val (_, composed) = observability.QueryMetrics.profile(
+        plans.AsOfJoinQueries.asofSkewWindow(spark, sfDir))
+      s""","asof_skew":{"native_sec":${native.wallMs / 1e3},"composed_sec":${composed.wallMs / 1e3},""" +
+        s""""native_shuffle_bytes":${native.shuffleWriteBytes},"composed_shuffle_bytes":${composed.shuffleWriteBytes}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] asof_skew ledger FAILED: ${e.getMessage}"); ""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":

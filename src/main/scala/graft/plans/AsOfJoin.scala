@@ -112,7 +112,16 @@ case class AsOfJoinExec(
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
 
   // one exchange per side, co-partitioned on the key — the same contract
-  // SortMergeJoin declares, so bucketing / AQE reuse applies unchanged
+  // SortMergeJoin declares, so bucketing / AQE reuse applies unchanged.
+  // AQE invariant (AsOfJoinSpec pins it): coalesced shuffle reads merge
+  // WHOLE reducer partitions on both sides consistently, preserving "all
+  // rows of a key in one zipped partition pair" — safe; a SKEW-SPLIT read
+  // (PartialReducerPartitionSpec) would divide a hot key across readers
+  // and break per-partition completeness of the merge, but
+  // OptimizeSkewedJoin only rewrites SortMergeJoin/ShuffledHashJoin, so
+  // it can never touch these exchanges. Were this exec ever taught
+  // skew-splitting, the right side would need per-split duplication (the
+  // SMJ approach) — not just a free flag.
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) ::
       ClusteredDistribution(rightKeys) :: Nil

@@ -136,12 +136,99 @@ j AS (
       .orderBy($"event_id")
   }
 
+  /** Modulus for the planted-skew key: users with `user_id % 5 < 4` (~80 %
+    * of rows) collapse onto ONE hot key. ONE definition, both engines.
+    */
+  val SkewResidues = 5L
+
+  /** The skewed attribution feed: clicks/purchases re-keyed so ~80 % of
+    * rows share a single as-of key — the shape where the exec's O(1)
+    * buffered-row merge separates from the union-window composition (whose
+    * hot window partition must SORT clicks+purchases interleaved and carry
+    * the running-last state through it). Both query forms below return
+    * identical rows; Bench profiles them as the `asof_skew` ledger.
+    */
+  private def skewFeed(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+      .withColumn("sk",
+        when(pmod($"user_id", lit(SkewResidues)) < SkewResidues - 1, lit(0L))
+          .otherwise($"user_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"sk", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"sk".as("c_sk"), unix_micros($"ts").as("c_us"), $"click_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"sk", unix_micros($"ts").as("p_us"))
+    (purchases, clicks)
+  }
+
+  /** Hot-key attribution through the native exec — per-partition state is
+    * ONE buffered row no matter how many rows the hot key holds.
+    */
+  def asofSkewExec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (purchases, clicks) = skewFeed(spark, dir)
+    AsOfJoin.asofLeft(purchases, clicks,
+        leftKey = "sk", leftTime = "p_us",
+        rightKey = "c_sk", rightTime = "c_us")
+      .select($"event_id", $"sk", $"click_id".as("prior_click_id"),
+        coalesce($"p_us" - $"c_us", lit(-1L)).as("delay_us"))
+      .orderBy($"event_id")
+  }
+
+  /** The same semantics as the union-window composition: tag, union, one
+    * window sort per key, running `last` carry — the hot key's window
+    * partition holds ~80 % of BOTH sides interleaved, which is exactly the
+    * cost the native exec avoids.
+    */
+  def asofSkewWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (purchases, clicks) = skewFeed(spark, dir)
+    val cTagged = clicks.select($"c_sk".as("sk"), $"c_us".as("us"),
+      lit(0).as("tag"), $"click_id", $"c_us".as("src_c_us"),
+      lit(null).cast("bigint").as("event_id"))
+    val pTagged = purchases.select($"sk", $"p_us".as("us"),
+      lit(1).as("tag"), lit(null).cast("bigint").as("click_id"),
+      lit(null).cast("bigint").as("src_c_us"), $"event_id")
+    val w = Window.partitionBy($"sk").orderBy($"us", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cTagged.unionByName(pTagged)
+      .withColumn("prior_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("prior_c_us", last($"src_c_us", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"sk", $"prior_click_id",
+        coalesce($"us" - $"prior_c_us", lit(-1L)).as("delay_us"))
+      .orderBy($"event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_exec" -> (asofExec _),
     "join_asof_tolerance" -> (asofTolerance _),
     "join_asof_forward" -> (asofForward _),
     "join_asof_filtered" -> (asofFiltered _),
-    "join_asof_same_day" -> (asofSameDay _))
+    "join_asof_same_day" -> (asofSameDay _),
+    "join_asof_skew_exec" -> (asofSkewExec _),
+    "join_asof_skew_window" -> (asofSkewWindow _))
+
+  /** ONE oracle for both skew forms — they must return identical rows,
+    * which is itself the equivalence the pair exists to price.
+    */
+  private val skewOracle = s"""WITH ev AS (
+  SELECT *, CASE WHEN user_id % $SkewResidues < ${SkewResidues - 1}
+                 THEN 0 ELSE user_id END AS sk
+  FROM events WHERE ts IS NOT NULL),
+clicks AS (
+  SELECT sk, ts, max(event_id) AS click_id
+  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+purchases AS (
+  SELECT event_id, sk, ts FROM ev WHERE event_type = 'purchase')
+SELECT p.event_id, p.sk, c.click_id AS prior_click_id,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1)::BIGINT AS delay_us
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.sk = c.sk AND p.ts >= c.ts
+ORDER BY p.event_id"""
 
   val oracle: Map[String, String] = Map(
     "join_asof_exec" -> (oraclePrelude + """SELECT event_id, user_id,
@@ -176,6 +263,9 @@ ORDER BY c.click_id""",
        click_id AS prior_click_id,
        coalesce(d, -1)::BIGINT AS delay_us
 FROM j WHERE user_id <= $FilterMaxUser ORDER BY event_id"""),
+
+    "join_asof_skew_exec" -> skewOracle,
+    "join_asof_skew_window" -> skewOracle,
 
     // DuckDB's ASOF accepts extra equality conditions (even on
     // expressions): same generator-day bucket, same >= time bound

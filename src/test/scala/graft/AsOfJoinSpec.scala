@@ -323,6 +323,74 @@ class AsOfJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
   }
 
+  test("AQE over a skewed key: results match AQE-off, reads coalesce, " +
+      "skew-split never fires on the as-of exchanges") {
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    import org.apache.spark.sql.execution.{CoalescedPartitionSpec, PartialReducerPartitionSpec}
+    // 80 % of rows share one hot key — the shape AQE's skew-join splitter
+    // targets. A skew-split on an as-of exchange would break the merge
+    // invariant (a key's rows divided across readers lose per-partition
+    // completeness); the splitter only rewrites SortMergeJoin/
+    // ShuffledHashJoin, so the custom exec must come through whole.
+    val n = 20000
+    val l = (1 to n).map { i =>
+      (if (i % 5 != 0) 7L else (i % 50).toLong, i.toLong * 2, i)
+    }.toDF("k", "t", "v")
+    val r = (1 to n / 2).map { i =>
+      (if (i % 5 != 0) 7L else (i % 50).toLong, i.toLong * 2 + 1, i.toDouble)
+    }.toDF("qk", "qt", "px")
+    def result(): Seq[(Long, Long, Int, Double)] =
+      AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt")
+        .select($"k", $"t", $"v", coalesce($"px", lit(-1.0)).as("px"))
+        .orderBy($"k", $"t", $"v")
+        .as[(Long, Long, Int, Double)].collect().toSeq
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val baseline = result()
+      conf.set("spark.sql.adaptive.enabled", "true")
+      // make the splitter maximally eager: any partition over 2 KB and
+      // 1x the median is "skewed" — if the rule COULD touch the as-of
+      // exchanges, these settings would make it
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      val df = AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt")
+        .select($"k", $"t", $"v", coalesce($"px", lit(-1.0)).as("px"))
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan
+      assert(collectAll(p) { case e: AsOfJoinExec => e }.size === 1)
+      val reads = collectAll(p) { case a: AQEShuffleReadExec => a }
+      assert(reads.flatMap(_.partitionSpecs).collect {
+          case s: PartialReducerPartitionSpec => s }.isEmpty,
+        "a skew-split read under an as-of exchange corrupts the merge " +
+          s"invariant — none may appear:\n$p")
+      val withAqe = result()
+      assert(withAqe === baseline,
+        "as-of results must be identical with and without AQE")
+      // and with a generous advisory size the runtime DOES coalesce the
+      // tiny shuffle partitions — proving the exec accepts AQE reads
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+      val df2 = AsOfJoin.asofLeft(l, r, "k", "t", "qk", "qt")
+        .select($"k", $"t", $"v")
+      df2.collect()
+      val reads2 = collectAll(df2.queryExecution.executedPlan) {
+        case a: AQEShuffleReadExec => a }
+      assert(reads2.nonEmpty &&
+          reads2.forall(_.partitionSpecs.forall(
+            _.isInstanceOf[CoalescedPartitionSpec])),
+        "coalesced (whole-partition) AQE reads are the allowed rewrite")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("exec survives skewed co-partitioning (all rows one key)") {
     val n = 5000
     val l = (1 to n).map(i => (7L, i.toLong * 2, s"e$i")).toDF("k", "t", "tag")
