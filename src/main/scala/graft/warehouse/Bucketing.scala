@@ -197,8 +197,13 @@ object Bucketing {
         val tag = graft.functions.Md5Hash.md5Int(dir).toHexString
         val (ot, lt) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
         writeBucketed(graft.Tables.orders(spark, dir), ot, "o_orderkey", 8)
+        // carry the columns EVERY recurring order-key consumer needs (the
+        // fact-build rollup reads quantity, the accumulating snapshot reads
+        // ship dates) — the bucketed layout is the shared ingest artifact,
+        // not a per-query extract
         writeBucketed(graft.Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_quantity")), lt, "l_orderkey", 8)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate")),
+          lt, "l_orderkey", 8)
         (ot, lt)
       })
 

@@ -25,24 +25,59 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotFacts {
 
+  /** The snapshot shape over any (orders, lineitem) pair: one co-keyed
+    * join + milestone aggregate. Shared by the flat-table entry and the
+    * bucketed twin so "same query, different layout" is literal.
+    */
+  private def snapshotOf(orders: DataFrame, line: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    orders
+      .select(c("o_orderkey"), to_date(c("o_orderdate")).as("order_date"))
+      .join(line.select(c("l_orderkey"),
+        to_date(c("l_shipdate")).as("ship_date")),
+        c("o_orderkey") === c("l_orderkey"))
+      .groupBy(c("o_orderkey"), c("order_date"))
+      .agg(
+        min(c("ship_date")).as("first_ship"),
+        max(c("ship_date")).as("last_ship"),
+        count(lit(1)).as("n_lines"))
+      .select(c("o_orderkey"), c("order_date"), c("first_ship"),
+        c("last_ship"),
+        datediff(c("first_ship"), c("order_date")).as("days_to_first"),
+        datediff(c("last_ship"), c("order_date")).as("days_to_last"),
+        c("n_lines"))
+  }
+
   /** Accumulating snapshot: order lifecycle milestones + lags. */
   def accumulatingSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val line = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", to_date($"l_shipdate").as("ship_date"))
-    Tables.orders(spark, dir)
-      .select($"o_orderkey", to_date($"o_orderdate").as("order_date"))
-      .join(line, $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_orderkey", $"order_date")
-      .agg(
-        min($"ship_date").as("first_ship"),
-        max($"ship_date").as("last_ship"),
-        count(lit(1)).as("n_lines"))
-      .select($"o_orderkey", $"order_date", $"first_ship", $"last_ship",
-        datediff($"first_ship", $"order_date").as("days_to_first"),
-        datediff($"last_ship", $"order_date").as("days_to_last"),
-        $"n_lines")
+    snapshotOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
       .orderBy($"o_orderkey")
+  }
+
+  /** [[accumulatingSnapshot]] over the bucketed ingest layout
+    * ([[Bucketing.bucketedOrderTables]]): both sides bucketed on the order
+    * key, so the join AND the milestone aggregate (whose grouping key is a
+    * superset of the bucket key) run with ZERO exchanges —
+    * ScaleVariantsSpec pins the plan; the shared oracle pins the rows.
+    * This is the layout the flat entry's scale note promises: at 100 TB
+    * the big-big milestone join is a scan-side property paid once at
+    * ingest.
+    */
+  def accumulatingSnapshotBucketed(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    bucketedSnapshotCore(spark, dir).orderBy($"o_orderkey")
+  }
+
+  /** The gate target: the bucketed snapshot WITHOUT its presentation-only
+    * total order (whose range exchange is the oracle compare's, not the
+    * operator's).
+    */
+  private[graft] def bucketedSnapshotCore(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (ot, lt) = Bucketing.bucketedOrderTables(spark, dir)
+    snapshotOf(spark.table(ot), spark.table(lt))
   }
 
   /** Periodic snapshot: month-end order levels (placed / fulfilled flows,
@@ -171,8 +206,22 @@ object SnapshotFacts {
     "wh_rank_churn" -> (rankChurn _),
     "wh_drill_across" -> (drillAcross _),
     "wh_accumulating_snapshot" -> (accumulatingSnapshot _),
+    "wh_accumulating_snapshot_bucketed" -> (accumulatingSnapshotBucketed _),
     "wh_periodic_snapshot" -> (periodicSnapshot _),
     "wh_allocation_bridge" -> (allocationBridge _))
+
+  private val AccSnapshotOracle = """SELECT o_orderkey,
+       o_orderdate::DATE AS order_date,
+       min(l_shipdate::DATE) AS first_ship,
+       max(l_shipdate::DATE) AS last_ship,
+       date_diff('day', o_orderdate::DATE, min(l_shipdate::DATE))::INT
+         AS days_to_first,
+       date_diff('day', o_orderdate::DATE, max(l_shipdate::DATE))::INT
+         AS days_to_last,
+       count(*)::BIGINT AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate::DATE
+ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
     "wh_rank_churn" -> s"""${graft.analytics.OracleSql.prelude}
@@ -221,18 +270,9 @@ SELECT coalesce(enc.year, proc.year) AS year,
 FROM enc FULL OUTER JOIN proc
   ON enc.year = proc.year AND enc.month = proc.month
 ORDER BY year, month""",
-    "wh_accumulating_snapshot" -> """SELECT o_orderkey,
-       o_orderdate::DATE AS order_date,
-       min(l_shipdate::DATE) AS first_ship,
-       max(l_shipdate::DATE) AS last_ship,
-       date_diff('day', o_orderdate::DATE, min(l_shipdate::DATE))::INT
-         AS days_to_first,
-       date_diff('day', o_orderdate::DATE, max(l_shipdate::DATE))::INT
-         AS days_to_last,
-       count(*)::BIGINT AS n_lines
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-GROUP BY o_orderkey, o_orderdate::DATE
-ORDER BY o_orderkey""",
+    "wh_accumulating_snapshot" -> AccSnapshotOracle,
+    // layout twin: identical rows from the bucketed tables — ONE oracle
+    "wh_accumulating_snapshot_bucketed" -> AccSnapshotOracle,
 
     "wh_allocation_bridge" -> """WITH line AS (
   SELECT l_orderkey, l_partkey,

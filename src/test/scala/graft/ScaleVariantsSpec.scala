@@ -189,6 +189,26 @@ class ScaleVariantsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("bucketed accumulating snapshot: join AND milestone agg, zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val core = warehouse.SnapshotFacts.bucketedSnapshotCore(spark, sf)
+      val rows = core.collect()
+      assert(collectAll(core.queryExecution.executedPlan) {
+          case s: ShuffleExchangeExec => s }.isEmpty,
+        "both the order-key join and the (o_orderkey, order_date) aggregate " +
+          s"must ride the bucketed layout:\n${core.queryExecution.executedPlan}")
+      // identical rows to the flat-table entry
+      val flat = warehouse.SnapshotFacts.accumulatingSnapshot(spark, sf)
+      assert(rows.length.toLong == flat.count())
+      assert(core.except(flat).isEmpty && flat.except(core).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("bucketed ingest: the order-key join runs with zero shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
