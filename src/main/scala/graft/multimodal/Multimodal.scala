@@ -49,6 +49,62 @@ object Multimodal {
         (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"))
   }
 
+  private val mediaFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Land every document's payload as an individual `<doc_id>.bin` FILE —
+    * the on-disk shape a real media corpus arrives in — and return the
+    * directory. The landing is distributed (foreachPartition, one writer
+    * per task, names keyed by the unique doc_id so retries are idempotent)
+    * and memoized per (application, run-generation, corpus) like the other
+    * landed-source operators.
+    */
+  private def mediaFilesDir(spark: SparkSession, dir: String): String =
+    mediaFilesMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-mediafiles/" +
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        Tables.documents(spark, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(base, s"${r.getLong(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        base
+      })
+
+  /** [[mediaTable]] sourced from REAL binary files through Spark's
+    * `binaryFile` reader instead of a synthesized column: (path, length,
+    * content) rows → the same (doc_id, media, media_type) schema, doc_id
+    * recovered from the file name. MultimodalSpec proves byte-for-byte
+    * equality with the synthesized table, so every kernel downstream runs
+    * unchanged on either source — swapping in true image/audio bytes is a
+    * landing change, not an operator change. (At scale the reader is the
+    * right tool: it splits per-file, carries file metadata, and supports
+    * `pathGlobFilter`/recursive discovery on object stores.)
+    */
+  def mediaTableFromFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = mediaFilesDir(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(base)
+      .select(
+        regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"content".as("media"))
+      .withColumn("media_type",
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")))
+      .select($"doc_id", $"media", $"media_type")
+  }
+
   /** Corpus modality mix — the one-look capacity report a multimodal
     * ingest keeps: items, byte volume, and size envelope per media type.
     * Storage planning, decode-fleet sizing, and batch-shape choices all
@@ -268,9 +324,21 @@ object Multimodal {
     * Scale: the kernel is the same per-partition decode boundary; the hash
     * is map-side; the bucket groupBy shuffles 2-byte hashes, not media.
     */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashOn(spark, mediaTable(spark, dir))
+
+  /** [[phashDedup]] driven end-to-end from the `binaryFile`-landed corpus
+    * ([[mediaTableFromFiles]]) — the whole media pipeline (file discovery →
+    * binary read → per-partition resize kernel → hash-bucket dedup) with
+    * real file IO at the front. Bytes are deterministic, so the oracle is
+    * [[phashDedup]]'s unchanged.
+    */
+  def phashDedupFromFiles(spark: SparkSession, dir: String): DataFrame =
+    phashOn(spark, mediaTableFromFiles(spark, dir))
+
+  private def phashOn(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val resized = mediaTable(spark, dir)
+    val resized = media
       .as[MediaIn]
       .mapPartitions(resizeKernel _)
       .toDF()
@@ -381,6 +449,7 @@ object Multimodal {
     "mm_corrupt_quarantine" -> (corruptQuarantine _),
     "mm_scene_segments" -> (sceneSegments _),
     "mm_phash_dedup" -> (phashDedup _),
+    "mm_binaryfile_phash" -> (phashDedupFromFiles _),
     "mm_audio_energy" -> (audioEnergy _),
     "mm_metadata" -> (metadata _),
     "mm_modality_mix" -> (modalityMix _),
@@ -506,9 +575,21 @@ ORDER BY doc_id, frame_idx""",
     // FLOAT division then DOUBLE widen matches the kernel bit-for-bit.
     "mm_resize" -> resizeOracle,
 
+    // the binaryFile-sourced run must land the SAME rows: one oracle text
+    "mm_binaryfile_phash" -> phashOracle,
     // aHash twin over the shared resize chain: fixed-order grid mean,
     // one bit per above-mean cell, bucket stats by hash
-    "mm_phash_dedup" -> s"""WITH resized AS (
+    "mm_phash_dedup" -> phashOracle,
+
+    // The decode stub's 16-bin high-nibble byte histogram IS
+    // SQL-expressible over this pure-ASCII corpus: per-char unnest, bin by
+    // ascii//16, then float32 division widened to DOUBLE matches the
+    // kernel's float arithmetic bit-for-bit (counts < 2^24 stay exact in
+    // float32). The `text <> ''` guard exists because string_split('','')
+    // yields [''] (ascii 0) in DuckDB; no empty docs ship, but stay safe.
+    "mm_featurize" -> featurizeOracle)
+
+  private lazy val phashOracle: String = s"""WITH resized AS (
 $resizeOracle
 ),
 ph AS (
@@ -526,15 +607,7 @@ buckets AS (
 SELECT p.doc_id, p.media_type, p.phash, b.n_group,
        p.doc_id = b.keeper AS keep
 FROM ph p JOIN buckets b USING (phash)
-ORDER BY p.doc_id""",
-
-    // The decode stub's 16-bin high-nibble byte histogram IS
-    // SQL-expressible over this pure-ASCII corpus: per-char unnest, bin by
-    // ascii//16, then float32 division widened to DOUBLE matches the
-    // kernel's float arithmetic bit-for-bit (counts < 2^24 stay exact in
-    // float32). The `text <> ''` guard exists because string_split('','')
-    // yields [''] (ascii 0) in DuckDB; no empty docs ship, but stay safe.
-    "mm_featurize" -> featurizeOracle)
+ORDER BY p.doc_id"""
 
   private lazy val resizeOracle: String = ("""WITH chars AS (
   SELECT doc_id,

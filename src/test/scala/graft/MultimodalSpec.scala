@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("binaryFile landing reproduces the synthesized media table byte-for-byte") {
+    val fromFiles = Multimodal.mediaTableFromFiles(spark, sf)
+      .select($"doc_id", hex(md5($"media")).as("h"), length($"media").as("n"),
+        $"media_type")
+    val synthesized = Multimodal.mediaTable(spark, sf)
+      .select($"doc_id", hex(md5($"media")).as("h"), length($"media").as("n"),
+        $"media_type")
+    assert(fromFiles.count() === synthesized.count())
+    assert(fromFiles.exceptAll(synthesized).isEmpty &&
+        synthesized.exceptAll(fromFiles).isEmpty,
+      "every landed file must round-trip its payload and doc identity")
+    // and the source really is the binaryFile reader, not a parquet scan
+    val scans = Multimodal.mediaTableFromFiles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(scans.contains("binaryFile") || scans.contains("BinaryFile"),
+      s"expected a binaryFile relation in:\n${scans.take(600)}")
+  }
+
   test("decode kernel: histogram is L1-normalized over byte high-nibbles") {
     val bytes = Array[Byte](0x00, 0x10, 0x10, 0x7f, -1) // nibbles 0,1,1,7,15
     val out = Multimodal.decodeKernel(
