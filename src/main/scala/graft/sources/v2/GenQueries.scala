@@ -111,6 +111,40 @@ object GenQueries {
           .select($"rows".as("n_rows"), $"checksum")
       })
 
+  /** Second table size for the storage-partitioned join — a DIFFERENT row
+    * count on purpose: partition compatibility comes from the reported key
+    * values, not from equal data volumes.
+    */
+  val SpjRowsB = 300000L
+
+  /** Storage-partitioned join: both sides read `graft-gen` in key-grouped
+    * mode ([[GenSource]] `keyGrouped=true` — one input partition per
+    * residue class of `k`, reported as `KeyGroupedPartitioning`), so under
+    * `spark.sql.sources.v2.bucketing.enabled` BOTH per-key aggregates AND
+    * the join plan with ZERO shuffle exchanges: the DSv2 co-located join
+    * that Iceberg-style tables run at 100 TB, demonstrated end-to-end and
+    * hash-checked against DuckDB regenerating the same arithmetic. Runs on
+    * a child session (broadcast denied — the at-scale premise; config
+    * cannot leak). GenSourceSpec pins the zero-exchange plan.
+    */
+  def spjJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    import spark.implicits._
+    def keyed(n: Long) = spark.read.format("graft-gen")
+      .option("rows", n).option("keyGrouped", "true").load()
+    val a = keyed(Rows).groupBy($"k")
+      .agg(count(lit(1)).as("n_a"), sum($"v").as("sum_v"))
+    val b = keyed(SpjRowsB).groupBy($"k").agg(max($"v").as("max_v"))
+    a.join(b, "k")
+      .select($"k", $"n_a", $"sum_v", $"max_v")
+      .orderBy($"k")
+  }
+
   /** Complete aggregate pushdown: count/min/max over a filtered id range
     * answered from the scan bounds alone (one pre-aggregated row, zero
     * generated rows — GenSourceSpec proves it at a trillion rows). The
@@ -143,7 +177,8 @@ GROUP BY seg ORDER BY seg""")
     "src_gen_agg_pushdown" -> (genAggPushdown _),
     "src_gen_tvf" -> (genTvfRollup _),
     "stream_gen_ingest" -> (genStreamIngest _),
-    "src_v2sink_manifest" -> (auditSink _))
+    "src_v2sink_manifest" -> (auditSink _),
+    "src_gen_spj_join" -> (spjJoin _))
 
   import GenSource._
   private val genSql =
@@ -183,5 +218,17 @@ WHERE id >= $RangeLo AND id < $RangeHi""",
        sum(v)::BIGINT AS sum_v
 FROM $genSql g
 WHERE id % 2 = 0
-GROUP BY seg ORDER BY seg""")
+GROUP BY seg ORDER BY seg""",
+
+    "src_gen_spj_join" -> s"""WITH a AS (
+  SELECT range % $KMod AS k, count(*)::BIGINT AS n_a,
+         sum((range * $LehmerA) % $LehmerM)::BIGINT AS sum_v
+  FROM range($Rows) GROUP BY 1),
+b AS (
+  SELECT range % $KMod AS k,
+         max((range * $LehmerA) % $LehmerM)::BIGINT AS max_v
+  FROM range($SpjRowsB) GROUP BY 1)
+SELECT a.k, a.n_a, a.sum_v, b.max_v
+FROM a JOIN b USING (k)
+ORDER BY a.k""")
 }

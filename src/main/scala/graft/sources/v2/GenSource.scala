@@ -56,7 +56,8 @@ class GenSource extends TableProvider
       slices = Option(properties.get("slices")).map(_.toInt)
         .getOrElse(GenSource.DefaultSlices),
       rowsPerBatch = Option(properties.get("rowsPerBatch")).map(_.toLong)
-        .getOrElse(rows))
+        .getOrElse(rows),
+      keyGrouped = Option(properties.get("keyGrouped")).exists(_.toBoolean))
   }
 }
 
@@ -77,7 +78,8 @@ object GenSource {
     StructField("seg", StringType, nullable = false)))
 }
 
-private[graft] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
+private[graft] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long,
+    keyGrouped: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GenSource.schema
@@ -85,10 +87,11 @@ private[graft] class GenTable(rows: Long, slices: Int, rowsPerBatch: Long)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices, rowsPerBatch)
+    new GenScanBuilder(rows, slices, rowsPerBatch, keyGrouped)
 }
 
-private[graft] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
+private[graft] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
+    keyGrouped: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -113,6 +116,10 @@ private[graft] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
   private def handled(agg: Aggregation): Option[Seq[String]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    // a key-grouped scan's contract is its reported partitioning — a
+    // completely-pushed 1-row aggregate would contradict it; decline and
+    // let the (already co-partitioned) normal aggregate run
+    if (keyGrouped) return None
     if (agg.groupByExpressions.nonEmpty) return None
     val funcs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some("count")
@@ -186,14 +193,36 @@ private[graft] class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
 
   override def build(): Scan =
     new GenScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
-      rowsPerBatch, required, pushed, aggFuncs)
+      rowsPerBatch, required, pushed, aggFuncs, keyGrouped)
 }
 
 private[graft] class GenScan(lo: Long, hi: Long, slices: Int,
     rowsPerBatch: Long, required: StructType, pushed: Array[Filter],
-    aggFuncs: Seq[String] = Nil)
+    aggFuncs: Seq[String] = Nil, keyGrouped: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Storage-partitioned-join surface ([[SupportsReportPartitioning]]):
+    * with `keyGrouped=true` the scan plans ONE partition per residue class
+    * of `k` (each carrying its partition key via
+    * [[org.apache.spark.sql.connector.read.HasPartitionKey]]) and reports
+    * `KeyGroupedPartitioning(identity(k), KMod)`. Under
+    * `spark.sql.sources.v2.bucketing.enabled`, joins and aggregates keyed
+    * on `k` then plan with ZERO exchanges — the DSv2 analogue of bucketed
+    * tables, and the mechanism Iceberg/Delta use for co-located joins at
+    * 100 TB. GenSourceSpec pins both the plan and the row-for-row equality
+    * with the unpartitioned scan.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    if (keyGrouped && required.fieldNames.contains("k"))
+      new KeyGroupedPartitioning(Array(Expressions.identity("k")),
+        GenSource.KMod.toInt)
+    else new UnknownPartitioning(planInputPartitions().length)
+  }
 
   // runtime (DPP-style) filtering: a join against a filtered dim hands the
   // scan the dim's id set AFTER planning; the generator applies it EXACTLY
@@ -202,7 +231,12 @@ private[graft] class GenScan(lo: Long, hi: Long, slices: Int,
   private var idSet: Option[Array[Long]] = None
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    // advertise the runtime-filterable column ONLY while it survives column
+    // pruning: the PartitionPruning rule resolves these refs against the
+    // scan's (pruned) output and fails the query on a dangling name
+    if (required.fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case org.apache.spark.sql.sources.In("id", vs) =>
@@ -238,6 +272,13 @@ private[graft] class GenScan(lo: Long, hi: Long, slices: Int,
   // aggregation plans ONE partition emitting one row; a runtime id set
   // plans only the matching ids
   override def planInputPartitions(): Array[InputPartition] = {
+    // key-grouped mode: ALWAYS one partition per residue class (a stable
+    // count and value set is what makes two scans' partitionings
+    // compatible for the storage-partitioned join); runtime id-sets stay
+    // advisory here, and aggregate pushdown was declined upstream
+    if (keyGrouped)
+      return (0L until GenSource.KMod)
+        .map(k => GenKeyPartition(k, lo, hi): InputPartition).toArray
     if (aggFuncs.nonEmpty) return Array(GenPartition(lo, hi))
     idSet match {
       case Some(ids) =>
@@ -278,6 +319,15 @@ private[graft] case class GenPartition(start: Long, end: Long)
 /** Explicit id list from a runtime (join-driven) filter. */
 private[graft] case class GenSetPartition(ids: Array[Long])
     extends InputPartition
+
+/** One residue class of `k` — all ids in [lo, hi) with id % KMod == k —
+  * carrying its partition key for the storage-partitioned join.
+  */
+private[graft] case class GenKeyPartition(k: Long, lo: Long, hi: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(k)
+}
 
 /** Streaming offsets are row positions — trivially serializable, totally
   * ordered, replayable: re-planning any [start, end) range after a restart
@@ -372,6 +422,19 @@ private[graft] class GenReaderFactory(required: StructType)
         }
         new GenReader(longRange, required)
       case sp: GenSetPartition => new GenReader(sp.ids.iterator, required)
+      case kp: GenKeyPartition =>
+        // first id >= lo in the class, then stride by the modulus
+        val first = {
+          val r = ((kp.k - kp.lo) % GenSource.KMod + GenSource.KMod) %
+            GenSource.KMod
+          kp.lo + r
+        }
+        val strided = new Iterator[Long] {
+          private var c = first
+          override def hasNext: Boolean = c < kp.hi
+          override def next(): Long = { val r = c; c += GenSource.KMod; r }
+        }
+        new GenReader(strided, required)
     }
 }
 

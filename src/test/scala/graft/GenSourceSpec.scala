@@ -17,6 +17,33 @@ class GenSourceSpec extends SparkSpec {
     spark.read.format("graft-gen")
       .option("rows", rows).option("slices", slices).load()
 
+  test("key-grouped scan: same rows, key-pure partitions, SPJ plans zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // row equality with the plain scan — partition layout must not change data
+    val keyed = spark.read.format("graft-gen")
+      .option("rows", 1000L).option("keyGrouped", "true").load()
+    assert(keyed.exceptAll(gen(1000L)).isEmpty &&
+      gen(1000L).exceptAll(keyed).isEmpty)
+    // every physical partition holds exactly one k (the HasPartitionKey claim)
+    val purity = keyed.select($"k").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSet.size))
+      .collect()
+    assert(purity.forall(_ <= 1), s"mixed-key partition found: ${purity.toSeq}")
+    // the storage-partitioned join itself: both aggregates AND the join
+    // exchange-free on a bucketing-enabled child session
+    val df = GenQueries.spjJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === GenSource.KMod.toInt)
+    // the ONLY allowed exchange is the presentation orderBy's range
+    // partitioning — both per-key aggregates and the join itself must ride
+    // the reported KeyGroupedPartitioning with no hash exchange anywhere
+    val shuffles = collectAll(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1 && shuffles.forall(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"SPJ must not hash-exchange:\n${df.queryExecution.executedPlan}")
+  }
+
   test("generates the documented row function") {
     val rows = gen(rows = 200L).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
