@@ -91,7 +91,13 @@ class PropertySpec extends SparkSpec {
       // partition arrangement must produce the same aggregate
       "src_gen_pushdown", "src_gen_segments", "stream_gen_ingest",
       "src_v2sink_manifest", "agg_kmv_native", "obs_lineage_stream",
-      "src_gen_agg_pushdown", "src_gen_tvf")
+      "src_gen_agg_pushdown", "src_gen_tvf",
+      // round 9: the storage-partitioned join (key-grouped partitions are
+      // planner state, not data) and the transformWithState ledger (rows
+      // sorted by event_id inside the processor, all-integer output)
+      "src_gen_spj_join", "join_asof_skew_exec", "join_asof_skew_window",
+      "stream_tws_ledger", "mm_binaryfile_phash",
+      "wh_accumulating_snapshot_bucketed")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
