@@ -73,7 +73,8 @@ object SparkEntry {
       observability.QueryMetrics.all ++ observability.ColumnLineage.all ++
       observability.PlanFingerprint.all ++ warehouse.JoinAdvisor.all ++
       ingest.ForgetFlow.all ++ plans.AsOfJoinQueries.all ++
-      sources.v2.GenQueries.all ++ streaming.TransformWithState.all
+      sources.v2.GenQueries.all ++ streaming.TransformWithState.all ++
+      text.ChunkWindows.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -134,5 +135,6 @@ object SparkEntry {
       observability.QueryMetrics.oracle ++ observability.ColumnLineage.oracle ++
       observability.PlanFingerprint.oracle ++ warehouse.JoinAdvisor.oracle ++
       ingest.ForgetFlow.oracle ++ plans.AsOfJoinQueries.oracle ++
-      sources.v2.GenQueries.oracle ++ streaming.TransformWithState.oracle
+      sources.v2.GenQueries.oracle ++ streaming.TransformWithState.oracle ++
+      text.ChunkWindows.oracle
 }

@@ -52,6 +52,33 @@ object JsonOps {
       .orderBy($"event_type", $"k_band")
   }
 
+  /** VARIANT-typed extraction (Spark 4's semi-structured type): parse
+    * `props` once into the binary VARIANT encoding (`try_parse_json` —
+    * malformed/NULL degrade to NULL, never fail the scan), then typed-path
+    * reads via `variant_get`. Where [[jsonBandRollup]]'s `from_json` needs
+    * the schema declared up front, VARIANT keeps the full document in a
+    * shredding-friendly binary form: one parse at ingest, every later path
+    * read is a cheap binary traversal, and engines can push column
+    * shredding into storage (the Parquet variant spec) — the 100 TB story
+    * for "keep the raw payload AND query it like columns". The rollup per
+    * event_type carries presence count and the exact int64 envelope of
+    * `$.k`, hash-checked against DuckDB's JSON path reads.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        coalesce($"event_type", lit("(null)")).as("event_type"),
+        expr("variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count($"k").as("n_with_k"),
+        min($"k").as("k_min"),
+        max($"k").as("k_max"),
+        sum($"k").as("k_sum"))
+      .orderBy($"event_type")
+  }
+
   /** Key inventory over a MAP-parsed corpus: per key, how many events
     * carry it, what share of the corpus that is, how many of its values
     * parse as integers, and the numeric envelope (min/max/avg) over the
@@ -94,9 +121,23 @@ object JsonOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_json_band_rollup" -> (jsonBandRollup _),
     "etl_json_key_profile" -> (jsonKeyProfile _),
-    "etl_json_flatten" -> (jsonFlatten _))
+    "etl_json_flatten" -> (jsonFlatten _),
+    "etl_variant_extract" -> (variantExtract _))
 
   val oracle: Map[String, String] = Map(
+    "etl_variant_extract" -> """WITH ext AS (
+  SELECT coalesce(event_type, '(null)') AS event_type,
+         TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(k)::BIGINT AS n_with_k,
+       min(k)::BIGINT AS k_min,
+       max(k)::BIGINT AS k_max,
+       sum(k)::BIGINT AS k_sum
+FROM ext GROUP BY event_type
+ORDER BY event_type""",
+
     "etl_json_band_rollup" -> """WITH ext AS (
   SELECT event_type,
          TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k,

@@ -215,11 +215,15 @@ object StreamNearDedup {
     * StreamNearDedupSpec drives the same pipeline across TWO micro-batches
     * to prove checkpointed claims kill later-batch mirrors.
     */
+  private def basePath(spark: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-stream-neardedup/" +
+      s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
+  }
+
   def entry(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val base = s"${sys.props("java.io.tmpdir")}/graft-stream-neardedup/" +
-        s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
+      val base = basePath(spark, dir)
       feed(spark, dir).write.mode("overwrite").parquet(s"$base/src")
       IncrementalIngest.withStreamPartitions(spark) { ss =>
         nearDedup(ss, s"$base/src", s"$base/out", s"$base/ckpt")
@@ -228,8 +232,30 @@ object StreamNearDedup {
       ledger(spark.read.parquet(s"$base/out"))
     })
 
+  /** The claim state read BACK through Spark's state-store data source
+    * (`spark.read.format("statestore")`) — the operational window every
+    * stateful deployment needs: how many (band, bucket) claims does the
+    * checkpoint actually hold, per band? After the entry's single
+    * micro-batch, every distinct bucket in the feed holds exactly one
+    * claim, so the DuckDB twin recomputes the per-band DISTINCT bucket
+    * count from the shared signature pipeline — the internal state store's
+    * content is hash-verified against an independent engine, which also
+    * pins the store's row count = the bound the eviction scaladoc claims.
+    */
+  def stateInspect(spark: SparkSession, dir: String): DataFrame = {
+    entry(spark, dir) // the memoized run guarantees the checkpoint exists
+    spark.read.format("statestore")
+      .option("path", s"${basePath(spark, dir)}/ckpt")
+      .load()
+      .select(col("key._1").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("band"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_near_dedup" -> (entry _))
+    "stream_near_dedup" -> (entry _),
+    "stream_state_inspect" -> (stateInspect _))
 
   /** DuckDB twin, re-derived from the shared constants: feed → shingles →
     * 32-min signatures → 8 band buckets → first-claim by
@@ -247,7 +273,9 @@ object StreamNearDedup {
         .mkString(" || ',' || ")
       s"  SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    Map("stream_near_dedup" -> s"""WITH feed AS (
+    // shared CTE chain (feed → … → banded): the ledger oracle extends it
+    // with claims/verdict; the state-inspect oracle counts its buckets
+    val bandedCte = s"""WITH feed AS (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
   SELECT doc_id + $MirrorIdOffset, text || '$MirrorSuffix', lang
@@ -267,7 +295,16 @@ sigs AS (
          $sigCols
   FROM hashed GROUP BY doc_id),
 banded AS (
-$bandSelects),
+$bandSelects)"""
+    Map(
+      "stream_state_inspect" -> s"""$bandedCte
+SELECT band::INT AS band,
+       count(DISTINCT bucket)::BIGINT AS n_buckets
+FROM banded
+GROUP BY band
+ORDER BY band""",
+
+      "stream_near_dedup" -> s"""$bandedCte,
 claims AS (
   SELECT doc_id, band, bucket,
          row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) = 1

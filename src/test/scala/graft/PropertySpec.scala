@@ -97,7 +97,11 @@ class PropertySpec extends SparkSpec {
       // sorted by event_id inside the processor, all-integer output)
       "src_gen_spj_join", "join_asof_skew_exec", "join_asof_skew_window",
       "stream_tws_ledger", "mm_binaryfile_phash",
-      "wh_accumulating_snapshot_bucketed")
+      "wh_accumulating_snapshot_bucketed",
+      // variant extraction, state-store inspection, window chunking: all
+      // integer/md5 outputs over keyed aggregates
+      "etl_variant_extract", "stream_state_inspect",
+      "text_chunk_windows", "text_chunk_dedup")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
