@@ -179,7 +179,20 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof_skew ledger FAILED: ${e.getMessage}"); ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson,"sf":"$sfDir"}"""
+    // Price the storage-partitioned join: identical rollup+join with and
+    // without the connector's reported KeyGroupedPartitioning (broadcast
+    // denied on both) — the measured value of shipping partition keys.
+    val spjJson = try {
+      val (_, on) = observability.QueryMetrics.profile(
+        sources.v2.GenQueries.spjJoin(spark, sfDir))
+      val (_, off) = observability.QueryMetrics.profile(
+        sources.v2.GenQueries.spjJoinOff(spark, sfDir))
+      s""","spj":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
+        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] spj ledger FAILED: ${e.getMessage}"); ""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$spjJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":

@@ -145,6 +145,28 @@ object GenQueries {
       .orderBy($"k")
   }
 
+  /** [[spjJoin]]'s comparison partner for the Bench `spj` ledger: the
+    * identical rollup+join over PLAIN range-sliced scans (no key grouping,
+    * broadcast equally denied), so the two profiles price exactly the
+    * exchanges the reported partitioning removes.
+    */
+  def spjJoinOff(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    import spark.implicits._
+    def plain(n: Long) = spark.read.format("graft-gen")
+      .option("rows", n).load()
+    val a = plain(Rows).groupBy($"k")
+      .agg(count(lit(1)).as("n_a"), sum($"v").as("sum_v"))
+    val b = plain(SpjRowsB).groupBy($"k").agg(max($"v").as("max_v"))
+    a.join(b, "k")
+      .select($"k", $"n_a", $"sum_v", $"max_v")
+      .orderBy($"k")
+  }
+
   /** Complete aggregate pushdown: count/min/max over a filtered id range
     * answered from the scan bounds alone (one pre-aggregated row, zero
     * generated rows — GenSourceSpec proves it at a trillion rows). The

@@ -253,9 +253,33 @@ object StreamNearDedup {
       .orderBy(col("band"))
   }
 
+  /** The checkpoint's operator-metadata catalog
+    * (`spark.read.format("state-metadata")`) — the first question an
+    * on-call engineer asks of an unfamiliar checkpoint: which stateful
+    * operators does it hold, under how many state partitions, across which
+    * batch range? Every field is deterministic for the entry's single
+    * AvailableNow batch (operator 0 = flatMapGroupsWithState,
+    * [[IncrementalIngest.StreamShufflePartitions]] partitions, batch 0..0),
+    * so the oracle is a constant row — which is precisely the check: the
+    * checkpoint layout itself is pinned cross-engine.
+    */
+  def stateMetadata(spark: SparkSession, dir: String): DataFrame = {
+    entry(spark, dir)
+    spark.read.format("state-metadata")
+      .load(s"${basePath(spark, dir)}/ckpt")
+      .select(col("operatorId").cast("bigint").as("operator_id"),
+        col("operatorName").as("operator_name"),
+        col("stateStoreName").as("store_name"),
+        col("numPartitions").cast("bigint").as("n_partitions"),
+        col("minBatchId").cast("bigint").as("min_batch"),
+        col("maxBatchId").cast("bigint").as("max_batch"))
+      .orderBy(col("operator_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_near_dedup" -> (entry _),
-    "stream_state_inspect" -> (stateInspect _))
+    "stream_state_inspect" -> (stateInspect _),
+    "stream_state_metadata" -> (stateMetadata _))
 
   /** DuckDB twin, re-derived from the shared constants: feed → shingles →
     * 32-min signatures → 8 band buckets → first-claim by
@@ -297,6 +321,16 @@ sigs AS (
 banded AS (
 $bandSelects)"""
     Map(
+      // max_batch is 1, not 0: after the data batch advances the
+      // watermark, the engine runs one no-data batch to fire event-time
+      // timeouts — the checkpoint records both
+      "stream_state_metadata" -> s"""SELECT 0::BIGINT AS operator_id,
+       'flatMapGroupsWithState' AS operator_name,
+       'default' AS store_name,
+       ${IncrementalIngest.StreamShufflePartitions}::BIGINT AS n_partitions,
+       0::BIGINT AS min_batch,
+       1::BIGINT AS max_batch""",
+
       "stream_state_inspect" -> s"""$bandedCte
 SELECT band::INT AS band,
        count(DISTINCT bucket)::BIGINT AS n_buckets
