@@ -138,14 +138,159 @@ object TransformWithState {
           .orderBy($"event_id")
       })
 
+  // ───────────────────────── session timeout via TIMERS ────────────────
+
+  /** Inactivity gap that closes a session — ONE definition, both engines. */
+  val SessionGapMs: Long = 30L * 60L * 1000L
+
+  case class SessEvent(event_id: Long, user_id: Long, ms: Long)
+  case class SessOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, closed_by: String)
+  case class Sess(start: Long, last: Long, n: Long, timer: Long)
+
+  /** Event-time TIMERS driven end-to-end (`registerTimer` /
+    * `handleExpiredTimer` — the transformWithState feature
+    * `flatMapGroupsWithState` approximates with its single per-group
+    * timeout): per-user sessionization where gap-splits inside the data
+    * close sessions inline, and the LAST open session is closed by a
+    * timer that fires when the watermark passes `last activity + gap` —
+    * emission WITHOUT a triggering row, which no data-driven operator can
+    * express. A user whose final activity sits within one gap of the
+    * corpus watermark keeps an open (unemitted) session — exactly the
+    * streaming answer's difference from batch sessionization, and the
+    * DuckDB twin states it as a predicate.
+    */
+  class SessionTimeout extends StatefulProcessor[Long, SessEvent, SessOut] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[Sess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[Sess]("sess",
+        Encoders.product[Sess], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+        timers: TimerValues): Iterator[SessOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ms, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      var cur: Option[(Long, Long, Long)] =
+        if (sess.exists()) {
+          val s = sess.get()
+          getHandle.deleteTimer(s.timer) // superseded by this batch's data
+          Some((s.start, s.last, s.n))
+        } else None
+      sorted.foreach { e =>
+        cur = cur match {
+          case Some((st, last, n)) if e.ms - last > SessionGapMs =>
+            out += SessOut(user, st, last, n, "gap")
+            Some((e.ms, e.ms, 1L))
+          case Some((st, _, n)) => Some((st, e.ms, n + 1L))
+          case None => Some((e.ms, e.ms, 1L))
+        }
+      }
+      val (st, last, n) = cur.get
+      val expiry = last + SessionGapMs
+      getHandle.registerTimer(expiry)
+      sess.update(Sess(st, last, n, expiry))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] =
+      if (sess.exists() && sess.get().timer == info.getExpiryTimeInMs) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(SessOut(user, s.start, s.last, s.n, "timeout"))
+      } else Iterator.empty
+  }
+
+  def sessionTimeout(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"))
+      .parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+      .selectExpr("event_id", "user_id", "unix_millis(ts) AS ms", "ts")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .map { case (id, uid, ms, _) => SessEvent(id, uid, ms) }
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeout, TimeMode.EventTime(),
+        OutputMode.Append())
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private val sessMemo = new ConcurrentHashMap[String, DataFrame]()
+
+  def sessionEntry(spark: SparkSession, dir: String): DataFrame =
+    sessMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-stream-tws-sess/" +
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
+        import spark.implicits._
+        graft.Tables.events(spark, dir)
+          .filter($"user_id".isNotNull && $"ts".isNotNull)
+          .select($"event_id", $"user_id", $"ts")
+          .write.mode("overwrite").parquet(s"$base/src")
+        IncrementalIngest.withStreamPartitions(spark) { ss =>
+          sessionTimeout(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+            .awaitTermination()
+        }
+        spark.read.parquet(s"$base/out")
+          .select($"user_id", $"start_ms", $"end_ms", $"n_events",
+            $"closed_by")
+          .orderBy($"user_id", $"start_ms")
+      })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_tws_ledger" -> (entry _))
+    "stream_tws_ledger" -> (entry _),
+    "stream_tws_session_timeout" -> (sessionEntry _))
 
   /** DuckDB twin: the running ledger IS three windows over the closed
     * input — per-user row_number and running sum, per-(user, type)
     * row_number — all ordered by the same event_id the processor sorts by.
     */
   val oracle: Map[String, String] = Map(
+    // gaps-and-islands sessionization; the streaming difference is the
+    // WHERE clause — a user's LAST session only emits if its timer
+    // (end + gap) fired, i.e. lies strictly below the corpus watermark
+    "stream_tws_session_timeout" -> s"""WITH feed AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+mx AS (SELECT max(ms) AS wm FROM feed),
+brk AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+                                      ORDER BY ms, event_id)
+                   > $SessionGapMs THEN 1 ELSE 0 END AS b
+  FROM feed),
+sess AS (
+  SELECT user_id, ms,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM brk),
+agg AS (
+  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+         count(*)::BIGINT AS n_events
+  FROM sess GROUP BY 1, 2),
+lastsid AS (
+  SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+SELECT a.user_id, a.start_ms, a.end_ms, a.n_events,
+       CASE WHEN a.sid = l.last_sid THEN 'timeout' ELSE 'gap' END
+         AS closed_by
+FROM agg a JOIN lastsid l USING (user_id), mx
+WHERE a.sid < l.last_sid OR a.end_ms + $SessionGapMs < mx.wm
+ORDER BY a.user_id, a.start_ms""",
+
     "stream_tws_ledger" -> """WITH feed AS (
   SELECT event_id, user_id,
          coalesce(event_type, '(null)') AS event_type,

@@ -55,4 +55,38 @@ class TransformWithStateSpec extends SparkSpec {
         expected.exceptAll(twoRun).isEmpty,
       "checkpointed ValueState + MapState must continue counting across runs")
   }
+
+  test("checkpointed event-time timers fire in a LATER run") {
+    import java.sql.Timestamp
+    val gap = TransformWithState.SessionGapMs
+    val src = Files.createTempDirectory("tws-timer-src")
+    val out = Files.createTempDirectory("tws-timer-out").toString
+    val ckpt = Files.createTempDirectory("tws-timer-ckpt").toString
+    val t0 = 1700000000000L
+    def land(name: String, rows: Seq[(Long, Long, Timestamp)]): Unit =
+      rows.toDF("event_id", "user_id", "ts")
+        .write.mode("overwrite").parquet(src.resolve(name).toString)
+    def run(): Unit =
+      streaming.IncrementalIngest.withStreamPartitions(spark) { ss =>
+        TransformWithState.sessionTimeout(ss, src.toString + "/*", out, ckpt)
+          .awaitTermination()
+      }
+    // run 1: user 1 has a 2-event session; nothing can emit yet (the
+    // watermark sits at the session's own end)
+    land("b1", Seq((1L, 1L, new Timestamp(t0)),
+      (2L, 1L, new Timestamp(t0 + 60000L))))
+    run()
+    assert(spark.read.parquet(out).count() === 0,
+      "no timer can fire while the watermark sits at the session end")
+    // run 2: only ANOTHER user's activity arrives, far in the future —
+    // user 1's session must be emitted by its checkpointed TIMER, with no
+    // user-1 row in the batch
+    land("b2", Seq((3L, 2L, new Timestamp(t0 + 10 * gap))))
+    run()
+    val rows = spark.read.parquet(out)
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"closed_by")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(rows === Set((1L, t0, t0 + 60000L, 2L, "timeout")),
+      s"expected exactly user 1's timer-closed session, got $rows")
+  }
 }
