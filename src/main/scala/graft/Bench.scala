@@ -126,7 +126,12 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val suspicious = ok.filter { case (n, t) =>
       prior.get(n).exists(p => p > 0 && t > 3 * p && t > 1.0) }
-    val retime = (ok.sortBy(-_._2).take(5) ++ suspicious).distinct.take(12)
+    val candidates = (ok.sortBy(-_._2).take(5) ++ suspicious).distinct
+    val retime = candidates.take(12)
+    // no silent caps (repo rule): name anything the bound dropped
+    if (candidates.size > retime.size)
+      System.err.println(s"[bench] second_sample capped at 12; dropped: " +
+        candidates.drop(12).map(_._1).mkString(", "))
     val second = retime.map { case (name, _) =>
         val t0 = System.nanoTime()
         try {

@@ -136,8 +136,11 @@ j AS (
       .orderBy($"event_id")
   }
 
-  /** Modulus for the planted-skew key: users with `user_id % 5 < 4` (~80 %
-    * of rows) collapse onto ONE hot key. ONE definition, both engines.
+  /** Modulus for the planted-skew key: users whose floor-mod residue is
+    * below `SkewResidues - 1` (~80 % of rows) collapse onto ONE hot key.
+    * ONE definition, both engines — the oracle wraps DuckDB's truncated %
+    * into the same floor-mod as Spark's pmod, so a (hypothetical)
+    * negative user_id cannot split the two engines' key assignment.
     */
   val SkewResidues = 5L
 
@@ -216,7 +219,8 @@ j AS (
     * which is itself the equivalence the pair exists to price.
     */
   private val skewOracle = s"""WITH ev AS (
-  SELECT *, CASE WHEN user_id % $SkewResidues < ${SkewResidues - 1}
+  SELECT *, CASE WHEN ((user_id % $SkewResidues) + $SkewResidues)
+                      % $SkewResidues < ${SkewResidues - 1}
                  THEN 0 ELSE user_id END AS sk
   FROM events WHERE ts IS NOT NULL),
 clicks AS (

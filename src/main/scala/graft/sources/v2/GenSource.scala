@@ -221,7 +221,10 @@ private[graft] class GenScan(lo: Long, hi: Long, slices: Int,
     if (keyGrouped && required.fieldNames.contains("k"))
       new KeyGroupedPartitioning(Array(Expressions.identity("k")),
         GenSource.KMod.toInt)
-    else new UnknownPartitioning(planInputPartitions().length)
+    // the count is advisory for an unknown partitioning — do NOT call
+    // planInputPartitions() just to measure it (planning re-consults
+    // outputPartitioning, and a runtime id-set would re-chunk every time)
+    else new UnknownPartitioning(0)
   }
 
   // runtime (DPP-style) filtering: a join against a filtered dim hands the

@@ -81,29 +81,34 @@ object StreamNearDedup {
       ts: java.sql.Timestamp)
   case class BandVerdict(doc_id: Long, lang: String, band: Int, fresh: Boolean)
 
-  /** First-claim state function: a (band, bucket) group's state is "has
-    * this bucket been claimed within the horizon". Within a batch the
-    * min-doc_id row is the claimant (deterministic); across batches the
-    * checkpointed state wins. Every invocation with data refreshes the
-    * claim's event-time timeout to (newest hit + horizon); when the
-    * watermark passes a claim's timeout the group is invoked with
-    * `hasTimedOut` and the claim is REMOVED — a later re-delivery of the
-    * same content claims the bucket afresh. Emits one verdict row per
-    * (doc, band).
+  /** First-claim state function: a (band, bucket) group's state is the
+    * NEWEST event time at which the bucket was hit (its existence = "the
+    * bucket is claimed"). Within a batch the min-doc_id row is the
+    * claimant (deterministic); across batches the checkpointed state wins.
+    * Every invocation with data refreshes the claim's event-time timeout
+    * to (max-seen hit + horizon) — max over ALL batches, not just this
+    * one, so an out-of-order (non-late) re-delivery can never move the
+    * expiry BACKWARD below a newer hit's horizon. When the watermark
+    * passes the timeout the group is invoked with `hasTimedOut` and the
+    * claim is REMOVED — a later re-delivery of the same content claims
+    * the bucket afresh. Emits one verdict row per (doc, band).
     */
   private def claim(horizonMs: Long)(key: (Int, String),
       rows: Iterator[BandRow],
-      state: GroupState[Boolean]): Iterator[BandVerdict] = {
+      state: GroupState[Long]): Iterator[BandVerdict] = {
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
       val sorted = rows.toArray.sortBy(_.doc_id)
-      val alreadyClaimed = state.exists && state.get
-      state.update(true)
-      // watermark-filtered input guarantees maxTs >= watermark, so the
+      val alreadyClaimed = state.exists
+      val batchMax = sorted.map(_.ts.getTime).max
+      val maxSeen =
+        if (alreadyClaimed) math.max(state.get, batchMax) else batchMax
+      state.update(maxSeen)
+      // watermark-filtered input guarantees batchMax >= watermark, so the
       // timeout is always legally in the watermark's future
-      state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + horizonMs)
+      state.setTimeoutTimestamp(maxSeen + horizonMs)
       sorted.iterator.zipWithIndex.map { case (r, i) =>
         BandVerdict(r.doc_id, r.lang, r.band, !alreadyClaimed && i == 0)
       }

@@ -30,9 +30,13 @@ import java.util.concurrent.ConcurrentHashMap
   * Determinism: rows within a micro-batch are processed in `event_id`
   * order inside the processor, so (seq_no, cum_v, type_seen) equal the
   * batch window functions `row_number()/sum() OVER (... ORDER BY
-  * event_id)` no matter how files split into batches —
-  * TransformWithStateSpec proves the two-batch run equals the one-batch
-  * run equals the oracle.
+  * event_id)` PROVIDED arrival is id-monotone per user across batches —
+  * a later batch must not deliver a lower event_id than one already
+  * processed (TimeMode.None has no late filter to enforce it; an
+  * id-ordered feed like this entry's single landing, or the spec's
+  * ordered split, satisfies it; an out-of-order producer would need an
+  * event-time mode instead). TransformWithStateSpec proves the ordered
+  * two-batch run equals the one-batch run equals the oracle.
   */
 object TransformWithState {
 

@@ -4,32 +4,38 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Overlapping token-window chunking — the RAG/embedding-ingest shape:
-  * every document becomes fixed-width token windows ([[ChunkTokens]] wide,
-  * [[ChunkStride]] apart, so consecutive chunks overlap by
-  * `ChunkTokens - ChunkStride` tokens and no boundary sentence is lost),
-  * each with a stable content hash for downstream dedup / index keys.
+/** MINIMAL-COVER window chunking + per-chunk dedup ledger — the
+  * embedding-spend planner beside [[TextAnalysis]]'s chunk family (SAME
+  * geometry, [[TextAnalysis.ChunkW]]/[[TextAnalysis.ChunkS]] — one
+  * definition for the whole repo):
   *
-  * Where [[graft.dedup.CdcChunks]] cuts content-defined variable chunks
-  * (dedup against shifted bytes), these windows are POSITION-defined —
-  * the unit an embedding model actually consumes — and the companion
-  * query dedups repeated windows (boilerplate headers/footers syndicated
-  * across documents) by exact hash before any embedding spend.
+  *  - [[TextAnalysis.chunkWindows]] (`text_chunk_windows`) is the
+  *    INVENTORY: a window starts every S tokens up to the last token, so
+  *    trailing sub-windows repeat already-covered text;
+  *  - this module's `text_chunk_cover` emits the minimal covering set —
+  *    chunking STOPS at the first window that reaches the document end
+  *    (`1 + ceil(max(n - W, 0) / S)` windows, only the last may run
+  *    short), which at 100 TB is ~W/S× fewer chunks to embed for the same
+  *    token coverage (ChunkWindowsSpec pins coverage + the count formula);
+  *  - [[TextAnalysis.repeatedChunks]] (`text_repeated_chunks`) REPORTS
+  *    hash groups repeated across documents; `text_chunk_dedup` here is
+  *    the per-chunk KEEP LEDGER over the cover set (keeper = first
+  *    (doc, idx), flag not filter) — the row-level verdict an embedding
+  *    pipeline actually joins against before spending.
+  *
+  * [[graft.dedup.CdcChunks]] differs on the other axis: content-defined
+  * variable cuts (dedup robust to byte shifts) vs these position-defined
+  * model-consumption windows.
   *
   * Scale shape: chunking is one map-side HOF pass (`sequence` →
   * `transform`/`slice` inside codegen — no explode-then-window, no
-  * shuffle); the dedup shuffles 16-byte hashes, never text. Chunk count
-  * per doc is `1 + ceil(max(n - W, 0) / S)` — the LAST window is allowed
-  * to run short instead of padding, so token mass is conserved
-  * (ChunkWindowsSpec pins both properties).
+  * shuffle); the dedup shuffles 16-byte hashes, never text.
   */
 object ChunkWindows {
 
-  /** Window width (tokens) — ONE definition, both engines. */
-  val ChunkTokens = 64
-
-  /** Window stride (tokens): overlap = ChunkTokens − ChunkStride. */
-  val ChunkStride = 48
+  /** Shared geometry — aliases of the repo-wide definition. */
+  val ChunkTokens: Int = TextAnalysis.ChunkW
+  val ChunkStride: Int = TextAnalysis.ChunkS
 
   private def chunked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -78,7 +84,7 @@ object ChunkWindows {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_chunk_windows" -> (chunkWindows _),
+    "text_chunk_cover" -> (chunkWindows _),
     "text_chunk_dedup" -> (chunkDedup _))
 
   private def chunkCte: String = {
@@ -98,7 +104,7 @@ chunks AS (
   }
 
   val oracle: Map[String, String] = Map(
-    "text_chunk_windows" -> s"""$chunkCte
+    "text_chunk_cover" -> s"""$chunkCte
 SELECT doc_id, chunk_idx, start_tok,
        len(chunk)::INT AS n_tokens,
        md5(array_to_string(chunk, ' ')) AS chunk_hash

@@ -101,7 +101,7 @@ class PropertySpec extends SparkSpec {
       // variant extraction, state-store inspection, window chunking: all
       // integer/md5 outputs over keyed aggregates
       "etl_variant_extract", "stream_state_inspect",
-      "stream_state_metadata", "text_chunk_windows", "text_chunk_dedup",
+      "stream_state_metadata", "text_chunk_cover", "text_chunk_dedup",
       "stream_tws_session_timeout")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -45,6 +45,21 @@ class RegistryGuardSpec extends AnyFunSuite {
         orphans.mkString("\n  "))
   }
 
+  test("no two modules declare the same query name (++ replaces silently)") {
+    // the r9 near-miss: a new module declared "text_chunk_windows", which
+    // TextAnalysis already owned — SparkEntry's `++` silently replaced the
+    // original query AND its oracle, stripping its gate coverage while the
+    // subset checks above stayed green. A name must have exactly one owner.
+    val owners = Registry.modules
+      .flatMap(m => m.queries.map(_ -> m.simpleName))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val dups = owners.filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"DUPLICATE QUERY NAMES across modules:\n  " +
+        dups.map { case (q, ms) => s"$q <- ${ms.mkString(", ")}" }
+          .mkString("\n  "))
+  }
+
   test("every module's `oracle` map is registered in SparkEntry.oracleSql") {
     val registered = SparkEntry.oracleSql.keySet
     val orphans = Registry.modules.flatMap { m =>
