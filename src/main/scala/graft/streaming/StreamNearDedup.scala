@@ -157,17 +157,19 @@ object StreamNearDedup {
     */
   def nearDedup(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String,
-      horizonMs: Long = DefaultClaimHorizonMs): StreamingQuery = {
+      horizonMs: Long = DefaultClaimHorizonMs,
+      watermarkDelay: String = "0 seconds"): StreamingQuery = {
     import spark.implicits._
     val docs = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, lang STRING, ts TIMESTAMP"))
       .parquet(srcDir)
       .filter(col("ts").isNotNull)
-      // zero-delay watermark: claims expire as soon as observed event time
-      // passes them; a production feed with out-of-order arrival would set
-      // its lateness tolerance here
-      .withWatermark("ts", "0 seconds")
+      // zero-delay watermark by default: claims expire as soon as observed
+      // event time passes them; a feed with out-of-order arrival sets its
+      // lateness tolerance here (which is also what makes the max-seen
+      // timeout discipline in [[claim]] observable — see the rewind spec)
+      .withWatermark("ts", watermarkDelay)
     banded(docs)
       .as[BandRow]
       .groupByKey(r => (r.band, r.bucket))

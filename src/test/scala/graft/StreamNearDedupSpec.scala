@@ -98,6 +98,59 @@ class StreamNearDedupSpec extends SparkSpec {
       "checkpointed bucket claims must carry across runs")
   }
 
+  test("an out-of-order redelivery cannot rewind a claim's expiry") {
+    // the r9 review scenario: under a lateness tolerance, a batch can
+    // legally deliver a claim hit OLDER than the stored one; a timeout set
+    // from the BATCH max would rewind the expiry below the newest hit's
+    // horizon and evict early — the max-seen discipline must hold it
+    import java.sql.Timestamp
+    val src = Files.createTempDirectory("neardedup-rewind-src")
+    val (out, ckpt) = (tmp("neardedup-rewind-out"), tmp("neardedup-rewind-ckpt"))
+    val horizonMs = 3600L * 1000L // 1 h claim horizon
+    val t0 = StreamNearDedup.FeedEpochSec * 1000L
+    val m = 60000L
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    def land(name: String, rows: Seq[(Long, String, String, Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "ts")
+        .write.mode("overwrite").parquet(src.resolve(name).toString)
+    def run(): Unit =
+      streaming.IncrementalIngest.withStreamPartitions(spark) { ss =>
+        StreamNearDedup.nearDedup(ss, src.toString + "/*", out, ckpt,
+          horizonMs, watermarkDelay = "30 minutes").awaitTermination()
+      }
+    // b1: A claims at t0+50m → stored max 50m, expiry t0+110m; wm → t0+20m
+    land("b1", Seq((1L, textA, "en", new Timestamp(t0 + 50 * m))))
+    run()
+    // b2: an out-of-order mirror at t0+25m (>= wm t0+20m — legal under the
+    // 30m tolerance — but BELOW the stored 50m hit: the rewind bait; a
+    // batch-max timeout would set expiry t0+85m) + a clock at t0+130m
+    // (wm → t0+100m, between the rewound and the kept expiry)
+    land("b2", Seq((2L, textA, "en", new Timestamp(t0 + 25 * m)),
+      (3L, "one two three four five six seven", "en",
+        new Timestamp(t0 + 130 * m))))
+    run()
+    // b3: clock only — no data for A's buckets; a rewound expiry (t0+85m)
+    // would time out against wm t0+100m HERE and free the claim; the kept
+    // expiry (t0+110m) must survive. wm → t0+105m
+    land("b3", Seq((4L, "six seven eight nine ten eleven", "en",
+      new Timestamp(t0 + 135 * m))))
+    run()
+    // b4: redelivery at t0+106m (>= wm, inside the kept horizon): the
+    // claim must still be alive and drop it
+    land("b4", Seq((9L, textA, "en", new Timestamp(t0 + 106 * m))))
+    run()
+    val keep = spark.read.parquet(out)
+      .groupBy($"doc_id")
+      .agg(min(when($"fresh", 1).otherwise(0)).as("keep"))
+      .as[(Long, Int)].collect().toMap
+    assert(keep(1L) == 1)
+    assert(keep(2L) == 0, "the out-of-order mirror finds the claim alive")
+    assert(keep(3L) == 1 && keep(4L) == 1, "clock docs are novel")
+    assert(keep(9L) == 0,
+      "an in-horizon redelivery must still be dropped: an expiry rewound " +
+        "to the out-of-order hit's horizon would have evicted the claim")
+  }
+
   test("claims expire with event time: in-horizon mirror dropped, " +
       "past-horizon redelivery kept, state bounded by the recent window") {
     import java.sql.Timestamp
