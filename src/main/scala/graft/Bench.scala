@@ -184,6 +184,20 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof_skew ledger FAILED: ${e.getMessage}"); ""
     }
+    // Price the multi-grain re-roll rule: the same ROLLUP with aggregation
+    // below vs above the Expand — the G× input-replication saving. At
+    // sf0.1 the absolute delta is modest (the Expand feeds 3×150k rows);
+    // the shuffle-bytes ratio is the part that scales with the corpus.
+    val rerollJson = try {
+      val (_, on) = observability.QueryMetrics.profile(
+        plans.RerollQueries.rollupReroll(spark, sfDir))
+      val (_, off) = observability.QueryMetrics.profile(
+        analytics.GroupingSets.rollupMonthly(spark, sfDir))
+      s""","reroll":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
+        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] reroll ledger FAILED: ${e.getMessage}"); ""
+    }
     // Price the storage-partitioned join: identical rollup+join with and
     // without the connector's reported KeyGroupedPartitioning (broadcast
     // denied on both) — the measured value of shipping partition keys.
@@ -197,7 +211,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spj ledger FAILED: ${e.getMessage}"); ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$spjJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$spjJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ... and the node's own filter-pushdown rule (custom operators owe
     // the optimizer the rewrites it cannot infer)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    // multi-grain re-roll: aggregate once below the Expand (session opt-in
+    // via its EnabledKey — a cost-based choice the rule can't make alone)
+    ext.injectOptimizerRule(_ => graft.plans.RerollExpandAggregate)
     // table-valued function surface: SELECT ... FROM graft_gen(n)
     ext.injectTableFunction(graft.sources.v2.GenTvf.Info)
   }

@@ -74,7 +74,9 @@ object SparkEntry {
       observability.PlanFingerprint.all ++ warehouse.JoinAdvisor.all ++
       ingest.ForgetFlow.all ++ plans.AsOfJoinQueries.all ++
       sources.v2.GenQueries.all ++ streaming.TransformWithState.all ++
-      text.ChunkWindows.all
+      text.ChunkWindows.all ++ analytics.GroupingSets.all ++
+      analytics.OlsRegression.all ++ dedup.FuzzyJoin.all ++
+      plans.RerollQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -136,5 +138,7 @@ object SparkEntry {
       observability.PlanFingerprint.oracle ++ warehouse.JoinAdvisor.oracle ++
       ingest.ForgetFlow.oracle ++ plans.AsOfJoinQueries.oracle ++
       sources.v2.GenQueries.oracle ++ streaming.TransformWithState.oracle ++
-      text.ChunkWindows.oracle
+      text.ChunkWindows.oracle ++ analytics.GroupingSets.oracle ++
+      analytics.OlsRegression.oracle ++ dedup.FuzzyJoin.oracle ++
+      plans.RerollQueries.oracle
 }

@@ -1,0 +1,277 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Multi-grain aggregate re-roll: push the aggregation BELOW the Expand.
+  *
+  * Spark plans ROLLUP / CUBE / GROUPING SETS (SURVEY §2.6 A10's subtotal
+  * grains; `sql/03_warehouse.sql:115-156` materializes each grain as its
+  * own view instead) as `Aggregate(keys + gid, aggs, Expand(child))`: the
+  * Expand replicates EVERY input row once per grouping set, so a G-set
+  * rollup feeds G·|input| rows into the partial aggregate. The partial
+  * aggregate dedups that before the shuffle, but at 100 TB the G× row
+  * replication is real work on the corpus scan path.
+  *
+  * The classic rewrite ([[graft.analytics.GroupingSets.rollupHierarchical]]
+  * proves it by hand, hash-checked against the same DuckDB ROLLUP oracle)
+  * aggregates ONCE at the finest grain and re-rolls the tiny leaf result.
+  * This rule automates exactly that, preserving plan shape and every
+  * output `exprId`:
+  *
+  * {{{
+  *   Aggregate(keys :+ gid, aggs, Expand(proj, out, child))
+  *   ==>
+  *   Aggregate(keys :+ gid, merge(aggs),
+  *     Expand(proj', out', Aggregate(leafKeys, partial(aggs), child)))
+  * }}}
+  *
+  * The Expand now replicates `|leaf groups|` pre-aggregated rows instead of
+  * `|input|` raw rows — the corpus is touched exactly once, structurally
+  * (one Expand, one child; no union, so no reliance on exchange reuse).
+  *
+  * Soundness conditions (all checked; any miss leaves the plan untouched):
+  *
+  *  1. Every grouping expression is an `Expand`-output attribute whose
+  *     per-projection cells are each either a null literal, a non-null
+  *     literal (the `spark_grouping_id` column), or one consistent
+  *     deterministic expression (the masked grouping value). Mixing a
+  *     non-null literal with a computed cell in one column bails.
+  *  2. Every aggregate is a non-distinct, unfiltered, deterministic
+  *     Sum / Count / Min / Max — the self-decomposable functions where
+  *     `F(A ⊎ B) = merge(F(A), F(B))` (count merges by Sum). Average,
+  *     First/Last, distinct aggregates, and FILTER clauses bail (so the
+  *     Expand that `RewriteDistinctAggregates` builds — whose aggregate
+  *     inputs are masked per projection — can never match).
+  *  3. Aggregate INPUTS pass through the Expand unmasked: identical,
+  *     deterministic, never-null-literal cells in every projection.
+  *
+  * Correctness corners the shape gets for free (RerollSpec pins each):
+  *  - EMPTY input: the outer Aggregate still groups by `keys :+ gid`, so
+  *    empty in → zero rows out, exactly like the original (a union-of-
+  *    re-aggregates rewrite gets this wrong: its grand-total branch is a
+  *    global aggregate that returns one row on empty input).
+  *  - DUPLICATE grouping sets (`GROUPING SETS ((a),(a))` — legal SQL):
+  *    both projections land the SAME group key, so the outer aggregate
+  *    merges the leaf rows twice — precisely the double-count the original
+  *    Expand form produces.
+  *  - Natural NULL group values: grouped at the leaf like any value and
+  *    re-grouped identically above; the gid column (untouched literals)
+  *    keeps them distinguishable from masked-out nulls.
+  *
+  * Decimal sums widen per aggregation level (`sum(DECIMAL(14,2))` →
+  * `(24,2)`, re-summed → `(34,2)`): the merged aggregate is cast back to
+  * the original result type, which cannot overflow because its value IS
+  * the original sum. Floating-point sums re-associate — the same latitude
+  * Spark's own partial aggregation already takes.
+  *
+  * The rewrite is a COST-BASED win (leaf-grain cardinality must be far
+  * below the input row count — true of every calendar/category rollup, not
+  * of a rollup keyed by a near-unique column), and logical rules see no
+  * cardinalities, so it ships OFF and is enabled per session via
+  * [[EnabledKey]] — the cube-query analog of choosing bucketing. The
+  * `_reroll_` alias prefix on leaf columns is the fixed-point guard: a plan
+  * this rule already rewrote never matches again.
+  */
+object RerollExpandAggregate extends Rule[LogicalPlan] {
+
+  /** Session opt-in (default OFF — see the cost note above). */
+  val EnabledKey = "spark.sql.graft.rollupReroll.enabled"
+
+  /** Leaf-column marker; doubles as the already-rewritten guard. */
+  private val Tag = "_reroll_"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, _, expand: Expand, _)
+          if !expand.output.exists(_.name.startsWith(Tag)) =>
+        reroll(agg, expand).getOrElse(agg)
+    }
+
+  private def isNullLit(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case _                => false
+  }
+
+  private def reroll(agg: Aggregate, expand: Expand): Option[LogicalPlan] = {
+    val out = expand.output
+    val projections = expand.projections
+    val G = projections.size
+    if (G < 2) return None
+    val pos: Map[Long, Int] =
+      out.map(_.exprId.id).zipWithIndex.toMap
+
+    // -- condition 1: classify every grouping attribute ------------------
+    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.map {
+      case a: Attribute if pos.contains(a.exprId.id) => a
+      case _ => return None
+    }
+    if (groupAttrs.map(_.exprId).distinct.size != groupAttrs.size) return None
+    def cell(i: Int, a: Attribute): Expression = projections(i)(pos(a.exprId.id))
+
+    // base expression of a maskable grouping column (None for the literal
+    // gid column, whose cells all stay verbatim in the new projections)
+    val base: Map[Long, Expression] = groupAttrs.flatMap { a =>
+      val cells = (0 until G).map(cell(_, a))
+      val computed = cells.filter(c => !c.foldable)
+      if (computed.isEmpty) None // all-literal column (gid): passes through
+      else {
+        // computed cells must be ONE consistent deterministic expression,
+        // and the remaining cells must all be null literals (the mask)
+        if (!computed.forall(c =>
+            c.deterministic && c.semanticEquals(computed.head))) return None
+        if (!cells.forall(c => !c.foldable || isNullLit(c))) return None
+        Some(a.exprId.id -> computed.head)
+      }
+    }.toMap
+
+    // -- condition 2 + 3: decomposable aggregates over pass-through inputs
+    val aggExpressions = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggExpressions.isEmpty) return None
+    for (ae <- aggExpressions) {
+      if (ae.isDistinct || ae.filter.isDefined || !ae.deterministic) return None
+      ae.aggregateFunction match {
+        case _: Sum | _: Count | _: Min | _: Max => ()
+        case _                                   => return None
+      }
+    }
+    // outside aggregate functions, the result expressions may reference
+    // grouping columns ONLY (anything else has no well-defined value here)
+    val groupSet = AttributeSet(groupAttrs)
+    val outsideRefs = agg.aggregateExpressions
+      .map(_.transform { case _: AggregateExpression => Literal(0) })
+      .flatMap(_.references)
+      .filterNot(groupSet.contains)
+    if (outsideRefs.nonEmpty) return None
+
+    // an aggregate-input attribute passes through iff its cell is the same
+    // non-foldable deterministic expression in EVERY projection
+    def passThrough(a: Attribute): Option[Expression] =
+      pos.get(a.exprId.id).flatMap { j =>
+        val cells = projections.map(_(j))
+        if (cells.forall(c => !c.foldable && c.deterministic &&
+            c.semanticEquals(cells.head))) Some(cells.head)
+        else None
+      }
+    def substituted(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transformUp {
+        case a: Attribute =>
+          passThrough(a) match {
+            case Some(b) => b
+            case None    => ok = false; a
+          }
+      }
+      if (ok) Some(r) else None
+    }
+
+    // -- build the leaf (finest-grain) aggregate over expand.child -------
+    // keys: the distinct base expressions
+    val leafKeyPairs: Seq[(Expression, NamedExpression)] = {
+      val acc = scala.collection.mutable.ArrayBuffer[(Expression, NamedExpression)]()
+      base.values.foreach { b =>
+        if (!acc.exists(_._1.semanticEquals(b))) {
+          val named = b match {
+            case a: Attribute => a
+            case e            => Alias(e, s"${Tag}k${acc.size}")()
+          }
+          acc += ((b, named))
+        }
+      }
+      acc.toSeq
+    }
+    // an all-literal grouping (no real key) would turn the leaf into a
+    // GLOBAL aggregate — which emits one row on empty input where the
+    // original emits none. No realistic rollup hits this; refuse.
+    if (leafKeyPairs.isEmpty) return None
+    def leafKeyAttrFor(b: Expression): Attribute =
+      leafKeyPairs.find(_._1.semanticEquals(b)).get._2.toAttribute
+
+    // partials: one per distinct aggregate expression
+    val leafAggPairs: Seq[(AggregateExpression, NamedExpression)] = {
+      val acc = scala.collection.mutable.ArrayBuffer[(AggregateExpression, NamedExpression)]()
+      aggExpressions.foreach { ae =>
+        if (!acc.exists(_._1.semanticEquals(ae))) {
+          val partialFn = ae.aggregateFunction match {
+            case s: Sum   => substituted(s.child).map(c => s.copy(child = c))
+            case c: Count => {
+              val subs = c.children.map(substituted)
+              if (subs.forall(_.isDefined)) Some(Count(subs.map(_.get)))
+              else None
+            }
+            case m: Min => substituted(m.child).map(c => m.copy(child = c))
+            case m: Max => substituted(m.child).map(c => m.copy(child = c))
+            case _      => None
+          }
+          partialFn match {
+            case Some(fn) =>
+              val partial = AggregateExpression(fn, ae.mode, isDistinct = false, None)
+              acc += ((ae, Alias(partial, s"${Tag}a${acc.size}")()))
+            case None => return None
+          }
+        }
+      }
+      acc.toSeq
+    }
+    val leaf = Aggregate(
+      leafKeyPairs.map(_._1),
+      (leafKeyPairs.map(_._2) ++ leafAggPairs.map(_._2)),
+      expand.child, None)
+    val leafAggAttrs: Seq[Attribute] = leafAggPairs.map(_._2.toAttribute)
+
+    // -- the new Expand: G projections over the leaf ---------------------
+    // grouping columns keep the ORIGINAL expand-output attributes (so the
+    // outer Aggregate's groupings and result references resolve unchanged);
+    // the leaf partials ride through on their own attributes
+    val newProjections: Seq[Seq[Expression]] = (0 until G).map { i =>
+      groupAttrs.map { a =>
+        val c = cell(i, a)
+        if (c.foldable) c else leafKeyAttrFor(base(a.exprId.id))
+      } ++ leafAggAttrs
+    }
+    val newOutput: Seq[Attribute] = groupAttrs ++ leafAggAttrs
+    val newExpand = Expand(newProjections, newOutput, leaf)
+
+    // -- merge layer: swap each aggregate for its combiner ---------------
+    def merged(ae: AggregateExpression): Expression = {
+      val partialAttr = leafAggPairs.find(_._1.semanticEquals(ae)).get._2.toAttribute
+      val mergeFn = ae.aggregateFunction match {
+        case s: Sum   => s.copy(child = partialAttr)
+        case _: Count => Sum(partialAttr) // counts merge by summation
+        case m: Min   => m.copy(child = partialAttr)
+        case m: Max   => m.copy(child = partialAttr)
+        case other    => other // unreachable: filtered above
+      }
+      val e: Expression = AggregateExpression(mergeFn, ae.mode, isDistinct = false, None)
+      // re-summed sums widen (DECIMAL) — restore the original result type
+      if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+    }
+    val newResultExprs = agg.aggregateExpressions.map(_.transformUp {
+      case ae: AggregateExpression => merged(ae)
+    }.asInstanceOf[NamedExpression])
+
+    val rewritten = Aggregate(
+      agg.groupingExpressions, newResultExprs, newExpand, agg.hint)
+    // exprId/type preservation is the contract with every parent operator —
+    // if anything shifted, refuse rather than corrupt the plan
+    if (rewritten.output.map(a => (a.exprId, a.dataType)) !=
+        agg.output.map(a => (a.exprId, a.dataType))) return None
+    Some(rewritten)
+  }
+
+  /** Idempotently add the rule to a session's user-provided optimizer batch
+    * (same no-configuration path as [[EliminateRedundantLeftJoin.install]];
+    * the rule still only fires once [[EnabledKey]] is set to true).
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+}

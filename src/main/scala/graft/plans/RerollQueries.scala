@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.analytics.GroupingSets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing proof queries for [[RerollExpandAggregate]].
+  *
+  * Each runs one of the [[graft.analytics.GroupingSets]] multi-grain
+  * pipelines in a CHILD session with the re-roll rule installed and
+  * enabled, and verifies against the SAME DuckDB oracle text as the
+  * un-rewritten twin — identical results, different plan, which is the
+  * point: the oracle hash match is an end-to-end soundness proof of the
+  * rewrite over real data, while the registered pair (`agg_rollup_monthly`
+  * vs `opt_rollup_reroll`, etc.) prices it in every bench run.
+  *
+  *  - `opt_rollup_reroll`  — ROLLUP(yr, mo), G=3
+  *  - `opt_cube_reroll`    — CUBE(c_mktsegment, o_orderstatus) over the
+  *    fact⋈dim broadcast join, G=4 (the leaf grain is the finest cube cell)
+  *  - `opt_sets_reroll`    — GROUPING SETS ((yr), (o_orderpriority), ()),
+  *    disjoint grains re-rolled from their common refinement
+  *
+  * The child session keeps the rule's [[RerollExpandAggregate.EnabledKey]]
+  * opt-in out of the shared driver session, so every other multi-grain
+  * query still plans through the stock Expand path (RerollSpec gates both
+  * plan shapes).
+  */
+object RerollQueries {
+
+  private def withRule(spark0: SparkSession): SparkSession = {
+    val spark = spark0.newSession()
+    RerollExpandAggregate.install(spark)
+    spark.conf.set(RerollExpandAggregate.EnabledKey, "true")
+    spark
+  }
+
+  def rollupReroll(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.rollupMonthly(withRule(spark0), dir)
+
+  def cubeReroll(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.cubeSegmentStatus(withRule(spark0), dir)
+
+  def setsReroll(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.setsPriority(withRule(spark0), dir)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "opt_rollup_reroll" -> (rollupReroll _),
+    "opt_cube_reroll" -> (cubeReroll _),
+    "opt_sets_reroll" -> (setsReroll _))
+
+  /** Same oracle text as the un-rewritten twins, verbatim. */
+  val oracle: Map[String, String] = Map(
+    "opt_rollup_reroll" -> GroupingSets.oracle("agg_rollup_monthly"),
+    "opt_cube_reroll" -> GroupingSets.oracle("agg_cube_segment_status"),
+    "opt_sets_reroll" -> GroupingSets.oracle("agg_sets_priority"))
+}

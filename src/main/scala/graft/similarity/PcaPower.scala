@@ -82,12 +82,23 @@ object PcaPower {
     * doubles of state.
     */
   private def memoRow(spark: SparkSession, key: String,
-      mk: => DataFrame): DataFrame =
-    rowMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$key", { _ =>
+      mk: => DataFrame): DataFrame = {
+    // get/putIfAbsent, NOT computeIfAbsent: buildLoadings re-enters this
+    // memo for the mean row, and a re-entrant computeIfAbsent on one map
+    // throws "Recursive update" whenever the two keys share a bin. The
+    // benign race (two threads both computing, first put wins) costs at
+    // most one duplicate bounded collect.
+    val k = s"${spark.sparkContext.applicationId}:$key"
+    val hit = rowMemo.get(k)
+    if (hit != null) hit
+    else {
       val df = mk
-      spark.createDataFrame(
+      val lit = spark.createDataFrame(
         java.util.Arrays.asList(df.collect()(0)), df.schema)
-    })
+      val prev = rowMemo.putIfAbsent(k, lit)
+      if (prev != null) prev else lit
+    }
+  }
 
   /** Integer mean row (m0..m63 in shifted 1024-scale, plus n) — shared
     * with the [[AbttResidual]] audit.

@@ -102,7 +102,14 @@ class PropertySpec extends SparkSpec {
       // integer/md5 outputs over keyed aggregates
       "etl_variant_extract", "stream_state_inspect",
       "stream_state_metadata", "text_chunk_cover", "text_chunk_dedup",
-      "stream_tws_session_timeout")
+      "stream_tws_session_timeout",
+      // multi-grain (DECIMAL sums → one DOUBLE edge cast), sufficient-
+      // statistics regression (BIGINT moments, fixed-order double
+      // assembly), and the blocked fuzzy join (integer edit distances)
+      "agg_rollup_monthly", "agg_rollup_hierarchical",
+      "agg_cube_segment_status", "agg_sets_priority",
+      "agg_ols_trend", "agg_ridge_gram",
+      "dedup_fuzzy_pairs", "dedup_fuzzy_block_stats", "dedup_fuzzy_keep")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -1,0 +1,96 @@
+package graft
+
+import graft.analytics.GroupingSets
+import graft.plans.{RerollExpandAggregate, RerollQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Soundness and plan gates for [[RerollExpandAggregate]] — the corners the
+  * DuckDB oracle can't reach (empty input, duplicate grouping sets, bail
+  * conditions) plus the structural claims (leaf below Expand, single scan).
+  */
+class RerollSpec extends SparkSpec {
+
+  private def ruleSession: SparkSession = {
+    val s = spark.newSession()
+    RerollExpandAggregate.install(s)
+    s.conf.set(RerollExpandAggregate.EnabledKey, "true")
+    s
+  }
+
+  /** Expand whose child subtree contains the leaf Aggregate = rule fired. */
+  private def rerolled(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case e: Expand => e.child.collectFirst { case a: Aggregate => a }.isDefined &&
+        e.output.exists(_.name.startsWith("_reroll_"))
+    }.exists(identity)
+
+  test("re-rolled rollup: leaf aggregate below Expand, corpus scanned once") {
+    val df = RerollQueries.rollupReroll(spark, sf)
+    assert(rerolled(df), "rule should fire on the opt-in session")
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"one structural corpus scan expected, got ${scans.size}")
+  }
+
+  test("re-rolled results are row-identical to the Expand plans") {
+    assert(RerollQueries.rollupReroll(spark, sf).collect().toSeq ==
+      GroupingSets.rollupMonthly(spark, sf).collect().toSeq)
+    assert(RerollQueries.cubeReroll(spark, sf).collect().toSeq ==
+      GroupingSets.cubeSegmentStatus(spark, sf).collect().toSeq)
+    assert(RerollQueries.setsReroll(spark, sf).collect().toSeq ==
+      GroupingSets.setsPriority(spark, sf).collect().toSeq)
+  }
+
+  test("the stock session still plans the stock Expand path") {
+    assert(!rerolled(GroupingSets.rollupMonthly(spark, sf)))
+  }
+
+  test("empty input: zero rows with and without the rule") {
+    val s = ruleSession
+    import s.implicits._
+    def q(sess: SparkSession): DataFrame = {
+      import sess.implicits._
+      // unsatisfiable but not statically foldable-empty: the rewrite must
+      // run and still produce ZERO rows (the outer aggregate keeps its
+      // grouping, so no grand-total phantom row can appear)
+      sess.range(10).filter($"id" > 9999)
+        .select(($"id" % 3).as("a"), ($"id" % 5).as("b"), $"id".as("v"))
+        .rollup($"a", $"b").agg(sum($"v").as("sv"))
+    }
+    assert(rerolled(q(s)), "rule should fire on the empty-feed rollup")
+    assert(q(s).count() == 0L)
+    assert(q(spark).count() == 0L)
+  }
+
+  test("duplicate grouping sets double-count identically") {
+    val s = ruleSession
+    import s.implicits._
+    s.range(100).select(($"id" % 3).as("a"), $"id".as("v"))
+      .createOrReplaceTempView("reroll_dup")
+    val sql = """SELECT a, count(*) AS n, sum(v) AS sv FROM reroll_dup
+                 GROUP BY GROUPING SETS ((a), (a)) ORDER BY a, n"""
+    val on = s.sql(sql).collect().toSeq
+    spark.range(100).select(($"id" % 3).as("a"), $"id".as("v"))
+      .createOrReplaceTempView("reroll_dup")
+    val off = spark.sql(sql).collect().toSeq
+    assert(on == off)
+  }
+
+  test("bails on non-decomposable and distinct aggregates") {
+    val s = ruleSession
+    import s.implicits._
+    val avg = s.range(100)
+      .select(($"id" % 3).as("a"), ($"id" % 5).as("b"), $"id".as("v"))
+      .rollup($"a", $"b").agg(org.apache.spark.sql.functions.avg($"v"))
+    assert(!rerolled(avg), "avg is not self-decomposable: must bail")
+    val dist = s.range(100)
+      .select(($"id" % 3).as("a"), ($"id" % 5).as("b"), $"id".as("v"))
+      .rollup($"a", $"b").agg(countDistinct($"v"))
+    assert(!rerolled(dist), "distinct aggregates must bail")
+  }
+}
