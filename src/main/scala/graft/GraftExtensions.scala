@@ -92,5 +92,11 @@ object GraftExtensions {
         "graft_kmv"),
       arity("graft_kmv", 1, "graft_kmv(bigint h32 hash) aggregate") {
         args => graft.functions.KmvAgg(args.head,
-          analytics.WindowExtras.KmvK) }))
+          analytics.WindowExtras.KmvK) }),
+    (FunctionIdentifier("graft_edit_within"),
+      new ExpressionInfo(classOf[graft.functions.EditWithin].getName,
+        "graft_edit_within"),
+      arity("graft_edit_within", 3,
+        "graft_edit_within(string, string, int k) → min(levenshtein, k+1)") {
+        args => graft.functions.EditWithin(args(0), args(1), args(2)) }))
 }

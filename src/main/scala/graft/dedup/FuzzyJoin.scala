@@ -85,6 +85,36 @@ object FuzzyJoin {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The banded twin of [[fuzzyPairs]]: same blocked candidates, but the
+    * verify stage runs the native O(P·k) banded kernel
+    * ([[graft.functions.EditWithin]], saturating at MaxDist+1) instead of
+    * the built-in O(P²) full dynamic program. Distances within the band
+    * are exact and rows beyond it are filtered on both engines, so this
+    * shares [[fuzzyPairs]]'s oracle verbatim — the hash match is the
+    * kernel's cross-engine correctness proof.
+    */
+  def fuzzyPairsBanded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftExtensions.registerAll(spark)
+    val b = blocked(spark, dir)
+    val sizes = b.groupBy($"blk".as("s_blk"), $"lb".as("s_lb"))
+      .agg(count(lit(1)).as("block_n"))
+    val capped = b.join(sizes,
+        $"blk" === $"s_blk" && $"lb" === $"s_lb")
+      .filter($"block_n" <= MaxBlock)
+      .select($"doc_id", $"blk", $"lb", $"prefix")
+    val l = capped.select($"doc_id".as("doc_a"), $"blk", $"lb",
+      $"prefix".as("pa"))
+    val r = capped.select($"doc_id".as("doc_b"), $"blk".as("r_blk"),
+      $"lb".as("r_lb"), $"prefix".as("pb"))
+    l.join(r, $"blk" === $"r_blk" && $"lb" === $"r_lb" &&
+        $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        expr(s"graft_edit_within(pa, pb, $MaxDist)").as("dist"))
+      .filter($"dist" <= MaxDist)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** The cost audit: per block-size bucket, how many blocks, docs, and
     * candidate pairs — split by whether the cap admits them. Reading
     * this BEFORE running the verify stage is the 100 TB discipline.
@@ -119,6 +149,7 @@ object FuzzyJoin {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy_pairs" -> (fuzzyPairs _),
+    "dedup_fuzzy_pairs_banded" -> (fuzzyPairsBanded _),
     "dedup_fuzzy_block_stats" -> (blockStats _),
     "dedup_fuzzy_keep" -> (fuzzyKeep _))
 
@@ -140,11 +171,16 @@ pairs AS (
   FROM capped x JOIN capped y
     ON x.blk = y.blk AND x.lb = y.lb AND x.doc_id < y.doc_id)"""
 
-  val oracle: Map[String, String] = Map(
-    "dedup_fuzzy_pairs" -> s"""$blockedCte
+  private def pairsSql: String = s"""$blockedCte
 SELECT doc_a, doc_b, dist FROM pairs
 WHERE dist <= $MaxDist
-ORDER BY doc_a, doc_b""",
+ORDER BY doc_a, doc_b"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_fuzzy_pairs" -> pairsSql,
+    // the banded kernel is exact within the band and filtered beyond it:
+    // same oracle text, verbatim
+    "dedup_fuzzy_pairs_banded" -> pairsSql,
 
     "dedup_fuzzy_block_stats" -> s"""$blockedCte
 SELECT block_n, count(*)::BIGINT AS n_blocks,

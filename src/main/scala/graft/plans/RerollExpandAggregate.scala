@@ -73,6 +73,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * of a rollup keyed by a near-unique column), and logical rules see no
   * cardinalities, so it ships OFF and is enabled per session via
   * [[EnabledKey]] — the cube-query analog of choosing bucketing. The
+  * trade, priced per bench run ([[graft.Bench]]'s `reroll` ledger): the
+  * rewritten plan pays ONE extra exchange of leaf-grain sketch rows
+  * (bounded by grain cardinality — kilobytes) to remove (G−1)×|input|
+  * rows from the map-side aggregation path. At sf0.1 (450k fact rows,
+  * G=3) that is wall parity; the saved term scales with the corpus, the
+  * paid term does not. The
   * `_reroll_` alias prefix on leaf columns is the fixed-point guard: a plan
   * this rule already rewrote never matches again.
   */

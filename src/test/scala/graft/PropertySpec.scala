@@ -109,7 +109,8 @@ class PropertySpec extends SparkSpec {
       "agg_rollup_monthly", "agg_rollup_hierarchical",
       "agg_cube_segment_status", "agg_sets_priority",
       "agg_ols_trend", "agg_ridge_gram",
-      "dedup_fuzzy_pairs", "dedup_fuzzy_block_stats", "dedup_fuzzy_keep")
+      "dedup_fuzzy_pairs", "dedup_fuzzy_block_stats", "dedup_fuzzy_keep",
+      "dedup_fuzzy_pairs_banded")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
