@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // multi-grain re-roll: aggregate once below the Expand (session opt-in
     // via its EnabledKey — a cost-based choice the rule can't make alone)
     ext.injectOptimizerRule(_ => graft.plans.RerollExpandAggregate)
+    // matview query rewriting: answer raw-table aggregates from registered
+    // pre-aggregates (session opt-in via its EnabledKey)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // table-valued function surface: SELECT ... FROM graft_gen(n)
     ext.injectTableFunction(graft.sources.v2.GenTvf.Info)
   }

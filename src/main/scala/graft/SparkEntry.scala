@@ -76,7 +76,7 @@ object SparkEntry {
       sources.v2.GenQueries.all ++ streaming.TransformWithState.all ++
       text.ChunkWindows.all ++ analytics.GroupingSets.all ++
       analytics.OlsRegression.all ++ dedup.FuzzyJoin.all ++
-      plans.RerollQueries.all
+      plans.RerollQueries.all ++ plans.MvRewriteQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -140,5 +140,5 @@ object SparkEntry {
       sources.v2.GenQueries.oracle ++ streaming.TransformWithState.oracle ++
       text.ChunkWindows.oracle ++ analytics.GroupingSets.oracle ++
       analytics.OlsRegression.oracle ++ dedup.FuzzyJoin.oracle ++
-      plans.RerollQueries.oracle
+      plans.RerollQueries.oracle ++ plans.MvRewriteQueries.oracle
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.plans.{MvRewrite, MvRewriteQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan gates and negative controls for [[graft.plans.MvRewrite]].
+  * Result correctness is the raw-table DuckDB oracle's job (all three
+  * `opt_mv_*` queries); this spec pins WHERE each plan reads from — the
+  * substitution itself, which the oracle compare cannot see.
+  */
+class MvRewriteSpec extends SparkSpec {
+
+  /** Root directories of every parquet scan in the physical plan. */
+  private def scanRoots(df: DataFrame): Seq[String] =
+    collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  test("rollup and exact-grain queries read the view, not the fact table") {
+    for (df <- Seq(MvRewriteQueries.mvRollup(spark, sf),
+        MvRewriteQueries.mvExact(spark, sf))) {
+      val roots = scanRoots(df)
+      assert(roots.nonEmpty && roots.forall(_.contains("graft-mv")),
+        s"expected only view scans, got $roots")
+    }
+  }
+
+  test("a grain the view lacks keeps scanning the raw table") {
+    val roots = scanRoots(MvRewriteQueries.mvMiss(spark, sf))
+    assert(roots.nonEmpty && roots.forall(_.contains("orders.parquet")),
+      s"expected raw-orders scan, got $roots")
+  }
+
+  test("rewritten results equal the raw plans (kill-switch A/B)") {
+    val on = MvRewriteQueries.mvRollup(spark, sf).collect().toSeq
+    // same pipeline, rewrite disabled: the session default
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val off = Tables.orders(spark, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(price) AS DOUBLE)").as("total_price"),
+        expr("CAST(min(price) AS DOUBLE)").as("min_price"),
+        expr("CAST(max(price) AS DOUBLE)").as("max_price"))
+      .orderBy($"yr").collect().toSeq
+    assert(on == off)
+    val offRoots = scanRoots(
+      Tables.orders(spark, sf)
+        .select(year($"o_orderdate").cast("int").as("yr"))
+        .groupBy($"yr").agg(count(lit(1)).as("n")))
+    assert(offRoots.forall(_.contains("orders.parquet")),
+      "the stock session must not rewrite")
+  }
+
+  test("filtered and distinct aggregates are not derivable: no rewrite") {
+    import org.apache.spark.sql.functions._
+    // trigger registration, then probe with a child session + rule enabled
+    MvRewriteQueries.mvRollup(spark, sf).queryExecution.executedPlan
+    val s = spark.newSession()
+    MvRewrite.install(s)
+    s.conf.set(MvRewrite.EnabledKey, "true")
+    import s.implicits._
+    val filtered = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"), $"o_orderstatus")
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"yr").agg(count(lit(1)).as("n"))
+    assert(scanRoots(filtered).forall(_.contains("orders.parquet")),
+      "a Filter below the aggregate must bail")
+    val distinct = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey")
+      .groupBy($"yr").agg(countDistinct($"o_custkey").as("n"))
+    assert(scanRoots(distinct).forall(_.contains("orders.parquet")),
+      "a distinct aggregate must bail")
+  }
+}

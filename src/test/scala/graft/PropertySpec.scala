@@ -110,7 +110,10 @@ class PropertySpec extends SparkSpec {
       "agg_cube_segment_status", "agg_sets_priority",
       "agg_ols_trend", "agg_ridge_gram",
       "dedup_fuzzy_pairs", "dedup_fuzzy_block_stats", "dedup_fuzzy_keep",
-      "dedup_fuzzy_pairs_banded")
+      "dedup_fuzzy_pairs_banded",
+      // the matview rewrite trio (DECIMAL partials merged exactly, one
+      // DOUBLE cast at the edge)
+      "opt_mv_rollup", "opt_mv_exact", "opt_mv_miss")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
