@@ -198,6 +198,31 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] reroll ledger FAILED: ${e.getMessage}"); ""
     }
+    // Price the matview rewrite: the same yearly rollup answered from the
+    // registered view vs from raw orders — the scan-rows column is the
+    // whole story (view rows vs fact rows).
+    val mvJson = try {
+      val (_, on) = observability.QueryMetrics.profile(
+        plans.MvRewriteQueries.mvRollup(spark, sfDir))
+      val (_, off) = observability.QueryMetrics.profile(
+        plans.MvRewriteQueries.mvMiss(spark, sfDir))
+      s""","mv_rewrite":{"on_sec":${on.wallMs / 1e3},"miss_sec":${off.wallMs / 1e3},""" +
+        s""""on_scan_rows":${on.scanRows},"miss_scan_rows":${off.scanRows}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mv_rewrite ledger FAILED: ${e.getMessage}"); ""
+    }
+    // Price eager aggregation: the same star rollup with the fact side
+    // collapsed before vs after the join.
+    val eagerJson = try {
+      val (_, on) = observability.QueryMetrics.profile(
+        plans.EagerAggregationQueries.eager(spark, sfDir))
+      val (_, off) = observability.QueryMetrics.profile(
+        plans.EagerAggregationQueries.baseline(spark, sfDir))
+      s""","eager_agg":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
+        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] eager_agg ledger FAILED: ${e.getMessage}"); ""
+    }
     // Price the storage-partitioned join: identical rollup+join with and
     // without the connector's reported KeyGroupedPartitioning (broadcast
     // denied on both) — the measured value of shipping partition keys.
@@ -211,7 +236,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spj ledger FAILED: ${e.getMessage}"); ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$spjJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$mvJson$eagerJson$spjJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":

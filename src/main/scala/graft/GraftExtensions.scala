@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // matview query rewriting: answer raw-table aggregates from registered
     // pre-aggregates (session opt-in via its EnabledKey)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // eager aggregation: collapse the fact side of a unique-keyed star
+    // join before the join (session opt-in via its EnabledKey)
+    ext.injectOptimizerRule(_ => graft.plans.EagerAggregation)
     // table-valued function surface: SELECT ... FROM graft_gen(n)
     ext.injectTableFunction(graft.sources.v2.GenTvf.Info)
   }

@@ -76,7 +76,8 @@ object SparkEntry {
       sources.v2.GenQueries.all ++ streaming.TransformWithState.all ++
       text.ChunkWindows.all ++ analytics.GroupingSets.all ++
       analytics.OlsRegression.all ++ dedup.FuzzyJoin.all ++
-      plans.RerollQueries.all ++ plans.MvRewriteQueries.all
+      plans.RerollQueries.all ++ plans.MvRewriteQueries.all ++
+      plans.EagerAggregationQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -140,5 +141,6 @@ object SparkEntry {
       sources.v2.GenQueries.oracle ++ streaming.TransformWithState.oracle ++
       text.ChunkWindows.oracle ++ analytics.GroupingSets.oracle ++
       analytics.OlsRegression.oracle ++ dedup.FuzzyJoin.oracle ++
-      plans.RerollQueries.oracle ++ plans.MvRewriteQueries.oracle
+      plans.RerollQueries.oracle ++ plans.MvRewriteQueries.oracle ++
+      plans.EagerAggregationQueries.oracle
 }

@@ -117,8 +117,10 @@ object EliminateRedundantLeftJoin extends Rule[LogicalPlan] with PredicateHelper
   /** Structural uniqueness proof: is `plan`'s output unique on `keys`?
     * A relation unique on a key set is unique on any superset, so an
     * Aggregate proves it when the join keys COVER its grouping attributes.
+    * Shared with [[EagerAggregation]], whose soundness rests on the same
+    * evidence (a unique build side means no fact-row fan-out).
     */
-  private def uniqueOn(plan: LogicalPlan, keys: AttributeSet): Boolean =
+  private[plans] def uniqueOn(plan: LogicalPlan, keys: AttributeSet): Boolean =
     plan match {
       case a: Aggregate =>
         // an Aggregate's output is unique on its grouping OUTPUT columns no

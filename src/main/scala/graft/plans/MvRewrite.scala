@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -236,8 +236,17 @@ object MvRewrite extends Rule[LogicalPlan] {
         fn.map { f =>
           val merged: Expression =
             AggregateExpression(f, ae.mode, isDistinct = false, None)
-          if (merged.dataType == ae.dataType) merged
-          else Cast(merged, ae.dataType)
+          val typed =
+            if (merged.dataType == ae.dataType) merged
+            else Cast(merged, ae.dataType)
+          // a GLOBAL query over an empty base: count(*) must be 0, but
+          // sum over the (empty) view is null — coalesce restores the
+          // count contract (grouped queries never see the difference:
+          // every group that exists has partials ≥ 1)
+          ae.aggregateFunction match {
+            case _: Count => Coalesce(Seq(typed, Literal(0L)))
+            case _        => typed
+          }
         }
       }
     }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.plans.{EagerAggregation, EagerAggregationQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Soundness and plan gates for [[graft.plans.EagerAggregation]] — the
+  * corners the shared DuckDB oracle can't reach (unmatched fact keys,
+  * null keys, global aggregates, bail conditions) plus the structural
+  * claim (an Aggregate on the fact side BELOW the join).
+  */
+class EagerAggSpec extends SparkSpec {
+
+  private def ruleSession: SparkSession = {
+    val s = spark.newSession()
+    EagerAggregation.install(s)
+    s.conf.set(EagerAggregation.EnabledKey, "true")
+    s
+  }
+
+  /** Did the rule fire? Its leaf aggregate is the only producer of
+    * `_eager_*` columns, and BY CONSTRUCTION it sits on the fact side of
+    * the join (the dim side's own dedup Aggregate must not count, so a
+    * generic aggregate-below-join probe would be wrong here).
+    */
+  private def aggBelowJoin(df: DataFrame): Boolean = {
+    val joins = collectAll(df.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec  => j
+      case j: SortMergeJoinExec     => j
+    }
+    joins.exists(j => j.children.exists(c => collectAll(c) {
+      case a: HashAggregateExec
+          if a.output.exists(_.name.startsWith("_eager_")) => a
+      case a: ObjectHashAggregateExec
+          if a.output.exists(_.name.startsWith("_eager_")) => a
+      case a: SortAggregateExec
+          if a.output.exists(_.name.startsWith("_eager_")) => a
+    }.nonEmpty))
+  }
+
+  test("rule collapses the fact side below the join; baseline does not") {
+    assert(aggBelowJoin(EagerAggregationQueries.eager(spark, sf)))
+    assert(!aggBelowJoin(EagerAggregationQueries.baseline(spark, sf)))
+  }
+
+  test("results are row-identical to the un-pushed plan") {
+    assert(EagerAggregationQueries.eager(spark, sf).collect().toSeq ==
+      EagerAggregationQueries.baseline(spark, sf).collect().toSeq)
+  }
+
+  /** Planted fact/dim with unmatched and null fact keys: the inner join
+    * must drop those leaf groups whole, exactly like the original.
+    */
+  private def planted(s: SparkSession): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val fact = Seq[(java.lang.Long, Long)](
+      (1L, 10L), (1L, 20L), (2L, 5L), (7L, 99L), // 7 has no dim row
+      (null, 1000L), (null, 2000L)               // null keys never match
+    ).toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "grp")
+      .dropDuplicates("dk")
+    (fact, dim)
+  }
+
+  test("unmatched and null fact keys drop as whole groups (inner-join parity)") {
+    val s = ruleSession
+    val (fact, dim) = planted(s)
+    import s.implicits._
+    val q = fact.join(dim, $"k" === $"dk")
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .orderBy($"grp")
+    assert(aggBelowJoin(q), "rule should fire on the planted star")
+    val rows = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+  }
+
+  test("global aggregate over a no-match join: count 0, sum null") {
+    val s = ruleSession
+    import s.implicits._
+    val fact = Seq((7L, 10L), (8L, 20L)).toDF("k", "v")
+    val dim = Seq((1L, "a")).toDF("dk", "grp").dropDuplicates("dk")
+    val q = fact.join(dim, $"k" === $"dk")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    assert(aggBelowJoin(q))
+    val row = q.collect().head
+    assert(row.getLong(0) == 0L, "count over the empty join must be 0")
+    assert(row.isNullAt(1), "sum over the empty join stays null")
+  }
+
+  test("bails without uniqueness evidence or with dim-side aggregates") {
+    val s = ruleSession
+    import s.implicits._
+    // dim WITHOUT dropDuplicates: no structural uniqueness proof
+    val fact = Seq((1L, 10L)).toDF("k", "v")
+    val bare = Seq((1L, "a"), (1L, "b")).toDF("dk", "grp")
+    val q1 = fact.join(bare, $"k" === $"dk")
+      .groupBy($"grp").agg(sum($"v").as("sv"))
+    assert(!aggBelowJoin(q1), "a bare dim side must bail (it can fan out)")
+    // aggregate over a DIM column: not pushable to the fact side
+    val dim = Seq((1L, 5L)).toDF("dk", "w").dropDuplicates("dk")
+    val q2 = fact.join(dim, $"k" === $"dk")
+      .groupBy($"k").agg(sum($"w").as("sw"))
+    assert(!aggBelowJoin(q2), "dim-side aggregate inputs must bail")
+  }
+}

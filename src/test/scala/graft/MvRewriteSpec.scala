@@ -56,6 +56,39 @@ class MvRewriteSpec extends SparkSpec {
       "the stock session must not rewrite")
   }
 
+  test("global aggregate over an EMPTY base: rewritten count is 0, not null") {
+    import org.apache.spark.sql.functions._
+    // an empty corpus with the orders schema, its (empty) view, registered
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-mv-empty-base"
+    Tables.orders(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val defining = {
+      val d = Tables.orders(spark, dir)
+      d.groupBy(d("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(d("o_totalprice")).as("s"))
+    }
+    val mvPath = s"$dir/mv"
+    defining.write.mode("overwrite").parquet(mvPath)
+    assert(MvRewrite.register("mv_empty_base_test", defining,
+      spark.read.parquet(mvPath)))
+    try {
+      val s = spark.newSession()
+      MvRewrite.install(s)
+      s.conf.set(MvRewrite.EnabledKey, "true")
+      val q = {
+        val o = Tables.orders(s, dir)
+        o.select(o("o_orderstatus"), o("o_totalprice"))
+          .agg(count(lit(1)).as("n"), sum(o("o_totalprice")).as("s"))
+      }
+      assert(scanRoots(q).forall(_.contains("graft-mv-empty-base/mv")),
+        "the global aggregate should still be answered from the view")
+      val row = q.collect().head
+      assert(row.getLong(0) == 0L, "count over the empty base must be 0")
+      assert(row.isNullAt(1), "sum over the empty base stays null")
+    } finally MvRewrite.deregister("mv_empty_base_test")
+  }
+
   test("filtered and distinct aggregates are not derivable: no rewrite") {
     import org.apache.spark.sql.functions._
     // trigger registration, then probe with a child session + rule enabled

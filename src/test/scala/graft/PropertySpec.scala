@@ -113,7 +113,8 @@ class PropertySpec extends SparkSpec {
       "dedup_fuzzy_pairs_banded",
       // the matview rewrite trio (DECIMAL partials merged exactly, one
       // DOUBLE cast at the edge)
-      "opt_mv_rollup", "opt_mv_exact", "opt_mv_miss")
+      "opt_mv_rollup", "opt_mv_exact", "opt_mv_miss",
+      "opt_eager_agg", "opt_eager_agg_base")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
