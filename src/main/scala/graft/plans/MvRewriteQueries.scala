@@ -54,9 +54,10 @@ object MvRewriteQueries {
   /** Materialize + register once per (application, corpus); returns a
     * session with the rewrite enabled. Setup cost is charged to the first
     * caller (the Bench pre-warm pattern — the substitution itself is what
-    * the queries measure).
+    * the queries measure). `private[plans]` so the rule-composition query
+    * ([[RerollQueries]]' rollup-from-view) can reuse the same view.
     */
-  private def withView(spark0: SparkSession, dir: String): SparkSession = {
+  private[plans] def withView(spark0: SparkSession, dir: String): SparkSession = {
     val path = mvMemo.computeIfAbsent(
       s"${spark0.sparkContext.applicationId}:$dir", { _ =>
         val p = s"${sys.props("java.io.tmpdir")}/graft-mv/" +

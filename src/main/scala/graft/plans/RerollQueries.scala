@@ -33,6 +33,30 @@ object RerollQueries {
     spark
   }
 
+  /** RULE COMPOSITION: the same ROLLUP answered from the MATVIEW — no
+    * corpus scan at all. Two independent rewrites chain inside one
+    * optimizer fixed point:
+    *
+    *  1. [[RerollExpandAggregate]] turns `Aggregate(rollup, Expand(orders))`
+    *     into `Aggregate(rollup, Expand(leafAgg(orders)))` — the leaf is a
+    *     plain finest-grain aggregate over a Project chain, which is
+    *     exactly the shape [[MvRewrite]] matches;
+    *  2. [[MvRewrite]] then recognizes that leaf as derivable from the
+    *     registered order-summary view (its grain, `yr × mo × status`, is
+    *     finer than the leaf's `yr × mo`) and swaps in the view scan.
+    *
+    * Net plan: Expand + two re-aggregates over KILOBYTES of view — the
+    * fact table is never read (RerollSpec gates both properties). The
+    * oracle is the plain ROLLUP over raw orders, verbatim the same text as
+    * `agg_rollup_monthly`: three plans, one hash.
+    */
+  def rollupFromView(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = MvRewriteQueries.withView(spark0, dir)
+    RerollExpandAggregate.install(spark)
+    spark.conf.set(RerollExpandAggregate.EnabledKey, "true")
+    GroupingSets.rollupMonthly(spark, dir)
+  }
+
   def rollupReroll(spark0: SparkSession, dir: String): DataFrame =
     GroupingSets.rollupMonthly(withRule(spark0), dir)
 
@@ -45,11 +69,13 @@ object RerollQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_rollup_reroll" -> (rollupReroll _),
     "opt_cube_reroll" -> (cubeReroll _),
-    "opt_sets_reroll" -> (setsReroll _))
+    "opt_sets_reroll" -> (setsReroll _),
+    "opt_rollup_from_view" -> (rollupFromView _))
 
   /** Same oracle text as the un-rewritten twins, verbatim. */
   val oracle: Map[String, String] = Map(
     "opt_rollup_reroll" -> GroupingSets.oracle("agg_rollup_monthly"),
     "opt_cube_reroll" -> GroupingSets.oracle("agg_cube_segment_status"),
-    "opt_sets_reroll" -> GroupingSets.oracle("agg_sets_priority"))
+    "opt_sets_reroll" -> GroupingSets.oracle("agg_sets_priority"),
+    "opt_rollup_from_view" -> GroupingSets.oracle("agg_rollup_monthly"))
 }

@@ -81,6 +81,19 @@ class RerollSpec extends SparkSpec {
     assert(on == off)
   }
 
+  test("rule composition: the rollup is answered from the matview") {
+    val df = RerollQueries.rollupFromView(spark, sf)
+    assert(rerolled(df), "the re-roll must fire first")
+    val roots = collectAll(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("graft-mv")),
+      s"the fact table must never be read: got $roots")
+    assert(df.collect().toSeq ==
+      GroupingSets.rollupMonthly(spark, sf).collect().toSeq)
+  }
+
   test("bails on non-decomposable and distinct aggregates") {
     val s = ruleSession
     import s.implicits._
