@@ -31,13 +31,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    schema; columns then correspond by position.
   *  - Every query grouping expression, FLATTENED to base-column form,
   *    must semantically equal one of the MV's flattened grouping
-  *    expressions (same-grain and coarser-grain queries both match; the
-  *    re-aggregate over the MV is exact either way).
-  *  - Every aggregate is a non-distinct, unfiltered Sum / Count / Min /
-  *    Max whose flattened input matches the corresponding MV partial:
-  *    Sum merges by Sum (cast back to the original result type — decimal
-  *    sums widen per level), Count merges by Sum, Min/Max by themselves.
-  *    `avg`, distinct aggregates, and FILTER clauses bail.
+  *    expressions. Two match modes, tried in order:
+  *      EXACT grain (query grain = view grain as sets): every aggregate —
+  *      ANY deterministic function, count distinct / avg / FILTER clauses
+  *      included — must equal a view column verbatim, and the whole
+  *      Aggregate collapses to a Project over the view scan.
+  *      COARSER grain: every aggregate is a non-distinct, unfiltered
+  *      Sum / Count / Min / Max whose flattened input matches an MV
+  *      partial: Sum merges by Sum (cast back to the original result
+  *      type — decimal sums widen per level), Count by `coalesce(sum, 0)`,
+  *      Min/Max by themselves. Distinct aggregates bail here — they are
+  *      not derivable from a finer grain.
   *
   * The rewrite preserves every output `exprId` and data type (bare
   * grouping attributes are re-aliased onto their original ids), and
@@ -74,7 +78,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       baseOutput: Seq[Attribute],         // defining-side base columns
       groupFlat: Seq[Expression],         // flattened grouping exprs (defining base space)
       groupPos: Map[Int, Int],            // grouping index -> mv output column position
-      partials: Seq[(AggregateExpression, Int)], // flattened partial -> mv column position
+      partials: Seq[(AggregateExpression, Int)], // mergeable partials -> mv column position
+      aggCols: Seq[(AggregateExpression, Int)],  // ALL aggregate columns (exact path)
       scan: LogicalPlan)                  // analyzed read of the materialized parquet
 
   private val catalog =
@@ -141,17 +146,25 @@ object MvRewrite extends Rule[LogicalPlan] {
             }
           }.toMap
           if groupPos.size == g.size
-          partials = r.zipWithIndex.flatMap {
+          // every deterministic aggregate column (distinct / avg / filtered
+          // included) — usable by the EXACT-grain projection path
+          aggCols = r.zipWithIndex.flatMap {
             case (al: Alias, pos) => al.child match {
-              case ae: AggregateExpression
-                  if !ae.isDistinct && ae.filter.isEmpty && ae.deterministic =>
+              case ae: AggregateExpression if ae.deterministic =>
                 Some((f(ae).asInstanceOf[AggregateExpression], pos))
               case _ => None
             }
             case _ => None
           }
+          // the MERGEABLE subset — usable by the coarser-grain re-aggregate
+          partials = aggCols.filter { case (ae, _) =>
+            !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+              case _: Sum | _: Count | _: Min | _: Max => true
+              case _                                   => false
+            })
+          }
         } yield Entry(name, key, base.output, groupFlat, groupPos, partials,
-          scan.queryExecution.analyzed)
+          aggCols, scan.queryExecution.analyzed)
         entry.foreach(e => catalog.put(name, e))
         entry.isDefined
       case _ => false
@@ -207,12 +220,55 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     // every query grouping must be one of the MV's groupings
     val scanOut = e.scan.output
+    val matchedJs = scala.collection.mutable.Set[Int]()
     val gToScan: Seq[(Expression, Attribute)] = agg.groupingExpressions.map { g =>
       if (!g.deterministic) return None
       val flat = fq(g)
       val j = mvGroupQ.indexWhere(_.semanticEquals(flat))
       if (j < 0) return None
+      matchedJs += j
       g -> scanOut(e.groupPos(j))
+    }
+
+    // ---- EXACT-grain fast path -----------------------------------------
+    // When the query's grain IS the view's grain, every aggregate value —
+    // including count distinct, averages, and filtered aggregates that the
+    // coarser-grain merge below can never derive — is sitting verbatim in
+    // a view column: the whole Aggregate collapses to a Project.
+    if (matchedJs.size == mvGroupQ.size) {
+      val aggColsQ = e.aggCols.map { case (ae, pos) => (toQuerySpace(ae), pos) }
+      def exactCol(ae: AggregateExpression): Option[Attribute] = {
+        if (!ae.deterministic) return None
+        val flat = fq(ae).asInstanceOf[Expression]
+        aggColsQ.collectFirst {
+          case (p, pos) if p.semanticEquals(flat) => scanOut(pos)
+        }
+      }
+      var allExact = true
+      val projected: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+        val t = ne.transformUp {
+          case ae: AggregateExpression =>
+            exactCol(ae) match {
+              case Some(col) => col
+              case None      => allExact = false; ae
+            }
+          case expr if gToScan.exists(_._1.semanticEquals(expr)) =>
+            gToScan.find(_._1.semanticEquals(expr)).get._2
+        }
+        t match {
+          case al: Alias    => al
+          case a: Attribute if a.exprId == ne.exprId => a
+          case other        => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      }
+      if (allExact &&
+          projected.flatMap(_.references).forall(a =>
+            scanOut.exists(_.exprId == a.exprId))) {
+        val proj = Project(projected, e.scan)
+        if (proj.output.map(a => (a.exprId, a.dataType)) ==
+            agg.output.map(a => (a.exprId, a.dataType)))
+          return Some(proj)
+      }
     }
 
     // every aggregate must merge from an MV partial

@@ -48,6 +48,29 @@ object MvRewriteQueries {
         max($"price").as("max_price"))
   }
 
+  /** A second view carrying NON-decomposable aggregates (count distinct,
+    * avg): only the EXACT-grain projection path can serve these — the
+    * reference's own matviews (`mv_monthly_encounters` et al) are full of
+    * `COUNT(DISTINCT ...)`, so this is the shape that matters for serving
+    * them automatically.
+    */
+  private def definingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        year($"o_orderdate").cast("int").as("yr"),
+        month($"o_orderdate").cast("int").as("mo"),
+        $"o_custkey",
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .groupBy($"yr", $"mo")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"),
+        // stored as Spark's exact DECIMAL(18,6) average — served verbatim
+        // by the exact path (spec-checked Spark-vs-Spark; the DuckDB
+        // oracle avoids avg, whose float rounding differs cross-engine)
+        avg($"price").as("avg_price"))
+  }
+
   private val mvMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -69,6 +92,17 @@ object MvRewriteQueries {
     val ok = MvRewrite.register(s"mv_order_summary:$dir",
       defining(spark0, dir), spark0.read.parquet(path))
     require(ok, "mv_order_summary must be inside MvRewrite's matchable scope")
+    val path2 = mvMemo.computeIfAbsent(
+      s"${spark0.sparkContext.applicationId}:$dir:distinct", { _ =>
+        val p = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
+          s"${spark0.sparkContext.applicationId}/" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_distinct"
+        definingDistinct(spark0, dir).write.mode("overwrite").parquet(p)
+        p
+      })
+    val ok2 = MvRewrite.register(s"mv_order_distinct:$dir",
+      definingDistinct(spark0, dir), spark0.read.parquet(path2))
+    require(ok2, "mv_order_distinct must be inside MvRewrite's matchable scope")
     val spark = spark0.newSession()
     MvRewrite.install(spark)
     spark.conf.set(MvRewrite.EnabledKey, "true")
@@ -105,6 +139,25 @@ object MvRewriteQueries {
       .orderBy($"yr", $"mo", $"o_orderstatus")
   }
 
+  /** The non-decomposable case: a count-distinct query at the distinct
+    * view's own grain — only the exact-grain PROJECTION path can serve
+    * this (no re-aggregate can derive a distinct count from any coarser
+    * summary), which is how the reference's own `COUNT(DISTINCT ...)`
+    * matviews become automatically serveable.
+    */
+  def mvExactDistinct(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = withView(spark0, dir)
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        month($"o_orderdate").cast("int").as("mo"),
+        $"o_custkey")
+      .groupBy($"yr", $"mo")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"yr", $"mo")
+  }
+
   /** Negative control: `o_orderpriority` is not a view column, so this
     * must keep scanning raw orders.
     */
@@ -123,6 +176,7 @@ object MvRewriteQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_mv_rollup" -> (mvRollup _),
     "opt_mv_exact" -> (mvExact _),
+    "opt_mv_exact_distinct" -> (mvExactDistinct _),
     "opt_mv_miss" -> (mvMiss _))
 
   /** Raw-table SQL only — the oracle must NOT read the view, that's the
@@ -147,6 +201,14 @@ ORDER BY yr""",
 FROM orders
 GROUP BY 1, 2, 3
 ORDER BY yr, mo, o_orderstatus""",
+
+    "opt_mv_exact_distinct" ->
+      """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+       count(*)::BIGINT AS n_orders,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, mo""",
 
     "opt_mv_miss" ->
       """SELECT o_orderpriority,

@@ -56,6 +56,48 @@ class MvRewriteSpec extends SparkSpec {
       "the stock session must not rewrite")
   }
 
+  test("exact grain serves count distinct and avg as a pure Project") {
+    import org.apache.spark.sql.functions._
+    val df = MvRewriteQueries.mvExactDistinct(spark, sf)
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty && roots.forall(_.contains("_distinct")),
+      s"expected the distinct view only, got $roots")
+    // the Aggregate must be GONE — a projection, not a re-aggregate
+    val aggs = collectAll(df.queryExecution.executedPlan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.isEmpty, "exact-grain match should plan zero aggregates")
+    // avg through the exact path: bit-identical to the recomputed value
+    // (Spark vs Spark — the stored column IS the original expression)
+    val s = spark.newSession()
+    MvRewrite.install(s)
+    s.conf.set(MvRewrite.EnabledKey, "true")
+    MvRewriteQueries.mvExactDistinct(spark, sf) // ensure registration
+    val onAvg = {
+      val o = Tables.orders(s, sf)
+      o.select(year(o("o_orderdate")).cast("int").as("yr"),
+          month(o("o_orderdate")).cast("int").as("mo"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+        .groupBy(col("yr"), col("mo"))
+        .agg(expr("CAST(avg(price) AS DOUBLE)").as("avg_price"))
+        .orderBy(col("yr"), col("mo"))
+    }
+    assert(scanRoots(onAvg).forall(_.contains("_distinct")),
+      "the avg query should be served from the view")
+    val offAvg = {
+      val o = Tables.orders(spark, sf)
+      o.select(year(o("o_orderdate")).cast("int").as("yr"),
+          month(o("o_orderdate")).cast("int").as("mo"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+        .groupBy(col("yr"), col("mo"))
+        .agg(expr("CAST(avg(price) AS DOUBLE)").as("avg_price"))
+        .orderBy(col("yr"), col("mo"))
+    }
+    assert(onAvg.collect().toSeq == offAvg.collect().toSeq)
+  }
+
   test("global aggregate over an EMPTY base: rewritten count is 0, not null") {
     import org.apache.spark.sql.functions._
     // an empty corpus with the orders schema, its (empty) view, registered
