@@ -9,6 +9,23 @@ import org.apache.spark.sql.SparkSession
   * measures query execution, not one-off table builds.
   */
 object Bench {
+  /** The repo root, found from the compiled-classes location (works from
+    * any cwd — `tools/run_graft.sh` execs java without cd'ing): walk up
+    * from the code source until `build.sbt` appears; fall back to cwd.
+    * Both the prior-baseline read and the committed-artifact write resolve
+    * against this, never the process cwd.
+    */
+  private def repoRoot: java.io.File = {
+    var d = new java.io.File(
+      SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    var depth = 0
+    while (d != null && depth < 8) {
+      if (new java.io.File(d, "build.sbt").isFile) return d
+      d = d.getParentFile; depth += 1
+    }
+    new java.io.File(".")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,6 +64,10 @@ object Bench {
     // the streaming run stay TIMED: their work IS the operator.
     warehouse.Bucketing.bucketedOrderTables(spark, sfDir)
     warehouse.PartitionedFact.factByMonth(spark, sfDir)
+    // matview materialization + registration for the MvRewrite consumers —
+    // without this the alphabetically first opt_mv_* entry is charged two
+    // full view writes inside its timed run
+    plans.MvRewriteQueries.prewarm(spark, sfDir)
     // session warmup: one untimed full read of each hot base table so the
     // alphabetically-first timed query isn't charged the session's one-off
     // costs (first job scheduling, codegen compiler init, parquet
@@ -100,7 +121,7 @@ object Bench {
     // wh_accumulating_snapshot read 5.4s in the official round, 1.1s on
     // every quiet re-run, and was not in the top-5 re-timed tail).
     val prior: Map[String, Double] = try {
-      val f = new java.io.File("bench_out.json")
+      val f = new java.io.File(repoRoot, "bench_out.json")
       if (!f.isFile) Map.empty
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
@@ -244,7 +265,8 @@ object Bench {
     // prefix-free record, and doubles as next round's `prior` baseline.
     // Partial dev runs (SPARK_GRAFT_ONLY) must not clobber it.
     if (only.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Files.write(
+        new java.io.File(repoRoot, "bench_out.json").toPath,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

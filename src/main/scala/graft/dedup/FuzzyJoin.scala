@@ -59,7 +59,15 @@ object FuzzyJoin {
         substring($"norm", 1, PrefixChars).as("prefix"))
   }
 
-  private def cappedPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Block-cap-join pipeline, shared by both verify kernels: ONE
+    * definition of the candidate set so the banded twin can never
+    * desynchronize from [[fuzzyPairs]]'s blocking or cap policy (their
+    * shared oracle depends on identical candidates). `dist` maps the two
+    * prefix columns to the distance expression.
+    */
+  private def cappedPairs(spark: SparkSession, dir: String,
+      dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     val b = blocked(spark, dir)
     val sizes = b.groupBy($"blk".as("s_blk"), $"lb".as("s_lb"))
@@ -74,13 +82,13 @@ object FuzzyJoin {
       $"lb".as("r_lb"), $"prefix".as("pb"))
     l.join(r, $"blk" === $"r_blk" && $"lb" === $"r_lb" &&
         $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", levenshtein($"pa", $"pb").as("dist"))
+      .select($"doc_a", $"doc_b", dist($"pa", $"pb").as("dist"))
   }
 
   /** Verified fuzzy pairs: blocked candidates within [[MaxDist]] edits. */
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    cappedPairs(spark, dir)
+    cappedPairs(spark, dir, levenshtein(_, _))
       .filter($"dist" <= MaxDist)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -96,21 +104,8 @@ object FuzzyJoin {
   def fuzzyPairsBanded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.GraftExtensions.registerAll(spark)
-    val b = blocked(spark, dir)
-    val sizes = b.groupBy($"blk".as("s_blk"), $"lb".as("s_lb"))
-      .agg(count(lit(1)).as("block_n"))
-    val capped = b.join(sizes,
-        $"blk" === $"s_blk" && $"lb" === $"s_lb")
-      .filter($"block_n" <= MaxBlock)
-      .select($"doc_id", $"blk", $"lb", $"prefix")
-    val l = capped.select($"doc_id".as("doc_a"), $"blk", $"lb",
-      $"prefix".as("pa"))
-    val r = capped.select($"doc_id".as("doc_b"), $"blk".as("r_blk"),
-      $"lb".as("r_lb"), $"prefix".as("pb"))
-    l.join(r, $"blk" === $"r_blk" && $"lb" === $"r_lb" &&
-        $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        expr(s"graft_edit_within(pa, pb, $MaxDist)").as("dist"))
+    cappedPairs(spark, dir, (pa, pb) =>
+        call_function("graft_edit_within", pa, pb, lit(MaxDist)))
       .filter($"dist" <= MaxDist)
       .orderBy($"doc_a", $"doc_b")
   }

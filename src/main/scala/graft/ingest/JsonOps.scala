@@ -69,7 +69,13 @@ object JsonOps {
     Tables.events(spark, dir)
       .select(
         coalesce($"event_type", lit("(null)")).as("event_type"),
-        expr("variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
+        // try_variant_get, not variant_get: a type-mismatched $.k (e.g. an
+        // array) must degrade to NULL like the oracle's TRY_CAST, never
+        // fail the scan. Residual cross-engine caveat, documented not
+        // hidden: a STRING-numeric k ("5") casts in Spark but nulls in
+        // DuckDB's TRY_CAST of the quoted extract — the corpus carries
+        // integer k only, and either engine change would flip the hash.
+        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         count($"k").as("n_with_k"),

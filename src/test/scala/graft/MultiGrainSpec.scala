@@ -67,7 +67,8 @@ class MultiGrainSpec extends SparkSpec {
 
   test("fuzzy join never plans a cartesian or nested-loop product") {
     for (q <- Seq(FuzzyJoin.fuzzyPairs(spark, sf),
-        FuzzyJoin.fuzzyKeep(spark, sf))) {
+        FuzzyJoin.fuzzyKeep(spark, sf),
+        FuzzyJoin.fuzzyPairsBanded(spark, sf))) {
       val bad = collectAll(q.queryExecution.executedPlan) {
         case c: CartesianProductExec => c
         case b: BroadcastNestedLoopJoinExec => b

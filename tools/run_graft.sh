@@ -1,7 +1,6 @@
 #!/bin/bash
 # usage: run_graft.sh <mainClass> [args...]
 MAIN=$1; shift
-SCALA_JARS=$(ls ~/.sbt/boot/*/org.scala-lang/scala-library*.jar 2>/dev/null | head -1)
 CP="/root/repo/target/scala-2.13/classes:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
 exec java -Xmx96g \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
