@@ -91,6 +91,30 @@ class EagerAggSpec extends SparkSpec {
     assert(row.isNullAt(1), "sum over the empty join stays null")
   }
 
+  test("mixed grouping: a computed fact-side expression joins the leaf keys") {
+    val s = ruleSession
+    val (fact, dim) = planted(s)
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // group by a dim attr AND a computed fact expression (v % 2): the
+    // fact expr must become a leaf key (aliased — not a bare attribute),
+    // and the result must match the un-pushed plan row for row
+    val q = fact.join(dim, $"k" === $"dk")
+      .groupBy($"grp", ($"v" % 2).as("parity"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), min($"v").as("mv"))
+      .orderBy($"grp", $"parity")
+    assert(aggBelowJoin(q), "rule should fire with mixed grouping")
+    val s2 = spark.newSession() // no rule: the control
+    val (fact2, dim2) = planted(s2)
+    val control = fact2.join(dim2, fact2("k") === dim2("dk"))
+      .groupBy(dim2("grp"), (fact2("v") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"), sum(fact2("v")).as("sv"),
+        min(fact2("v")).as("mv"))
+      .orderBy(dim2("grp"), col("parity"))
+    assert(q.collect().toSeq.map(_.toString) ==
+      control.collect().toSeq.map(_.toString))
+  }
+
   test("bails without uniqueness evidence or with dim-side aggregates") {
     val s = ruleSession
     import s.implicits._
