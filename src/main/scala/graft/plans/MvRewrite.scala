@@ -106,6 +106,39 @@ object MvRewrite extends Rule[LogicalPlan] {
       case other => Some((identity[Expression] _, other))
     }
 
+  /** Query-side flatten: like [[flatten]] but also accepts deterministic
+    * [[Filter]] nodes, returning their predicates flattened to base-column
+    * form. A filter is DERIVABLE from the view iff its predicate is a
+    * function of the view's grouping expressions (checked later, per
+    * entry): such a predicate is constant within each leaf group, so
+    * filtering base rows and filtering view rows are the same operation —
+    * the standard dashboard shape, grain + predicate. The DEFINING side
+    * keeps the strict no-filter [[flatten]].
+    */
+  private def flattenQ(plan: LogicalPlan):
+      Option[(Expression => Expression, Seq[Expression], LogicalPlan)] =
+    plan match {
+      case p: Project if p.projectList.forall(_.deterministic) =>
+        flattenQ(p.child).map { case (f, preds, base) =>
+          val m: Map[Long, Expression] = p.projectList.map {
+            case al: Alias    => al.exprId.id -> al.child
+            case a: Attribute => a.exprId.id -> (a: Expression)
+          }.toMap
+          (((e: Expression) => f(e.transformUp {
+            case a: Attribute if m.contains(a.exprId.id) => m(a.exprId.id)
+          })), preds, base)
+        }
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if fl.condition.deterministic =>
+        // the predicate references the plan BELOW the filter: flatten it
+        // with that chain's rewriter; projections above cannot affect it
+        flattenQ(fl.child).map { case (f, preds, base) =>
+          (f, preds :+ f(fl.condition), base)
+        }
+      case s: SubqueryAlias => flattenQ(s.child)
+      case other => Some((identity[Expression] _, Nil, other))
+    }
+
   /** Identity of a parquet scan: sorted root paths + read schema. */
   private def baseKey(plan: LogicalPlan): Option[String] = plan match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
@@ -193,13 +226,13 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (fq, baseQ) = flatten(agg.child).getOrElse(return None)
+    val (fq, preds, baseQ) = flattenQ(agg.child).getOrElse(return None)
     val keyQ = baseKey(baseQ).getOrElse(return None)
     val it = catalog.values.iterator
     while (it.hasNext) {
       val e = it.next()
       if (e.baseKey == keyQ) {
-        tryEntry(agg, fq, baseQ, e) match {
+        tryEntry(agg, fq, preds, baseQ, e) match {
           case some @ Some(_) => return some
           case None           => ()
         }
@@ -209,7 +242,7 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryEntry(agg: Aggregate, fq: Expression => Expression,
-      baseQ: LogicalPlan, e: Entry): Option[LogicalPlan] = {
+      preds: Seq[Expression], baseQ: LogicalPlan, e: Entry): Option[LogicalPlan] = {
     // map the entry's base attrs onto the query's (same schema, by position)
     val baseMap: Map[Long, Attribute] =
       e.baseOutput.map(_.exprId.id).zip(baseQ.output).toMap
@@ -228,6 +261,27 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (j < 0) return None
       matchedJs += j
       g -> scanOut(e.groupPos(j))
+    }
+
+    // every filter predicate must be a function of the VIEW's grouping
+    // expressions (not merely the query's — a filter on mo is derivable
+    // from a yr×mo view even when the query groups by yr alone): replace
+    // maximal view-grouping subexpressions with scan columns, then demand
+    // nothing else remains
+    val scanChild: LogicalPlan = {
+      val mapped = preds.map { p =>
+        val m = p.transformDown {
+          case sub if mvGroupQ.exists(_.semanticEquals(sub)) =>
+            scanOut(e.groupPos(mvGroupQ.indexWhere(_.semanticEquals(sub))))
+        }
+        if (!m.references.forall(a => scanOut.exists(_.exprId == a.exprId)))
+          return None
+        m
+      }
+      if (mapped.isEmpty) e.scan
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        mapped.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),
+        e.scan)
     }
 
     // ---- EXACT-grain fast path -----------------------------------------
@@ -264,7 +318,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (allExact &&
           projected.flatMap(_.references).forall(a =>
             scanOut.exists(_.exprId == a.exprId))) {
-        val proj = Project(projected, e.scan)
+        val proj = Project(projected, scanChild)
         if (proj.output.map(a => (a.exprId, a.dataType)) ==
             agg.output.map(a => (a.exprId, a.dataType)))
           return Some(proj)
@@ -336,7 +390,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         scanOut.exists(_.exprId == a.exprId))) return None
 
     val rewritten = Aggregate(
-      gToScan.map(_._2), newResult, e.scan, agg.hint)
+      gToScan.map(_._2), newResult, scanChild, agg.hint)
     if (rewritten.output.map(a => (a.exprId, a.dataType)) !=
         agg.output.map(a => (a.exprId, a.dataType))) return None
     Some(rewritten)

@@ -169,6 +169,26 @@ object MvRewriteQueries {
       .orderBy($"yr", $"mo")
   }
 
+  /** Grain + predicate — the standard dashboard shape: a yearly rollup
+    * restricted to Q2–Q3 months. The filter is on `mo`, a VIEW grouping
+    * that the query does NOT group by: derivable because the predicate is
+    * constant within each view row, so filtering view rows ≡ filtering
+    * base rows. Served as Filter(view) + re-aggregate.
+    */
+  def mvFiltered(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = withView(spark0, dir)
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        month($"o_orderdate").cast("int").as("mo"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .filter($"mo" >= 4 && $"mo" <= 9)
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(price) AS DOUBLE)").as("total_price"))
+      .orderBy($"yr")
+  }
+
   /** Negative control: `o_orderpriority` is not a view column, so this
     * must keep scanning raw orders.
     */
@@ -188,6 +208,7 @@ object MvRewriteQueries {
     "opt_mv_rollup" -> (mvRollup _),
     "opt_mv_exact" -> (mvExact _),
     "opt_mv_exact_distinct" -> (mvExactDistinct _),
+    "opt_mv_filtered" -> (mvFiltered _),
     "opt_mv_miss" -> (mvMiss _))
 
   /** Raw-table SQL only — the oracle must NOT read the view, that's the
@@ -220,6 +241,15 @@ ORDER BY yr, mo, o_orderstatus""",
 FROM orders
 GROUP BY 1, 2
 ORDER BY yr, mo""",
+
+    "opt_mv_filtered" ->
+      """SELECT year(o_orderdate)::INT AS yr,
+       count(*)::BIGINT AS n_orders,
+       (sum(CAST(o_totalprice AS DECIMAL(14,2))))::DOUBLE AS total_price
+FROM orders
+WHERE month(o_orderdate) BETWEEN 4 AND 9
+GROUP BY 1
+ORDER BY yr""",
 
     "opt_mv_miss" ->
       """SELECT o_orderpriority,

@@ -131,24 +131,49 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.deregister("mv_empty_base_test")
   }
 
-  test("filtered and distinct aggregates are not derivable: no rewrite") {
+  test("grouping-column filters are derivable; others are not") {
     import org.apache.spark.sql.functions._
-    // trigger registration, then probe with a child session + rule enabled
+    // the registered query: filter on mo (a view grouping the query does
+    // not group by) — served from the view
+    val served = MvRewriteQueries.mvFiltered(spark, sf)
+    assert(scanRoots(served).nonEmpty &&
+      scanRoots(served).forall(_.contains("graft-mv")),
+      "a view-grouping predicate should be served from the view")
+    val s = spark.newSession()
+    MvRewrite.install(s)
+    s.conf.set(MvRewrite.EnabledKey, "true")
+    import s.implicits._
+    // filter on o_orderstatus, a view-1 grouping: also derivable
+    val byStatus = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        month($"o_orderdate").cast("int").as("mo"),
+        $"o_orderstatus",
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"yr").agg(count(lit(1)).as("n"), sum($"price").as("s"))
+    assert(scanRoots(byStatus).forall(_.contains("graft-mv")))
+    // filter on a NON-grouping base column (the raw price): not a
+    // function of any view grouping — must keep scanning raw orders
+    val rawPred = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .filter($"price" > 1000)
+      .groupBy($"yr").agg(count(lit(1)).as("n"))
+    assert(scanRoots(rawPred).forall(_.contains("orders.parquet")),
+      "a row-level predicate must bail")
+  }
+
+  test("distinct aggregates at a coarser grain are not derivable: no rewrite") {
+    import org.apache.spark.sql.functions._
     MvRewriteQueries.mvRollup(spark, sf).queryExecution.executedPlan
     val s = spark.newSession()
     MvRewrite.install(s)
     s.conf.set(MvRewrite.EnabledKey, "true")
     import s.implicits._
-    val filtered = Tables.orders(s, sf)
-      .select(year($"o_orderdate").cast("int").as("yr"), $"o_orderstatus")
-      .filter($"o_orderstatus" === "F")
-      .groupBy($"yr").agg(count(lit(1)).as("n"))
-    assert(scanRoots(filtered).forall(_.contains("orders.parquet")),
-      "a Filter below the aggregate must bail")
     val distinct = Tables.orders(s, sf)
       .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey")
       .groupBy($"yr").agg(countDistinct($"o_custkey").as("n"))
     assert(scanRoots(distinct).forall(_.contains("orders.parquet")),
-      "a distinct aggregate must bail")
+      "a coarser-grain distinct aggregate must bail")
   }
 }

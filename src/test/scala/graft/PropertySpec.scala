@@ -115,7 +115,7 @@ class PropertySpec extends SparkSpec {
       // DOUBLE cast at the edge)
       "opt_mv_rollup", "opt_mv_exact", "opt_mv_miss",
       "opt_eager_agg", "opt_eager_agg_base", "opt_rollup_from_view",
-      "opt_mv_exact_distinct")
+      "opt_mv_exact_distinct", "opt_mv_filtered")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
