@@ -26,8 +26,19 @@ object Bench {
     new java.io.File(".")
   }
 
+  /** 1-minute load average, or -1 where /proc is unavailable. Recorded in
+    * the artifact because a loaded box is the one thing that makes two runs
+    * of identical code unadjudicable (r9: 503s vs 324s for the same commit,
+    * 321/392 queries uniformly >1.3× slower — pure contention).
+    */
+  private def loadAvg(): Double = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+  } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -206,16 +217,20 @@ object Bench {
       System.err.println(s"[bench] asof_skew ledger FAILED: ${e.getMessage}"); ""
     }
     // Price the multi-grain re-roll rule: the same ROLLUP with aggregation
-    // below vs above the Expand — the G× input-replication saving. At
-    // sf0.1 the absolute delta is modest (the Expand feeds 3×150k rows);
-    // the shuffle-bytes ratio is the part that scales with the corpus.
+    // below vs above the Expand. Wall and shuffle bytes MISS the rule's
+    // actual axis at sf0.1 (the extra leaf exchange costs more than the
+    // saved replication on 450k rows) — `expand_rows` is that axis: rows
+    // the Expand emits into the partial aggregate, G×|input| stock vs
+    // G×|leaf groups| re-rolled, and the stock term is the one that scales
+    // with the corpus.
     val rerollJson = try {
       val (_, on) = observability.QueryMetrics.profile(
         plans.RerollQueries.rollupReroll(spark, sfDir))
       val (_, off) = observability.QueryMetrics.profile(
         analytics.GroupingSets.rollupMonthly(spark, sfDir))
       s""","reroll":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
-        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes}}"""
+        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes},""" +
+        s""""on_expand_rows":${on.expandRows},"off_expand_rows":${off.expandRows}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] reroll ledger FAILED: ${e.getMessage}"); ""
     }
@@ -257,17 +272,41 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spj ledger FAILED: ${e.getMessage}"); ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$mvJson$eagerJson$spjJson,"sf":"$sfDir"}"""
+    // Load guard (r9 finding 2): a hot box makes identical code read >1.3×
+    // slower across the board, and committing such a run as "the baseline"
+    // re-creates the phantom-regression adjudication problem the artifact
+    // exists to kill. Compare this run's total against the committed prior
+    // over the SHARED query set (new queries must not read as load), flag
+    // the artifact, and refuse to overwrite the committed baseline with a
+    // noisy run (SPARK_GRAFT_FORCE_BASELINE=1 overrides — for the one
+    // legitimate case, a code change that really did slow everything down).
+    val sharedNames = results.collect {
+      case (n, t) if t >= 0 && prior.get(n).exists(_ > 0) => n }.toSet
+    val totalShared = results.collect {
+      case (n, t) if sharedNames(n) => t }.sum
+    val priorShared = sharedNames.toSeq.map(prior).sum
+    val noisy = priorShared > 0 && totalShared > 1.3 * priorShared
+    val loadEnd = loadAvg()
+    val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""prior_total_shared":$priorShared,"total_shared":$totalShared,"noisy":$noisy"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$mvJson$eagerJson$spjJson$loadJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":
     // null, 2000-char tail) — the file at the repo root is the full,
     // prefix-free record, and doubles as next round's `prior` baseline.
-    // Partial dev runs (SPARK_GRAFT_ONLY) must not clobber it.
-    if (only.isEmpty)
+    // Partial dev runs (SPARK_GRAFT_ONLY) must not clobber it; neither must
+    // a load-polluted run (it lands at bench_out.noisy.json for inspection).
+    if (only.isEmpty) {
+      val force = sys.env.get("SPARK_GRAFT_FORCE_BASELINE").contains("1")
+      val target = if (noisy && !force) "bench_out.noisy.json" else "bench_out.json"
+      if (noisy && !force) System.err.println(
+        s"[bench] NOISY RUN (shared total $totalShared vs prior $priorShared, " +
+          s"loadavg $loadStart→$loadEnd): keeping committed baseline, wrote $target")
       java.nio.file.Files.write(
-        new java.io.File(repoRoot, "bench_out.json").toPath,
+        new java.io.File(repoRoot, target).toPath,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -37,11 +37,16 @@ object QueryMetrics {
 
   /** Totals a scale assertion usually wants. `scanRows`/`scanBytes` cover
     * every file source leaf; shuffle totals cover every exchange in the
-    * final adaptive plan.
+    * final adaptive plan. `expandRows` is the rows PRODUCED by every Expand
+    * operator — the axis multi-grain rewrites move: a stock G-set rollup's
+    * Expand emits G×|input| rows into the partial aggregate, while the
+    * re-rolled plan's Expand emits G×|leaf groups| (the wall/shuffle columns
+    * alone can't see that saving at small SF, where the extra leaf exchange
+    * dominates — the r9 verdict's `reroll` ledger finding).
     */
   case class Profile(outputRows: Long, scanRows: Long, scanBytes: Long,
       scanFiles: Long, shuffleWriteBytes: Long, shuffleRecordsWritten: Long,
-      spillBytes: Long, wallMs: Long)
+      spillBytes: Long, wallMs: Long, expandRows: Long)
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val here = p.collect { case n => n }
@@ -82,7 +87,9 @@ object QueryMetrics {
       shuffleRecordsWritten = total((_, name) =>
         name.contains("shuffle records written")),
       spillBytes = total((_, name) => name.contains("spill size")),
-      wallMs = wallMs)
+      wallMs = wallMs,
+      expandRows = ledger.collect { case (_, node, key, _, v)
+        if node.startsWith("Expand") && key == "numOutputRows" => v }.sum)
     val ledgerDf = ledger
       .toDF("op_id", "operator", "metric_key", "metric", "value")
     (ledgerDf, prof)

@@ -115,6 +115,47 @@ class EagerAggSpec extends SparkSpec {
       control.collect().toSeq.map(_.toString))
   }
 
+  /** The r10 cost gate: a near-unique leaf grain (every fact row its own
+    * group) pays the leaf exchange for nothing — the rule must DECLINE,
+    * not fire unconditionally. The collapsing twin and the probe-disabled
+    * escape hatch pin the gate from both sides.
+    */
+  test("cost gate declines a near-unique leaf grain, keeps a collapsing one") {
+    val s = ruleSession
+    import s.implicits._
+    // 5000 rows ≥ the gate's minGateRows floor; key = id → ratio ≈ 1.0
+    val factU = s.range(5000).selectExpr("id AS k", "id % 7 AS v")
+    val dimU = s.range(5000)
+      .selectExpr("id AS dk", "CAST(id % 3 AS STRING) AS grp")
+      .dropDuplicates("dk")
+    val qU = factU.join(dimU, $"k" === $"dk")
+      .groupBy($"grp").agg(sum($"v").as("sv")).orderBy($"grp")
+    assert(!aggBelowJoin(qU), "near-unique leaf grain must decline")
+    // declined ≠ broken: results still correct through the stock plan
+    assert(qU.collect().map(_.getLong(1)).sum ==
+      (0L until 5000L).map(_ % 7).sum)
+
+    // same size, key = id % 50 → ratio ≈ 0.01: fires
+    val factC = s.range(5000).selectExpr("id % 50 AS k", "id % 7 AS v")
+    val dimC = s.range(50)
+      .selectExpr("id AS dk", "CAST(id % 3 AS STRING) AS grp")
+      .dropDuplicates("dk")
+    val qC = factC.join(dimC, $"k" === $"dk")
+      .groupBy($"grp").agg(sum($"v").as("sv"))
+    assert(aggBelowJoin(qC), "collapsing leaf grain must still fire")
+
+    // probe disabled → pre-gate behavior (fires even on the unique grain)
+    val s2 = ruleSession
+    s2.conf.set(EagerAggregation.ProbeRowsKey, "0")
+    val factU2 = s2.range(5000).selectExpr("id AS k", "id % 7 AS v")
+    val dimU2 = s2.range(5000)
+      .selectExpr("id AS dk", "CAST(id % 3 AS STRING) AS grp")
+      .dropDuplicates("dk")
+    val qU2 = factU2.join(dimU2, factU2("k") === dimU2("dk"))
+      .groupBy(dimU2("grp")).agg(sum(factU2("v")).as("sv"))
+    assert(aggBelowJoin(qU2), "probeRows=0 must disable the gate")
+  }
+
   test("bails without uniqueness evidence or with dim-side aggregates") {
     val s = ruleSession
     import s.implicits._
