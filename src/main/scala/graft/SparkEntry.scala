@@ -77,6 +77,7 @@ object SparkEntry {
       text.ChunkWindows.all ++ analytics.GroupingSets.all ++
       analytics.OlsRegression.all ++ dedup.FuzzyJoin.all ++
       plans.RerollQueries.all ++ plans.MvRewriteQueries.all ++
+      plans.MvWarehouseQueries.all ++
       plans.EagerAggregationQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
@@ -142,5 +143,6 @@ object SparkEntry {
       text.ChunkWindows.oracle ++ analytics.GroupingSets.oracle ++
       analytics.OlsRegression.oracle ++ dedup.FuzzyJoin.oracle ++
       plans.RerollQueries.oracle ++ plans.MvRewriteQueries.oracle ++
+      plans.MvWarehouseQueries.oracle ++
       plans.EagerAggregationQueries.oracle
 }

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, Divide, Expression, KnownNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
 
 /** Materialized-view query rewriting: answer an aggregate query from a
   * registered pre-aggregate instead of the raw table.
@@ -18,43 +19,65 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * prove the query derivable from it — the classic aggregate-navigator /
   * summary-table rewrite.
   *
-  * Matching scope (v1, deliberately narrow and fully checked — anything
-  * outside leaves the plan untouched):
+  * Two match paths, tried in order:
   *
-  *  - The query node is `Aggregate(G_q, R_q, C_q)` where `C_q` is a chain
-  *    of deterministic Project / SubqueryAlias nodes over a parquet
-  *    `LogicalRelation`; the MV's defining plan has the same shape. No
-  *    Filters (a filtered query is NOT derivable from an unfiltered
-  *    aggregate), no joins (register the joined pipeline's aggregate
-  *    directly if needed — the base comparison is by scan identity).
-  *  - Bases match iff they scan the same parquet root paths with the same
-  *    schema; columns then correspond by position.
-  *  - Every query grouping expression, FLATTENED to base-column form,
-  *    must semantically equal one of the MV's flattened grouping
-  *    expressions. Two match modes, tried in order:
-  *      EXACT grain (query grain = view grain as sets): every aggregate —
-  *      ANY deterministic function, count distinct / avg / FILTER clauses
-  *      included — must equal a view column verbatim, and the whole
-  *      Aggregate collapses to a Project over the view scan.
+  * 1. CHILD-EQUIVALENCE (the reference-matview path): the query Aggregate's
+  *    child is plan-equivalent (`sameResult`) to the registered defining
+  *    Aggregate's child, the grains are semantically equal, and every query
+  *    aggregate equals a stored view column — then the whole Aggregate
+  *    collapses to a Project over the view scan. Because equivalence is
+  *    whole-subtree, this path serves definings of ANY shape: star JOINS
+  *    below the aggregate, and the Expand form `RewriteDistinctAggregates`
+  *    leaves behind for multi-COUNT(DISTINCT) views (the reference's
+  *    `mv_monthly_encounters` / `mv_procedure_volume` are exactly that —
+  *    fact⋈dim joins with two distinct counts each). The price of the
+  *    generality: the query must aggregate at the view's own grain with the
+  *    view's own aggregate list (computed post-expressions, reorderings and
+  *    Project merges on TOP are fine; a coarser grain or a different
+  *    distinct-aggregate ORDER is not — the Expand internals encode the
+  *    original order, so `sameResult` refuses, soundly).
+  *
+  * 2. STRUCTURED single-relation matching: the query node is
+  *    `Aggregate(G_q, R_q, C_q)` where `C_q` is a chain of deterministic
+  *    Project / SubqueryAlias / (query-side) Filter nodes over ONE parquet
+  *    `LogicalRelation`, and the MV's defining plan has the same shape.
+  *    Bases match iff they scan the same parquet root paths with the same
+  *    schema; columns then correspond by position. Two grain modes:
+  *      EXACT grain: every aggregate — ANY deterministic function, count
+  *      distinct / avg / FILTER clauses included — must equal a view column
+  *      verbatim, and the whole Aggregate collapses to a Project.
   *      COARSER grain: every aggregate is a non-distinct, unfiltered
-  *      Sum / Count / Min / Max whose flattened input matches an MV
-  *      partial: Sum merges by Sum (cast back to the original result
-  *      type — decimal sums widen per level), Count by `coalesce(sum, 0)`,
-  *      Min/Max by themselves. Distinct aggregates bail here — they are
-  *      not derivable from a finer grain.
+  *      Sum / Count / Min / Max / Average whose flattened input matches MV
+  *      partials: Sum merges by Sum (cast back to the original result type
+  *      — decimal sums widen per level), Count by `coalesce(sum, 0)`,
+  *      Min/Max by themselves, and Average by merged-Sum / merged-Count
+  *      (both partials must be stored; the division replicates Average's
+  *      own operand types — sum cast back to Average's internal sum type,
+  *      count to DECIMAL(20,0) for decimal inputs, both to DOUBLE
+  *      otherwise — so the merged value is bit-identical to the direct
+  *      aggregate for decimal/integral inputs; float/double inputs merge
+  *      with the same re-association latitude Spark's own partial
+  *      aggregation takes). Distinct aggregates bail here — they are not
+  *      derivable from a finer grain.
   *
-  * The rewrite preserves every output `exprId` and data type (bare
-  * grouping attributes are re-aliased onto their original ids), and
-  * refuses itself if any reference fails to map — the residual-reference
-  * check is the safety net behind the whole match.
+  * Every rewrite splices a FRESH instance of the view scan (new exprIds per
+  * match site — a self-join/union of two view-servable aggregates must not
+  * put duplicate ids in one tree), preserves every output `exprId` and data
+  * type, restores non-nullability the scan's parquet read would otherwise
+  * lose (non-nullable original outputs are wrapped in [[KnownNotNull]] —
+  * stored counts are never null), and refuses itself if any reference fails
+  * to map — the residual-reference check is the safety net behind the whole
+  * match.
   *
   * FRESHNESS is the registrant's contract, not the rule's: [[register]]
   * binds the defining plan to the parquet snapshot that was just written;
   * if the base table changes, re-materialize and re-register (exactly the
-  * reference's `refresh_all_warehouse_views()` discipline). The rule is
-  * installed session-wide ([[graft.GraftExtensions]]) but fires only when
-  * a view is registered AND the session sets [[EnabledKey]] — see the key's
-  * doc for why the default is off.
+  * reference's `refresh_all_warehouse_views()` discipline —
+  * [[graft.warehouse.IvmJoin]]'s incremental refresh re-registers through
+  * the same door). The rule is installed session-wide
+  * ([[graft.GraftExtensions]]) but fires only when a view is registered AND
+  * the session sets [[EnabledKey]] — see the key's doc for why the default
+  * is off.
   *
   * At 100 TB this is the difference between a dashboard query scanning a
   * fact partition tree and it scanning kilobytes: the bench `mv_rewrite`
@@ -71,16 +94,26 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   val EnabledKey = "spark.sql.graft.mvRewrite.enabled"
 
-  /** One registered matview: everything needed to recognize and replace. */
-  private final case class Entry(
-      name: String,
+  /** The structured (single-relation) matcher's pre-digested facts. */
+  private final case class Structured(
       baseKey: String,                    // parquet roots + schema identity
       baseOutput: Seq[Attribute],         // defining-side base columns
       groupFlat: Seq[Expression],         // flattened grouping exprs (defining base space)
-      groupPos: Map[Int, Int],            // grouping index -> mv output column position
-      partials: Seq[(AggregateExpression, Int)], // mergeable partials -> mv column position
-      aggCols: Seq[(AggregateExpression, Int)],  // ALL aggregate columns (exact path)
-      scan: LogicalPlan)                  // analyzed read of the materialized parquet
+      groupPos: Map[Int, Int],            // grouping index -> defining output position
+      partials: Seq[(AggregateExpression, Int)], // mergeable partials -> defining output position
+      aggCols: Seq[(AggregateExpression, Int)])  // ALL aggregate columns (exact path)
+
+  /** One registered matview: everything needed to recognize and replace.
+    * `scanAligned(i)` = position in `scan.output` of defining output column
+    * i (a partitioned view write moves its partition columns to the end of
+    * the read-back schema, so defining order and scan order can differ).
+    */
+  private final case class Entry(
+      name: String,
+      wholePlan: LogicalPlan,             // OPTIMIZED defining plan (any shape)
+      scan: LogicalPlan,                  // analyzed read of the materialized parquet
+      scanAligned: Seq[Int],
+      structured: Option[Structured])
 
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -149,25 +182,115 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** Register a matview: `defining` is the aggregate pipeline the view was
     * computed FROM (raw-table space), `scan` reads the parquet it was
-    * just materialized TO (columns in defining-output order). Returns
-    * false (and registers nothing) if the defining plan is outside the
-    * matchable scope — callers treat that as a hard error in specs.
+    * just materialized TO. Scan columns are matched to defining outputs by
+    * NAME when both sides' names are unique (partitioned writes reorder
+    * columns), positionally otherwise. Returns false (and registers
+    * nothing) if the alignment or types fail, or — for a defining whose
+    * optimized top is not an Aggregate — the child-equivalence path could
+    * never fire either. Structured (single-relation) matching facts are
+    * pre-digested when the defining has that shape; join/distinct-expanded
+    * definings register for the child-equivalence path alone.
     */
+  /** Optimize `df` with this rule force-disabled in its session: a
+    * defining plan being registered must never be rewritten against an
+    * already-registered entry mid-registration (an IVM re-registration of
+    * the same name would otherwise match its own previous generation and
+    * store a Project instead of an Aggregate).
+    */
+  private def optimizedWithRuleOff(df: DataFrame): LogicalPlan = {
+    val sess = df.sparkSession
+    val prev = sess.conf.getOption(EnabledKey)
+    sess.conf.set(EnabledKey, "false")
+    try df.queryExecution.optimizedPlan
+    finally prev match {
+      case Some(v) => sess.conf.set(EnabledKey, v)
+      case None    => sess.conf.unset(EnabledKey)
+    }
+  }
+
+  /** The defining plan's PRE-EXPANSION normal form. Matching must run on
+    * the same normal form the query has when the rule sees it. A rule
+    * injected via [[graft.GraftExtensions]] runs in the operator-
+    * optimization fixed point, BEFORE `RewriteDistinctAggregates` — so a
+    * multi-distinct query still looks like a plain Aggregate there. The
+    * stored twin therefore must be "fully operator-optimized but not
+    * distinct-expanded", which a plain `optimizedPlan` cannot produce for
+    * a ≥2-distinct-group defining (and the expansion's gid numbering is
+    * hash-order-dependent, so even expanded-vs-expanded comparison is
+    * unstable). Trick: strip the isDistinct flags (same shapes, same
+    * types), optimize fully (no multi-distinct left → no expansion), then
+    * restore the flags positionally. Optimizer rules in the operator
+    * batches treat aggregate-function children identically with or
+    * without the flag, so the restored plan IS the query-side normal
+    * form. Any restore-count mismatch falls back to the plain optimized
+    * plan (registration still succeeds; the entry just can't serve
+    * multi-distinct consumers).
+    */
+  private def preExpansionForm(defining: DataFrame): LogicalPlan = {
+    defining.queryExecution.analyzed match {
+      case agg: Aggregate =>
+        val flags: Seq[Seq[Boolean]] = agg.aggregateExpressions.map(
+          _.collect { case ae: AggregateExpression => ae.isDistinct })
+        if (!flags.exists(_.contains(true))) return optimizedWithRuleOff(defining)
+        val stripped = agg.copy(aggregateExpressions =
+          agg.aggregateExpressions.map(_.transformUp {
+            case ae: AggregateExpression if ae.isDistinct =>
+              ae.copy(isDistinct = false)
+          }.asInstanceOf[NamedExpression]))
+        val strippedDf = org.apache.spark.sql.graft.PlanDF.ofRows(
+          defining.sparkSession, stripped)
+        optimizedWithRuleOff(strippedDf) match {
+          case oa: Aggregate if oa.aggregateExpressions.size == flags.size =>
+            var bad = false
+            val restored = oa.aggregateExpressions.zip(flags).map {
+              case (ne, fs) =>
+                var k = -1
+                val t = ne.transformUp {
+                  case ae: AggregateExpression =>
+                    k += 1
+                    if (k < fs.size && fs(k)) ae.copy(isDistinct = true) else ae
+                }
+                if (k + 1 != fs.size) bad = true
+                t.asInstanceOf[NamedExpression]
+            }
+            if (bad) optimizedWithRuleOff(defining)
+            else oa.copy(aggregateExpressions = restored)
+          case _ => optimizedWithRuleOff(defining)
+        }
+      case _ => optimizedWithRuleOff(defining)
+    }
+  }
+
   def register(name: String, defining: DataFrame, scan: DataFrame): Boolean = {
-    // the OPTIMIZED defining plan, not the analyzed one: matching runs
-    // inside the optimizer's fixed point, where the query's expressions
-    // have already been simplified (SimplifyCasts strips the redundant
-    // int cast off year(date), etc.) — the stored twins must be in the
-    // same normal form or semantic equality can never hold
-    defining.queryExecution.optimizedPlan match {
+    // the defining plan in the optimizer's NORMAL FORM, not the analyzed
+    // one: matching runs inside the optimizer's fixed point, where the
+    // query's expressions have already been simplified (SimplifyCasts
+    // strips the redundant int cast off year(date), etc.) — the stored
+    // twin must be in the same normal form or plan equality can never
+    // hold. See [[preExpansionForm]] for the multi-distinct subtlety.
+    val opt = preExpansionForm(defining)
+    val scanPlan = scan.queryExecution.analyzed
+    val sOut = scanPlan.output
+    val dOut = opt.output
+    if (dOut.size != sOut.size) return false
+    val aligned: Seq[Int] =
+      if (dOut.map(_.name).distinct.size == dOut.size &&
+          sOut.map(_.name).distinct.size == sOut.size &&
+          dOut.forall(o => sOut.exists(_.name == o.name)))
+        dOut.map(o => sOut.indexWhere(_.name == o.name))
+      else dOut.indices
+    if (!dOut.zip(aligned).forall { case (o, p) => sOut(p).dataType == o.dataType })
+      return false
+
+    val structured: Option[Structured] = opt match {
       case Aggregate(g, r, child, _) =>
-        val entry = for {
+        for {
           (f, base) <- flatten(child)
           key <- baseKey(base)
           groupFlat = g.map(f)
           if groupFlat.forall(_.deterministic)
-          // mv output position of each grouping: the result column that is
-          // exactly that grouping expression
+          // defining output position of each grouping: the result column
+          // that is exactly that grouping expression
           groupPos = g.indices.flatMap { i =>
             r.indexWhere {
               case al: Alias    => al.child.semanticEquals(g(i))
@@ -196,12 +319,14 @@ object MvRewrite extends Rule[LogicalPlan] {
               case _                                   => false
             })
           }
-        } yield Entry(name, key, base.output, groupFlat, groupPos, partials,
-          aggCols, scan.queryExecution.analyzed)
-        entry.foreach(e => catalog.put(name, e))
-        entry.isDefined
-      case _ => false
+        } yield Structured(key, base.output, groupFlat, groupPos, partials, aggCols)
+      case _ => None
     }
+    // the child-equivalence path needs an Aggregate top; without either
+    // path the entry could never fire — refuse so callers notice
+    if (structured.isEmpty && !opt.isInstanceOf[Aggregate]) return false
+    catalog.put(name, Entry(name, opt, scanPlan, aligned, structured))
+    true
   }
 
   def deregister(name: String): Unit = catalog.remove(name)
@@ -226,42 +351,171 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // pass 1: child-equivalence — the only path that can serve join-based
+    // and multi-distinct (Expand-form) definings
+    val it1 = catalog.values.iterator
+    while (it1.hasNext) {
+      tryChildEquiv(agg, it1.next()) match {
+        case some @ Some(_) => return some
+        case None           => ()
+      }
+    }
+    // pass 2: structured single-relation matching
     val (fq, preds, baseQ) = flattenQ(agg.child).getOrElse(return None)
     val keyQ = baseKey(baseQ).getOrElse(return None)
-    val it = catalog.values.iterator
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.baseKey == keyQ) {
-        tryEntry(agg, fq, preds, baseQ, e) match {
-          case some @ Some(_) => return some
-          case None           => ()
-        }
+    val it2 = catalog.values.iterator
+    while (it2.hasNext) {
+      val e = it2.next()
+      e.structured match {
+        case Some(s) if s.baseKey == keyQ =>
+          tryEntry(agg, fq, preds, baseQ, e, s) match {
+            case some @ Some(_) => return some
+            case None           => ()
+          }
+        case _ => ()
       }
     }
     None
   }
 
+  /** A fresh instance of the entry's scan for THIS match site: new output
+    * exprIds (a query whose tree matches the same view twice — self-join
+    * or union of two servable rollups — must not receive duplicate ids),
+    * returned as (plan, defining-output-aligned columns).
+    */
+  private def freshScan(e: Entry): Option[(LogicalPlan, Seq[Attribute])] = {
+    val fresh = e.scan.transform {
+      case r: LogicalRelation => r.newInstance()
+    }
+    if (fresh.output.size != e.scan.output.size) return None
+    Some((fresh, e.scanAligned.map(fresh.output)))
+  }
+
+  /** Restore the nullability the parquet round-trip lost: a non-nullable
+    * original output (count, grouping key of a non-null column) replaced
+    * by a nullable view column gets a [[KnownNotNull]] wrapper — the
+    * stored value genuinely never is null (it was computed by the same
+    * non-nullable expression), and parents keep the metadata they resolved
+    * against. The opposite flip (nullable original, non-nullable scan) is
+    * a safe narrowing and needs nothing.
+    */
+  private def fit(col: Expression, like: Expression): Expression =
+    if (!like.nullable && col.nullable) KnownNotNull(col) else col
+
+  /** Output-preservation contract shared by both paths: every exprId and
+    * dataType unchanged, and no output goes non-nullable → nullable.
+    */
+  private def preserves(rewritten: LogicalPlan, original: LogicalPlan): Boolean =
+    rewritten.output.map(a => (a.exprId, a.dataType)) ==
+      original.output.map(a => (a.exprId, a.dataType)) &&
+    rewritten.output.zip(original.output).forall { case (n, o) =>
+      o.nullable || !n.nullable
+    }
+
+  // =====================================================================
+  // Path 1: child-equivalence
+  // =====================================================================
+
+  /** Query `Aggregate(G_q, R_q, C_q)` matches entry `Aggregate(G_s, R_s,
+    * C_s)` when `C_q.sameResult(C_s)` (whole-subtree plan equivalence —
+    * joins, Expands, everything), the grains are semantically equal sets,
+    * and every aggregate inside R_q equals some stored result column.
+    * Result expressions may reorder, drop, or post-compute over the view
+    * columns (a merged `Project` ratio like the reference's Q3 per-patient
+    * rate rewrites fine); the whole node collapses to a Project over a
+    * fresh view scan.
+    */
+  private def tryChildEquiv(agg: Aggregate, e: Entry): Option[LogicalPlan] = {
+    val s = e.wholePlan match {
+      case a: Aggregate => a
+      case _            => return None
+    }
+    // cheap screens before canonicalizing anything
+    def dbg(msg: String): Unit = if (sys.env.contains("GRAFT_MV_DEBUG"))
+      System.err.println(s"MVDBG[${e.name}] $msg")
+    if (agg.child.output.size != s.child.output.size) { dbg(s"size ${agg.child.output.size} vs ${s.child.output.size}"); return None }
+    if (agg.child.output.map(_.dataType) != s.child.output.map(_.dataType))
+      { dbg("dtypes differ"); return None }
+    if (agg.groupingExpressions.size != s.groupingExpressions.size) { dbg("group size"); return None }
+    if (!agg.child.sameResult(s.child)) { dbg(s"sameResult FALSE\nQ:${agg.child.canonicalized.treeString}\nS:${s.child.canonicalized.treeString}"); return None }
+    dbg("sameResult TRUE")
+
+    // sameResult ⇒ canonical structures equal ⇒ outputs correspond by
+    // position: map stored-side attributes into query space
+    val m: Map[Long, Attribute] =
+      s.child.output.map(_.exprId.id).zip(agg.child.output).toMap
+    def toQ(expr: Expression): Expression = expr.transformUp {
+      case a: Attribute => m.getOrElse(a.exprId.id, a)
+    }
+
+    // grain equality both directions (a projection cannot re-aggregate)
+    val gS = s.groupingExpressions.map(toQ)
+    val gQ = agg.groupingExpressions
+    if (!gQ.forall(q => gS.exists(_.semanticEquals(q))) ||
+        !gS.forall(v => gQ.exists(_.semanticEquals(v)))) { dbg(s"grain gQ=$gQ gS=$gS"); return None }
+
+    val (scanPlan, scanCols) = freshScan(e).getOrElse(return None)
+
+    // every stored result column, alias-stripped and in query space, with
+    // the scan column that holds its materialized value
+    val avail: Seq[(Expression, Attribute)] =
+      s.aggregateExpressions.zipWithIndex.map {
+        case (al: Alias, i)   => (toQ(al.child), scanCols(i))
+        case (a: Attribute, i) => (toQ(a), scanCols(i))
+        case (ne, i)          => (toQ(ne), scanCols(i))
+      }
+
+    val projected: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      val t = ne.transformDown {
+        case sub if avail.exists(_._1.semanticEquals(sub)) =>
+          val (like, col) = avail.find(_._1.semanticEquals(sub)).get
+          fit(col, like)
+      }
+      // anything aggregate-shaped that survived has no view column: bail
+      if (t.exists(_.isInstanceOf[AggregateExpression])) { dbg(s"agg survived in $t\navail=${avail.map(_._1)}"); return None }
+      if (!t.references.forall(scanPlan.outputSet.contains)) { dbg(s"refs leak in $t"); return None }
+      t match {
+        case al: Alias                             => al
+        case a: Attribute if a.exprId == ne.exprId => a
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    val proj = Project(projected, scanPlan)
+    if (!preserves(proj, agg)) { dbg(s"preserves FALSE\nproj=${proj.output.map(a => (a.name, a.exprId.id, a.dataType, a.nullable))}\nagg=${agg.output.map(a => (a.name, a.exprId.id, a.dataType, a.nullable))}"); return None }
+    dbg("REWRITTEN")
+    Some(proj)
+  }
+
+  // =====================================================================
+  // Path 2: structured single-relation matching
+  // =====================================================================
+
   private def tryEntry(agg: Aggregate, fq: Expression => Expression,
-      preds: Seq[Expression], baseQ: LogicalPlan, e: Entry): Option[LogicalPlan] = {
+      preds: Seq[Expression], baseQ: LogicalPlan, e: Entry,
+      st: Structured): Option[LogicalPlan] = {
     // map the entry's base attrs onto the query's (same schema, by position)
     val baseMap: Map[Long, Attribute] =
-      e.baseOutput.map(_.exprId.id).zip(baseQ.output).toMap
+      st.baseOutput.map(_.exprId.id).zip(baseQ.output).toMap
     def toQuerySpace(expr: Expression): Expression = expr.transformUp {
       case a: Attribute => baseMap.getOrElse(a.exprId.id, a)
     }
-    val mvGroupQ = e.groupFlat.map(toQuerySpace)
+    val mvGroupQ = st.groupFlat.map(toQuerySpace)
+
+    val (scanPlan, scanCols) = freshScan(e).getOrElse(return None)
 
     // every query grouping must be one of the MV's groupings
-    val scanOut = e.scan.output
     val matchedJs = scala.collection.mutable.Set[Int]()
-    val gToScan: Seq[(Expression, Attribute)] = agg.groupingExpressions.map { g =>
+    val gToScan: Seq[(Expression, Expression)] = agg.groupingExpressions.map { g =>
       if (!g.deterministic) return None
       val flat = fq(g)
       val j = mvGroupQ.indexWhere(_.semanticEquals(flat))
       if (j < 0) return None
       matchedJs += j
-      g -> scanOut(e.groupPos(j))
+      g -> fit(scanCols(st.groupPos(j)), g)
     }
+    // the bare (unfitted) scan attribute for grouping position j — the
+    // Aggregate's groupingExpressions must stay plain attributes
+    def groupAttr(j: Int): Attribute = scanCols(st.groupPos(j))
 
     // every filter predicate must be a function of the VIEW's grouping
     // expressions (not merely the query's — a filter on mo is derivable
@@ -270,18 +524,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     // nothing else remains
     val scanChild: LogicalPlan = {
       val mapped = preds.map { p =>
-        val m = p.transformDown {
+        val mp = p.transformDown {
           case sub if mvGroupQ.exists(_.semanticEquals(sub)) =>
-            scanOut(e.groupPos(mvGroupQ.indexWhere(_.semanticEquals(sub))))
+            val j = mvGroupQ.indexWhere(_.semanticEquals(sub))
+            fit(scanCols(st.groupPos(j)), sub)
         }
-        if (!m.references.forall(a => scanOut.exists(_.exprId == a.exprId)))
-          return None
-        m
+        if (!mp.references.forall(scanPlan.outputSet.contains)) return None
+        mp
       }
-      if (mapped.isEmpty) e.scan
+      if (mapped.isEmpty) scanPlan
       else org.apache.spark.sql.catalyst.plans.logical.Filter(
         mapped.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),
-        e.scan)
+        scanPlan)
     }
 
     // ---- EXACT-grain fast path -----------------------------------------
@@ -290,12 +544,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     // coarser-grain merge below can never derive — is sitting verbatim in
     // a view column: the whole Aggregate collapses to a Project.
     if (matchedJs.size == mvGroupQ.size) {
-      val aggColsQ = e.aggCols.map { case (ae, pos) => (toQuerySpace(ae), pos) }
-      def exactCol(ae: AggregateExpression): Option[Attribute] = {
+      val aggColsQ = st.aggCols.map { case (ae, pos) => (toQuerySpace(ae), pos) }
+      def exactCol(ae: AggregateExpression): Option[Expression] = {
         if (!ae.deterministic) return None
         val flat = fq(ae).asInstanceOf[Expression]
         aggColsQ.collectFirst {
-          case (p, pos) if p.semanticEquals(flat) => scanOut(pos)
+          case (p, pos) if p.semanticEquals(flat) => fit(scanCols(pos), ae)
         }
       }
       var allExact = true
@@ -316,49 +570,89 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
       }
       if (allExact &&
-          projected.flatMap(_.references).forall(a =>
-            scanOut.exists(_.exprId == a.exprId))) {
+          projected.flatMap(_.references).forall(scanPlan.outputSet.contains)) {
         val proj = Project(projected, scanChild)
-        if (proj.output.map(a => (a.exprId, a.dataType)) ==
-            agg.output.map(a => (a.exprId, a.dataType)))
-          return Some(proj)
+        if (preserves(proj, agg)) return Some(proj)
       }
     }
 
     // every aggregate must merge from an MV partial
-    val partialsQ = e.partials.map { case (ae, pos) => (toQuerySpace(ae), pos) }
+    val partialsQ = st.partials.map { case (ae, pos) => (toQuerySpace(ae), pos) }
+    def partialCol(fn: Expression): Option[Attribute] =
+      partialsQ.collectFirst {
+        case (p: AggregateExpression, pos)
+            if p.aggregateFunction.semanticEquals(fn) => scanCols(pos)
+      }
     def mergeFor(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined || !ae.deterministic) return None
       val flat = fq(ae.aggregateFunction).asInstanceOf[Expression]
-      val hit = partialsQ.collectFirst {
-        case (p: AggregateExpression, pos)
-            if p.aggregateFunction.semanticEquals(flat) => pos
-      }
-      hit.flatMap { pos =>
-        val col = scanOut(pos)
-        val fn = ae.aggregateFunction match {
-          case s: Sum   => Some(s.copy(child = col))
-          case _: Count => Some(Sum(col)) // counts merge by summation
-          case m: Min   => Some(m.copy(child = col))
-          case m: Max   => Some(m.copy(child = col))
-          case _        => None
-        }
-        fn.map { f =>
-          val merged: Expression =
-            AggregateExpression(f, ae.mode, isDistinct = false, None)
-          val typed =
-            if (merged.dataType == ae.dataType) merged
-            else Cast(merged, ae.dataType)
-          // a GLOBAL query over an empty base: count(*) must be 0, but
-          // sum over the (empty) view is null — coalesce restores the
-          // count contract (grouped queries never see the difference:
-          // every group that exists has partials ≥ 1)
-          ae.aggregateFunction match {
-            case _: Count => Coalesce(Seq(typed, Literal(0L)))
-            case _        => typed
+      val simple = flat match {
+        case _: Average => None // handled below (needs TWO partials)
+        case f => partialCol(f).flatMap { col =>
+          val fn = ae.aggregateFunction match {
+            case s: Sum   => Some(s.copy(child = col))
+            case _: Count => Some(Sum(col)) // counts merge by summation
+            case m: Min   => Some(m.copy(child = col))
+            case m: Max   => Some(m.copy(child = col))
+            case _        => None
+          }
+          fn.map { f =>
+            val merged: Expression =
+              AggregateExpression(f, ae.mode, isDistinct = false, None)
+            val typed =
+              if (merged.dataType == ae.dataType) merged
+              else Cast(merged, ae.dataType)
+            // a GLOBAL query over an empty base: count(*) must be 0, but
+            // sum over the (empty) view is null — coalesce restores the
+            // count contract (grouped queries never see the difference:
+            // every group that exists has partials ≥ 1)
+            ae.aggregateFunction match {
+              case _: Count => Coalesce(Seq(typed, Literal(0L)))
+              case _        => typed
+            }
           }
         }
       }
+      simple.orElse(flat match {
+        // AVG from a coarser grain: avg = merged-sum / merged-count, BOTH
+        // partials must be stored (count of the SAME child — count(*)
+        // won't do unless the child is provably non-null, which we don't
+        // attempt). The division replicates Average's own evaluate shape —
+        // decimal: Divide(sum: sumType, count: DECIMAL(20,0)) then cast to
+        // the avg result type (sum re-widened by the re-sum is cast BACK
+        // to the view column's type first; exact, the value IS the
+        // original total) — so decimal/integral merges are bit-identical
+        // to the direct aggregate. Float/double inputs re-associate, the
+        // latitude Spark's own partial aggregation already takes.
+        case av: Average if (av.child.dataType match {
+          case _: DecimalType | FloatType | DoubleType => true
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false // interval averages: no double-division analog
+        }) =>
+          for {
+            sumCol <- partialCol(Sum(av.child))
+            cntCol <- partialCol(Count(Seq(av.child)))
+          } yield {
+            val reSum: Expression =
+              AggregateExpression(Sum(sumCol), ae.mode, isDistinct = false, None)
+            val reCnt: Expression =
+              AggregateExpression(Sum(cntCol), ae.mode, isDistinct = false, None)
+            val sumBack =
+              if (reSum.dataType == sumCol.dataType) reSum
+              else Cast(reSum, sumCol.dataType)
+            val div = av.child.dataType match {
+              case _: DecimalType =>
+                Divide(sumBack, Cast(reCnt, DecimalType(20, 0)))
+              case _ => // integral / float / double: Average divides in DOUBLE
+                Divide(Cast(sumBack, DoubleType), Cast(reCnt, DoubleType))
+            }
+            if (div.dataType == ae.dataType) div else Cast(div, ae.dataType)
+          }
+        case _ => None
+      })
     }
 
     // transformUp, NOT transformDown: a down-transform recurses into its
@@ -369,8 +663,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       val t = ne.transformUp {
         case ae: AggregateExpression =>
           mergeFor(ae) match {
-            case Some(m) => m
-            case None    => ok = false; ae
+            case Some(mg) => mg
+            case None     => ok = false; ae
           }
         case expr if gToScan.exists(_._1.semanticEquals(expr)) =>
           gToScan.find(_._1.semanticEquals(expr)).get._2
@@ -386,13 +680,15 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
     }
     // residual-reference safety net: everything must now live on the scan
-    if (!newResult.flatMap(_.references).forall(a =>
-        scanOut.exists(_.exprId == a.exprId))) return None
+    if (!newResult.flatMap(_.references).forall(scanPlan.outputSet.contains))
+      return None
 
-    val rewritten = Aggregate(
-      gToScan.map(_._2), newResult, scanChild, agg.hint)
-    if (rewritten.output.map(a => (a.exprId, a.dataType)) !=
-        agg.output.map(a => (a.exprId, a.dataType))) return None
+    val newGroupings: Seq[Expression] = agg.groupingExpressions.map { g =>
+      val j = mvGroupQ.indexWhere(_.semanticEquals(fq(g)))
+      groupAttr(j)
+    }
+    val rewritten = Aggregate(newGroupings, newResult, scanChild, agg.hint)
+    if (!preserves(rewritten, agg)) return None
     Some(rewritten)
   }
 }

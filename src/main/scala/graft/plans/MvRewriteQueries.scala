@@ -45,7 +45,12 @@ object MvRewriteQueries {
       .agg(count(lit(1)).as("n_orders"),
         sum($"price").as("sum_price"),
         min($"price").as("min_price"),
-        max($"price").as("max_price"))
+        max($"price").as("max_price"),
+        // count of the AVG child itself (not count(*)): the coarser-grain
+        // AVG merge needs sum(x)+count(x) partials — count(*) only equals
+        // count(x) when x is provably non-null, which the matcher refuses
+        // to assume
+        count($"price").as("n_price"))
   }
 
   /** A second view carrying NON-decomposable aggregates (count distinct,
@@ -189,6 +194,31 @@ object MvRewriteQueries {
       .orderBy($"yr")
   }
 
+  /** AVG at a COARSER grain than the view (the r10 extension): yearly
+    * average order value from "raw" orders, served as
+    * merged-sum / merged-count over the yr×mo×status view — the classic
+    * derivation that plain partial-matching cannot express because avg is
+    * not self-decomposable. Bit-exactness discipline: the view stores the
+    * DECIMAL(24,2) sum and the BIGINT count(price); the merge re-sums both
+    * (exact), casts the widened re-sum back to (24,2) (exact — the value
+    * IS the original total), and divides in Average's own operand types,
+    * so the result equals the direct `avg(price)` to the last decimal
+    * digit (MvRewriteSpec pins Spark-vs-Spark equality; the oracle
+    * recomputes the same half-up-at-scale-6 value in exact BIGINT
+    * micro-units).
+    */
+  def mvAvgCoarser(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = withView(spark0, dir)
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .groupBy($"yr")
+      .agg(avg($"price").cast("double").as("avg_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"yr")
+  }
+
   /** Negative control: `o_orderpriority` is not a view column, so this
     * must keep scanning raw orders.
     */
@@ -209,6 +239,7 @@ object MvRewriteQueries {
     "opt_mv_exact" -> (mvExact _),
     "opt_mv_exact_distinct" -> (mvExactDistinct _),
     "opt_mv_filtered" -> (mvFiltered _),
+    "opt_mv_avg_coarser" -> (mvAvgCoarser _),
     "opt_mv_miss" -> (mvMiss _))
 
   /** Raw-table SQL only — the oracle must NOT read the view, that's the
@@ -248,6 +279,19 @@ ORDER BY yr, mo""",
        (sum(CAST(o_totalprice AS DECIMAL(14,2))))::DOUBLE AS total_price
 FROM orders
 WHERE month(o_orderdate) BETWEEN 4 AND 9
+GROUP BY 1
+ORDER BY yr""",
+
+    // Spark's avg(DECIMAL(14,2)) is the exact sum divided half-up at scale
+    // 6; DuckDB reproduces it in exact BIGINT micro-units: cents = exact
+    // total, micro = round-half-up(cents*10^4 / n) via floor division,
+    // avg = micro / 1e6 (micro < 2^53, so the double is exact both ways)
+    "opt_mv_avg_coarser" ->
+      """SELECT year(o_orderdate)::INT AS yr,
+       ((CAST(FLOOR(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 + 0.5) AS BIGINT)
+          * 10000 * 2 + count(*)) // (2 * count(*)) / 1000000.0)::DOUBLE AS avg_price,
+       count(*)::BIGINT AS n_orders
+FROM orders
 GROUP BY 1
 ORDER BY yr""",
 

@@ -294,10 +294,38 @@ object Warehouse {
   // re-deriving them.
   private val memo = new ConcurrentHashMap[String, Warehouse]()
 
+  /** The deterministic materialization directory for (application, corpus). */
+  def workDirFor(spark: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-wh/${spark.sparkContext.applicationId}/$safe"
+  }
+
   def forDir(spark: SparkSession, dir: String): Warehouse =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val work = s"${sys.props("java.io.tmpdir")}/graft-wh/${spark.sparkContext.applicationId}/$safe"
-      materialize(spark, dir, work)
+      materialize(spark, dir, workDirFor(spark, dir))
     })
+
+  /** Re-read the materialized warehouse with THIS session. [[forDir]]'s
+    * memoized DataFrames are bound to whichever session materialized first;
+    * a CHILD session carrying its own optimizer rules (the MvRewrite proof
+    * queries) needs plans owned by itself, so this ensures materialization
+    * and hands back fresh parquet reads — no rebuild, just reads.
+    */
+  def reread(spark: SparkSession, dir: String): Warehouse = {
+    forDir(spark, dir)
+    val work = workDirFor(spark, dir)
+    def rd(n: String) = spark.read.parquet(s"$work/$n")
+    Warehouse(
+      dimPatient = rd("dim_patient"),
+      dimFacility = rd("dim_facility"),
+      dimProcedure = rd("dim_procedure"),
+      dimDiagnosis = rd("dim_diagnosis"),
+      dimTime = rd("dim_time"),
+      factEncounters = rd("fact_encounters"),
+      bridgeProcedure = rd("bridge_encounter_procedure"),
+      bridgeDiagnosis = rd("bridge_encounter_diagnosis"),
+      mvMonthlyEncounters = rd("mv_monthly_encounters"),
+      mvDiagnosisByAgeGroup = rd("mv_diagnosis_by_age_group"),
+      mvProcedureVolume = rd("mv_procedure_volume"))
+  }
 }

@@ -163,6 +163,140 @@ class MvRewriteSpec extends SparkSpec {
       "a row-level predicate must bail")
   }
 
+  // ===================================================================
+  // r10: the reference's own matviews, served automatically
+  // ===================================================================
+
+  test("raw q01/q03 are served from mv_* parquet, not the fact table") {
+    import graft.plans.MvWarehouseQueries
+    val q01 = MvWarehouseQueries.q01Raw(spark, sf)
+    val r01 = scanRoots(q01)
+    assert(r01.nonEmpty && r01.forall(_.contains("mv_monthly_encounters")),
+      s"q01 raw must read the monthly view only, got $r01")
+    val q03 = MvWarehouseQueries.q03Raw(spark, sf)
+    val r03 = scanRoots(q03)
+    assert(r03.nonEmpty && r03.forall(_.contains("mv_procedure_volume")),
+      s"q03 raw must read the volume view only, got $r03")
+    // the multi-distinct Expand machinery must be GONE — a projection
+    for (df <- Seq(q01, q03)) {
+      val heavy = collectAll(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.ExpandExec => e
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(heavy.isEmpty,
+        s"served q01/q03 should plan zero joins/aggregates/expands, got $heavy")
+    }
+    // identical rows to the hand-rewritten reference queries
+    assert(q01.collect().toSeq ==
+      analytics.Queries.q01MonthlyTrends(spark, sf).collect().toSeq)
+    assert(q03.collect().toSeq ==
+      analytics.Queries.q03ProcedureVolume(spark, sf).collect().toSeq)
+  }
+
+  test("coarser-grain AVG merges bit-identically to the direct aggregate") {
+    val served = MvRewriteQueries.mvAvgCoarser(spark, sf)
+    val roots = scanRoots(served)
+    assert(roots.nonEmpty && roots.forall(_.contains("graft-mv")),
+      s"avg-coarser must be served from the view, got $roots")
+    // direct (un-rewritten) twin in the stock session: bit equality,
+    // including the decimal(18,6) half-up rounding through the widening
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val direct = Tables.orders(spark, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .groupBy($"yr")
+      .agg(avg($"price").cast("double").as("avg_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"yr")
+    assert(served.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("IVM refresh re-registers: the consumer reads the v1 snapshot") {
+    import graft.plans.MvWarehouseQueries
+    val q = MvWarehouseQueries.ivmRefreshServed(spark, sf)
+    val roots = scanRoots(q)
+    assert(roots.nonEmpty && roots.forall(_.contains("graft-ivm")),
+      s"the consumer must read the refreshed snapshot, got $roots")
+    assert(roots.forall(_.contains("/v1")),
+      s"…and specifically v1 (post-delta), got $roots")
+    // rows equal the raw full-state recompute (stock session, no rewrite)
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf).select(col("o_custkey").as("custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val c = Tables.customer(spark, sf).select(col("c_custkey").as("custkey"),
+      col("c_nationkey").as("nationkey"))
+    val raw = o.join(c, "custkey").groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("revenue"))
+      .orderBy(col("nationkey"))
+    assert(q.collect().toSeq == raw.collect().toSeq)
+  }
+
+  test("rewrite composes with AQE: same rows, still a view scan") {
+    import org.apache.spark.sql.functions._
+    MvRewriteQueries.mvRollup(spark, sf).queryExecution // ensure registered
+    def pipeline(s: org.apache.spark.sql.SparkSession) = {
+      val o = Tables.orders(s, sf)
+      o.select(year(o("o_orderdate")).cast("int").as("yr"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .orderBy(col("yr")) // exchange on top: AQE has something to re-plan
+    }
+    def session(aqe: Boolean) = {
+      val s = spark.newSession()
+      MvRewrite.install(s)
+      s.conf.set(MvRewrite.EnabledKey, "true")
+      s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      if (aqe) s.conf.set("spark.sql.adaptive.forceApply", "true")
+      s
+    }
+    val on = pipeline(session(aqe = true))
+    val off = pipeline(session(aqe = false))
+    assert(scanRoots(on).nonEmpty && scanRoots(on).forall(_.contains("graft-mv")),
+      s"AQE must not undo the substitution, got ${scanRoots(on)}")
+    assert(scanRoots(off).forall(_.contains("graft-mv")))
+    assert(on.collect().toSeq == off.collect().toSeq)
+  }
+
+  test("two servable aggregates in ONE tree get distinct scan exprIds") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    MvRewriteQueries.mvRollup(spark, sf).queryExecution // ensure registered
+    val s = spark.newSession()
+    MvRewrite.install(s)
+    s.conf.set(MvRewrite.EnabledKey, "true")
+    import org.apache.spark.sql.functions._
+    def rollup = {
+      val o = Tables.orders(s, sf)
+      o.select(year(o("o_orderdate")).cast("int").as("yr"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+        .groupBy(col("yr"))
+        .agg(expr("CAST(sum(price) AS DOUBLE)").as("s"))
+    }
+    val u = rollup.unionByName(rollup)
+    val ids = u.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.output.map(_.exprId).toSet
+    }
+    assert(ids.size == 2, s"expected two view scans, got ${ids.size}")
+    assert(ids.head.intersect(ids(1)).isEmpty,
+      "each match site must splice a FRESH scan instance (disjoint exprIds)")
+    assert(scanRoots(u).forall(_.contains("graft-mv")))
+    u.collect() // and it executes
+  }
+
+  test("non-nullable outputs stay non-nullable through the parquet scan") {
+    val served = MvRewriteQueries.mvRollup(spark, sf)
+    val n = served.queryExecution.optimizedPlan.output.find(_.name == "n_orders")
+    assert(n.isDefined && !n.get.nullable,
+      "count output must keep its non-nullability (KnownNotNull wrap)")
+  }
+
   test("distinct aggregates at a coarser grain are not derivable: no rewrite") {
     import org.apache.spark.sql.functions._
     MvRewriteQueries.mvRollup(spark, sf).queryExecution.executedPlan
