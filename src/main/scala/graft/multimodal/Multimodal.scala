@@ -356,6 +356,140 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // =====================================================================
+  // r10: a REAL codec behind the stub seam — javax.imageio
+  // =====================================================================
+
+  /** Synthetic image geometry: [[ImgW]]×[[ImgW]] 8-bit grayscale; doc seeds
+    * fold to [[ImgSeeds]] distinct images so the dedup stage sees real
+    * collisions. ONE pixel formula — `(s*131 + y*17 + x*7) mod 256` —
+    * shared verbatim between the image generator, the spec, and the DuckDB
+    * oracle.
+    */
+  val ImgW = 16
+  val ImgSeeds = 64L
+
+  private val imageFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Land one REAL PNG per document: a TYPE_BYTE_GRAY image whose pixels
+    * follow the seed formula, ENCODED BY javax.imageio on the executors
+    * (the JDK ships PNG/BMP/GIF codecs even though the container has no
+    * external media libraries — the r9 "no codecs" framing undersold it).
+    * Distributed landing, idempotent names, memoized per (application,
+    * run-generation, corpus) like [[mediaFilesDir]].
+    */
+  private def imageFilesDir(spark: SparkSession, dir: String): String =
+    imageFilesMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft-imagefiles/" +
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        val w = ImgW
+        val seeds = ImgSeeds
+        Tables.documents(spark, dir).select(col("doc_id"))
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            it.foreach { r =>
+              val d = r.getLong(0)
+              val s = d % seeds
+              val img = new java.awt.image.BufferedImage(
+                w, w, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < w) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0, ((s * 131 + y * 17 + x * 7) % 256).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              javax.imageio.ImageIO.write(img, "png",
+                new java.io.File(base, s"$d.png"))
+            }
+          }
+        base
+      })
+
+  /** Decoded-image perceptual hash, split into two 32-bit halves (both
+    * always non-negative, so neither engine trips over the BIGINT sign
+    * bit when reassembling bits as a sum).
+    */
+  final case class ImagePhash(doc_id: Long, width: Int, height: Int,
+      phash_hi: Long, phash_lo: Long)
+
+  /** The REAL decode kernel: `ImageIO.read` on the PNG bytes, then an 8×8
+    * average-hash from the DECODED PIXELS — bit b set when its block's
+    * pixel sum, scaled, exceeds the image total (`blockSum*64 > total` ≡
+    * blockAvg > mean, exact in integers). PNG is lossless and the JDK gray
+    * codec round-trips 8-bit samples exactly, so the hash is re-derivable
+    * from the pixel formula alone — which is what lets DuckDB oracle-check
+    * a pipeline whose Spark side genuinely decodes files. Same
+    * per-partition iterator seam as [[decodeKernel]]: a heavier codec
+    * would init once before the loop.
+    */
+  private[graft] def imageDecodeKernel(
+      it: Iterator[(Long, Array[Byte])]): Iterator[ImagePhash] = {
+    it.map { case (d, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"ImageIO failed to decode doc $d")
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val blocks = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          blocks((y * 8 / h) * 8 + (x * 8 / w)) += raster.getSample(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      var total = 0L
+      var j = 0
+      while (j < 64) { total += blocks(j); j += 1 }
+      var lo = 0L
+      var hi = 0L
+      j = 0
+      while (j < 64) {
+        if (blocks(j) * 64 > total) {
+          if (j < 32) lo |= (1L << j) else hi |= (1L << (j - 32))
+        }
+        j += 1
+      }
+      ImagePhash(d, w, h, hi, lo)
+    }
+  }
+
+  /** [[phashDedupFromFiles]] with the stub REPLACED by the real codec:
+    * land PNGs → `binaryFile` read → `ImageIO` decode → average-hash from
+    * decoded pixels → hash-bucket dedup. The oracle recomputes every hash
+    * from the pixel formula, so a green row proves the encode → file →
+    * read → decode round trip preserved every sample. Scale shape
+    * unchanged: media bytes stay inside the partition iterator; only
+    * (doc_id, 2×int hash) shuffles.
+    */
+  def imageioPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = imageFilesDir(spark, dir)
+    val ph = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(base)
+      .select(
+        regexp_extract($"path", "([0-9]+)\\.png$", 1).cast("long").as("_1"),
+        $"content".as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(imageDecodeKernel _)
+      .toDF()
+    val buckets = ph.groupBy($"phash_hi", $"phash_lo")
+      .agg(count(lit(1)).as("n_group"), min($"doc_id").as("keeper"))
+    ph.join(buckets, Seq("phash_hi", "phash_lo"))
+      .select($"doc_id", $"width", $"height", $"phash_hi", $"phash_lo",
+        $"n_group", ($"doc_id" === $"keeper").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Energy-jump threshold between consecutive frames that opens a new
     * scene — ONE constant shared with the oracle (≈ the 65th percentile of
     * observed jumps, so segmentation is neither one-scene-per-doc nor
@@ -450,6 +584,7 @@ object Multimodal {
     "mm_scene_segments" -> (sceneSegments _),
     "mm_phash_dedup" -> (phashDedup _),
     "mm_binaryfile_phash" -> (phashDedupFromFiles _),
+    "mm_imageio_phash" -> (imageioPhash _),
     "mm_audio_energy" -> (audioEnergy _),
     "mm_metadata" -> (metadata _),
     "mm_modality_mix" -> (modalityMix _),
@@ -577,6 +712,39 @@ ORDER BY doc_id, frame_idx""",
 
     // the binaryFile-sourced run must land the SAME rows: one oracle text
     "mm_binaryfile_phash" -> phashOracle,
+
+    // the decoded-pixel hash, recomputed from the pixel formula: proves
+    // the ImageIO encode → binaryFile → decode round trip is sample-exact
+    "mm_imageio_phash" -> s"""WITH seeds AS (
+  SELECT DISTINCT doc_id % $ImgSeeds AS s FROM documents),
+px AS (
+  SELECT s, ty.y AS y, tx.x AS x,
+         (s * 131 + ty.y * 17 + tx.x * 7) % 256 AS v
+  FROM seeds, range($ImgW) ty(y), range($ImgW) tx(x)),
+blocks AS (
+  SELECT s, (y * 8 // $ImgW) * 8 + (x * 8 // $ImgW) AS b, sum(v)::BIGINT AS bs
+  FROM px GROUP BY 1, 2),
+tot AS (SELECT s, sum(bs)::BIGINT AS ts FROM blocks GROUP BY 1),
+ph AS (
+  SELECT blocks.s AS s,
+         sum(CASE WHEN bs * 64 > ts AND b >= 32
+                  THEN (1::BIGINT << (b - 32)::INT) ELSE 0 END)::BIGINT AS phash_hi,
+         sum(CASE WHEN bs * 64 > ts AND b < 32
+                  THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS phash_lo
+  FROM blocks JOIN tot ON blocks.s = tot.s GROUP BY 1),
+docs AS (
+  SELECT d.doc_id, ph.phash_hi, ph.phash_lo
+  FROM documents d JOIN ph ON d.doc_id % $ImgSeeds = ph.s),
+buckets AS (
+  SELECT phash_hi, phash_lo, count(*)::BIGINT AS n_group,
+         min(doc_id) AS keeper
+  FROM docs GROUP BY 1, 2)
+SELECT doc_id, $ImgW::INT AS width, $ImgW::INT AS height,
+       docs.phash_hi, docs.phash_lo, n_group,
+       (doc_id = keeper) AS keep
+FROM docs JOIN buckets
+  ON docs.phash_hi = buckets.phash_hi AND docs.phash_lo = buckets.phash_lo
+ORDER BY doc_id""",
     // aHash twin over the shared resize chain: fixed-order grid mean,
     // one bit per above-mean cell, bucket stats by hash
     "mm_phash_dedup" -> phashOracle,

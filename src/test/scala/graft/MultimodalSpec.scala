@@ -135,6 +135,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO kernel decodes real PNG bytes back to the exact pixels") {
+    import graft.multimodal.Multimodal
+    // encode a known image with the landing formula, decode through the
+    // kernel, and recompute the expected hash straight from the formula —
+    // any lossy step (codec, sample depth, raster order) breaks equality
+    val seed = 5L
+    val w = Multimodal.ImgW
+    val img = new java.awt.image.BufferedImage(
+      w, w, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until w; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, ((seed * 131 + y * 17 + x * 7) % 256).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.imageDecodeKernel(
+      Iterator((42L, bos.toByteArray))).toSeq
+    assert(out.size == 1 && out.head.width == w && out.head.height == w)
+    // expected hash from the formula, no codec involved
+    val blocks = new Array[Long](64)
+    for (y <- 0 until w; x <- 0 until w)
+      blocks((y * 8 / w) * 8 + (x * 8 / w)) += (seed * 131 + y * 17 + x * 7) % 256
+    val total = blocks.sum
+    var lo = 0L; var hi = 0L
+    for (j <- 0 until 64 if blocks(j) * 64 > total)
+      if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+    assert(out.head.phash_lo == lo && out.head.phash_hi == hi,
+      "decoded-pixel hash must equal the formula-derived hash")
+  }
+
   test("corpus is pure ASCII (precondition for the VARCHAR-based oracle)") {
     // the DuckDB oracle slices VARCHAR (it cannot slice BLOBs); equality of
     // byte length and char length over the whole corpus is the precondition
