@@ -99,6 +99,12 @@ object GraftExtensions {
       arity("graft_kmv", 1, "graft_kmv(bigint h32 hash) aggregate") {
         args => graft.functions.KmvAgg(args.head,
           analytics.WindowExtras.KmvK) }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName,
+        "graft_minhash_sig"),
+      arity("graft_minhash_sig", 1,
+        "graft_minhash_sig(string) → array<bigint> of 32 minhash values") {
+        args => graft.functions.MinHashSignature(args.head) }),
     (FunctionIdentifier("graft_edit_within"),
       new ExpressionInfo(classOf[graft.functions.EditWithin].getName,
         "graft_edit_within"),

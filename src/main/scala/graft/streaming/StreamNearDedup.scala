@@ -116,28 +116,28 @@ object StreamNearDedup {
   }
 
   /** Map-side banded signature of a (doc_id, text, lang) stream: one row
-    * per (doc, band). No aggregation — the 32 permutation mins fold over
-    * the shingle ARRAY per row (`array_min(transform(...))`), so the
-    * computation needs no shuffle and no streaming-aggregate state.
+    * per (doc, band). No aggregation, no shuffle — the whole signature is
+    * ONE native kernel call per row ([[graft.functions.MinHashSignature]],
+    * invoked from whole-stage codegen). The declarative HOF chain this
+    * replaces (split → shingle transform → md5 transform → 32 array_min
+    * transforms) was the entry's real cost: interpreted lambdas plus
+    * optimizer project-collapsing re-inlining the upstream arrays into
+    * every consumer put 10–14 s of a 15 s wall into addBatch at sf0.1
+    * (see the kernel's scaladoc and the bench `stream_near_dedup` entry —
+    * 15.2 s → ~8 s after the swap, of which ~7.5 s is measured harness
+    * floor: session+state-store init ≈ 1.5 s, batch-0 fixed cost ≈ 5 s,
+    * the watermark's no-data timeout batch ≈ 0.7 s — constants that do
+    * not scale with rows; see graft.StreamProfile). Values are
+    * bit-identical (same md5-h32, same coefficients, same band buckets),
+    * so the DuckDB oracle text is unchanged.
     */
+  private[graft] def bandedBatch(docs: DataFrame): DataFrame = banded(docs)
+
   private def banded(docs: DataFrame): DataFrame = {
-    val p = Md5Hash.P
-    val sigCols = MinHashLsh.Coeffs.map { case (a, b) =>
-      expr(s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${p}L))")
-    }
+    graft.GraftExtensions.registerAll(docs.sparkSession)
     docs
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
-      .withColumn("sh",
-        when(size(col("toks")) >= 3,
-          array_distinct(expr(
-            """transform(sequence(0, size(toks) - 3),
-              |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2),
-              |              ' ', element_at(toks, i + 3)))""".stripMargin)))
-          .otherwise(array().cast("array<string>")))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", expr(
-        s"transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % ${p}L)"))
-      .withColumn("sig", array(sigCols: _*))
+      .withColumn("sig", expr("graft_minhash_sig(text)"))
+      .filter(size(col("sig")) > 0) // <3-token docs: no shingles, drop
       .select(col("doc_id"), col("lang"), col("ts"),
         explode(expr(
           s"""transform(sequence(0, ${MinHashLsh.Bands - 1}),
