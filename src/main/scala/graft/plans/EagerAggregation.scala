@@ -59,16 +59,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * extra shuffle for nothing), so it ships OFF behind [[EnabledKey]] —
   * and, enabled, it DECLINES when the measured collapse ratio is poor:
   * [[collapseRatioOk]] estimates |leaf groups| / |fact rows| from catalog
-  * stats when present, else from a bounded prefix probe (count +
-  * approx_count_distinct over the first [[ProbeRowsKey]] fact rows — O(probe)
-  * work, cached per canonicalized fact plan), and bails above
-  * [[MaxRatioKey]]. Facts whose row count is below [[MinRowsKey]] skip the
-  * gate entirely: at that size the decision is costless either way, and an
-  * under-sized sample is worse than no gate. The prefix is an honest
-  * estimator, not an oracle — a fact sorted so one key fills the prefix
-  * under-reads the ratio — but both failure modes cost one redundant
-  * shuffle, never a wrong answer. The `_eager_` alias prefix on leaf
-  * columns is the fixed-point guard.
+  * stats when present, else from a probe (count + approx_count_distinct
+  * over the fact's key columns, executed once and cached per canonicalized
+  * fact plan; [[ProbeRowsKey]] picks full-fact vs bounded-prefix — see its
+  * doc for the prefix's decline-ward bias), and bails above [[MaxRatioKey]].
+  * Facts whose row count is below [[MinRowsKey]] skip the gate entirely: at
+  * that size the decision is costless either way, and an under-sized sample
+  * is worse than no gate. Either probe failure mode costs one redundant
+  * shuffle or one forgone win, never a wrong answer. The `_eager_` alias
+  * prefix on leaf columns is the fixed-point guard.
   */
 object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -81,8 +80,18 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     */
   val MaxRatioKey = "spark.sql.graft.eagerAggregation.maxCollapseRatio"
 
-  /** Rows the prefix probe reads (0 disables the probe — stats-less facts
-    * then fire ungated, the pre-r10 behavior).
+  /** Probe size. NEGATIVE (the default): probe the WHOLE fact — one
+    * cached count + approx-ndv pass over the key columns, the exact
+    * collapse ratio. POSITIVE: a bounded LIMIT-prefix probe — cheaper,
+    * but BIASED TOWARD DECLINING when keys are spread uniformly through
+    * the file (a random 100k-row prefix of a 4-rows-per-key fact covers
+    * ~73% distinct keys, reading as ratio 0.73 where the full fact
+    * collapses to 0.25 — measured at sf0.1; sampling distinct counts is
+    * the classic under-observable). 0 disables the gate entirely
+    * (stats-less facts then fire ungated, the pre-r10 behavior). At
+    * cluster scale prefer ANALYZE'd catalog stats (free) or a bounded
+    * prefix with the bias understood; the full probe reads two columns
+    * once per distinct fact plan per session.
     */
   val ProbeRowsKey = "spark.sql.graft.eagerAggregation.probeRows"
 
@@ -336,9 +345,9 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def collapseRatioOk(fact: LogicalPlan, keys: Seq[Expression]): Boolean = {
     val maxRatio = conf.getConfString(MaxRatioKey, "0.5").toDouble
-    val probeRows = conf.getConfString(ProbeRowsKey, "100000").toLong
+    val probeRows = conf.getConfString(ProbeRowsKey, "-1").toLong
     val minRows = conf.getConfString(MinRowsKey, "1000").toLong
-    if (probeRows <= 0 || fact.isStreaming) return true
+    if (probeRows == 0 || fact.isStreaming) return true
 
     // --- stats path: rowCount + per-key distinctCount when ANALYZEd ----
     val stats = fact.stats
@@ -371,9 +380,13 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
         val named = keys.zipWithIndex.map { case (k, i) =>
           Alias(k, s"_gate_k$i")(): NamedExpression
         }
-        val probe = org.apache.spark.sql.graft.PlanDF.ofRows(spark,
-          Limit(Literal(probeRows.min(Int.MaxValue.toLong).toInt),
-            Project(named, fact)))
+        // full probe (default): no Limit node at all — a huge LIMIT would
+        // plan as CollectLimit and funnel the scan through one partition
+        val probePlan: LogicalPlan =
+          if (probeRows < 0) Project(named, fact)
+          else Limit(Literal(probeRows.min(Int.MaxValue.toLong).toInt),
+            Project(named, fact))
+        val probe = org.apache.spark.sql.graft.PlanDF.ofRows(spark, probePlan)
         val row = probe.agg(count(lit(1)).as("n"),
           approx_count_distinct(struct(named.map(n =>
             probe.col(n.name)): _*)).as("d")).head()

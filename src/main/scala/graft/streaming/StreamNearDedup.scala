@@ -123,13 +123,15 @@ object StreamNearDedup {
     * transforms) was the entry's real cost: interpreted lambdas plus
     * optimizer project-collapsing re-inlining the upstream arrays into
     * every consumer put 10–14 s of a 15 s wall into addBatch at sf0.1
-    * (see the kernel's scaladoc and the bench `stream_near_dedup` entry —
-    * 15.2 s → ~8 s after the swap, of which ~7.5 s is measured harness
-    * floor: session+state-store init ≈ 1.5 s, batch-0 fixed cost ≈ 5 s,
-    * the watermark's no-data timeout batch ≈ 0.7 s — constants that do
-    * not scale with rows; see graft.StreamProfile). Values are
-    * bit-identical (same md5-h32, same coefficients, same band buckets),
-    * so the DuckDB oracle text is unchanged.
+    * (see the kernel's scaladoc). After the swap the full sf0.1 stream
+    * runs 4.6–5.4 s quiet, and the remainder is measured HARNESS FLOOR,
+    * not per-row work (graft.StreamProfile: a 100-row feed costs ~8 s on
+    * a cold session — codegen warm-up + state-store init — and the warm
+    * fixed cost is ≈ 1.5 s startup + ≈ 2–3 s batch-0 scheduling/commit +
+    * ≈ 1 s for the watermark's no-data timeout batch; the 6.7k-doc feed
+    * adds under 1 s on top). Values are bit-identical (same md5-h32,
+    * same coefficients, same band buckets), so the DuckDB oracle text is
+    * unchanged.
     */
   private[graft] def bandedBatch(docs: DataFrame): DataFrame = banded(docs)
 
