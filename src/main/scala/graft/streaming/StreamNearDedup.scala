@@ -192,7 +192,7 @@ object StreamNearDedup {
     * others is a partial near-match — the conservative ingest drops it;
     * the S-curve governs how often that fires on genuinely-novel text.)
     */
-  private def ledger(verdicts: DataFrame): DataFrame =
+  private[graft] def ledger(verdicts: DataFrame): DataFrame =
     verdicts
       .groupBy(col("doc_id"), col("lang"))
       .agg(min(when(col("fresh"), 1).otherwise(0)).as("keep"))

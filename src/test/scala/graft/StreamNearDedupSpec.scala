@@ -50,6 +50,25 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(streamed == batchLedger(StreamNearDedup.feed(spark, sf)))
   }
 
+  test("RocksDB state store provider: identical ledger (the scale backend)") {
+    // the 100 TB state backend: claim state held in RocksDB instead of the
+    // in-memory HashMap provider — off-heap, incremental-checkpoint, the
+    // deployment answer when horizon-bounded bucket state outgrows executor
+    // heaps. Same pipeline, same claims, same ledger, byte for byte.
+    val base = tmp("snd-rocksdb")
+    StreamNearDedup.feed(spark, sf).write.mode("overwrite").parquet(s"$base/src")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      streaming.IncrementalIngest.StreamShufflePartitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    StreamNearDedup.nearDedup(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    val rocks = StreamNearDedup.ledger(spark.read.parquet(s"$base/out"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rocks == batchLedger(StreamNearDedup.feed(spark, sf)))
+  }
+
   test("planted mirrors are overwhelmingly dropped (any-band collision)") {
     val ledger = StreamNearDedup.all("stream_near_dedup")(spark, sf)
       .as[(String, Long, Long, Long)].collect()
