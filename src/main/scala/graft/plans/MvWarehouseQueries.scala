@@ -72,6 +72,9 @@ object MvWarehouseQueries {
       require(MvRewrite.register(s"mv_procedure_volume:$dir",
         MatViews.procedureVolume(wh), wh.mvProcedureVolume),
         "mv_procedure_volume must register (child-equivalence path)")
+      require(MvRewrite.register(s"mv_diagnosis_by_age_group:$dir",
+        MatViews.diagnosisByAgeGroup(wh), wh.mvDiagnosisByAgeGroup),
+        "mv_diagnosis_by_age_group must register (child-equivalence path)")
     }
     spark
   }
@@ -90,6 +93,27 @@ object MvWarehouseQueries {
         col("unique_patients"),
         round2(col("avg_procedures_per_encounter")).as("avg_procedures"),
         col("total_procedures"))
+  }
+
+  /** Q2 against the raw star (`analytics_queries.sql:23-41`): the 4-way
+    * star join (bridge ⋈ fact ⋈ dim_patient ⋈ dim_diagnosis) plus the
+    * ROW_NUMBER top-5-per-age-group ranking. The ranking window sits ABOVE
+    * the aggregate, so the rewrite swaps only the star+aggregate for the
+    * view scan and the window runs over kilobytes. With this, ALL THREE of
+    * the reference's matviews are served automatically.
+    */
+  def q02Raw(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = withViews(spark0, dir)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = MatViews.diagnosisByAgeGroup(Warehouse.reread(spark, dir))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("age_group"))
+          .orderBy(col("diagnosis_count").desc, col("code"), col("description"))))
+    ranked
+      .filter(col("rank") <= 5)
+      .orderBy(col("age_group"), col("rank"))
+      .select(col("age_group"), col("code"), col("description"),
+        col("diagnosis_count"), col("unique_patients"))
   }
 
   /** Q3 against the raw star (`analytics_queries.sql:47-54`). */
@@ -190,6 +214,7 @@ object MvWarehouseQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_mv_q01_raw" -> (q01Raw _),
+    "opt_mv_q02_raw" -> (q02Raw _),
     "opt_mv_q03_raw" -> (q03Raw _),
     "opt_mv_ivm_refresh" -> (ivmRefreshServed _))
 
@@ -199,6 +224,8 @@ object MvWarehouseQueries {
     */
   val oracle: Map[String, String] = Map(
     "opt_mv_q01_raw" -> graft.analytics.OracleSql.all("q01_monthly_trends"),
+    "opt_mv_q02_raw" ->
+      graft.analytics.OracleSql.all("q02_top_diagnoses_by_age_group"),
     "opt_mv_q03_raw" -> graft.analytics.OracleSql.all("q03_procedure_volume"),
     "opt_mv_ivm_refresh" ->
       """SELECT c_nationkey AS nationkey,

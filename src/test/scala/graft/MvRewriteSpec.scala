@@ -173,12 +173,17 @@ class MvRewriteSpec extends SparkSpec {
     val r01 = scanRoots(q01)
     assert(r01.nonEmpty && r01.forall(_.contains("mv_monthly_encounters")),
       s"q01 raw must read the monthly view only, got $r01")
+    val q02 = MvWarehouseQueries.q02Raw(spark, sf)
+    val r02 = scanRoots(q02)
+    assert(r02.nonEmpty && r02.forall(_.contains("mv_diagnosis_by_age_group")),
+      s"q02 raw must read the diagnosis view only, got $r02")
     val q03 = MvWarehouseQueries.q03Raw(spark, sf)
     val r03 = scanRoots(q03)
     assert(r03.nonEmpty && r03.forall(_.contains("mv_procedure_volume")),
       s"q03 raw must read the volume view only, got $r03")
     // the multi-distinct Expand machinery must be GONE — a projection
-    for (df <- Seq(q01, q03)) {
+    // (q02 keeps its ranking WindowExec, which is not in this list)
+    for (df <- Seq(q01, q02, q03)) {
       val heavy = collectAll(df.queryExecution.executedPlan) {
         case e: org.apache.spark.sql.execution.ExpandExec => e
         case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
@@ -194,6 +199,8 @@ class MvRewriteSpec extends SparkSpec {
     // identical rows to the hand-rewritten reference queries
     assert(q01.collect().toSeq ==
       analytics.Queries.q01MonthlyTrends(spark, sf).collect().toSeq)
+    assert(q02.collect().toSeq ==
+      analytics.Queries.q02TopDiagnosesByAgeGroup(spark, sf).collect().toSeq)
     assert(q03.collect().toSeq ==
       analytics.Queries.q03ProcedureVolume(spark, sf).collect().toSeq)
   }
