@@ -115,7 +115,13 @@ class PropertySpec extends SparkSpec {
       // DOUBLE cast at the edge)
       "opt_mv_rollup", "opt_mv_exact", "opt_mv_miss",
       "opt_eager_agg", "opt_eager_agg_base", "opt_rollup_from_view",
-      "opt_mv_exact_distinct", "opt_mv_filtered")
+      "opt_mv_exact_distinct", "opt_mv_filtered",
+      // round 10: the coarser-grain AVG merge (exact decimal division,
+      // one DOUBLE edge cast), the auto-served reference queries, the
+      // IVM-refreshed view consumer (decimal-exact merge), and the
+      // decoded-pixel hash (all-integer)
+      "opt_mv_avg_coarser", "opt_mv_q01_raw", "opt_mv_q02_raw",
+      "opt_mv_q03_raw", "opt_mv_ivm_refresh", "mm_imageio_phash")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
