@@ -110,8 +110,26 @@ object GroupingSets {
       .orderBy($"gid", $"yr", $"mo")
   }
 
+  /** ROLLUP(yr, mo) carrying an AVG — the decomposability frontier the
+    * re-roll rule crosses via [[graft.plans.AvgMerge]]: the stock plan
+    * computes each grain's average over all its rows; the re-rolled twin
+    * (`opt_rollup_avg_reroll`) derives every grain from leaf sum+count
+    * partials. DECIMAL sums keep both bit-identical; the oracle recomputes
+    * the half-up-at-scale-6 value in exact BIGINT micro-units per group.
+    */
+  def rollupAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .rollup($"yr", $"mo")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        expr("CAST(avg(price) AS DOUBLE)").as("avg_price"))
+      .orderBy($"gid", $"yr", $"mo")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_rollup_monthly" -> (rollupMonthly _),
+    "agg_rollup_avg" -> (rollupAvg _),
     "agg_cube_segment_status" -> (cubeSegmentStatus _),
     "agg_sets_priority" -> (setsPriority _),
     "agg_rollup_hierarchical" -> (rollupHierarchical _))
@@ -125,8 +143,19 @@ FROM orders
 GROUP BY ROLLUP(yr, mo)
 ORDER BY gid, yr, mo"""
 
+  private val rollupAvgSql: String =
+    """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+       GROUPING(yr, mo)::INT AS gid,
+       count(*)::BIGINT AS n_orders,
+       ((CAST(FLOOR(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 + 0.5) AS BIGINT)
+          * 10000 * 2 + count(*)) // (2 * count(*)) / 1000000.0)::DOUBLE AS avg_price
+FROM orders
+GROUP BY ROLLUP(yr, mo)
+ORDER BY gid, yr, mo"""
+
   val oracle: Map[String, String] = Map(
     "agg_rollup_monthly" -> rollupSql,
+    "agg_rollup_avg" -> rollupAvgSql,
     // the rewrite is semantics-preserving: same oracle text, verbatim
     "agg_rollup_hierarchical" -> rollupSql,
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Cast, Coalesce, EqualTo, Expression, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -43,9 +43,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  2. Every grouping expression lives entirely on one side of the join;
   *     fact-side grouping expressions become extra leaf keys.
   *  3. Every aggregate is a non-distinct, unfiltered, deterministic
-  *     Sum / Count / Min / Max over FACT columns only (count merges by
-  *     `coalesce(sum, 0)` — a global aggregate over a join with no
-  *     matches must still report 0, not null).
+  *     Sum / Count / Min / Max / Average over FACT columns only (count
+  *     merges by `coalesce(sum, 0)` — a global aggregate over a join with
+  *     no matches must still report 0, not null; avg merges via the
+  *     [[AvgMerge]] two-partial derivation, bit-exact for decimal and
+  *     integral inputs).
   *
   * Null fact keys: the leaf groups them like any value; the inner join
   * then drops that group whole — identical to the original dropping each
@@ -217,6 +219,9 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       if (!ae.references.subsetOf(factOut)) return None
       ae.aggregateFunction match {
         case _: Sum | _: Count | _: Min | _: Max => ()
+        // avg decomposes via the two-partial derivation ([[AvgMerge]]):
+        // the leaf stores Sum(x)+Count(x), the top divides the re-sums
+        case a: Average if AvgMerge.supported(a.child.dataType) => ()
         case _                                   => return None
       }
     }
@@ -239,16 +244,26 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     def leafKeyAttr(k: Expression): Attribute =
       leafKeyPairs.find(_._1.semanticEquals(k)).get._2.toAttribute
 
-    val leafAggPairs: Seq[(AggregateExpression, NamedExpression)] = {
-      val acc = scala.collection.mutable.ArrayBuffer[(AggregateExpression, NamedExpression)]()
-      aggExpressions.foreach { ae =>
-        if (!acc.exists(_._1.semanticEquals(ae))) {
-          val partial = AggregateExpression(
-            ae.aggregateFunction, ae.mode, isDistinct = false, None)
-          acc += ((ae, Alias(partial, s"${Tag}a${acc.size}")()))
-        }
+    // partial pool: ONE leaf column per distinct partial FUNCTION — an
+    // avg(x) alongside a sum(x) shares the Sum(x) partial; an avg needs
+    // Sum(x) AND Count(x)
+    val pool = scala.collection.mutable.ArrayBuffer[(AggregateFunction, NamedExpression)]()
+    def partialFor(fn: AggregateFunction,
+        mode: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode): NamedExpression =
+      pool.find(_._1.semanticEquals(fn)).map(_._2).getOrElse {
+        val named = Alias(
+          AggregateExpression(fn, mode, isDistinct = false, None),
+          s"${Tag}a${pool.size}")()
+        pool += ((fn, named))
+        named
       }
-      acc.toSeq
+    aggExpressions.foreach { ae =>
+      ae.aggregateFunction match {
+        case a: Average =>
+          partialFor(Sum(a.child), ae.mode)
+          partialFor(Count(Seq(a.child)), ae.mode)
+        case f => partialFor(f, ae.mode)
+      }
     }
     // cost gate LAST (all structural checks passed): probe only shapes the
     // rule would otherwise rewrite
@@ -256,7 +271,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
     val leaf = Aggregate(
       leafKeyPairs.map(_._1),
-      leafKeyPairs.map(_._2) ++ leafAggPairs.map(_._2),
+      leafKeyPairs.map(_._2) ++ pool.map(_._2).toSeq,
       fact, None)
 
     // ---- join the collapsed fact back to the dim --------------------
@@ -269,23 +284,36 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
     // ---- top: merge partials, remap fact-side groupings -------------
     def merged(ae: AggregateExpression): Option[Expression] = {
-      val partialAttr = leafAggPairs.find(_._1.semanticEquals(ae))
-        .map(_._2.toAttribute).getOrElse(return None)
-      val fn = ae.aggregateFunction match {
-        case s: Sum   => s.copy(child = partialAttr)
-        case _: Count => Sum(partialAttr)
-        case m: Min   => m.copy(child = partialAttr)
-        case m: Max   => m.copy(child = partialAttr)
-        case other    => other // unreachable: filtered above
+      def attrOf(fn: AggregateFunction): Option[Attribute] =
+        pool.find(_._1.semanticEquals(fn)).map(_._2.toAttribute)
+      ae.aggregateFunction match {
+        case a: Average =>
+          // avg over a no-match global join: Sum partials are null, the
+          // division is null — exactly the direct avg over zero rows
+          for {
+            sc <- attrOf(Sum(a.child))
+            cc <- attrOf(Count(Seq(a.child)))
+          } yield AvgMerge.merge(a, sc, cc, ae.mode)
+        case f =>
+          attrOf(f).map { partialAttr =>
+            val mergeFn = f match {
+              case s: Sum   => s.copy(child = partialAttr)
+              case _: Count => Sum(partialAttr)
+              case m: Min   => m.copy(child = partialAttr)
+              case m: Max   => m.copy(child = partialAttr)
+              case other    => other // unreachable: filtered above
+            }
+            val e: Expression =
+              AggregateExpression(mergeFn, ae.mode, isDistinct = false, None)
+            val typed = if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+            f match {
+              // a GLOBAL aggregate over a join with zero matches: count must
+              // come back 0; grouped aggregates never see the difference
+              case _: Count => Coalesce(Seq(typed, Literal(0L)))
+              case _        => typed
+            }
+          }
       }
-      val e: Expression = AggregateExpression(fn, ae.mode, isDistinct = false, None)
-      val typed = if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
-      Some(ae.aggregateFunction match {
-        // a GLOBAL aggregate over a join with zero matches: count must
-        // come back 0; grouped aggregates never see the difference
-        case _: Count => Coalesce(Seq(typed, Literal(0L)))
-        case _        => typed
-      })
     }
     val newGroupings = agg.groupingExpressions.map { g =>
       if (g.references.subsetOf(factOut)) leafKeyAttr(g) else g

@@ -53,7 +53,12 @@ object EagerAggregationQueries {
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum($"cents").as("gross_cents"),
-        max($"cents").as("max_cents"))
+        max($"cents").as("max_cents"),
+        // avg rides the AvgMerge two-partial path: the leaf stores
+        // Sum(cents)+Count(cents), the top divides the re-sums — exact
+        // BIGINT totals, so the DOUBLE division is bit-identical to the
+        // direct aggregate (and to the oracle's sum::DOUBLE / count)
+        avg($"cents").as("avg_cents"))
       .orderBy($"o_orderpriority")
   }
 
@@ -82,7 +87,9 @@ object EagerAggregationQueries {
     """SELECT o_orderpriority,
        count(*)::BIGINT AS n_items,
        sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS gross_cents,
-       max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents
+       max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents,
+       (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::DOUBLE
+          / count(*)) AS avg_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 ORDER BY o_orderpriority"""

@@ -624,33 +624,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         // original total) — so decimal/integral merges are bit-identical
         // to the direct aggregate. Float/double inputs re-associate, the
         // latitude Spark's own partial aggregation already takes.
-        case av: Average if (av.child.dataType match {
-          case _: DecimalType | FloatType | DoubleType => true
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType => true
-          case _ => false // interval averages: no double-division analog
-        }) =>
+        case av: Average if AvgMerge.supported(av.child.dataType) =>
           for {
             sumCol <- partialCol(Sum(av.child))
             cntCol <- partialCol(Count(Seq(av.child)))
-          } yield {
-            val reSum: Expression =
-              AggregateExpression(Sum(sumCol), ae.mode, isDistinct = false, None)
-            val reCnt: Expression =
-              AggregateExpression(Sum(cntCol), ae.mode, isDistinct = false, None)
-            val sumBack =
-              if (reSum.dataType == sumCol.dataType) reSum
-              else Cast(reSum, sumCol.dataType)
-            val div = av.child.dataType match {
-              case _: DecimalType =>
-                Divide(sumBack, Cast(reCnt, DecimalType(20, 0)))
-              case _ => // integral / float / double: Average divides in DOUBLE
-                Divide(Cast(sumBack, DoubleType), Cast(reCnt, DoubleType))
-            }
-            if (div.dataType == ae.dataType) div else Cast(div, ae.dataType)
-          }
+          } yield AvgMerge.merge(av, sumCol, cntCol, ae.mode)
         case _ => None
       })
     }

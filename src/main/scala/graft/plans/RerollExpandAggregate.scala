@@ -42,10 +42,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     non-null literal with a computed cell in one column bails.
   *  2. Every aggregate is a non-distinct, unfiltered, deterministic
   *     Sum / Count / Min / Max — the self-decomposable functions where
-  *     `F(A ⊎ B) = merge(F(A), F(B))` (count merges by Sum). Average,
-  *     First/Last, distinct aggregates, and FILTER clauses bail (so the
-  *     Expand that `RewriteDistinctAggregates` builds — whose aggregate
-  *     inputs are masked per projection — can never match).
+  *     `F(A ⊎ B) = merge(F(A), F(B))` (count merges by Sum) — or an
+  *     Average over a decimal/integral/float column, which decomposes via
+  *     the [[AvgMerge]] two-partial derivation (the leaf stores Sum(x) and
+  *     Count(x); exact for decimal/integral). First/Last, distinct
+  *     aggregates, and FILTER clauses bail (so the Expand that
+  *     `RewriteDistinctAggregates` builds — whose aggregate inputs are
+  *     masked per projection — can never match).
   *  3. Aggregate INPUTS pass through the Expand unmasked: identical,
   *     deterministic, never-null-literal cells in every projection.
   *
@@ -136,16 +139,14 @@ object RerollExpandAggregate extends Rule[LogicalPlan] {
     }.toMap
 
     // -- condition 2 + 3: decomposable aggregates over pass-through inputs
+    // (the partial/merge construction below is the whitelist: any function
+    // outside Sum / Count / Min / Max / supported Average bails there)
     val aggExpressions = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
     if (aggExpressions.isEmpty) return None
     for (ae <- aggExpressions) {
       if (ae.isDistinct || ae.filter.isDefined || !ae.deterministic) return None
-      ae.aggregateFunction match {
-        case _: Sum | _: Count | _: Min | _: Max => ()
-        case _                                   => return None
-      }
     }
     // outside aggregate functions, the result expressions may reference
     // grouping columns ONLY (anything else has no well-defined value here)
@@ -199,37 +200,75 @@ object RerollExpandAggregate extends Rule[LogicalPlan] {
     def leafKeyAttrFor(b: Expression): Attribute =
       leafKeyPairs.find(_._1.semanticEquals(b)).get._2.toAttribute
 
-    // partials: one per distinct aggregate expression
-    val leafAggPairs: Seq[(AggregateExpression, NamedExpression)] = {
-      val acc = scala.collection.mutable.ArrayBuffer[(AggregateExpression, NamedExpression)]()
-      aggExpressions.foreach { ae =>
-        if (!acc.exists(_._1.semanticEquals(ae))) {
-          val partialFn = ae.aggregateFunction match {
-            case s: Sum   => substituted(s.child).map(c => s.copy(child = c))
-            case c: Count => {
-              val subs = c.children.map(substituted)
-              if (subs.forall(_.isDefined)) Some(Count(subs.map(_.get)))
-              else None
+    // partial POOL (one leaf column per distinct partial function — an
+    // avg(x) alongside a sum(x) shares the Sum partial, and avg needs
+    // Sum(x) AND Count(x)) plus, per distinct aggregate expression, its
+    // merge-layer replacement over the pool attributes
+    val pool = scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction, NamedExpression)]()
+    def partialFor(
+        fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+        mode: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode): Attribute =
+      pool.find(_._1.semanticEquals(fn)).map(_._2.toAttribute).getOrElse {
+        val named = Alias(
+          AggregateExpression(fn, mode, isDistinct = false, None),
+          s"${Tag}a${pool.size}")()
+        pool += ((fn, named))
+        named.toAttribute
+      }
+    def typed(e: Expression, ae: AggregateExpression): Expression =
+      // re-summed sums widen (DECIMAL) — restore the original result type
+      if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+    val mergeAcc = scala.collection.mutable.ArrayBuffer[(AggregateExpression, Expression)]()
+    aggExpressions.foreach { ae =>
+      if (!mergeAcc.exists(_._1.semanticEquals(ae))) {
+        val m: Option[Expression] = ae.aggregateFunction match {
+          case s: Sum => substituted(s.child).map { c =>
+            val col = partialFor(s.copy(child = c), ae.mode)
+            typed(AggregateExpression(s.copy(child = col), ae.mode,
+              isDistinct = false, None), ae)
+          }
+          case c0: Count =>
+            val subs = c0.children.map(substituted)
+            if (!subs.forall(_.isDefined)) None
+            else {
+              val col = partialFor(Count(subs.map(_.get)), ae.mode)
+              // counts merge by summation
+              Some(typed(AggregateExpression(Sum(col), ae.mode,
+                isDistinct = false, None), ae))
             }
-            case m: Min => substituted(m.child).map(c => m.copy(child = c))
-            case m: Max => substituted(m.child).map(c => m.copy(child = c))
-            case _      => None
+          case mn: Min => substituted(mn.child).map { c =>
+            val col = partialFor(mn.copy(child = c), ae.mode)
+            typed(AggregateExpression(mn.copy(child = col), ae.mode,
+              isDistinct = false, None), ae)
           }
-          partialFn match {
-            case Some(fn) =>
-              val partial = AggregateExpression(fn, ae.mode, isDistinct = false, None)
-              acc += ((ae, Alias(partial, s"${Tag}a${acc.size}")()))
-            case None => return None
+          case mx: Max => substituted(mx.child).map { c =>
+            val col = partialFor(mx.copy(child = c), ae.mode)
+            typed(AggregateExpression(mx.copy(child = col), ae.mode,
+              isDistinct = false, None), ae)
           }
+          // avg via the two-partial derivation ([[AvgMerge]]): exact for
+          // decimal/integral inputs, the usual re-association latitude for
+          // float/double
+          case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+              if AvgMerge.supported(a.child.dataType) =>
+            substituted(a.child).map { c =>
+              AvgMerge.merge(a, partialFor(Sum(c), ae.mode),
+                partialFor(Count(Seq(c)), ae.mode), ae.mode)
+            }
+          case _ => None
+        }
+        m match {
+          case Some(e) => mergeAcc += ((ae, e))
+          case None    => return None
         }
       }
-      acc.toSeq
     }
     val leaf = Aggregate(
       leafKeyPairs.map(_._1),
-      (leafKeyPairs.map(_._2) ++ leafAggPairs.map(_._2)),
+      (leafKeyPairs.map(_._2) ++ pool.map(_._2).toSeq),
       expand.child, None)
-    val leafAggAttrs: Seq[Attribute] = leafAggPairs.map(_._2.toAttribute)
+    val leafAggAttrs: Seq[Attribute] = pool.map(_._2.toAttribute).toSeq
 
     // -- the new Expand: G projections over the leaf ---------------------
     // grouping columns keep the ORIGINAL expand-output attributes (so the
@@ -244,22 +283,10 @@ object RerollExpandAggregate extends Rule[LogicalPlan] {
     val newOutput: Seq[Attribute] = groupAttrs ++ leafAggAttrs
     val newExpand = Expand(newProjections, newOutput, leaf)
 
-    // -- merge layer: swap each aggregate for its combiner ---------------
-    def merged(ae: AggregateExpression): Expression = {
-      val partialAttr = leafAggPairs.find(_._1.semanticEquals(ae)).get._2.toAttribute
-      val mergeFn = ae.aggregateFunction match {
-        case s: Sum   => s.copy(child = partialAttr)
-        case _: Count => Sum(partialAttr) // counts merge by summation
-        case m: Min   => m.copy(child = partialAttr)
-        case m: Max   => m.copy(child = partialAttr)
-        case other    => other // unreachable: filtered above
-      }
-      val e: Expression = AggregateExpression(mergeFn, ae.mode, isDistinct = false, None)
-      // re-summed sums widen (DECIMAL) — restore the original result type
-      if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
-    }
+    // -- merge layer: swap each aggregate for its prebuilt combiner ------
     val newResultExprs = agg.aggregateExpressions.map(_.transformUp {
-      case ae: AggregateExpression => merged(ae)
+      case ae: AggregateExpression =>
+        mergeAcc.find(_._1.semanticEquals(ae)).get._2
     }.asInstanceOf[NamedExpression])
 
     val rewritten = Aggregate(

@@ -60,6 +60,13 @@ object RerollQueries {
   def rollupReroll(spark0: SparkSession, dir: String): DataFrame =
     GroupingSets.rollupMonthly(withRule(spark0), dir)
 
+  /** The AVG frontier: every grain's average re-derived from leaf
+    * sum+count partials ([[AvgMerge]]) — same oracle text as the stock
+    * `agg_rollup_avg`, bit-identical decimal division.
+    */
+  def rollupAvgReroll(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.rollupAvg(withRule(spark0), dir)
+
   def cubeReroll(spark0: SparkSession, dir: String): DataFrame =
     GroupingSets.cubeSegmentStatus(withRule(spark0), dir)
 
@@ -68,6 +75,7 @@ object RerollQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_rollup_reroll" -> (rollupReroll _),
+    "opt_rollup_avg_reroll" -> (rollupAvgReroll _),
     "opt_cube_reroll" -> (cubeReroll _),
     "opt_sets_reroll" -> (setsReroll _),
     "opt_rollup_from_view" -> (rollupFromView _))
@@ -75,6 +83,7 @@ object RerollQueries {
   /** Same oracle text as the un-rewritten twins, verbatim. */
   val oracle: Map[String, String] = Map(
     "opt_rollup_reroll" -> GroupingSets.oracle("agg_rollup_monthly"),
+    "opt_rollup_avg_reroll" -> GroupingSets.oracle("agg_rollup_avg"),
     "opt_cube_reroll" -> GroupingSets.oracle("agg_cube_segment_status"),
     "opt_sets_reroll" -> GroupingSets.oracle("agg_sets_priority"),
     "opt_rollup_from_view" -> GroupingSets.oracle("agg_rollup_monthly"))

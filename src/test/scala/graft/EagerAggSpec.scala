@@ -156,6 +156,26 @@ class EagerAggSpec extends SparkSpec {
     assert(aggBelowJoin(qU2), "probeRows=0 must disable the gate")
   }
 
+  test("avg pushes via the two-partial derivation (planted parity + no-match null)") {
+    val s = ruleSession
+    val (fact, dim) = planted(s)
+    import s.implicits._
+    val q = fact.join(dim, $"k" === $"dk")
+      .groupBy($"grp")
+      .agg(avg($"v").as("av"), sum($"v").as("sv"))
+      .orderBy($"grp")
+    assert(aggBelowJoin(q), "avg must not block the push")
+    val rows = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", 15.0, 30L), ("b", 5.0, 5L)))
+    // global aggregate over a no-match join: avg stays null (sum of no
+    // partials is null, and null/null divides to null)
+    val fact2 = Seq((7L, 10L)).toDF("k", "v")
+    val dim2 = Seq((1L, "a")).toDF("dk", "grp").dropDuplicates("dk")
+    val g = fact2.join(dim2, $"k" === $"dk").agg(avg($"v").as("av"))
+    assert(aggBelowJoin(g))
+    assert(g.collect().head.isNullAt(0), "avg over the empty join stays null")
+  }
+
   test("bails without uniqueness evidence or with dim-side aggregates") {
     val s = ruleSession
     import s.implicits._

@@ -40,6 +40,10 @@ class RerollSpec extends SparkSpec {
   test("re-rolled results are row-identical to the Expand plans") {
     assert(RerollQueries.rollupReroll(spark, sf).collect().toSeq ==
       GroupingSets.rollupMonthly(spark, sf).collect().toSeq)
+    // avg through the two-partial derivation: bit-identical decimal
+    // division at every grain
+    assert(RerollQueries.rollupAvgReroll(spark, sf).collect().toSeq ==
+      GroupingSets.rollupAvg(spark, sf).collect().toSeq)
     assert(RerollQueries.cubeReroll(spark, sf).collect().toSeq ==
       GroupingSets.cubeSegmentStatus(spark, sf).collect().toSeq)
     assert(RerollQueries.setsReroll(spark, sf).collect().toSeq ==
@@ -94,13 +98,25 @@ class RerollSpec extends SparkSpec {
       GroupingSets.rollupMonthly(spark, sf).collect().toSeq)
   }
 
-  test("bails on non-decomposable and distinct aggregates") {
+  test("avg re-rolls via the two-partial derivation; first/distinct bail") {
     val s = ruleSession
     import s.implicits._
+    // avg (r10): decomposes through AvgMerge — fires, values identical
     val avg = s.range(100)
       .select(($"id" % 3).as("a"), ($"id" % 5).as("b"), $"id".as("v"))
-      .rollup($"a", $"b").agg(org.apache.spark.sql.functions.avg($"v"))
-    assert(!rerolled(avg), "avg is not self-decomposable: must bail")
+      .rollup($"a", $"b").agg(org.apache.spark.sql.functions.avg($"v").as("av"))
+    assert(rerolled(avg), "avg re-rolls from leaf sum+count partials")
+    val stock = spark.range(100)
+      .select((col("id") % 3).as("a"), (col("id") % 5).as("b"), col("id").as("v"))
+      .rollup(col("a"), col("b"))
+      .agg(org.apache.spark.sql.functions.avg(col("v")).as("av"))
+    assert(avg.orderBy($"a", $"b").collect().toSeq ==
+      stock.orderBy(col("a"), col("b")).collect().toSeq)
+    // genuinely order-sensitive / distinct aggregates still bail
+    val fst = s.range(100)
+      .select(($"id" % 3).as("a"), ($"id" % 5).as("b"), $"id".as("v"))
+      .rollup($"a", $"b").agg(org.apache.spark.sql.functions.first($"v"))
+    assert(!rerolled(fst), "first() is not decomposable: must bail")
     val dist = s.range(100)
       .select(($"id" % 3).as("a"), ($"id" % 5).as("b"), $"id".as("v"))
       .rollup($"a", $"b").agg(countDistinct($"v"))
