@@ -79,10 +79,12 @@ object Bench {
     // without this the alphabetically first opt_mv_* entry is charged two
     // full view writes inside its timed run
     plans.MvRewriteQueries.prewarm(spark, sfDir)
-    // warm EagerAggregation's cost-gate probe cache (optimization only, no
-    // execution): the first opt_eager_agg timing must measure the query,
-    // not the one-off 100k-row collapse-ratio probe
+    // warm the cost-gate probe caches (optimization only, no execution):
+    // the first opt_eager_agg / opt_rollup_reroll timings must measure the
+    // queries, not the one-off collapse-ratio probes
     plans.EagerAggregationQueries.eager(spark, sfDir).queryExecution.optimizedPlan
+    plans.RerollQueries.rollupReroll(spark, sfDir).queryExecution.optimizedPlan
+    plans.RerollQueries.rollupAvgReroll(spark, sfDir).queryExecution.optimizedPlan
     // session warmup: one untimed full read of each hot base table so the
     // alphabetically-first timed query isn't charged the session's one-off
     // costs (first job scheduling, codegen compiler init, parquet

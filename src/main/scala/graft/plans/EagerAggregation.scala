@@ -60,15 +60,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the fact-side collapse ratio; a near-unique leaf grain would pay an
   * extra shuffle for nothing), so it ships OFF behind [[EnabledKey]] —
   * and, enabled, it DECLINES when the measured collapse ratio is poor:
-  * [[collapseRatioOk]] estimates |leaf groups| / |fact rows| from catalog
-  * stats when present, else from a probe (count + approx_count_distinct
-  * over the fact's key columns, executed once and cached per canonicalized
-  * fact plan; [[ProbeRowsKey]] picks full-fact vs bounded-prefix — see its
-  * doc for the prefix's decline-ward bias), and bails above [[MaxRatioKey]].
-  * Facts whose row count is below [[MinRowsKey]] skip the gate entirely: at
-  * that size the decision is costless either way, and an under-sized sample
-  * is worse than no gate. Either probe failure mode costs one redundant
-  * shuffle or one forgone win, never a wrong answer. The `_eager_` alias
+  * the shared [[CollapseGate]] estimates |leaf groups| / |fact rows| from
+  * catalog stats when present, else from a cached count+ndv probe
+  * ([[ProbeRowsKey]] picks full-fact vs bounded-prefix — the gate's doc has
+  * the prefix's decline-ward bias), and bails above [[MaxRatioKey]]; facts
+  * under [[MinRowsKey]] rows skip the gate. The `_eager_` alias
   * prefix on leaf columns is the fixed-point guard.
   */
 object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
@@ -76,11 +72,17 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
   /** Session opt-in (default OFF — see the cost note above). */
   val EnabledKey = "spark.sql.graft.eagerAggregation.enabled"
 
+  /** The shared cost gate ([[CollapseGate]]'s doc has the estimation
+    * story): stats when ANALYZEd, else a cached count+ndv probe.
+    */
+  private[plans] val gate =
+    new CollapseGate("eager aggregation", "spark.sql.graft.eagerAggregation")
+
   /** Decline threshold: estimated |leaf groups| / |fact rows| above this
     * means the leaf aggregate barely collapses anything and its exchange
     * is pure cost. 0.5 = the leaf must at least halve the fact.
     */
-  val MaxRatioKey = "spark.sql.graft.eagerAggregation.maxCollapseRatio"
+  val MaxRatioKey: String = gate.MaxRatioKey
 
   /** Probe size. NEGATIVE (the default): probe the WHOLE fact — one
     * cached count + approx-ndv pass over the key columns, the exact
@@ -95,24 +97,17 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     * prefix with the bias understood; the full probe reads two columns
     * once per distinct fact plan per session.
     */
-  val ProbeRowsKey = "spark.sql.graft.eagerAggregation.probeRows"
+  val ProbeRowsKey: String = gate.ProbeRowsKey
 
   /** Facts smaller than this skip the gate (estimate too noisy to act on,
     * decision too cheap to matter).
     */
-  val MinRowsKey = "spark.sql.graft.eagerAggregation.minGateRows"
+  val MinRowsKey: String = gate.MinRowsKey
 
   private val Tag = "_eager_"
 
-  /** Re-entrancy guard: the probe's own query must pass through this rule
-    * untouched (a nested fact join would otherwise probe recursively).
-    */
-  private val probing = new ThreadLocal[java.lang.Boolean] {
-    override def initialValue: java.lang.Boolean = false
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (probing.get ||
+    if (gate.probing || // a probe's own optimization must pass untouched
         !conf.getConfString(EnabledKey, "false").toBoolean) plan
     else plan.transformUp {
       case agg: Aggregate =>
@@ -267,7 +262,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     }
     // cost gate LAST (all structural checks passed): probe only shapes the
     // rule would otherwise rewrite
-    if (!collapseRatioOk(fact, leafKeyPairs.map(_._1))) return None
+    if (!gate.ok(fact, leafKeyPairs.map(_._1))) return None
 
     val leaf = Aggregate(
       leafKeyPairs.map(_._1),
@@ -344,94 +339,6 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     if (rewritten.output.map(a => (a.exprId, a.dataType)) !=
         agg.output.map(a => (a.exprId, a.dataType))) return None
     Some(rewritten)
-  }
-
-  // java.lang.Double, NOT Double: a primitive-valued map's get would unbox
-  // a missing key's null straight to 0.0 and read as a cache hit
-  private val ratioCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-
-  /** The cost gate: true = rewrite, false = decline. Estimates
-    * |distinct leaf keys| / |fact rows|:
-    *
-    *  1. Catalog stats, when the fact plan carries a row count AND a
-    *     distinct count for every (attribute) leaf key — the CBO/ANALYZE
-    *     path, free.
-    *  2. Else a bounded prefix probe: `SELECT count(1),
-    *     approx_count_distinct(struct(keys))` over the first
-    *     [[ProbeRowsKey]] fact rows, executed through [[PlanDF]] with the
-    *     [[probing]] re-entrancy latch held, cached per canonicalized
-    *     (fact, keys). A LIMIT probe reads a handful of input splits — at
-    *     100 TB that is the only affordable shape (a full-scan probe would
-    *     cost more than the decision is worth; a Sample(fraction) still
-    *     scans everything).
-    *
-    * Skips (returns true, the pre-gate behavior) when: the probe is
-    * disabled, the fact is a streaming plan (no batch probe possible), no
-    * active session exists, the estimated/observed row count is under
-    * [[MinRowsKey]], or the probe itself fails.
-    */
-  private def collapseRatioOk(fact: LogicalPlan, keys: Seq[Expression]): Boolean = {
-    val maxRatio = conf.getConfString(MaxRatioKey, "0.5").toDouble
-    val probeRows = conf.getConfString(ProbeRowsKey, "-1").toLong
-    val minRows = conf.getConfString(MinRowsKey, "1000").toLong
-    if (probeRows == 0 || fact.isStreaming) return true
-
-    // --- stats path: rowCount + per-key distinctCount when ANALYZEd ----
-    val stats = fact.stats
-    stats.rowCount match {
-      case Some(rc) if rc.toLong < minRows => return true
-      case Some(rc) =>
-        val ndvs = keys.map {
-          case a: Attribute =>
-            stats.attributeStats.get(a).flatMap(_.distinctCount)
-          case _ => None
-        }
-        if (ndvs.forall(_.isDefined)) {
-          // independence upper bound, capped by the row count itself
-          val ndv = ndvs.flatten.foldLeft(BigInt(1))(_ * _).min(rc)
-          return ndv.toDouble / rc.toDouble <= maxRatio
-        }
-      case None => ()
-    }
-
-    // --- probe path ----------------------------------------------------
-    val spark = SparkSession.getActiveSession.getOrElse(return true)
-    val cacheKey = fact.canonicalized.toString + "|" +
-      keys.map(_.canonicalized.toString).mkString(",") + "|" + probeRows
-    val cached = ratioCache.get(cacheKey)
-    val ratio: Double = if (cached != null) cached.doubleValue() else {
-      probing.set(true)
-      try {
-        import org.apache.spark.sql.catalyst.plans.logical.{Limit, Project}
-        import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, struct}
-        val named = keys.zipWithIndex.map { case (k, i) =>
-          Alias(k, s"_gate_k$i")(): NamedExpression
-        }
-        // full probe (default): no Limit node at all — a huge LIMIT would
-        // plan as CollectLimit and funnel the scan through one partition
-        val probePlan: LogicalPlan =
-          if (probeRows < 0) Project(named, fact)
-          else Limit(Literal(probeRows.min(Int.MaxValue.toLong).toInt),
-            Project(named, fact))
-        val probe = org.apache.spark.sql.graft.PlanDF.ofRows(spark, probePlan)
-        val row = probe.agg(count(lit(1)).as("n"),
-          approx_count_distinct(struct(named.map(n =>
-            probe.col(n.name)): _*)).as("d")).head()
-        val n = row.getLong(0)
-        val r = if (n < minRows) 0.0 // too small to gate: always rewrite
-          else row.getLong(1).toDouble / n.toDouble
-        ratioCache.put(cacheKey, r)
-        r
-      } catch { case e: Throwable =>
-        logWarning(s"eager-aggregation probe failed, skipping gate: $e")
-        ratioCache.put(cacheKey, 0.0)
-        0.0
-      } finally probing.set(false)
-    }
-    if (ratio > maxRatio)
-      logInfo(f"eager aggregation declined: collapse ratio $ratio%.3f > $maxRatio")
-    ratio <= maxRatio
   }
 
   /** Idempotent no-configuration install (mirrors the other graft rules). */

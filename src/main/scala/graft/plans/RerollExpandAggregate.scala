@@ -90,11 +90,21 @@ object RerollExpandAggregate extends Rule[LogicalPlan] {
   /** Session opt-in (default OFF — see the cost note above). */
   val EnabledKey = "spark.sql.graft.rollupReroll.enabled"
 
+  /** The shared cost gate ([[CollapseGate]]): even opted in, the rewrite
+    * declines when the LEAF GRAIN barely collapses the input — a rollup
+    * keyed by a near-unique column would pay the extra leaf exchange for
+    * nothing. Keys: `spark.sql.graft.rollupReroll.{maxCollapseRatio,
+    * probeRows,minGateRows}`, same semantics as eager aggregation's.
+    */
+  private[plans] val gate =
+    new CollapseGate("rollup re-roll", "spark.sql.graft.rollupReroll")
+
   /** Leaf-column marker; doubles as the already-rewritten guard. */
   private val Tag = "_reroll_"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    if (gate.probing || // a probe's own optimization must pass untouched
+        !conf.getConfString(EnabledKey, "false").toBoolean) plan
     else plan.transformUp {
       case agg @ Aggregate(_, _, expand: Expand, _)
           if !expand.output.exists(_.name.startsWith(Tag)) =>
@@ -197,6 +207,10 @@ object RerollExpandAggregate extends Rule[LogicalPlan] {
     // GLOBAL aggregate — which emits one row on empty input where the
     // original emits none. No realistic rollup hits this; refuse.
     if (leafKeyPairs.isEmpty) return None
+    // cost gate (all structural checks on groupings passed; aggregates are
+    // validated below — probing first would waste a scan on shapes that
+    // bail anyway, but grouping bails are the common miss)
+    if (!gate.ok(expand.child, leafKeyPairs.map(_._1))) return None
     def leafKeyAttrFor(b: Expression): Attribute =
       leafKeyPairs.find(_._1.semanticEquals(b)).get._2.toAttribute
 

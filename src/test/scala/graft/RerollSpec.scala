@@ -98,6 +98,24 @@ class RerollSpec extends SparkSpec {
       GroupingSets.rollupMonthly(spark, sf).collect().toSeq)
   }
 
+  test("cost gate declines a near-unique leaf grain, keeps a collapsing one") {
+    val s = ruleSession
+    import s.implicits._
+    // 5000 rows ≥ the gate's floor; leaf grain (a, b) with a near-unique →
+    // the leaf aggregate would collapse nothing: decline
+    val nearUnique = s.range(5000)
+      .select($"id".as("a"), ($"id" % 5).as("b"), ($"id" % 7).as("v"))
+      .rollup($"a", $"b").agg(sum($"v").as("sv"))
+    assert(!rerolled(nearUnique), "near-unique rollup key must decline")
+    // declined ≠ broken: the stock Expand plan still answers
+    assert(nearUnique.count() == 5000 + 5000 + 1)
+    // same size, collapsing grain: fires
+    val collapsing = s.range(5000)
+      .select(($"id" % 10).as("a"), ($"id" % 5).as("b"), ($"id" % 7).as("v"))
+      .rollup($"a", $"b").agg(sum($"v").as("sv"))
+    assert(rerolled(collapsing), "collapsing leaf grain must still fire")
+  }
+
   test("avg re-rolls via the two-partial derivation; first/distinct bail") {
     val s = ruleSession
     import s.implicits._
