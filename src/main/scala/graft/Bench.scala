@@ -292,6 +292,11 @@ object Bench {
       case (n, t) if sharedNames(n) => t }.sum
     val priorShared = sharedNames.toSeq.map(prior).sum
     val noisy = priorShared > 0 && totalShared > 1.3 * priorShared
+    // The committed artifact is a BEST-QUIET-RUN record, not a telemetry
+    // log: a merely-warmer box (anything past 5% drift) must not replace a
+    // quieter baseline either — only a faster run, a forced write (genuine
+    // slowdown after a code change), or new coverage lands.
+    val slower = priorShared > 0 && totalShared > 1.05 * priorShared
     val loadEnd = loadAvg()
     val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""prior_total_shared":$priorShared,"total_shared":$totalShared,"noisy":$noisy"""
@@ -305,10 +310,12 @@ object Bench {
     // a load-polluted run (it lands at bench_out.noisy.json for inspection).
     if (only.isEmpty) {
       val force = sys.env.get("SPARK_GRAFT_FORCE_BASELINE").contains("1")
-      val target = if (noisy && !force) "bench_out.noisy.json" else "bench_out.json"
-      if (noisy && !force) System.err.println(
-        s"[bench] NOISY RUN (shared total $totalShared vs prior $priorShared, " +
-          s"loadavg $loadStart→$loadEnd): keeping committed baseline, wrote $target")
+      val reject = (noisy || slower) && !force
+      val target = if (reject) "bench_out.noisy.json" else "bench_out.json"
+      if (reject) System.err.println(
+        s"[bench] ${if (noisy) "NOISY" else "SLOWER"} RUN (shared total " +
+          s"$totalShared vs prior $priorShared, loadavg $loadStart→$loadEnd): " +
+          s"keeping committed baseline, wrote $target")
       java.nio.file.Files.write(
         new java.io.File(repoRoot, target).toPath,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
