@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, Divide, Expression, KnownNotNull, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayDistinct, Attribute, Cast, Coalesce, Divide, Expression, Flatten, KnownNotNull, Literal, NamedExpression, Size}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CollectList, CollectSet, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
 
 /** Materialized-view query rewriting: answer an aggregate query from a
   * registered pre-aggregate instead of the raw table.
@@ -57,8 +57,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
   *      otherwise — so the merged value is bit-identical to the direct
   *      aggregate for decimal/integral inputs; float/double inputs merge
   *      with the same re-association latitude Spark's own partial
-  *      aggregation takes). Distinct aggregates bail here — they are not
-  *      derivable from a finer grain.
+  *      aggregation takes). `COUNT(DISTINCT x)` is NOT derivable from any
+  *      scalar partial, but merges EXACTLY when the view stores a
+  *      `collect_set(x)` partial — the distinct values of a coarse group
+  *      are the union of its leaf groups' sets, so the merge is
+  *      `size(array_distinct(flatten(collect_list(set))))`, shuffling only
+  *      distinct values (never fact rows). Other distinct aggregates bail.
   *
   * Every rewrite splices a FRESH instance of the view scan (new exprIds per
   * match site — a self-join/union of two view-servable aggregates must not
@@ -262,6 +266,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   def register(name: String, defining: DataFrame, scan: DataFrame): Boolean = {
+    def rdbg(msg: => String): Unit = if (sys.env.contains("GRAFT_MV_DEBUG"))
+      System.err.println(s"MVDBG[register:$name] $msg")
     // the defining plan in the optimizer's NORMAL FORM, not the analyzed
     // one: matching runs inside the optimizer's fixed point, where the
     // query's expressions have already been simplified (SimplifyCasts
@@ -272,15 +278,24 @@ object MvRewrite extends Rule[LogicalPlan] {
     val scanPlan = scan.queryExecution.analyzed
     val sOut = scanPlan.output
     val dOut = opt.output
-    if (dOut.size != sOut.size) return false
+    if (dOut.size != sOut.size) { rdbg(s"arity ${dOut.size} vs ${sOut.size}"); return false }
     val aligned: Seq[Int] =
       if (dOut.map(_.name).distinct.size == dOut.size &&
           sOut.map(_.name).distinct.size == sOut.size &&
           dOut.forall(o => sOut.exists(_.name == o.name)))
         dOut.map(o => sOut.indexWhere(_.name == o.name))
       else dOut.indices
-    if (!dOut.zip(aligned).forall { case (o, p) => sOut(p).dataType == o.dataType })
+    // container nullability is allowed to WIDEN across the parquet
+    // round-trip (collect_set's containsNull=false arrays read back
+    // nullable) — the value set is identical, and the output-preservation
+    // check still demands exact dataType equality anywhere a scan column
+    // reaches a query output
+    if (!dOut.zip(aligned).forall { case (o, p) =>
+        org.apache.spark.sql.types.DataType.equalsStructurally(
+          sOut(p).dataType, o.dataType, ignoreNullability = true) }) {
+      rdbg(s"dtype mismatch: ${dOut.zip(aligned).collect { case (o, p) if sOut(p).dataType != o.dataType => s"${o.name}: ${o.dataType} vs ${sOut(p).dataType}" }.mkString("; ")}")
       return false
+    }
 
     val structured: Option[Structured] = opt match {
       case Aggregate(g, r, child, _) =>
@@ -303,10 +318,19 @@ object MvRewrite extends Rule[LogicalPlan] {
           }.toMap
           if groupPos.size == g.size
           // every deterministic aggregate column (distinct / avg / filtered
-          // included) — usable by the EXACT-grain projection path
+          // included) — usable by the EXACT-grain projection path. A
+          // collect_set partial rides along DESPITE Collect's
+          // deterministic=false: its VALUE is a deterministic set, only the
+          // array order floats, and the one consumer below (the distinct-
+          // count merge) is order-insensitive. The exact path still refuses
+          // to serve a query's own non-deterministic aggregates (exactCol
+          // gates on the QUERY side).
           aggCols = r.zipWithIndex.flatMap {
             case (al: Alias, pos) => al.child match {
-              case ae: AggregateExpression if ae.deterministic =>
+              case ae: AggregateExpression
+                  if ae.deterministic ||
+                    (!ae.isDistinct && ae.filter.isEmpty &&
+                      ae.aggregateFunction.isInstanceOf[CollectSet]) =>
                 Some((f(ae).asInstanceOf[AggregateExpression], pos))
               case _ => None
             }
@@ -316,6 +340,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           partials = aggCols.filter { case (ae, _) =>
             !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
               case _: Sum | _: Count | _: Min | _: Max => true
+              case _: CollectSet                       => true // distinct-count partial
               case _                                   => false
             })
           }
@@ -324,7 +349,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     // the child-equivalence path needs an Aggregate top; without either
     // path the entry could never fire — refuse so callers notice
-    if (structured.isEmpty && !opt.isInstanceOf[Aggregate]) return false
+    if (structured.isEmpty && !opt.isInstanceOf[Aggregate]) {
+      rdbg(s"no structured digest and non-Aggregate top:\n${opt.treeString}")
+      return false
+    }
     catalog.put(name, Entry(name, opt, scanPlan, aligned, structured))
     true
   }
@@ -584,7 +612,34 @@ object MvRewrite extends Rule[LogicalPlan] {
             if p.aggregateFunction.semanticEquals(fn) => scanCols(pos)
       }
     def mergeFor(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined || !ae.deterministic) return None
+      if (ae.filter.isDefined || !ae.deterministic) return None
+      // COUNT(DISTINCT x) at a COARSER grain — underivable from any scalar
+      // partial, but derivable EXACTLY from a stored `collect_set(x)`: the
+      // distinct values of x in a coarse group are the union of the leaf
+      // groups' distinct-value sets, so
+      //   count(distinct x) = size(array_distinct(flatten(collect_list(set))))
+      // merging only DISTINCT VALUES per coarse group (bounded by the
+      // group's true distinct cardinality — the same bound the direct
+      // distinct expansion pays, minus the fact-scan). Order-insensitive,
+      // so collect_set's nondeterministic array order cannot leak. Empty
+      // global corner: collect_list over an empty view is an EMPTY ARRAY
+      // (not null), so size = 0 — matching count distinct's 0-on-empty
+      // contract; the KnownNotNull below is the metadata twin of that fact
+      // (count distinct is never null, but flatten over parquet-read
+      // nullable arrays reads as nullable).
+      if (ae.isDistinct) {
+        return fq(ae.aggregateFunction) match {
+          case Count(Seq(child)) =>
+            partialCol(CollectSet(child)).map { setCol =>
+              val gathered = AggregateExpression(
+                CollectList(setCol), ae.mode, isDistinct = false, None)
+              KnownNotNull(Cast(
+                Size(ArrayDistinct(Flatten(gathered)), legacySizeOfNull = false),
+                LongType))
+            }
+          case _ => None
+        }
+      }
       val flat = fq(ae.aggregateFunction).asInstanceOf[Expression]
       val simple = flat match {
         case _: Average => None // handled below (needs TWO partials)
@@ -665,7 +720,18 @@ object MvRewrite extends Rule[LogicalPlan] {
       val j = mvGroupQ.indexWhere(_.semanticEquals(fq(g)))
       groupAttr(j)
     }
-    val rewritten = Aggregate(newGroupings, newResult, scanChild, agg.hint)
+    // splice our own pruning Project: the rule also runs post-hoc
+    // (`install`), AFTER ColumnPruning is done, and physical planning only
+    // narrows a parquet read through a PhysicalOperation Project/Filter
+    // chain — without this, a 3-column rollup would read every view column
+    // (the child-equivalence and exact-grain paths already end in a
+    // Project and need nothing)
+    val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      newResult.flatMap(_.references) ++ newGroupings.flatMap(_.references))
+    val aggChild =
+      if (scanChild.output.forall(needed.contains)) scanChild
+      else Project(scanChild.output.filter(needed.contains), scanChild)
+    val rewritten = Aggregate(newGroupings, newResult, aggChild, agg.hint)
     if (!preserves(rewritten, agg)) return None
     Some(rewritten)
   }

@@ -73,7 +73,11 @@ object MvRewriteQueries {
         // stored as Spark's exact DECIMAL(18,6) average — served verbatim
         // by the exact path (spec-checked Spark-vs-Spark; the DuckDB
         // oracle avoids avg, whose float rounding differs cross-engine)
-        avg($"price").as("avg_price"))
+        avg($"price").as("avg_price"),
+        // the distinct-count PARTIAL: lets a COARSER-grain
+        // count(distinct o_custkey) merge exactly (set union), where the
+        // scalar n_customers column above can only serve the exact grain
+        collect_set($"o_custkey").as("cust_set"))
   }
 
   private val mvMemo =
@@ -219,6 +223,26 @@ object MvRewriteQueries {
       .orderBy($"yr")
   }
 
+  /** COUNT(DISTINCT) at a COARSER grain than the view (the r10 extension):
+    * yearly distinct-customer counts from "raw" orders, served by set-union
+    * over the view's stored `collect_set(o_custkey)` partial — the merge no
+    * scalar summary can express (`size(array_distinct(flatten(
+    * collect_list(cust_set))))`, exact, order-insensitive). At 100 TB the
+    * substitution shuffles one array of distinct keys per view row instead
+    * of re-scanning the fact table; the n_orders column rides the ordinary
+    * count partial in the same rewrite.
+    */
+  def mvDistinctCoarser(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = withView(spark0, dir)
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey")
+      .groupBy($"yr")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"yr")
+  }
+
   /** Negative control: `o_orderpriority` is not a view column, so this
     * must keep scanning raw orders.
     */
@@ -240,6 +264,7 @@ object MvRewriteQueries {
     "opt_mv_exact_distinct" -> (mvExactDistinct _),
     "opt_mv_filtered" -> (mvFiltered _),
     "opt_mv_avg_coarser" -> (mvAvgCoarser _),
+    "opt_mv_distinct_coarser" -> (mvDistinctCoarser _),
     "opt_mv_miss" -> (mvMiss _))
 
   /** Raw-table SQL only — the oracle must NOT read the view, that's the
@@ -290,6 +315,14 @@ ORDER BY yr""",
       """SELECT year(o_orderdate)::INT AS yr,
        ((CAST(FLOOR(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 + 0.5) AS BIGINT)
           * 10000 * 2 + count(*)) // (2 * count(*)) / 1000000.0)::DOUBLE AS avg_price,
+       count(*)::BIGINT AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY yr""",
+
+    "opt_mv_distinct_coarser" ->
+      """SELECT year(o_orderdate)::INT AS yr,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers,
        count(*)::BIGINT AS n_orders
 FROM orders
 GROUP BY 1

@@ -304,17 +304,48 @@ class MvRewriteSpec extends SparkSpec {
       "count output must keep its non-nullability (KnownNotNull wrap)")
   }
 
-  test("distinct aggregates at a coarser grain are not derivable: no rewrite") {
+  test("coarser-grain COUNT(DISTINCT) merges from the collect_set partial") {
+    val served = MvRewriteQueries.mvDistinctCoarser(spark, sf)
+    val roots = scanRoots(served)
+    assert(roots.nonEmpty && roots.forall(_.contains("_distinct")),
+      s"distinct-coarser must be served from the set-partial view, got $roots")
+    // value equality vs the direct (un-rewritten) aggregate — exact, not
+    // approximate: the merge is a set union
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val direct = Tables.orders(spark, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey")
+      .groupBy($"yr")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"yr")
+    assert(served.collect().toSeq == direct.collect().toSeq)
+    // nullability contract: count distinct stays non-nullable through the
+    // size∘array_distinct∘flatten merge (KnownNotNull wrap)
+    val nc = served.queryExecution.optimizedPlan.output
+      .find(_.name == "n_customers")
+    assert(nc.isDefined && !nc.get.nullable)
+  }
+
+  test("distinct aggregates WITHOUT a set partial are not derivable: no rewrite") {
     import org.apache.spark.sql.functions._
     MvRewriteQueries.mvRollup(spark, sf).queryExecution.executedPlan
     val s = spark.newSession()
     MvRewrite.install(s)
     s.conf.set(MvRewrite.EnabledKey, "true")
     import s.implicits._
+    // price has no collect_set partial in either view — must scan raw
     val distinct = Tables.orders(s, sf)
-      .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey")
-      .groupBy($"yr").agg(countDistinct($"o_custkey").as("n"))
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .groupBy($"yr").agg(countDistinct($"price").as("n"))
     assert(scanRoots(distinct).forall(_.contains("orders.parquet")),
-      "a coarser-grain distinct aggregate must bail")
+      "a coarser-grain distinct aggregate with no set partial must bail")
+    // …and SUM(DISTINCT x) never merges, even where a set of x exists
+    val sumDistinct = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey")
+      .groupBy($"yr").agg(sum_distinct($"o_custkey").as("s"))
+    assert(scanRoots(sumDistinct).forall(_.contains("orders.parquet")),
+      "sum(distinct) must bail — only count(distinct) merges from a set")
   }
 }
