@@ -278,6 +278,20 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spj ledger FAILED: ${e.getMessage}"); ""
     }
+    // Price the union-of-aggregates merge: the same three-grain hand-written
+    // UNION ALL report as one grouping-sets scan vs three scans — scan rows
+    // is the structural story (1×|orders| vs 3×), wall and shuffle ride along.
+    val unionMergeJson = try {
+      val (_, on) = observability.QueryMetrics.profile(
+        plans.UnionMergeQueries.merged(spark, sfDir))
+      val (_, off) = observability.QueryMetrics.profile(
+        plans.UnionMergeQueries.stock(spark, sfDir))
+      s""","union_merge":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
+        s""""on_scan_rows":${on.scanRows},"off_scan_rows":${off.scanRows},""" +
+        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] union_merge ledger FAILED: ${e.getMessage}"); ""
+    }
     // Load guard (r9 finding 2): a hot box makes identical code read >1.3×
     // slower across the board, and committing such a run as "the baseline"
     // re-creates the phantom-regression adjudication problem the artifact
@@ -300,7 +314,7 @@ object Bench {
     val loadEnd = loadAvg()
     val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""prior_total_shared":$priorShared,"total_shared":$totalShared,"noisy":$noisy"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$mvJson$eagerJson$spjJson$loadJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$mvJson$eagerJson$spjJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":

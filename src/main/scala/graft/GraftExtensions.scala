@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // eager aggregation: collapse the fact side of a unique-keyed star
     // join before the join (session opt-in via its EnabledKey)
     ext.injectOptimizerRule(_ => graft.plans.EagerAggregation)
+    // union-of-aggregates merge: one grouping-sets scan instead of one
+    // scan per hand-written grain (session opt-in via its EnabledKey)
+    ext.injectOptimizerRule(_ => graft.plans.MergeUnionAggregates)
     // table-valued function surface: SELECT ... FROM graft_gen(n)
     ext.injectTableFunction(graft.sources.v2.GenTvf.Info)
   }

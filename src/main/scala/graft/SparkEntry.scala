@@ -78,7 +78,8 @@ object SparkEntry {
       analytics.OlsRegression.all ++ dedup.FuzzyJoin.all ++
       plans.RerollQueries.all ++ plans.MvRewriteQueries.all ++
       plans.MvWarehouseQueries.all ++
-      plans.EagerAggregationQueries.all
+      plans.EagerAggregationQueries.all ++
+      plans.UnionMergeQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -144,5 +145,6 @@ object SparkEntry {
       analytics.OlsRegression.oracle ++ dedup.FuzzyJoin.oracle ++
       plans.RerollQueries.oracle ++ plans.MvRewriteQueries.oracle ++
       plans.MvWarehouseQueries.oracle ++
-      plans.EagerAggregationQueries.oracle
+      plans.EagerAggregationQueries.oracle ++
+      plans.UnionMergeQueries.oracle
 }

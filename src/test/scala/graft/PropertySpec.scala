@@ -121,7 +121,11 @@ class PropertySpec extends SparkSpec {
       // IVM-refreshed view consumer (decimal-exact merge), and the
       // decoded-pixel hash (all-integer)
       "opt_mv_avg_coarser", "opt_mv_q01_raw", "opt_mv_q02_raw",
-      "opt_mv_q03_raw", "opt_mv_ivm_refresh", "mm_imageio_phash")
+      "opt_mv_q03_raw", "opt_mv_ivm_refresh", "mm_imageio_phash",
+      // the coarser-grain distinct-count merge (set union — exact at any
+      // parallelism) and the union-of-grains merge (decimal sums, one
+      // DOUBLE edge cast, gid switch)
+      "opt_mv_distinct_coarser", "opt_union_merge_rollup")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -1,0 +1,185 @@
+package graft
+
+import graft.plans.{MergeUnionAggregates, RerollExpandAggregate, UnionMergeQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Plan gates, negative controls, and corner pins for
+  * [[graft.plans.MergeUnionAggregates]]. Result correctness of the
+  * registered query is the DuckDB oracle's job (`opt_union_merge_rollup`);
+  * this spec pins the SHAPE — one scan, one Expand — and the soundness
+  * corners the rewrite must refuse.
+  */
+class UnionMergeSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+
+  private def expands(df: DataFrame): Seq[org.apache.spark.sql.execution.ExpandExec] =
+    collectAll(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+
+  private def onSession(): SparkSession = {
+    val s = spark.newSession()
+    MergeUnionAggregates.install(s)
+    s.conf.set(MergeUnionAggregates.EnabledKey, "true")
+    s
+  }
+
+  test("three same-source grains merge to ONE scan and one Expand") {
+    val merged = UnionMergeQueries.merged(spark, sf)
+    assert(scans(merged).size == 1,
+      s"expected one parquet scan, got ${scans(merged).size}")
+    assert(expands(merged).size == 1,
+      s"expected one Expand, got ${expands(merged).size}")
+    // identical rows to the stock three-scan plan
+    val stock = UnionMergeQueries.stock(spark, sf)
+    assert(scans(stock).size == 3, "the control must really run three scans")
+    assert(merged.collect().toSeq == stock.collect().toSeq)
+  }
+
+  test("global branch stays a separate child; empty input keeps its one row") {
+    val s = onSession()
+    import s.implicits._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-uam-empty"
+    Tables.orders(s, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def keyed = Tables.orders(s, dir)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+    val grouped = keyed.groupBy($"yr")
+      .agg(count(lit(1)).as("n")).select($"yr", $"n")
+    val global = keyed.agg(count(lit(1)).as("n"))
+      .select(lit(null).cast("int").as("yr"), $"n")
+    val u = grouped.union(grouped).union(global)
+    // the two grouped branches merge; the global one must survive intact
+    val rows = u.collect()
+    assert(rows.toSeq.map(r => (r.isNullAt(0), r.getLong(1))) ==
+      Seq((true, 0L)),
+      s"empty base: only the global branch's 0-count row, got ${rows.toSeq}")
+    // count LOGICAL scans: AQE's empty-relation propagation may collapse
+    // the merged block's (empty) stage out of the physical plan entirely
+    val rels = u.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.size == 2,
+      s"merged block + unmerged global branch = two logical scans, got ${rels.size}")
+  }
+
+  test("duplicate grains double the rows, exactly like the original union") {
+    val s = onSession()
+    import s.implicits._
+    def branch = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"))
+      .groupBy($"yr").agg(count(lit(1)).as("n"))
+    val u = branch.union(branch)
+    assert(scans(u).size == 1, "duplicate grains still merge to one scan")
+    val rows = u.collect().toSeq
+    val off = branch.collect().toSeq
+    assert(rows.sortBy(_.getInt(0)) ==
+      (off ++ off).sortBy(_.getInt(0)),
+      "each duplicated branch must keep its own copy of every group")
+  }
+
+  test("different sources do not merge; distinct aggregates do not merge") {
+    val s = onSession()
+    import s.implicits._
+    val o = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+    val c = Tables.customer(s, sf)
+      .select(($"c_nationkey" % 5).cast("int").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(scans(o.union(c)).size == 2, "different sources must not merge")
+    val d1 = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("k"), $"o_custkey")
+      .groupBy($"k").agg(countDistinct($"o_custkey").as("n"))
+    val d2 = Tables.orders(s, sf)
+      .select(month($"o_orderdate").cast("int").as("k"), $"o_custkey")
+      .groupBy($"k").agg(countDistinct($"o_custkey").as("n"))
+    assert(scans(d1.union(d2)).size == 2,
+      "distinct aggregates must not merge (post-hoc planning contract)")
+  }
+
+  test("the stock session never merges (kill switch)") {
+    import spark.implicits._
+    def branch = Tables.orders(spark, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"))
+      .groupBy($"yr").agg(count(lit(1)).as("n"))
+    assert(scans(branch.union(branch)).size == 2)
+  }
+
+  test("composes with the re-roll rule: merged Expand feeds from a leaf aggregate") {
+    val s = onSession()
+    s.conf.set(RerollExpandAggregate.EnabledKey, "true")
+    // generous gate: the point here is composition, not the cost model
+    s.conf.set("spark.sql.graft.rollupReroll.maxCollapseRatio", "1.0")
+    import s.implicits._
+    def keyed = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        month($"o_orderdate").cast("int").as("mo"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+    val u = keyed.groupBy($"yr", $"mo")
+      .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+      .select($"yr", $"mo", $"n", $"s")
+      .union(keyed.groupBy($"yr")
+        .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .select($"yr", lit(null).cast("int").as("mo"), $"n", $"s"))
+      .orderBy($"yr".asc_nulls_first, $"mo".asc_nulls_first)
+    assert(scans(u).size == 1, "still one scan under both rules")
+    // the re-roll leaves TWO aggregates: leaf (below Expand) + merge (above)
+    val aggs = u.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 2,
+      s"expected leaf+merge aggregates after composition, got ${aggs.size}")
+    // and the Expand must sit ABOVE the leaf aggregate
+    val expandChildIsAgg = u.queryExecution.optimizedPlan.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        e.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]
+    }
+    assert(expandChildIsAgg.contains(true),
+      "the composed plan must replicate leaf-grain rows, not corpus rows")
+    // rows match the stock session
+    val stock = {
+      import spark.implicits._
+      def k2 = Tables.orders(spark, sf)
+        .select(year($"o_orderdate").cast("int").as("yr"),
+          month($"o_orderdate").cast("int").as("mo"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      k2.groupBy($"yr", $"mo")
+        .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .select($"yr", $"mo", $"n", $"s")
+        .union(k2.groupBy($"yr")
+          .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+          .select($"yr", lit(null).cast("int").as("mo"), $"n", $"s"))
+        .orderBy($"yr".asc_nulls_first, $"mo".asc_nulls_first)
+    }
+    assert(u.collect().toSeq == stock.collect().toSeq)
+  }
+
+  test("output exprIds, types, and non-nullability survive the rewrite") {
+    val s = onSession()
+    import s.implicits._
+    def branch(by: String) = {
+      val keyed = Tables.orders(s, sf)
+        .select(year($"o_orderdate").cast("int").as("yr"),
+          month($"o_orderdate").cast("int").as("mo"))
+      keyed.groupBy(col(by)).agg(count(lit(1)).as("n"))
+        .select(col(by).as("k"), $"n")
+    }
+    val u = branch("yr").union(branch("mo"))
+    val analyzed = u.queryExecution.analyzed
+    val optimized = u.queryExecution.optimizedPlan
+    assert(optimized.output.map(a => (a.exprId, a.dataType)) ==
+      analyzed.output.map(a => (a.exprId, a.dataType)))
+    // count stays non-nullable through the gid switch (KnownNotNull wrap)
+    val n = optimized.output.find(_.name == "n")
+    assert(n.isDefined && !n.get.nullable)
+    u.collect()
+  }
+}
