@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, ArrayDistinct, Attribute, Cast, Coalesce, Divide, Expression, Flatten, KnownNotNull, Literal, NamedExpression, Size}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, ArrayAggregate, ArrayDistinct, Attribute, Cast, Coalesce, Divide, EqualTo, Expression, Flatten, If, KnownNotNull, LambdaFunction, Literal, NamedExpression, NamedLambdaVariable, Size}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CollectList, CollectSet, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -57,12 +57,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
   *      otherwise — so the merged value is bit-identical to the direct
   *      aggregate for decimal/integral inputs; float/double inputs merge
   *      with the same re-association latitude Spark's own partial
-  *      aggregation takes). `COUNT(DISTINCT x)` is NOT derivable from any
-  *      scalar partial, but merges EXACTLY when the view stores a
-  *      `collect_set(x)` partial — the distinct values of a coarse group
-  *      are the union of its leaf groups' sets, so the merge is
-  *      `size(array_distinct(flatten(collect_list(set))))`, shuffling only
-  *      distinct values (never fact rows). Other distinct aggregates bail.
+  *      aggregation takes). DISTINCT aggregates are NOT derivable from any
+  *      scalar partial, but COUNT/SUM/AVG(DISTINCT x) all merge EXACTLY
+  *      when the view stores a `collect_set(x)` partial — the distinct
+  *      values of a coarse group are the union of its leaf groups' sets
+  *      (`array_distinct(flatten(collect_list(set)))`), so count = size,
+  *      sum = an order-insensitive-for-exact-types fold, and avg = fold /
+  *      size divided in Average's own operand types; only distinct values
+  *      ever shuffle, never fact rows. Other distinct aggregates bail.
   *
   * Every rewrite splices a FRESH instance of the view scan (new exprIds per
   * match site — a self-join/union of two view-servable aggregates must not
@@ -613,29 +615,81 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
     def mergeFor(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined || !ae.deterministic) return None
-      // COUNT(DISTINCT x) at a COARSER grain — underivable from any scalar
-      // partial, but derivable EXACTLY from a stored `collect_set(x)`: the
-      // distinct values of x in a coarse group are the union of the leaf
-      // groups' distinct-value sets, so
-      //   count(distinct x) = size(array_distinct(flatten(collect_list(set))))
-      // merging only DISTINCT VALUES per coarse group (bounded by the
-      // group's true distinct cardinality — the same bound the direct
-      // distinct expansion pays, minus the fact-scan). Order-insensitive,
-      // so collect_set's nondeterministic array order cannot leak. Empty
-      // global corner: collect_list over an empty view is an EMPTY ARRAY
-      // (not null), so size = 0 — matching count distinct's 0-on-empty
-      // contract; the KnownNotNull below is the metadata twin of that fact
-      // (count distinct is never null, but flatten over parquet-read
-      // nullable arrays reads as nullable).
+      // DISTINCT aggregates at a COARSER grain — underivable from any
+      // scalar partial, but COUNT/SUM/AVG(DISTINCT x) derive EXACTLY from
+      // a stored `collect_set(x)`: the distinct values of x in a coarse
+      // group are the union of the leaf groups' distinct-value sets
+      // (array_distinct∘flatten∘collect_list), merging only DISTINCT
+      // VALUES per coarse group (bounded by the group's true distinct
+      // cardinality — the same bound the direct distinct expansion pays,
+      // minus the fact-scan). Count is order-insensitive outright; the
+      // sum/avg folds are exact for decimal/integral elements in any
+      // order, so collect_set's nondeterministic array order cannot leak.
+      // Empty global corner: collect_list over an empty view is an EMPTY
+      // ARRAY (not null), so count = 0 and sum/avg = null (foldDistinct's
+      // guard) — matching the direct aggregates' on-empty contract; the
+      // KnownNotNull below is the metadata twin of that fact (count
+      // distinct is never null, but flatten over parquet-read nullable
+      // arrays reads as nullable).
       if (ae.isDistinct) {
+        // the union of the leaf groups' distinct-value sets, per coarse group
+        def distinctValues(setCol: Attribute): Expression =
+          ArrayDistinct(Flatten(AggregateExpression(
+            CollectList(setCol), ae.mode, isDistinct = false, None)))
+        // fold the distinct values in `sumT` (the aggregate's own internal
+        // sum type — same 10-digit decimal headroom Sum/Average reserve);
+        // an EMPTY distinct set must yield NULL, exactly like sum/avg over
+        // zero values, where a bare fold would yield the zero literal.
+        // Exact for decimal/integral elements in any order; float/double
+        // elements fold with the re-association latitude Spark's own
+        // partial aggregation takes.
+        def foldDistinct(arr: Expression, elemT: org.apache.spark.sql.types.DataType,
+            sumT: org.apache.spark.sql.types.DataType): Expression = {
+          val acc = NamedLambdaVariable("acc", sumT, nullable = true)
+          val x = NamedLambdaVariable("x", elemT, nullable = true)
+          // finish must be a BOUND identity lambda (LambdaFunction.identity
+          // is the unresolved-variable form, unusable post-analysis)
+          val res = NamedLambdaVariable("res", sumT, nullable = true)
+          val fold = ArrayAggregate(arr, Cast(Literal(0), sumT),
+            LambdaFunction(Add(acc, Cast(x, sumT)), Seq(acc, x)),
+            LambdaFunction(res, Seq(res)))
+          If(EqualTo(Size(arr, legacySizeOfNull = false), Literal(0)),
+            Literal(null, sumT), fold)
+        }
         return fq(ae.aggregateFunction) match {
           case Count(Seq(child)) =>
             partialCol(CollectSet(child)).map { setCol =>
-              val gathered = AggregateExpression(
-                CollectList(setCol), ae.mode, isDistinct = false, None)
               KnownNotNull(Cast(
-                Size(ArrayDistinct(Flatten(gathered)), legacySizeOfNull = false),
+                Size(distinctValues(setCol), legacySizeOfNull = false),
                 LongType))
+            }
+          case s: Sum =>
+            partialCol(CollectSet(s.child)).map { setCol =>
+              val e = foldDistinct(distinctValues(setCol), s.child.dataType, s.dataType)
+              if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+            }
+          // AVG(DISTINCT x) = fold(distinct values) / |distinct values|,
+          // divided in Average's own operand types (the [[AvgMerge]]
+          // discipline) — bit-identical to the direct aggregate for
+          // decimal/integral inputs
+          case av: Average if AvgMerge.supported(av.child.dataType) =>
+            partialCol(CollectSet(av.child)).map { setCol =>
+              val arr = distinctValues(setCol)
+              val sumT = av.child.dataType match {
+                case d: DecimalType =>
+                  DecimalType(
+                    math.min(DecimalType.MAX_PRECISION, d.precision + 10),
+                    d.scale)
+                case _ => DoubleType
+              }
+              val sumD = foldDistinct(arr, av.child.dataType, sumT)
+              val cntD = Cast(Size(arr, legacySizeOfNull = false), LongType)
+              val div = av.child.dataType match {
+                case _: DecimalType =>
+                  Divide(sumD, Cast(cntD, DecimalType(20, 0)))
+                case _ => Divide(sumD, Cast(cntD, DoubleType))
+              }
+              if (div.dataType == ae.dataType) div else Cast(div, ae.dataType)
             }
           case _ => None
         }

@@ -74,10 +74,11 @@ object MvRewriteQueries {
         // by the exact path (spec-checked Spark-vs-Spark; the DuckDB
         // oracle avoids avg, whose float rounding differs cross-engine)
         avg($"price").as("avg_price"),
-        // the distinct-count PARTIAL: lets a COARSER-grain
-        // count(distinct o_custkey) merge exactly (set union), where the
-        // scalar n_customers column above can only serve the exact grain
-        collect_set($"o_custkey").as("cust_set"))
+        // the distinct-value PARTIALS: let COARSER-grain COUNT/SUM/AVG
+        // (DISTINCT …) merge exactly (set union), where the scalar
+        // n_customers column above can only serve the exact grain
+        collect_set($"o_custkey").as("cust_set"),
+        collect_set($"price").as("price_set"))
   }
 
   private val mvMemo =
@@ -243,6 +244,26 @@ object MvRewriteQueries {
       .orderBy($"yr")
   }
 
+  /** SUM/AVG(DISTINCT) at a COARSER grain from the same set partials: the
+    * fold over the merged distinct-value set is exact for the DECIMAL
+    * price (any order), and the avg divide replicates Average's own
+    * operand types, so both hash-match the raw recompute. "Sum of distinct
+    * price points per year" is the dedup-the-measure shape
+    * (one-price-per-SKU style) that plain partials can never serve.
+    */
+  def mvDistinctStats(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = withView(spark0, dir)
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .groupBy($"yr")
+      .agg(sum_distinct($"price").cast("double").as("sum_distinct_price"),
+        expr("avg(DISTINCT price)").cast("double").as("avg_distinct_price"),
+        countDistinct($"price").as("n_price_points"))
+      .orderBy($"yr")
+  }
+
   /** Negative control: `o_orderpriority` is not a view column, so this
     * must keep scanning raw orders.
     */
@@ -265,6 +286,7 @@ object MvRewriteQueries {
     "opt_mv_filtered" -> (mvFiltered _),
     "opt_mv_avg_coarser" -> (mvAvgCoarser _),
     "opt_mv_distinct_coarser" -> (mvDistinctCoarser _),
+    "opt_mv_distinct_stats" -> (mvDistinctStats _),
     "opt_mv_miss" -> (mvMiss _))
 
   /** Raw-table SQL only — the oracle must NOT read the view, that's the
@@ -325,6 +347,24 @@ ORDER BY yr""",
        count(DISTINCT o_custkey)::BIGINT AS n_customers,
        count(*)::BIGINT AS n_orders
 FROM orders
+GROUP BY 1
+ORDER BY yr""",
+
+    // sum over distinct decimals is exact on both engines; the avg's
+    // half-up-at-scale-6 rounding is reproduced in exact BIGINT micro-units
+    // over DISTINCT cents (same derivation as opt_mv_avg_coarser's)
+    "opt_mv_distinct_stats" ->
+      """WITH keyed AS (
+  SELECT year(o_orderdate)::INT AS yr,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS p
+  FROM orders)
+SELECT yr,
+       (sum(DISTINCT p))::DOUBLE AS sum_distinct_price,
+       ((CAST(FLOOR(sum(DISTINCT p) * 100 + 0.5) AS BIGINT)
+          * 10000 * 2 + count(DISTINCT p)) // (2 * count(DISTINCT p))
+          / 1000000.0)::DOUBLE AS avg_distinct_price,
+       count(DISTINCT p)::BIGINT AS n_price_points
+FROM keyed
 GROUP BY 1
 ORDER BY yr""",
 

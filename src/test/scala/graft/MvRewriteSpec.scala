@@ -334,18 +334,41 @@ class MvRewriteSpec extends SparkSpec {
     MvRewrite.install(s)
     s.conf.set(MvRewrite.EnabledKey, "true")
     import s.implicits._
-    // price has no collect_set partial in either view — must scan raw
+    // o_orderpriority has no collect_set partial in either view — must
+    // scan raw (price joined the set-partial club in r10, custkey earlier)
     val distinct = Tables.orders(s, sf)
-      .select(year($"o_orderdate").cast("int").as("yr"),
-        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
-      .groupBy($"yr").agg(countDistinct($"price").as("n"))
+      .select(year($"o_orderdate").cast("int").as("yr"), $"o_orderpriority")
+      .groupBy($"yr").agg(countDistinct($"o_orderpriority").as("n"))
     assert(scanRoots(distinct).forall(_.contains("orders.parquet")),
       "a coarser-grain distinct aggregate with no set partial must bail")
-    // …and SUM(DISTINCT x) never merges, even where a set of x exists
-    val sumDistinct = Tables.orders(s, sf)
-      .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey")
-      .groupBy($"yr").agg(sum_distinct($"o_custkey").as("s"))
-    assert(scanRoots(sumDistinct).forall(_.contains("orders.parquet")),
-      "sum(distinct) must bail — only count(distinct) merges from a set")
+    // …and a distinct aggregate OUTSIDE the count/sum/avg trio bails even
+    // where a set exists (multi-child count distinct has no set-union form)
+    val multiDistinct = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"), $"o_custkey",
+        $"o_orderstatus")
+      .groupBy($"yr")
+      .agg(expr("count(DISTINCT o_custkey, o_orderstatus)").as("n"))
+    assert(scanRoots(multiDistinct).forall(_.contains("orders.parquet")),
+      "multi-child count(distinct) must bail")
+  }
+
+  test("coarser-grain SUM/AVG(DISTINCT) merge from the set partial") {
+    val served = MvRewriteQueries.mvDistinctStats(spark, sf)
+    val roots = scanRoots(served)
+    assert(roots.nonEmpty && roots.forall(_.contains("_distinct")),
+      s"distinct-stats must be served from the set-partial view, got $roots")
+    // bit equality vs the direct (un-rewritten) aggregates: the decimal
+    // fold is exact in any order, and the avg divide replicates Average's
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val direct = Tables.orders(spark, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      .groupBy($"yr")
+      .agg(sum_distinct($"price").cast("double").as("sum_distinct_price"),
+        expr("avg(DISTINCT price)").cast("double").as("avg_distinct_price"),
+        countDistinct($"price").as("n_price_points"))
+      .orderBy($"yr")
+    assert(served.collect().toSeq == direct.collect().toSeq)
   }
 }

@@ -122,10 +122,12 @@ class PropertySpec extends SparkSpec {
       // decoded-pixel hash (all-integer)
       "opt_mv_avg_coarser", "opt_mv_q01_raw", "opt_mv_q02_raw",
       "opt_mv_q03_raw", "opt_mv_ivm_refresh", "mm_imageio_phash",
-      // the coarser-grain distinct-count merge (set union — exact at any
-      // parallelism) and the union-of-grains merge (decimal sums, one
-      // DOUBLE edge cast, gid switch)
-      "opt_mv_distinct_coarser", "opt_union_merge_rollup")
+      // the coarser-grain distinct merges (set union — count exact
+      // outright, sum/avg exact for decimal folds at any parallelism) and
+      // the union-of-grains merge (decimal sums, one DOUBLE edge cast,
+      // gid switch)
+      "opt_mv_distinct_coarser", "opt_mv_distinct_stats",
+      "opt_union_merge_rollup")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -162,6 +162,35 @@ class UnionMergeSpec extends SparkSpec {
     assert(u.collect().toSeq == stock.collect().toSeq)
   }
 
+  test("merge composes with AQE: same rows, still one scan") {
+    def pipeline(s: SparkSession) = {
+      import org.apache.spark.sql.functions._
+      val keyed = Tables.orders(s, sf)
+        .select(year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      keyed.groupBy(col("yr"), col("mo"))
+        .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .select(col("yr"), col("mo"), col("n"), col("s"))
+        .union(keyed.groupBy(col("yr"))
+          .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+          .select(col("yr"), lit(null).cast("int").as("mo"), col("n"), col("s")))
+        .orderBy(col("yr").asc_nulls_first, col("mo").asc_nulls_first)
+    }
+    def session(aqe: Boolean) = {
+      val s = onSession()
+      s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      if (aqe) s.conf.set("spark.sql.adaptive.forceApply", "true")
+      s
+    }
+    val on = pipeline(session(aqe = true))
+    val off = pipeline(session(aqe = false))
+    assert(scans(on).size == 1,
+      s"AQE must not undo the merge, got ${scans(on).size} scans")
+    assert(scans(off).size == 1)
+    assert(on.collect().toSeq == off.collect().toSeq)
+  }
+
   test("output exprIds, types, and non-nullability survive the rewrite") {
     val s = onSession()
     import s.implicits._
