@@ -66,7 +66,7 @@ object EagerAggregationQueries {
     * as cluster-scale), differing only in the rule flag.
     */
   private def session(spark0: SparkSession, enabled: Boolean): SparkSession = {
-    val spark = spark0.newSession()
+    val spark = ChildSession(spark0)
     EagerAggregation.install(spark)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set(EagerAggregation.EnabledKey, enabled.toString)

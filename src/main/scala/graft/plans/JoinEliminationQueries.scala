@@ -89,7 +89,7 @@ object JoinEliminationQueries {
     * entry — identical results, different plan — which is the point.
     */
   def reportBaseNoRule(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = spark0.newSession()
+    val spark = ChildSession(spark0)
     // The control must pay the enrichment joins, so BOTH elimination paths
     // go dark: the graft rule via its kill-switch (extensions carry over to
     // child sessions, so a fresh session alone doesn't shed it), and Spark

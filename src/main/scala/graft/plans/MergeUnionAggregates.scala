@@ -131,26 +131,10 @@ object MergeUnionAggregates extends Rule[LogicalPlan] {
   private final case class Flat(
       f: Expression => Expression, preds: Seq[Expression], base: LogicalPlan)
 
-  private def flatten(plan: LogicalPlan): Option[Flat] = plan match {
-    case p: Project if p.projectList.forall(_.deterministic) =>
-      flatten(p.child).map { case Flat(f, preds, base) =>
-        val m: Map[Long, Expression] = p.projectList.map {
-          case al: Alias    => al.exprId.id -> al.child
-          case a: Attribute => a.exprId.id -> (a: Expression)
-        }.toMap
-        Flat((e: Expression) => f(e.transformUp {
-          case a: Attribute if m.contains(a.exprId.id) => m(a.exprId.id)
-        }), preds, base)
-      }
-    case fl: org.apache.spark.sql.catalyst.plans.logical.Filter
-        if fl.condition.deterministic =>
-      flatten(fl.child).map { case Flat(f, preds, base) =>
-        Flat(f, preds :+ f(fl.condition), base)
-      }
-    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-      flatten(s.child)
-    case other => Some(Flat(identity[Expression] _, Nil, other))
-  }
+  private def flatten(plan: LogicalPlan): Option[Flat] =
+    MvRewrite.flattenQ(plan).map { case (f, preds, base) =>
+      Flat(f, preds, base)
+    }
 
   /** Predicate multisets match when they biject under semanticEquals. */
   private def samePreds(a: Seq[Expression], b: Seq[Expression]): Boolean =

@@ -62,9 +62,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
   *      when the view stores a `collect_set(x)` partial — the distinct
   *      values of a coarse group are the union of its leaf groups' sets
   *      (`array_distinct(flatten(collect_list(set)))`), so count = size,
-  *      sum = an order-insensitive-for-exact-types fold, and avg = fold /
-  *      size divided in Average's own operand types; only distinct values
-  *      ever shuffle, never fact rows. Other distinct aggregates bail.
+  *      sum = an order-insensitive fold, and avg = fold / size divided in
+  *      Average's own operand types; only distinct values ever shuffle,
+  *      never fact rows. Float/double-bearing children refuse (the direct
+  *      path normalizes -0.0/0.0 before deduplication; set union across
+  *      leaf groups cannot), and other distinct aggregates bail.
   *
   * Every rewrite splices a FRESH instance of the view scan (new exprIds per
   * match site — a self-join/union of two view-servable aggregates must not
@@ -154,7 +156,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the standard dashboard shape, grain + predicate. The DEFINING side
     * keeps the strict no-filter [[flatten]].
     */
-  private def flattenQ(plan: LogicalPlan):
+  private[plans] def flattenQ(plan: LogicalPlan):
       Option[(Expression => Expression, Seq[Expression], LogicalPlan)] =
     plan match {
       case p: Project if p.projectList.forall(_.deterministic) =>
@@ -613,6 +615,14 @@ object MvRewrite extends Rule[LogicalPlan] {
         case (p: AggregateExpression, pos)
             if p.aggregateFunction.semanticEquals(fn) => scanCols(pos)
       }
+    // ONE CollectList partial per (set column, mode), shared by every
+    // distinct aggregate that merges from it: per-consumer instances carry
+    // distinct resultIds, which defeat PhysicalAggregation's buffer dedup
+    // and would materialize the same merged sets once per consumer — a
+    // sum/avg/count(DISTINCT x) trio would triple the dominant buffer cost
+    val setGather = scala.collection.mutable.Map[
+      (Long, org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode),
+      AggregateExpression]()
     def mergeFor(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined || !ae.deterministic) return None
       // DISTINCT aggregates at a COARSER grain — underivable from any
@@ -632,17 +642,36 @@ object MvRewrite extends Rule[LogicalPlan] {
       // distinct is never null, but flatten over parquet-read nullable
       // arrays reads as nullable).
       if (ae.isDistinct) {
-        // the union of the leaf groups' distinct-value sets, per coarse group
+        // SIGNED-ZERO GATE: the direct distinct path runs through
+        // NormalizeFloatingNumbers, which unifies -0.0/0.0 (and NaN bit
+        // patterns) BEFORE deduplication; collect_set and array_distinct
+        // do not normalize across leaf sets, so a float-bearing element
+        // type would count -0.0 and 0.0 as two distinct values where the
+        // direct aggregate counts one. Refuse anything containing
+        // float/double — the merge below is exact for everything else.
+        def floatFree(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case FloatType | DoubleType => false
+            case a: org.apache.spark.sql.types.ArrayType =>
+              floatFree(a.elementType)
+            case m: org.apache.spark.sql.types.MapType =>
+              floatFree(m.keyType) && floatFree(m.valueType)
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.forall(f => floatFree(f.dataType))
+            case _ => true
+          }
+        // the union of the leaf groups' distinct-value sets, per coarse
+        // group — ONE shared CollectList per set column (see setGather)
         def distinctValues(setCol: Attribute): Expression =
-          ArrayDistinct(Flatten(AggregateExpression(
-            CollectList(setCol), ae.mode, isDistinct = false, None)))
+          ArrayDistinct(Flatten(setGather.getOrElseUpdate(
+            (setCol.exprId.id, ae.mode),
+            AggregateExpression(
+              CollectList(setCol), ae.mode, isDistinct = false, None))))
         // fold the distinct values in `sumT` (the aggregate's own internal
         // sum type — same 10-digit decimal headroom Sum/Average reserve);
         // an EMPTY distinct set must yield NULL, exactly like sum/avg over
         // zero values, where a bare fold would yield the zero literal.
-        // Exact for decimal/integral elements in any order; float/double
-        // elements fold with the re-association latitude Spark's own
-        // partial aggregation takes.
+        // Exact in any fold order for every type the float gate admits.
         def foldDistinct(arr: Expression, elemT: org.apache.spark.sql.types.DataType,
             sumT: org.apache.spark.sql.types.DataType): Expression = {
           val acc = NamedLambdaVariable("acc", sumT, nullable = true)
@@ -657,22 +686,24 @@ object MvRewrite extends Rule[LogicalPlan] {
             Literal(null, sumT), fold)
         }
         return fq(ae.aggregateFunction) match {
-          case Count(Seq(child)) =>
+          case Count(Seq(child)) if floatFree(child.dataType) =>
             partialCol(CollectSet(child)).map { setCol =>
               KnownNotNull(Cast(
                 Size(distinctValues(setCol), legacySizeOfNull = false),
                 LongType))
             }
-          case s: Sum =>
+          case s: Sum if floatFree(s.child.dataType) =>
             partialCol(CollectSet(s.child)).map { setCol =>
               val e = foldDistinct(distinctValues(setCol), s.child.dataType, s.dataType)
               if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
             }
           // AVG(DISTINCT x) = fold(distinct values) / |distinct values|,
           // divided in Average's own operand types (the [[AvgMerge]]
-          // discipline) — bit-identical to the direct aggregate for
-          // decimal/integral inputs
-          case av: Average if AvgMerge.supported(av.child.dataType) =>
+          // discipline) — bit-identical to the direct aggregate for the
+          // decimal/integral inputs the float gate admits
+          case av: Average
+              if AvgMerge.supported(av.child.dataType) &&
+                floatFree(av.child.dataType) =>
             partialCol(CollectSet(av.child)).map { setCol =>
               val arr = distinctValues(setCol)
               val sumT = av.child.dataType match {

@@ -124,7 +124,7 @@ object MvRewriteQueries {
         definingDistinct(spark0, dir), spark0.read.parquet(path2))
       require(ok2, "mv_order_distinct must be inside MvRewrite's matchable scope")
     }
-    val spark = spark0.newSession()
+    val spark = ChildSession(spark0)
     MvRewrite.install(spark)
     spark.conf.set(MvRewrite.EnabledKey, "true")
     spark

@@ -27,7 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RerollQueries {
 
   private def withRule(spark0: SparkSession): SparkSession = {
-    val spark = spark0.newSession()
+    val spark = ChildSession(spark0)
     RerollExpandAggregate.install(spark)
     spark.conf.set(RerollExpandAggregate.EnabledKey, "true")
     spark

@@ -53,7 +53,7 @@ object UnionMergeQueries {
 
   /** The merged plan: same pipeline in a child session with the rule on. */
   def merged(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = spark0.newSession()
+    val spark = ChildSession(spark0)
     MergeUnionAggregates.install(spark)
     spark.conf.set(MergeUnionAggregates.EnabledKey, "true")
     unionRollup(spark, dir)
@@ -61,7 +61,7 @@ object UnionMergeQueries {
 
   /** The stock three-scan plan (rule off) — the bench ledger's other arm. */
   def stock(spark0: SparkSession, dir: String): DataFrame =
-    unionRollup(spark0.newSession(), dir)
+    unionRollup(ChildSession(spark0), dir)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_union_merge_rollup" -> (merged _))

@@ -352,6 +352,35 @@ class MvRewriteSpec extends SparkSpec {
       "multi-child count(distinct) must bail")
   }
 
+  test("float-bearing set partials refuse the distinct merge (signed zeros)") {
+    import org.apache.spark.sql.functions._
+    // a view storing collect_set of a DOUBLE: the direct distinct path
+    // normalizes -0.0/0.0 before deduplication, set union cannot — the
+    // merge must decline rather than miscount
+    val defining = {
+      val o = Tables.orders(spark, sf)
+      o.select(year(o("o_orderdate")).cast("int").as("yr"), o("o_totalprice"))
+        .groupBy(col("yr"))
+        .agg(collect_set(col("o_totalprice")).as("price_set"),
+          count(lit(1)).as("n"))
+    }
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-mv-double-set"
+    defining.write.mode("overwrite").parquet(dir)
+    assert(MvRewrite.register("mv_double_set_test", defining,
+      spark.read.parquet(dir)))
+    try {
+      val s = spark.newSession()
+      MvRewrite.install(s)
+      s.conf.set(MvRewrite.EnabledKey, "true")
+      val o = Tables.orders(s, sf)
+      val q = o.select(year(o("o_orderdate")).cast("int").as("yr"),
+          o("o_totalprice"))
+        .agg(countDistinct(col("o_totalprice")).as("n"))
+      assert(scanRoots(q).forall(_.contains("orders.parquet")),
+        "a double-element set partial must not serve count(distinct)")
+    } finally MvRewrite.deregister("mv_double_set_test")
+  }
+
   test("coarser-grain SUM/AVG(DISTINCT) merge from the set partial") {
     val served = MvRewriteQueries.mvDistinctStats(spark, sf)
     val roots = scanRoots(served)

@@ -162,6 +162,81 @@ class UnionMergeSpec extends SparkSpec {
     assert(u.collect().toSeq == stock.collect().toSeq)
   }
 
+  test("mixed aggregate functions per position and ratio outputs merge") {
+    val s = onSession()
+    import s.implicits._
+    def keyed = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        month($"o_orderdate").cast("int").as("mo"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+    // position 1 is SUM in one branch, MAX in the other; position 2 is a
+    // post-computed ratio over two aggregates — the gid switch must
+    // rebuild each branch's expression from the pooled aggregates
+    val a = keyed.groupBy($"yr")
+      .agg(expr("CAST(sum(price) AS DOUBLE)").as("v"),
+        expr("CAST(sum(price) AS DOUBLE) / count(1)").as("r"))
+      .select($"yr", $"v", $"r")
+    val b = keyed.groupBy($"mo")
+      .agg(expr("CAST(max(price) AS DOUBLE)").as("v"),
+        expr("CAST(min(price) AS DOUBLE) / count(1)").as("r"))
+      .select($"mo".as("yr"), $"v", $"r")
+    val u = a.union(b).orderBy($"yr".asc_nulls_first, $"v", $"r")
+    assert(scans(u).size == 1, s"expected one scan, got ${scans(u).size}")
+    val stock = {
+      import spark.implicits._
+      def k2 = Tables.orders(spark, sf)
+        .select(year($"o_orderdate").cast("int").as("yr"),
+          month($"o_orderdate").cast("int").as("mo"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      val a2 = k2.groupBy($"yr")
+        .agg(expr("CAST(sum(price) AS DOUBLE)").as("v"),
+          expr("CAST(sum(price) AS DOUBLE) / count(1)").as("r"))
+        .select($"yr", $"v", $"r")
+      val b2 = k2.groupBy($"mo")
+        .agg(expr("CAST(max(price) AS DOUBLE)").as("v"),
+          expr("CAST(min(price) AS DOUBLE) / count(1)").as("r"))
+        .select($"mo".as("yr"), $"v", $"r")
+      a2.union(b2).orderBy($"yr".asc_nulls_first, $"v", $"r")
+    }
+    assert(u.collect().toSeq == stock.collect().toSeq)
+  }
+
+  test("a shared filter merges and applies once; mismatched filters bail") {
+    val s = onSession()
+    import s.implicits._
+    def keyed = Tables.orders(s, sf)
+      .select(year($"o_orderdate").cast("int").as("yr"),
+        month($"o_orderdate").cast("int").as("mo"),
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+    def grain(f: DataFrame => DataFrame, lo: Int) = f(keyed)
+      .filter($"mo" >= lo)
+      .groupBy($"yr").agg(count(lit(1)).as("n")).select($"yr", $"n")
+    // same predicate on both branches: merged, and the scan carries it
+    val shared = grain(identity, 7)
+      .union(keyed.filter($"mo" >= 7).groupBy($"mo").agg(count(lit(1)).as("n"))
+        .select($"mo".as("yr"), $"n"))
+    assert(scans(shared).size == 1,
+      s"shared-filter branches must merge, got ${scans(shared).size} scans")
+    val pushed = scans(shared).head.dataFilters
+    assert(pushed.nonEmpty, "the shared predicate must reach the scan")
+    val stock = {
+      import spark.implicits._
+      def k2 = Tables.orders(spark, sf)
+        .select(year($"o_orderdate").cast("int").as("yr"),
+          month($"o_orderdate").cast("int").as("mo"))
+      k2.filter($"mo" >= 7).groupBy($"yr").agg(count(lit(1)).as("n"))
+        .select($"yr", $"n")
+        .union(k2.filter($"mo" >= 7).groupBy($"mo").agg(count(lit(1)).as("n"))
+          .select($"mo".as("yr"), $"n"))
+    }
+    assert(shared.collect().toSeq.sortBy(r => (r.getInt(0), r.getLong(1))) ==
+      stock.collect().toSeq.sortBy(r => (r.getInt(0), r.getLong(1))))
+    // DIFFERENT predicates: not the same row source — must not merge
+    val mismatched = grain(identity, 7).union(grain(identity, 4))
+    assert(scans(mismatched).size == 2,
+      "branches with different predicates must stay separate")
+  }
+
   test("merge composes with AQE: same rows, still one scan") {
     def pipeline(s: SparkSession) = {
       import org.apache.spark.sql.functions._
