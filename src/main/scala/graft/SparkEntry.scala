@@ -19,7 +19,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     analytics.Queries.q02TopDiagnosesByAgeGroup(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  // split in two: a single ~120-operand `++` chain overflows the
+  // scalac typer stack (hit at the 124th module in r10)
+  private def queriesA: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.all ++ analytics.TpchQueries.all ++
       ingest.Ingest.all ++ text.TextAnalysis.all ++
       text.Curate.all ++
@@ -41,7 +43,9 @@ object SparkEntry {
       ingest.DriftChecks.all ++ analytics.Reshape.all ++
       similarity.Matryoshka.all ++ privacy.DpRelease.all ++
       analytics.ValuePositions.all ++ ingest.FkOrphans.all ++
-      analytics.MarketBasket.all ++ warehouse.JunkDim.all ++
+      analytics.MarketBasket.all ++ warehouse.JunkDim.all
+
+  private def queriesB: Map[String, (SparkSession, String) => DataFrame] =
       similarity.CentroidDrift.all ++ analytics.BitmapRollup.all ++
       similarity.HubnessAnn.all ++ warehouse.FileManifest.all ++
       warehouse.BloomManifest.all ++ text.PitFeatures.all ++
@@ -79,11 +83,15 @@ object SparkEntry {
       plans.RerollQueries.all ++ plans.MvRewriteQueries.all ++
       plans.MvWarehouseQueries.all ++
       plans.EagerAggregationQueries.all ++
-      plans.UnionMergeQueries.all
+      plans.UnionMergeQueries.all ++
+      plans.IvmSetQueries.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
-  def oracleSql: Map[String, String] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesA ++ queriesB
+
+  private def oracleA: Map[String, String] =
     analytics.OracleSql.all ++ analytics.TpchQueries.oracle ++
       ingest.Ingest.oracle ++
       text.TextAnalysis.oracle ++ text.Curate.oracle ++ dedup.Dedup.oracle ++
@@ -107,7 +115,9 @@ object SparkEntry {
       ingest.DriftChecks.oracle ++ analytics.Reshape.oracle ++
       similarity.Matryoshka.oracle ++ privacy.DpRelease.oracle ++
       analytics.ValuePositions.oracle ++ ingest.FkOrphans.oracle ++
-      analytics.MarketBasket.oracle ++ warehouse.JunkDim.oracle ++
+      analytics.MarketBasket.oracle ++ warehouse.JunkDim.oracle
+
+  private def oracleB: Map[String, String] =
       similarity.CentroidDrift.oracle ++ analytics.BitmapRollup.oracle ++
       similarity.HubnessAnn.oracle ++ warehouse.FileManifest.oracle ++
       warehouse.BloomManifest.oracle ++ text.PitFeatures.oracle ++
@@ -146,5 +156,8 @@ object SparkEntry {
       plans.RerollQueries.oracle ++ plans.MvRewriteQueries.oracle ++
       plans.MvWarehouseQueries.oracle ++
       plans.EagerAggregationQueries.oracle ++
-      plans.UnionMergeQueries.oracle
+      plans.UnionMergeQueries.oracle ++
+      plans.IvmSetQueries.oracle
+
+  def oracleSql: Map[String, String] = oracleA ++ oracleB
 }

@@ -245,6 +245,26 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.collect().toSeq == raw.collect().toSeq)
   }
 
+  test("IVM set view: distinct served from the incrementally-merged v1") {
+    import graft.plans.IvmSetQueries
+    val q = IvmSetQueries.served(spark, sf)
+    val roots = scanRoots(q)
+    assert(roots.nonEmpty && roots.forall(_.contains("graft-ivm-set")),
+      s"the consumer must read the set-view snapshot, got $roots")
+    assert(roots.forall(_.contains("/v1")),
+      s"…and specifically v1 (post-delta array_union merge), got $roots")
+    // rows equal the raw full-state recompute (stock session, no rewrite)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.lineitem(spark, sf)
+      .select(year($"l_shipdate").cast("int").as("yr"), $"l_suppkey")
+      .groupBy($"yr")
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"yr")
+    assert(q.collect().toSeq == raw.collect().toSeq)
+  }
+
   test("rewrite composes with AQE: same rows, still a view scan") {
     import org.apache.spark.sql.functions._
     MvRewriteQueries.mvRollup(spark, sf).queryExecution // ensure registered

@@ -127,7 +127,7 @@ class PropertySpec extends SparkSpec {
       // the union-of-grains merge (decimal sums, one DOUBLE edge cast,
       // gid switch)
       "opt_mv_distinct_coarser", "opt_mv_distinct_stats",
-      "opt_union_merge_rollup")
+      "opt_union_merge_rollup", "opt_mv_ivm_distinct")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {
