@@ -80,11 +80,13 @@ object Bench {
     // full view writes inside its timed run
     plans.MvRewriteQueries.prewarm(spark, sfDir)
     // warm the cost-gate probe caches (optimization only, no execution):
-    // the first opt_eager_agg / opt_rollup_reroll timings must measure the
-    // queries, not the one-off collapse-ratio probes
-    plans.EagerAggregationQueries.eager(spark, sfDir).queryExecution.optimizedPlan
-    plans.RerollQueries.rollupReroll(spark, sfDir).queryExecution.optimizedPlan
-    plans.RerollQueries.rollupAvgReroll(spark, sfDir).queryExecution.optimizedPlan
+    // the first gated-arm timings must measure the queries, not the
+    // one-off collapse-ratio probes (forced arms set probeRows=0 and
+    // never probe)
+    plans.EagerAggregationQueries.eagerGated(spark, sfDir).queryExecution.optimizedPlan
+    plans.EagerAggregationQueries.eagerHc(spark, sfDir).queryExecution.optimizedPlan
+    plans.RerollQueries.rollupRerollGated(spark, sfDir).queryExecution.optimizedPlan
+    plans.RerollQueries.cubeLineitemReroll(spark, sfDir).queryExecution.optimizedPlan
     // session warmup: one untimed full read of each hot base table so the
     // alphabetically-first timed query isn't charged the session's one-off
     // costs (first job scheduling, codegen compiler init, parquet
@@ -222,24 +224,37 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof_skew ledger FAILED: ${e.getMessage}"); ""
     }
-    // Price the multi-grain re-roll rule: the same ROLLUP with aggregation
-    // below vs above the Expand. Wall and shuffle bytes MISS the rule's
-    // actual axis at sf0.1 (the extra leaf exchange costs more than the
-    // saved replication on 450k rows) — `expand_rows` is that axis: rows
-    // the Expand emits into the partial aggregate, G×|input| stock vs
-    // G×|leaf groups| re-rolled, and the stock term is the one that scales
-    // with the corpus.
-    val rerollJson = try {
-      val (_, on) = observability.QueryMetrics.profile(
-        plans.RerollQueries.rollupReroll(spark, sfDir))
-      val (_, off) = observability.QueryMetrics.profile(
-        analytics.GroupingSets.rollupMonthly(spark, sfDir))
-      s""","reroll":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
-        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes},""" +
-        s""""on_expand_rows":${on.expandRows},"off_expand_rows":${off.expandRows}}"""
+    // Three-arm ledger for the cost-gated rewrites: GATED (rule decides —
+    // what a user gets by enabling), FORCED (gate off — prices the rewrite
+    // itself), OFF (stock). The gated arm's contract: never slower than
+    // off (the gate declines where the rewrite loses at this scale), and
+    // on the high-collapse fixture it fires and wins wall.
+    def arm3(tag: String, gated: => org.apache.spark.sql.DataFrame,
+        forced: => org.apache.spark.sql.DataFrame,
+        off: => org.apache.spark.sql.DataFrame): String = try {
+      val (_, g) = observability.QueryMetrics.profile(gated)
+      val (_, f) = observability.QueryMetrics.profile(forced)
+      val (_, o) = observability.QueryMetrics.profile(off)
+      s""","$tag":{"gated_sec":${g.wallMs / 1e3},"forced_sec":${f.wallMs / 1e3},"off_sec":${o.wallMs / 1e3},""" +
+        s""""gated_shuffle_bytes":${g.shuffleWriteBytes},"forced_shuffle_bytes":${f.shuffleWriteBytes},"off_shuffle_bytes":${o.shuffleWriteBytes},""" +
+        s""""gated_expand_rows":${g.expandRows},"forced_expand_rows":${f.expandRows},"off_expand_rows":${o.expandRows}}"""
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] reroll ledger FAILED: ${e.getMessage}"); ""
+      System.err.println(s"[bench] $tag ledger FAILED: ${e.getMessage}"); ""
     }
+    // Re-roll, LOW-collapse fixture (G=3 rollup over 150k orders: 300k
+    // saved Expand rows — under the gate's 2M floor, so gated == off;
+    // forced prices the loss the floor exists to avoid).
+    val rerollJson = arm3("reroll",
+      plans.RerollQueries.rollupRerollGated(spark, sfDir),
+      plans.RerollQueries.rollupReroll(spark, sfDir),
+      analytics.GroupingSets.rollupMonthly(spark, sfDir))
+    // Re-roll, HIGH-collapse fixture (G=16 cube over 600k line items: the
+    // stock Expand feeds 9.6M rows into the partial aggregate, the
+    // re-rolled one ~4.7k — the gate fires and wins wall even on one box).
+    val rerollHcJson = arm3("reroll_hc",
+      plans.RerollQueries.cubeLineitemReroll(spark, sfDir),
+      plans.RerollQueries.cubeLineitemRerollForced(spark, sfDir),
+      analytics.GroupingSets.cubeLineitem(spark, sfDir))
     // Price the matview rewrite: the same yearly rollup answered from the
     // registered view vs from raw orders — the scan-rows column is the
     // whole story (view rows vs fact rows).
@@ -253,17 +268,39 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mv_rewrite ledger FAILED: ${e.getMessage}"); ""
     }
-    // Price eager aggregation: the same star rollup with the fact side
-    // collapsed before vs after the join.
-    val eagerJson = try {
-      val (_, on) = observability.QueryMetrics.profile(
-        plans.EagerAggregationQueries.eager(spark, sfDir))
-      val (_, off) = observability.QueryMetrics.profile(
-        plans.EagerAggregationQueries.baseline(spark, sfDir))
-      s""","eager_agg":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
-        s""""on_shuffle_bytes":${on.shuffleWriteBytes},"off_shuffle_bytes":${off.shuffleWriteBytes}}"""
+    // Eager aggregation, LOW fixture (4:1 collapse — gate declines on
+    // ratio, gated == off; forced halves shuffle bytes but loses wall).
+    val eagerJson = arm3("eager_agg",
+      plans.EagerAggregationQueries.eagerGated(spark, sfDir),
+      plans.EagerAggregationQueries.eager(spark, sfDir),
+      plans.EagerAggregationQueries.baseline(spark, sfDir))
+    // Eager aggregation, HIGH-collapse fixture (600:1 — forced cuts
+    // shuffle bytes 153×, the term that becomes network+spill at cluster
+    // scale, but 599k saved rows is under the 2M floor because even this
+    // shape is wall-negative on one box: gated == off here too, by
+    // measurement, not omission).
+    val eagerHcJson = arm3("eager_agg_hc",
+      plans.EagerAggregationQueries.eagerHc(spark, sfDir),
+      plans.EagerAggregationQueries.eagerHcForced(spark, sfDir),
+      plans.EagerAggregationQueries.baselineHc(spark, sfDir))
+    // Price the cost gate's own probe: the default key-hash-sampled pass
+    // vs the exact full pass over the same fact/keys — ratio agreement is
+    // the unbiasedness evidence, wall is the saving.
+    val gateProbeJson = try {
+      import org.apache.spark.sql.functions.col
+      def probe(mod: Int) = plans.CollapseGate.probeAgg(
+        Tables.lineitem(spark, sfDir).select(col("l_suppkey")),
+        Seq(col("l_suppkey")), mod)
+      val (_, sp) = observability.QueryMetrics.profile(probe(16))
+      val (_, fp) = observability.QueryMetrics.profile(probe(1))
+      def ratio(mod: Int): Double = {
+        val r = probe(mod).head()
+        if (r.getLong(1) == 0) 0.0 else r.getLong(2).toDouble / r.getLong(1)
+      }
+      s""","gate_probe":{"sampled_sec":${sp.wallMs / 1e3},"full_sec":${fp.wallMs / 1e3},""" +
+        s""""sampled_ratio":${ratio(16)},"full_ratio":${ratio(1)},"scan_rows":${sp.scanRows}}"""
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] eager_agg ledger FAILED: ${e.getMessage}"); ""
+      System.err.println(s"[bench] gate_probe ledger FAILED: ${e.getMessage}"); ""
     }
     // Price the storage-partitioned join: identical rollup+join with and
     // without the connector's reported KeyGroupedPartitioning (broadcast
@@ -314,7 +351,7 @@ object Bench {
     val loadEnd = loadAvg()
     val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""prior_total_shared":$priorShared,"total_shared":$totalShared,"noisy":$noisy"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$mvJson$eagerJson$spjJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$rerollHcJson$mvJson$eagerJson$eagerHcJson$gateProbeJson$spjJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":

@@ -127,8 +127,29 @@ object GroupingSets {
       .orderBy($"gid", $"yr", $"mo")
   }
 
+  /** CUBE over FOUR low-cardinality lineitem columns (G=16, leaf grain
+    * ≤ ~900 cells from 600k rows at sf0.1): the shape where the Expand's
+    * G×|input| replication is the dominant term — the stock plan feeds
+    * 9.6M rows into the partial aggregate at sf0.1 — and therefore the
+    * high-collapse fixture whose re-rolled twin
+    * (`opt_cube_lineitem_reroll`) is wall-positive even on one box.
+    */
+  def cubeLineitem(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_linestatus",
+        year($"l_shipdate").cast("int").as("yr"), $"l_linenumber",
+        expr("CAST(l_extendedprice AS DECIMAL(14,2))").as("price"))
+      .cube($"l_returnflag", $"l_linestatus", $"yr", $"l_linenumber")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_items"),
+        expr("CAST(sum(price) AS DOUBLE)").as("total_price"))
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus", $"yr", $"l_linenumber")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_rollup_monthly" -> (rollupMonthly _),
+    "agg_cube_lineitem" -> (cubeLineitem _),
     "agg_rollup_avg" -> (rollupAvg _),
     "agg_cube_segment_status" -> (cubeSegmentStatus _),
     "agg_sets_priority" -> (setsPriority _),
@@ -153,8 +174,18 @@ FROM orders
 GROUP BY ROLLUP(yr, mo)
 ORDER BY gid, yr, mo"""
 
+  private[graft] val cubeLineitemSql: String =
+    """SELECT l_returnflag, l_linestatus, year(l_shipdate)::INT AS yr, l_linenumber,
+       GROUPING(l_returnflag, l_linestatus, yr, l_linenumber)::INT AS gid,
+       count(*)::BIGINT AS n_items,
+       (sum(CAST(l_extendedprice AS DECIMAL(14,2))))::DOUBLE AS total_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus, yr, l_linenumber)
+ORDER BY gid, l_returnflag, l_linestatus, yr, l_linenumber"""
+
   val oracle: Map[String, String] = Map(
     "agg_rollup_monthly" -> rollupSql,
+    "agg_cube_lineitem" -> cubeLineitemSql,
     "agg_rollup_avg" -> rollupAvgSql,
     // the rewrite is semantics-preserving: same oracle text, verbatim
     "agg_rollup_hierarchical" -> rollupSql,

@@ -14,12 +14,14 @@ import org.apache.spark.sql.SparkSession
   * property vacuous for child-session queries until r10.
   */
 private[plans] object ChildSession {
-  private val Carried =
-    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone")
-
   def apply(spark0: SparkSession): SparkSession = {
     val s = spark0.newSession()
-    for (k <- Carried) s.conf.set(k, spark0.conf.get(k))
+    // Carry EVERY modifiable runtime conf whose parent value differs from
+    // the child's builder-time default — not an allowlist, so ANSI mode,
+    // adaptive settings, or any harness-toggled conf survive the hop too.
+    for ((k, v) <- spark0.conf.getAll
+         if s.conf.isModifiable(k) && !s.conf.getOption(k).contains(v))
+      s.conf.set(k, v)
     s
   }
 }

@@ -62,10 +62,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * and, enabled, it DECLINES when the measured collapse ratio is poor:
   * the shared [[CollapseGate]] estimates |leaf groups| / |fact rows| from
   * catalog stats when present, else from a cached count+ndv probe
-  * ([[ProbeRowsKey]] picks full-fact vs bounded-prefix — the gate's doc has
-  * the prefix's decline-ward bias), and bails above [[MaxRatioKey]]; facts
-  * under [[MinRowsKey]] rows skip the gate. The `_eager_` alias
-  * prefix on leaf columns is the fixed-point guard.
+  * ([[ProbeRowsKey]]/[[SampleModKey]] pick key-hash-sampled (default),
+  * exact, or bounded-prefix — the gate's doc has the prefix's decline-ward
+  * bias), and bails above [[MaxRatioKey]]; facts under [[MinRowsKey]] rows
+  * skip the gate. The `_eager_` alias prefix on leaf columns is the
+  * fixed-point guard.
   */
 object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -76,7 +77,8 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     * story): stats when ANALYZEd, else a cached count+ndv probe.
     */
   private[plans] val gate =
-    new CollapseGate("eager aggregation", "spark.sql.graft.eagerAggregation")
+    new CollapseGate("eager aggregation", "spark.sql.graft.eagerAggregation",
+      defaultMinSavedRows = 2000000L)
 
   /** Decline threshold: estimated |leaf groups| / |fact rows| above this
     * means the leaf aggregate barely collapses anything and its exchange
@@ -84,20 +86,32 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     */
   val MaxRatioKey: String = gate.MaxRatioKey
 
-  /** Probe size. NEGATIVE (the default): probe the WHOLE fact — one
-    * cached count + approx-ndv pass over the key columns, the exact
-    * collapse ratio. POSITIVE: a bounded LIMIT-prefix probe — cheaper,
-    * but BIASED TOWARD DECLINING when keys are spread uniformly through
-    * the file (a random 100k-row prefix of a 4-rows-per-key fact covers
-    * ~73% distinct keys, reading as ratio 0.73 where the full fact
-    * collapses to 0.25 — measured at sf0.1; sampling distinct counts is
-    * the classic under-observable). 0 disables the gate entirely
-    * (stats-less facts then fire ungated, the pre-r10 behavior). At
-    * cluster scale prefer ANALYZE'd catalog stats (free) or a bounded
-    * prefix with the bias understood; the full probe reads two columns
-    * once per distinct fact plan per session.
+  /** Probe size. NEGATIVE (the default): one pass over the key columns,
+    * KEY-HASH-SAMPLED by [[SampleModKey]] (default 1/16 of keys into the
+    * distinct sketch — an unbiased collapse-ratio estimate, unlike a
+    * prefix; set the mod to 1 for the exact full probe). POSITIVE: a
+    * bounded LIMIT-prefix probe — cheapest, but BIASED TOWARD DECLINING
+    * when keys are spread uniformly through the file (a random 100k-row
+    * prefix of a 4-rows-per-key fact covers ~73% distinct keys, reading
+    * as ratio 0.73 where the full fact collapses to 0.25 — measured at
+    * sf0.1). 0 disables the gate entirely (the forced-on ledger arm). At
+    * cluster scale prefer ANALYZE'd catalog stats (free); the sampled
+    * probe reads the key columns once per distinct fact plan per session.
     */
   val ProbeRowsKey: String = gate.ProbeRowsKey
+
+  /** Key-hash sample modulus for the default probe (see [[ProbeRowsKey]]). */
+  val SampleModKey: String = gate.SampleModKey
+
+  /** Absolute floor on estimated rows removed from the join exchange
+    * (default 2M): at sf0.1 even a 600:1-collapsing fixture (599k rows
+    * saved, shuffle bytes cut 153×) measured wall-NEGATIVE on one box —
+    * the leaf aggregate plus two extra stage boundaries cost more than an
+    * in-memory 5.7MB exchange. The byte win is what turns into network +
+    * spill on a cluster, where any 100 TB fact clears this floor by six
+    * orders of magnitude; single-box users get the stock plan.
+    */
+  val MinSavedRowsKey: String = gate.MinSavedRowsKey
 
   /** Facts smaller than this skip the gate (estimate too noisy to act on,
     * decision too cheap to matter).

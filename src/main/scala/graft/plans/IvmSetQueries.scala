@@ -62,17 +62,26 @@ object IvmSetQueries {
     setsOf(keyed(spark, dir).drop("late"))
 
   private val refreshed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** v0 from the on-time slice, delta sets from the late slice, v1 =
     * grain-level full-outer `array_union` merge of v0's PARQUET with the
     * delta — then re-register at v1. Keyed by [[Memos.runTag]] so a bench
     * second sample repeats the refresh, not a memo hit.
+    *
+    * The tag is recorded only AFTER register succeeds (`computeIfAbsent`
+    * drops the mapping if the body throws), and concurrent callers block
+    * on the in-flight computation instead of racing past an unregistered
+    * view — a failed refresh is retried by the next caller, never
+    * silently skipped.
     */
   private def refresh(spark: SparkSession, dir: String): Unit = {
-    import spark.implicits._
     val tag = s"${spark.sparkContext.applicationId}:$dir:${Memos.runTag}"
-    if (!refreshed.add(tag)) return
+    refreshed.computeIfAbsent(tag, _ => { doRefresh(spark, dir, tag); true })
+  }
+
+  private def doRefresh(spark: SparkSession, dir: String, tag: String): Unit = {
+    import spark.implicits._
     val scratch = s"${sys.props("java.io.tmpdir")}/graft-ivm-set/" +
       tag.replaceAll("[^A-Za-z0-9._-]", "_")
     setsOf(keyed(spark, dir).filter(!$"late"))

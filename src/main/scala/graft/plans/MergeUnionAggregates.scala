@@ -9,11 +9,11 @@ import org.apache.spark.sql.types.IntegerType
 
 /** Merge a UNION ALL of same-source aggregates into ONE grouping-sets pass.
   *
-  * The hand-written multi-grain report — the shape the reference's SQL
-  * files produce by stacking per-grain SELECTs (`sql/analytics_queries.sql`
-  * unions per-grain summaries; [[graft.analytics.GroupingSets
-  * .rollupHierarchical]] demonstrates the same idiom) — scans the fact
-  * table once PER GRAIN:
+  * The hand-written multi-grain report — the stacked-per-grain-SELECT
+  * idiom [[graft.analytics.GroupingSets.rollupHierarchical]] demonstrates,
+  * and the common way analysts write rollups when their engine lacks (or
+  * they don't reach for) GROUPING SETS — scans the fact table once PER
+  * GRAIN:
   *
   * {{{
   *   SELECT yr, mo, sum(v) FROM t GROUP BY yr, mo
@@ -86,11 +86,15 @@ import org.apache.spark.sql.types.IntegerType
   * two sources converges to one merged block per source.
   *
   * Cost: unlike [[RerollExpandAggregate]] and [[EagerAggregation]] this
-  * rewrite needs no cardinality gate — it strictly removes (K−1) scans and
-  * (K−1) shuffles while keeping the total aggregated row count, so it
-  * cannot lose at any scale. It still ships session-opt-in OFF
-  * ([[EnabledKey]]) like every graft rewrite, so the 400-query shared
-  * verification session's plan gates stay undisturbed.
+  * rewrite carries no cardinality gate — the structural invariant is
+  * one-sided (K−1 fewer scans and shuffles, identical aggregated row
+  * count), which is what transfers to 100 TB. Wall clock at SMALL scale
+  * can still regress: the Expand replicates each input row K× and the
+  * merged shuffle rows are wider (pooled groupings + gid), which can
+  * outweigh saved scans while scans are cheap (the bench ledger has shown
+  * both signs at sf0.1). It ships session-opt-in OFF ([[EnabledKey]]) like
+  * every graft rewrite, so the 400-query shared verification session's
+  * plan gates stay undisturbed.
   */
 object MergeUnionAggregates extends Rule[LogicalPlan] {
 

@@ -93,11 +93,23 @@ object RerollExpandAggregate extends Rule[LogicalPlan] {
   /** The shared cost gate ([[CollapseGate]]): even opted in, the rewrite
     * declines when the LEAF GRAIN barely collapses the input — a rollup
     * keyed by a near-unique column would pay the extra leaf exchange for
-    * nothing. Keys: `spark.sql.graft.rollupReroll.{maxCollapseRatio,
-    * probeRows,minGateRows}`, same semantics as eager aggregation's.
+    * nothing — or when the replication it avoids, `(G−1)×|input|` Expand
+    * rows, is too small in absolute terms to outrun the extra exchange
+    * (default floor 2M saved rows: the sf0.1 ledger measured a G=3 rollup
+    * over 150k rows wall-NEGATIVE and a G=16 cube over 600k rows
+    * wall-positive; 100 TB inputs clear the floor by six orders of
+    * magnitude). Keys: `spark.sql.graft.rollupReroll.{maxCollapseRatio,
+    * probeRows,probeSampleMod,minGateRows,minSavedRows}`, same semantics
+    * as eager aggregation's.
     */
   private[plans] val gate =
-    new CollapseGate("rollup re-roll", "spark.sql.graft.rollupReroll")
+    new CollapseGate("rollup re-roll", "spark.sql.graft.rollupReroll",
+      defaultMinSavedRows = 2000000L)
+
+  /** Gate conf keys (see [[EagerAggregation]]'s twins for semantics). */
+  val MaxRatioKey: String = gate.MaxRatioKey
+  val ProbeRowsKey: String = gate.ProbeRowsKey
+  val MinSavedRowsKey: String = gate.MinSavedRowsKey
 
   /** Leaf-column marker; doubles as the already-rewritten guard. */
   private val Tag = "_reroll_"
@@ -210,7 +222,8 @@ object RerollExpandAggregate extends Rule[LogicalPlan] {
     // cost gate (all structural checks on groupings passed; aggregates are
     // validated below — probing first would waste a scan on shapes that
     // bail anyway, but grouping bails are the common miss)
-    if (!gate.ok(expand.child, leafKeyPairs.map(_._1))) return None
+    if (!gate.ok(expand.child, leafKeyPairs.map(_._1),
+        savedFactor = (G - 1).toDouble)) return None
     def leafKeyAttrFor(b: Expression): Attribute =
       leafKeyPairs.find(_._1.semanticEquals(b)).get._2.toAttribute
 

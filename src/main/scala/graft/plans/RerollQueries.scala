@@ -26,7 +26,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RerollQueries {
 
+  /** Rule on, cost gate OFF (probeRows=0): the FORCED arm — RerollSpec
+    * gates the below-Expand aggregate shape here deterministically at any
+    * scale, and the bench's forced ledger arm prices the rewrite even
+    * where the gate would decline it.
+    */
   private def withRule(spark0: SparkSession): SparkSession = {
+    val spark = ChildSession(spark0)
+    RerollExpandAggregate.install(spark)
+    spark.conf.set(RerollExpandAggregate.EnabledKey, "true")
+    spark.conf.set(RerollExpandAggregate.gate.ProbeRowsKey, "0")
+    spark
+  }
+
+  /** Rule on, gate at DEFAULTS: the rule decides. The G=3 rollup over
+    * orders saves only (G−1)×150k = 300k Expand rows at sf0.1 — under the
+    * gate's 2M saved-rows floor, so `opt_rollup_reroll_gated` must plan
+    * STOCK (the sf0.1 ledger measured the forced rewrite wall-negative
+    * there); the G=16 lineitem cube saves 9M and fires.
+    */
+  private def withGatedRule(spark0: SparkSession): SparkSession = {
     val spark = ChildSession(spark0)
     RerollExpandAggregate.install(spark)
     spark.conf.set(RerollExpandAggregate.EnabledKey, "true")
@@ -54,6 +73,10 @@ object RerollQueries {
     val spark = MvRewriteQueries.withView(spark0, dir)
     RerollExpandAggregate.install(spark)
     spark.conf.set(RerollExpandAggregate.EnabledKey, "true")
+    // gate off: the composition demo needs the re-roll to fire so MvRewrite
+    // can recognize its leaf (the gate would decline this small fixture,
+    // and probing is pointless when the leaf is about to become a view scan)
+    spark.conf.set(RerollExpandAggregate.gate.ProbeRowsKey, "0")
     GroupingSets.rollupMonthly(spark, dir)
   }
 
@@ -73,18 +96,41 @@ object RerollQueries {
   def setsReroll(spark0: SparkSession, dir: String): DataFrame =
     GroupingSets.setsPriority(withRule(spark0), dir)
 
+  /** Gated arm over the LOW-collapse fixture: the gate declines (300k
+    * saved rows < the 2M floor), so this plans — and times — stock.
+    */
+  def rollupRerollGated(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.rollupMonthly(withGatedRule(spark0), dir)
+
+  /** Gated arm over the HIGH-collapse fixture: G=16, leaf ≤ ~900 cells —
+    * the gate fires and the rewrite is wall-positive on one box.
+    */
+  def cubeLineitemReroll(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.cubeLineitem(withGatedRule(spark0), dir)
+
+  /** Forced arm of the high-collapse fixture (bench ledger only — at sf0.1
+    * the gated arm plans identically, so this exists to keep the three-arm
+    * ledger honest at every scale).
+    */
+  def cubeLineitemRerollForced(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.cubeLineitem(withRule(spark0), dir)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_rollup_reroll" -> (rollupReroll _),
+    "opt_rollup_reroll_gated" -> (rollupRerollGated _),
     "opt_rollup_avg_reroll" -> (rollupAvgReroll _),
     "opt_cube_reroll" -> (cubeReroll _),
+    "opt_cube_lineitem_reroll" -> (cubeLineitemReroll _),
     "opt_sets_reroll" -> (setsReroll _),
     "opt_rollup_from_view" -> (rollupFromView _))
 
   /** Same oracle text as the un-rewritten twins, verbatim. */
   val oracle: Map[String, String] = Map(
     "opt_rollup_reroll" -> GroupingSets.oracle("agg_rollup_monthly"),
+    "opt_rollup_reroll_gated" -> GroupingSets.oracle("agg_rollup_monthly"),
     "opt_rollup_avg_reroll" -> GroupingSets.oracle("agg_rollup_avg"),
     "opt_cube_reroll" -> GroupingSets.oracle("agg_cube_segment_status"),
+    "opt_cube_lineitem_reroll" -> GroupingSets.oracle("agg_cube_lineitem"),
     "opt_sets_reroll" -> GroupingSets.oracle("agg_sets_priority"),
     "opt_rollup_from_view" -> GroupingSets.oracle("agg_rollup_monthly"))
 }

@@ -122,6 +122,9 @@ class EagerAggSpec extends SparkSpec {
     */
   test("cost gate declines a near-unique leaf grain, keeps a collapsing one") {
     val s = ruleSession
+    // isolate the RATIO axis: zero the saved-rows floor (5000-row fixtures
+    // are far under the 2M default, covered by the next test)
+    s.conf.set(EagerAggregation.MinSavedRowsKey, "0")
     import s.implicits._
     // 5000 rows ≥ the gate's minGateRows floor; key = id → ratio ≈ 1.0
     val factU = s.range(5000).selectExpr("id AS k", "id % 7 AS v")
@@ -154,6 +157,46 @@ class EagerAggSpec extends SparkSpec {
     val qU2 = factU2.join(dimU2, factU2("k") === dimU2("dk"))
       .groupBy(dimU2("grp")).agg(sum(factU2("v")).as("sv"))
     assert(aggBelowJoin(qU2), "probeRows=0 must disable the gate")
+  }
+
+  test("key-hash-sampled probe agrees with the exact probe on the sf0.1 fact") {
+    import org.apache.spark.sql.functions.col
+    def ratio(key: String, mod: Int): Double = {
+      val df = Tables.lineitem(spark, "/root/testdata/sf0.1").select(col(key))
+      val r = graft.plans.CollapseGate.probeAgg(df, Seq(col(key)), mod).head()
+      assert(r.getLong(0) == 600000L, "n is the exact total either way")
+      if (r.getLong(1) == 0) 0.0 else r.getLong(2).toDouble / r.getLong(1)
+    }
+    // moderate collapse (4 line items per order, true ratio 0.25): the
+    // 1/16 key sample must estimate it within HLL noise — the LIMIT-prefix
+    // probe read this same fact as ~0.73 (the bias the sample removes)
+    val s1 = ratio("l_orderkey", 16)
+    val f1 = ratio("l_orderkey", 1)
+    assert(math.abs(s1 - f1) / f1 < 0.15, s"sampled $s1 vs exact $f1")
+    // extreme collapse (~600:1): only ~60 of 1000 keys survive the sample,
+    // yet the estimate stays on the fire side of the 0.1 default by 10×
+    val s2 = ratio("l_suppkey", 16)
+    assert(s2 < 0.01 && ratio("l_suppkey", 1) < 0.01,
+      s"extreme collapse must read extreme: sampled $s2")
+  }
+
+  test("cost gate's saved-rows floor declines small facts at any ratio") {
+    def q(sess: org.apache.spark.sql.SparkSession) = {
+      import sess.implicits._
+      val fact = sess.range(5000).selectExpr("id % 50 AS k", "id % 7 AS v")
+      val dim = sess.range(50)
+        .selectExpr("id AS dk", "CAST(id % 3 AS STRING) AS grp")
+        .dropDuplicates("dk")
+      fact.join(dim, $"k" === $"dk").groupBy($"grp").agg(sum($"v").as("sv"))
+    }
+    // 100:1 collapse, but ~5k rows removed from the join exchange is far
+    // under the 2M default floor (the sf0.1 ledger measured even a 600:1 /
+    // 599k-row fixture wall-negative on one box): decline
+    assert(!aggBelowJoin(q(ruleSession)), "5k saved rows is under the floor")
+    // the floor is the only objection: clear it and the same plan fires
+    val s2 = ruleSession
+    s2.conf.set(EagerAggregation.MinSavedRowsKey, "4000")
+    assert(aggBelowJoin(q(s2)), "floor cleared (~5k ≥ 4k): fires")
   }
 
   test("avg pushes via the two-partial derivation (planted parity + no-match null)") {

@@ -127,7 +127,13 @@ class PropertySpec extends SparkSpec {
       // the union-of-grains merge (decimal sums, one DOUBLE edge cast,
       // gid switch)
       "opt_mv_distinct_coarser", "opt_mv_distinct_stats",
-      "opt_union_merge_rollup", "opt_mv_ivm_distinct")
+      "opt_union_merge_rollup", "opt_mv_ivm_distinct",
+      // round 11: the gated/forced/off arms of the cost-gated rewrites
+      // (exact BIGINT cents with one DOUBLE avg division; DECIMAL cube
+      // sums with one DOUBLE edge cast)
+      "opt_eager_agg_gated", "opt_eager_agg_hc", "opt_eager_agg_hc_forced",
+      "opt_eager_agg_hc_base", "agg_cube_lineitem",
+      "opt_cube_lineitem_reroll", "opt_rollup_reroll_gated")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

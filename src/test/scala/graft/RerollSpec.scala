@@ -100,6 +100,9 @@ class RerollSpec extends SparkSpec {
 
   test("cost gate declines a near-unique leaf grain, keeps a collapsing one") {
     val s = ruleSession
+    // isolate the RATIO axis: zero the saved-rows floor (5000-row fixtures
+    // are far under the 2M default, which is the next test's subject)
+    s.conf.set(RerollExpandAggregate.MinSavedRowsKey, "0")
     import s.implicits._
     // 5000 rows ≥ the gate's floor; leaf grain (a, b) with a near-unique →
     // the leaf aggregate would collapse nothing: decline
@@ -114,6 +117,25 @@ class RerollSpec extends SparkSpec {
       .select(($"id" % 10).as("a"), ($"id" % 5).as("b"), ($"id" % 7).as("v"))
       .rollup($"a", $"b").agg(sum($"v").as("sv"))
     assert(rerolled(collapsing), "collapsing leaf grain must still fire")
+  }
+
+  test("cost gate's saved-rows floor declines small inputs at any ratio") {
+    val s = ruleSession
+    import s.implicits._
+    def q(sess: SparkSession) = {
+      import sess.implicits._
+      sess.range(5000)
+        .select(($"id" % 10).as("a"), ($"id" % 5).as("b"), ($"id" % 7).as("v"))
+        .rollup($"a", $"b").agg(sum($"v").as("sv"))
+    }
+    // 500:1 collapse, but (G−1)×5000 = 10k saved Expand rows is four
+    // orders under the default 2M floor: the rewrite's fixed extra
+    // exchange cannot pay for itself — decline
+    assert(!rerolled(q(s)), "10k saved rows is under the 2M floor")
+    // the floor is the only objection: clear it and the same plan fires
+    val s2 = ruleSession
+    s2.conf.set(RerollExpandAggregate.MinSavedRowsKey, "5000")
+    assert(rerolled(q(s2)), "floor cleared (10k ≥ 5k): fires")
   }
 
   test("avg re-rolls via the two-partial derivation; first/distinct bail") {

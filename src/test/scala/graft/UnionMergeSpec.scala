@@ -116,8 +116,8 @@ class UnionMergeSpec extends SparkSpec {
   test("composes with the re-roll rule: merged Expand feeds from a leaf aggregate") {
     val s = onSession()
     s.conf.set(RerollExpandAggregate.EnabledKey, "true")
-    // generous gate: the point here is composition, not the cost model
-    s.conf.set("spark.sql.graft.rollupReroll.maxCollapseRatio", "1.0")
+    // gate off entirely: the point here is composition, not the cost model
+    s.conf.set(RerollExpandAggregate.ProbeRowsKey, "0")
     import s.implicits._
     def keyed = Tables.orders(s, sf)
       .select(year($"o_orderdate").cast("int").as("yr"),
