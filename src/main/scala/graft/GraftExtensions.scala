@@ -108,6 +108,12 @@ object GraftExtensions {
       arity("graft_minhash_sig", 1,
         "graft_minhash_sig(string) → array<bigint> of 32 minhash values") {
         args => graft.functions.MinHashSignature(args.head) }),
+    (FunctionIdentifier("graft_jl_project"),
+      new ExpressionInfo(classOf[graft.functions.JlProjectVec].getName,
+        "graft_jl_project"),
+      arity("graft_jl_project", 1,
+        "graft_jl_project(array<float>) → array<double> of 16 JL coordinates") {
+        args => graft.functions.JlProjectVec(args.head) }),
     (FunctionIdentifier("graft_edit_within"),
       new ExpressionInfo(classOf[graft.functions.EditWithin].getName,
         "graft_edit_within"),

@@ -119,16 +119,128 @@ object IvmSetQueries {
       .orderBy($"yr")
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "opt_mv_ivm_distinct" -> (served _))
+  // =====================================================================
+  // Retractable state: (grain, value) → multiset COUNT, not a bare set
+  // =====================================================================
 
-  /** Raw-table recompute — proves the incremental SET state exact. */
+  /** Forget-batch carve-out: lineitems of every 7th-mod-3 order are
+    * DELETED after v0 was built (the `etl_forget_cascade` flow's shape).
+    * One modulus, three derivations: the delete delta, the rewritten
+    * current table, and the oracle's WHERE clause.
+    */
+  val ForgetMod = 7
+  val ForgetRes = 3
+
+  /** A bare `collect_set` view cannot RETRACT — `array_union` has no
+    * inverse, so a forget/GDPR delete would silently over-count
+    * COUNT(DISTINCT) forever. The retractable form stores the MULTISET:
+    * state rows `(yr, mo, l_suppkey) → cnt`, merged additively with
+    * SIGNED deltas (+1 per late insert, −1 per forgotten row), rows
+    * dropped at zero — a supplier leaves the grain's set exactly when its
+    * last contributing fact row is forgotten. The served `collect_set`
+    * view is then DERIVED from the state (tiny: one row per present
+    * (grain, value)), so the registered shape — and the coarser-grain
+    * distinct merge it feeds — is unchanged. The pre-delete fact is never
+    * rescanned: v1 = full-outer merge of v0's parquet with the signed
+    * delta's own aggregate.
+    *
+    * The consumer reads the REWRITTEN current table (the forget cascade
+    * rewrites the base; `curr` materializes that once, as setup) and is
+    * served from the state-derived set view; the DuckDB oracle recomputes
+    * from raw lineitem WITH the delete applied — a hash match proves the
+    * retraction arithmetic exact.
+    */
+  private def refreshRetract(spark: SparkSession, dir: String): String = {
+    val tag = s"retract:${spark.sparkContext.applicationId}:$dir:${Memos.runTag}"
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft-ivm-set/" +
+      tag.replaceAll("[^A-Za-z0-9._-]", "_")
+    refreshed.computeIfAbsent(tag, _ => { doRefreshRetract(spark, dir, scratch); true })
+    scratch
+  }
+
+  private def doRefreshRetract(spark: SparkSession, dir: String,
+      scratch: String): Unit = {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, dir).select(
+      year($"l_shipdate").cast("int").as("yr"),
+      month($"l_shipdate").cast("int").as("mo"),
+      $"l_suppkey",
+      (pmod($"l_orderkey", lit(LateMod)) === 0).as("late"),
+      (pmod($"l_orderkey", lit(ForgetMod)) === ForgetRes).as("bad"))
+    // the rewritten base table (setup, like the warehouse build): what the
+    // forget cascade leaves behind; the consumer and the defining read THIS
+    rows.filter(!$"bad").select($"yr", $"mo", $"l_suppkey")
+      .write.mode("overwrite").parquet(s"$scratch/current")
+    // v0 multiset state from the on-time slice (bad rows still present —
+    // the forget arrives with the delta batch)
+    rows.filter(!$"late")
+      .groupBy($"yr", $"mo", $"l_suppkey")
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$scratch/v0")
+    // signed delta: late inserts (+1) ∪ forget deletes (−1, on-time AND
+    // late — a late bad row is inserted then forgotten, net zero)
+    val delta = rows.filter($"late").select($"yr", $"mo", $"l_suppkey",
+        lit(1L).as("w"))
+      .union(rows.filter($"bad").select($"yr", $"mo", $"l_suppkey",
+        lit(-1L).as("w")))
+      .groupBy($"yr", $"mo", $"l_suppkey")
+      .agg(sum($"w").as("d_cnt"))
+    val v1 = spark.read.parquet(s"$scratch/v0")
+      .join(delta, Seq("yr", "mo", "l_suppkey"), "full_outer")
+      .select($"yr", $"mo", $"l_suppkey",
+        (coalesce($"cnt", lit(0L)) + coalesce($"d_cnt", lit(0L))).as("cnt"))
+    val neg = v1.filter($"cnt" < 0).count()
+    require(neg == 0, s"retraction below zero on $neg state rows — a delete " +
+      "arrived for a fact the state never counted")
+    v1.filter($"cnt" > 0).write.mode("overwrite").parquet(s"$scratch/v1state")
+    // the SERVED set view, derived from state (one row per present value)
+    spark.read.parquet(s"$scratch/v1state")
+      .groupBy($"yr", $"mo")
+      .agg(collect_set($"l_suppkey").as("supp_set"), sum($"cnt").as("n_items"))
+      .write.mode("overwrite").parquet(s"$scratch/v1sets")
+    val defining = setsOf(spark.read.parquet(s"$scratch/current"))
+    val ok = MvRewrite.register(s"mv_ivm_supp_retract:$dir",
+      defining, spark.read.parquet(s"$scratch/v1sets"))
+    require(ok, "mv_ivm_supp_retract must register (structured path)")
+  }
+
+  /** Yearly distinct suppliers + item counts over the POST-FORGET table,
+    * served from the retractable state's derived set view.
+    */
+  def servedRetract(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ChildSession(spark0)
+    MvRewrite.install(spark)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    val scratch = refreshRetract(spark, dir)
+    import spark.implicits._
+    spark.read.parquet(s"$scratch/current")
+      .groupBy($"yr")
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"yr")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "opt_mv_ivm_distinct" -> (served _),
+    "opt_mv_ivm_retract" -> (servedRetract _))
+
+  /** Raw-table recomputes — prove the incremental SET/multiset state
+    * exact (the retract twin re-applies the forget filter from scratch).
+    */
   val oracle: Map[String, String] = Map(
     "opt_mv_ivm_distinct" ->
       """SELECT year(l_shipdate)::INT AS yr,
        count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
        count(*)::BIGINT AS n_items
 FROM lineitem
+GROUP BY 1
+ORDER BY yr""",
+    "opt_mv_ivm_retract" ->
+      s"""SELECT year(l_shipdate)::INT AS yr,
+       count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_orderkey % $ForgetMod <> $ForgetRes
 GROUP BY 1
 ORDER BY yr""")
 }

@@ -53,12 +53,20 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Soundness conditions (any miss leaves the plan untouched):
   *
-  *  1. Every merged branch is an [[Aggregate]] with at least one grouping
-  *     expression. GLOBAL branches (the grand-total `SELECT sum(v) FROM t`)
-  *     are NEVER merged: a global aggregate emits one row on EMPTY input,
-  *     while a grouped aggregate — which the merged form is, gid included —
-  *     emits zero; they stay as separate Union children (still correct,
-  *     just unmerged).
+  *  1. Every merged branch is an [[Aggregate]]. GLOBAL branches (the
+  *     grand-total `SELECT sum(v) FROM t`) merge as the EMPTY grouping set
+  *     — their Expand projection masks every pooled grouping column — but
+  *     carry an empty-input compensation: a global aggregate emits one row
+  *     (count = 0, sum = null) on EMPTY input, while the merged grouped
+  *     aggregate emits zero, so each merged global branch appends a GUARD
+  *     child that emits exactly that row iff the merged aggregate produced
+  *     no rows (`Filter(count(1) == 0, Aggregate(global, merged))` over
+  *     the SAME merged subtree — its exchange is reused, so the physical
+  *     plan still scans the source once and the guard costs one re-count
+  *     of already-aggregated sketch rows). Global branches therefore only
+  *     merge when every aggregate is a Sum / Count / Min / Max / Average
+  *     (their empty-input values are static literals); others stay
+  *     unmerged children, still correct.
   *  2. Branch children FLATTEN (deterministic Project / Filter /
   *     SubqueryAlias chains — the flattening [[MvRewrite]]'s structured
   *     matcher uses) onto plan-equivalent (`sameResult`) bases with
@@ -108,18 +116,38 @@ object MergeUnionAggregates extends Rule[LogicalPlan] {
         merge(u).getOrElse(u)
     }
 
-  /** A branch qualifies when it is a GROUPED aggregate whose groupings,
-    * outputs, and aggregate functions the merged form can reproduce.
+  /** The value an aggregate evaluates to over EMPTY input, as a literal —
+    * defined exactly for the functions whose global branches may merge
+    * (the guard child emits these when the source is empty).
+    */
+  private def emptyValue(ae: AggregateExpression): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Max, Min, Sum}
+    ae.aggregateFunction match {
+      case _: Count                              => Some(Literal(0L))
+      case _: Sum | _: Min | _: Max | _: Average =>
+        Some(Literal(null, ae.dataType))
+      case _                                     => None
+    }
+  }
+
+  /** A branch qualifies when it is an aggregate whose groupings, outputs,
+    * and aggregate functions the merged form can reproduce; a GLOBAL
+    * branch additionally needs every aggregate's empty-input value to be a
+    * known literal (the guard's contract).
     */
   private def mergeable(plan: LogicalPlan): Option[Aggregate] = plan match {
     case a: Aggregate
-        if a.groupingExpressions.nonEmpty &&
-          a.groupingExpressions.forall(_.deterministic) &&
+        if a.groupingExpressions.forall(_.deterministic) &&
           a.aggregateExpressions.forall(_.deterministic) &&
           !a.aggregateExpressions.exists(_.exists {
             case ae: AggregateExpression => ae.isDistinct
             case _                       => false
-          }) => Some(a)
+          }) &&
+          (a.groupingExpressions.nonEmpty ||
+            !a.aggregateExpressions.exists(_.exists {
+              case ae: AggregateExpression => emptyValue(ae).isEmpty
+              case _                       => false
+            })) => Some(a)
     case _ => None
   }
 
@@ -305,14 +333,45 @@ object MergeUnionAggregates extends Rule[LogicalPlan] {
       else Alias(e, o.name)()
     }, merged)
 
-    val keptIdx = u.children.indices.filterNot(classIdx.contains)
-    val candidate: LogicalPlan =
-      if (keptIdx.isEmpty) block
-      else {
-        val newChildren = (Seq(classIdx.head -> (block: LogicalPlan)) ++
-          keptIdx.map(i => i -> u.children(i))).sortBy(_._1).map(_._2)
-        Union(newChildren, byName = false, allowMissingCol = false)
+    // ---- empty-input guards for merged GLOBAL branches --------------------
+    // A global branch emits one row over empty input; the merged grouped
+    // aggregate emits zero. Guard: re-aggregate the merged subtree to a
+    // global count (its exchange is REUSED physically — sketch rows, one
+    // scan) and emit the branch's static empty-row iff that count is 0.
+    val globalIdx = classIdx.filter(i => branches(i).get.groupingExpressions.isEmpty)
+    val guards: Seq[LogicalPlan] = if (globalIdx.isEmpty) Nil else {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Count}
+      val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+        isDistinct = false, None), "_uam_probe")()
+      val probe = Aggregate(Nil, Seq(cnt), merged)
+      globalIdx.map { i =>
+        val outs: Seq[NamedExpression] =
+          branches(i).get.aggregateExpressions.zip(u.children(i).output).map {
+            case (ne, o) =>
+              var ok = true
+              val t = ne.transformUp {
+                case ae: AggregateExpression => emptyValue(ae) match {
+                  case Some(v) => v
+                  case None    => ok = false; ae // unreachable: mergeable gated
+                }
+              }
+              val body = t match { case al: Alias => al.child; case x => x }
+              if (!ok || body.references.nonEmpty) return None
+              if (body.dataType != o.dataType) return None
+              Alias(body, o.name)()
+          }
+        Project(outs,
+          org.apache.spark.sql.catalyst.plans.logical.Filter(
+            EqualTo(cnt.toAttribute, Literal(0L)), probe)): LogicalPlan
       }
+    }
+
+    val keptIdx = u.children.indices.filterNot(classIdx.contains)
+    val newChildren = (Seq(classIdx.head -> (block: LogicalPlan)) ++
+      keptIdx.map(i => i -> u.children(i))).sortBy(_._1).map(_._2) ++ guards
+    val candidate: LogicalPlan =
+      if (newChildren.size == 1) newChildren.head
+      else Union(newChildren, byName = false, allowMissingCol = false)
     // output-preservation contract (the same one every graft rule keeps):
     // exprIds and dataTypes unchanged, no non-nullable output goes nullable
     if (candidate.output.map(a => (a.exprId, a.dataType)) !=

@@ -6,14 +6,24 @@ import org.apache.spark.sql.functions._
 
 /** Driver-facing proof queries for [[MergeUnionAggregates]].
   *
-  * The query is the HAND-WRITTEN multi-grain report (the reference's SQL
-  * stacks per-grain SELECTs the same way; `sql/analytics_queries.sql`):
-  * three aggregates over the same raw `orders` scan, stacked with UNION
-  * ALL — (yr, mo), (yr), and (mo) grains, the missing key padded with a
-  * NULL literal per branch. The DuckDB oracle runs the identical
-  * three-branch UNION ALL against the raw table, so the hash match proves
-  * the merged grouping-sets plan changed the PLAN and nothing else
-  * (UnionMergeSpec gates the plan itself: one parquet scan, one Expand).
+  * `opt_union_merge_rollup` is the HAND-WRITTEN multi-grain report (the
+  * stacked-per-grain-SELECT idiom analysts write when not reaching for
+  * GROUPING SETS; [[graft.analytics.GroupingSets.rollupHierarchical]] is
+  * this library's own instance of it): three aggregates over the same raw
+  * `orders` scan, stacked with UNION ALL — (yr, mo), (yr), and (mo)
+  * grains, the missing key padded with a NULL literal per branch.
+  *
+  * `opt_union_merge_total` is the MIXED global+grouped stack — a grand
+  * total UNION ALL a per-status breakdown, the reference's README
+  * record-count-probe shape (`README.md:358-363`) applied to one source —
+  * which merges via the EMPTY grouping set plus the empty-input guard
+  * ([[MergeUnionAggregates]]'s soundness condition 1; UnionMergeSpec pins
+  * the one-row-vs-zero-row contract on an empty source).
+  *
+  * The DuckDB oracles run the identical UNION ALL stacks against the raw
+  * table, so each hash match proves the merged grouping-sets plan changed
+  * the PLAN and nothing else (UnionMergeSpec gates the plans themselves:
+  * one parquet scan, one Expand).
   *
   * Money math rides DECIMAL(14,2) with one DOUBLE cast at the edge (the
   * [[graft.analytics.GroupingSets]] discipline), and the final sort pins
@@ -63,8 +73,39 @@ object UnionMergeQueries {
   def stock(spark0: SparkSession, dir: String): DataFrame =
     unionRollup(ChildSession(spark0), dir)
 
+  /** Grand total + per-status breakdown over ONE source: the global branch
+    * rides the empty grouping set, the guard supplies its row on an empty
+    * source, and the whole stack scans orders once.
+    */
+  private def unionTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.orders(spark, dir)
+      .select($"o_orderstatus",
+        expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+    val byStatus = keyed.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(price) AS DOUBLE)").as("total_price"))
+      .select(lit("by_status").as("grain"), $"o_orderstatus".as("status"),
+        $"n_orders", $"total_price")
+    val total = keyed
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(price) AS DOUBLE)").as("total_price"))
+      .select(lit("all").as("grain"), lit(null).cast("string").as("status"),
+        $"n_orders", $"total_price")
+    total.union(byStatus)
+      .orderBy($"grain", $"status".asc_nulls_first)
+  }
+
+  def mergedTotal(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ChildSession(spark0)
+    MergeUnionAggregates.install(spark)
+    spark.conf.set(MergeUnionAggregates.EnabledKey, "true")
+    unionTotal(spark, dir)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "opt_union_merge_rollup" -> (merged _))
+    "opt_union_merge_rollup" -> (merged _),
+    "opt_union_merge_total" -> (mergedTotal _))
 
   val oracle: Map[String, String] = Map(
     "opt_union_merge_rollup" ->
@@ -82,5 +123,18 @@ SELECT * FROM (
   UNION ALL
   SELECT NULL::INT AS yr, mo, count(*)::BIGINT, (sum(price))::DOUBLE
   FROM keyed GROUP BY mo)
-ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""")
+ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""",
+
+    "opt_union_merge_total" ->
+      """WITH keyed AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders)
+SELECT * FROM (
+  SELECT 'all' AS grain, NULL::VARCHAR AS status,
+         count(*)::BIGINT AS n_orders, (sum(price))::DOUBLE AS total_price
+  FROM keyed
+  UNION ALL
+  SELECT 'by_status', o_orderstatus, count(*)::BIGINT, (sum(price))::DOUBLE
+  FROM keyed GROUP BY o_orderstatus)
+ORDER BY grain, status ASC NULLS FIRST""")
 }

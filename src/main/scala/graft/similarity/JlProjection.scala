@@ -57,9 +57,14 @@ object JlProjection {
   }
 
   /** Spark column for projected coordinate j of `emb`: fixed left fold
-    * `(e0·s0 + e1·s1 + …) / 4`.
+    * `(e0·s0 + e1·s1 + …) / 4`. Kept as the declarative REFERENCE form —
+    * [[projected]] runs the bit-identical native kernel
+    * ([[graft.functions.JlProjectVec]]) instead, because 16 such columns
+    * are a ~4,000-node expression tree whose ANALYSIS (not execution)
+    * dominated the query's bench wall; JlKernelSpec pins the two forms
+    * equal element-for-element.
     */
-  private def projCol(emb: Column, j: Int): Column =
+  private[graft] def projCol(emb: Column, j: Int): Column =
     (0 until InDim).map(i =>
         emb.getItem(i).cast("double") * lit(sign(j, i).toDouble))
       .reduce(_ + _) / lit(4.0)
@@ -79,9 +84,16 @@ object JlProjection {
     */
   private def projected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.embeddings(spark, dir).select(
-      Seq($"vec_id", $"embedding") ++
-        (0 until OutDim).map(j => projCol($"embedding", j).as(pName(j))): _*)
+    Similarity.register(spark)
+    // one kernel call per row, materialized as its own column so the 16
+    // getItem consumers share it (CollapseProject keeps a non-cheap alias
+    // referenced more than once in its own Project)
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        expr("graft_jl_project(embedding)").as("jl"))
+      .select(
+        Seq($"vec_id", $"embedding") ++
+          (0 until OutDim).map(j => $"jl".getItem(j).as(pName(j))): _*)
   }
 
   /** First [[EmitVectors]] vectors' projected coordinates — the compressed

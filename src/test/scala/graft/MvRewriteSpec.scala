@@ -265,6 +265,51 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.collect().toSeq == raw.collect().toSeq)
   }
 
+  test("retractable IVM state: the consumer reads the state-derived set " +
+      "view, and a forgotten supplier's last row leaves the distinct count") {
+    import graft.plans.IvmSetQueries
+    val q = IvmSetQueries.servedRetract(spark, sf)
+    val roots = scanRoots(q)
+    assert(roots.nonEmpty && roots.forall(_.contains("/v1sets")),
+      s"the consumer must read the state-derived set view, got $roots")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.lineitem(spark, sf)
+      .filter(pmod($"l_orderkey", lit(IvmSetQueries.ForgetMod)) =!=
+        IvmSetQueries.ForgetRes)
+      .select(year($"l_shipdate").cast("int").as("yr"), $"l_suppkey")
+      .groupBy($"yr")
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"yr")
+    assert(q.collect().toSeq == raw.collect().toSeq)
+    // the delete really bites: WITHOUT the retraction the counts differ
+    val noDelete = Tables.lineitem(spark, sf)
+      .select(year($"l_shipdate").cast("int").as("yr"), $"l_suppkey")
+      .groupBy($"yr").agg(count(lit(1)).as("n_items"))
+      .orderBy($"yr").collect().toSeq
+    assert(raw.select($"yr", $"n_items").collect().toSeq != noDelete,
+      "fixture must actually delete rows, or the retract path is vacuous")
+  }
+
+  test("IVM-set rewrite composes with AQE: same rows, still the v1 view") {
+    import graft.plans.IvmSetQueries
+    // ChildSession (inside served) carries every modified runtime conf, so
+    // forcing AQE on a parent newSession drives the child's planning too
+    def arm(aqe: Boolean) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      if (aqe) s.conf.set("spark.sql.adaptive.forceApply", "true")
+      IvmSetQueries.served(s, sf)
+    }
+    val on = arm(aqe = true)
+    val off = arm(aqe = false)
+    assert(scanRoots(on).nonEmpty &&
+      scanRoots(on).forall(r => r.contains("graft-ivm-set") && r.contains("/v1")),
+      s"AQE must not undo the IVM-set substitution, got ${scanRoots(on)}")
+    assert(on.collect().toSeq == off.collect().toSeq)
+  }
+
   test("rewrite composes with AQE: same rows, still a view scan") {
     import org.apache.spark.sql.functions._
     MvRewriteQueries.mvRollup(spark, sf).queryExecution // ensure registered

@@ -133,7 +133,11 @@ class PropertySpec extends SparkSpec {
       // sums with one DOUBLE edge cast)
       "opt_eager_agg_gated", "opt_eager_agg_hc", "opt_eager_agg_hc_forced",
       "opt_eager_agg_hc_base", "agg_cube_lineitem",
-      "opt_cube_lineitem_reroll", "opt_rollup_reroll_gated")
+      "opt_cube_lineitem_reroll", "opt_rollup_reroll_gated",
+      // the mixed global+grouped union merge (decimal sums, one DOUBLE
+      // edge cast) and the retractable IVM state (integer counts; the
+      // derived set view is order-insensitive by the r10 float gate)
+      "opt_union_merge_total", "opt_mv_ivm_retract")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- names) {

@@ -42,32 +42,65 @@ class UnionMergeSpec extends SparkSpec {
     assert(merged.collect().toSeq == stock.collect().toSeq)
   }
 
-  test("global branch stays a separate child; empty input keeps its one row") {
+  test("global branch merges as the empty grouping set; guard keeps the " +
+      "one-row-vs-zero-row contract on an EMPTY source") {
     val s = onSession()
     import s.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/graft-uam-empty"
     Tables.orders(s, sf).limit(0)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    def keyed = Tables.orders(s, dir)
+    def keyed(d: String) = Tables.orders(s, d)
       .select(year($"o_orderdate").cast("int").as("yr"),
         expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
-    val grouped = keyed.groupBy($"yr")
-      .agg(count(lit(1)).as("n")).select($"yr", $"n")
-    val global = keyed.agg(count(lit(1)).as("n"))
-      .select(lit(null).cast("int").as("yr"), $"n")
-    val u = grouped.union(grouped).union(global)
-    // the two grouped branches merge; the global one must survive intact
-    val rows = u.collect()
-    assert(rows.toSeq.map(r => (r.isNullAt(0), r.getLong(1))) ==
-      Seq((true, 0L)),
-      s"empty base: only the global branch's 0-count row, got ${rows.toSeq}")
-    // count LOGICAL scans: AQE's empty-relation propagation may collapse
-    // the merged block's (empty) stage out of the physical plan entirely
-    val rels = u.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    def u(d: String) = {
+      val grouped = keyed(d).groupBy($"yr")
+        .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .select($"yr", $"n", $"s")
+      val global = keyed(d).agg(count(lit(1)).as("n"),
+          expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .select(lit(null).cast("int").as("yr"), $"n", $"s")
+      grouped.union(global)
     }
-    assert(rels.size == 2,
-      s"merged block + unmerged global branch = two logical scans, got ${rels.size}")
+    // EMPTY source: the merged grouped aggregate emits zero rows, so the
+    // guard child must supply the global branch's one row (count 0, null
+    // sum) — exactly the stock union's output
+    val rows = u(dir).collect()
+    assert(rows.toSeq.map(r => (r.isNullAt(0), r.getLong(1), r.isNullAt(2))) ==
+      Seq((true, 0L, true)),
+      s"empty base: exactly the global branch's 0-count row, got ${rows.toSeq}")
+    // and the merged plan really IS merged: ONE distinct logical scan (the
+    // guard re-aggregates the merged subtree, which shares the same base)
+    val rels = u(dir).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case _ => r.toString
+        }
+    }
+    assert(rels.distinct.size == 1,
+      s"global+grouped must merge over one base, got $rels")
+    // NON-empty source: global row computed through the merged Expand, the
+    // guard contributes nothing; rows match the stock (rule-off) union
+    val onRows = u(sf).collect().toSeq.sortBy(_.toString)
+    val offRows = {
+      val s2 = spark.newSession()
+      import s2.implicits._
+      val keyed2 = Tables.orders(s2, sf)
+        .select(year($"o_orderdate").cast("int").as("yr"),
+          expr("CAST(o_totalprice AS DECIMAL(14,2))").as("price"))
+      val grouped2 = keyed2.groupBy($"yr")
+        .agg(count(lit(1)).as("n"), expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .select($"yr", $"n", $"s")
+      grouped2.union(keyed2.agg(count(lit(1)).as("n"),
+          expr("CAST(sum(price) AS DOUBLE)").as("s"))
+        .select(lit(null).cast("int").as("yr"), $"n", $"s"))
+        .collect().toSeq.sortBy(_.toString)
+    }
+    assert(onRows == offRows)
+    // the physical plan reuses the merged exchange for the guard: one scan
+    assert(scans(u(sf)).map(x => System.identityHashCode(x.relation)).distinct.size == 1,
+      "guard must ride the reused exchange, not a second scan")
   }
 
   test("duplicate grains double the rows, exactly like the original union") {
