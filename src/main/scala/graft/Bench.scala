@@ -232,9 +232,18 @@ object Bench {
     def arm3(tag: String, gated: => org.apache.spark.sql.DataFrame,
         forced: => org.apache.spark.sql.DataFrame,
         off: => org.apache.spark.sql.DataFrame): String = try {
-      val (_, g) = observability.QueryMetrics.profile(gated)
-      val (_, f) = observability.QueryMetrics.profile(forced)
-      val (_, o) = observability.QueryMetrics.profile(off)
+      // one untimed warm run per arm first: the arms are compared against
+      // EACH OTHER, so per-arm first-run costs (codegen of that plan shape,
+      // page cache) must not read as a rule regression — without this the
+      // first-profiled arm of an identical-plan pair ran ~2× its twin
+      def prof(mk: => org.apache.spark.sql.DataFrame)
+          : observability.QueryMetrics.Profile = {
+        mk.write.format("noop").mode("overwrite").save()
+        observability.QueryMetrics.profile(mk)._2
+      }
+      val g = prof(gated)
+      val f = prof(forced)
+      val o = prof(off)
       s""","$tag":{"gated_sec":${g.wallMs / 1e3},"forced_sec":${f.wallMs / 1e3},"off_sec":${o.wallMs / 1e3},""" +
         s""""gated_shuffle_bytes":${g.shuffleWriteBytes},"forced_shuffle_bytes":${f.shuffleWriteBytes},"off_shuffle_bytes":${o.shuffleWriteBytes},""" +
         s""""gated_expand_rows":${g.expandRows},"forced_expand_rows":${f.expandRows},"off_expand_rows":${o.expandRows}}"""
@@ -247,14 +256,14 @@ object Bench {
     val rerollJson = arm3("reroll",
       plans.RerollQueries.rollupRerollGated(spark, sfDir),
       plans.RerollQueries.rollupReroll(spark, sfDir),
-      analytics.GroupingSets.rollupMonthly(spark, sfDir))
+      plans.RerollQueries.rollupStock(spark, sfDir))
     // Re-roll, HIGH-collapse fixture (G=16 cube over 600k line items: the
     // stock Expand feeds 9.6M rows into the partial aggregate, the
     // re-rolled one ~4.7k — the gate fires and wins wall even on one box).
     val rerollHcJson = arm3("reroll_hc",
       plans.RerollQueries.cubeLineitemReroll(spark, sfDir),
       plans.RerollQueries.cubeLineitemRerollForced(spark, sfDir),
-      analytics.GroupingSets.cubeLineitem(spark, sfDir))
+      plans.RerollQueries.cubeLineitemStock(spark, sfDir))
     // Price the matview rewrite: the same yearly rollup answered from the
     // registered view vs from raw orders — the scan-rows column is the
     // whole story (view rows vs fact rows).

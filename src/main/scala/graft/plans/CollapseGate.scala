@@ -83,6 +83,11 @@ final class CollapseGate(rule: String, confPrefix: String,
   private val ratioCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
 
+  /** Cache entry count — EagerAggSpec pins that re-building the same query
+    * does NOT re-probe (the r11 cache-key exprId bug's regression guard).
+    */
+  private[graft] def probeCacheSize: Int = ratioCache.size
+
   /** true = rewrite, false = decline. `savedFactor` scales the estimated
     * saved rows: 1 for eager aggregation (rows removed from the join
     * exchange ≈ rows − leafGroups), G−1 for the re-roll (Expand copies
@@ -127,8 +132,17 @@ final class CollapseGate(rule: String, confPrefix: String,
 
     // --- probe path ----------------------------------------------------
     val spark = SparkSession.getActiveSession.getOrElse(return true)
-    val cacheKey = child.canonicalized.toString + "|" +
-      keys.map(_.canonicalized.toString).mkString(",") +
+    // key normalization: QueryPlan.canonicalized renumbers the CHILD's
+    // exprIds positionally, but Expression.canonicalized does NOT — a key
+    // stringified with its live exprIds is unique per DataFrame
+    // construction, which made this cache miss (and the probe re-scan the
+    // fact) on every query build until r11. Rewrite each attribute to its
+    // position in child.output first.
+    val pos: Map[Long, Int] = child.output.map(_.exprId.id).zipWithIndex.toMap
+    val keyTag = keys.map(_.canonicalized.transformUp {
+      case a: Attribute => Literal(pos.getOrElse(a.exprId.id, -1))
+    }.toString).mkString(",")
+    val cacheKey = child.canonicalized.toString + "|" + keyTag +
       "|" + probeRows + "|" + sampleMod
     val cached = ratioCache.get(cacheKey)
     val (rows, ratio): (Long, Double) = if (cached != null) cached else {

@@ -76,7 +76,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
   /** The shared cost gate ([[CollapseGate]]'s doc has the estimation
     * story): stats when ANALYZEd, else a cached count+ndv probe.
     */
-  private[plans] val gate =
+  private[graft] val gate =
     new CollapseGate("eager aggregation", "spark.sql.graft.eagerAggregation",
       defaultMinSavedRows = 2000000L)
 

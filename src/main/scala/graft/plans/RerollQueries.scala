@@ -115,6 +115,16 @@ object RerollQueries {
   def cubeLineitemRerollForced(spark0: SparkSession, dir: String): DataFrame =
     GroupingSets.cubeLineitem(withRule(spark0), dir)
 
+  /** Off arms for the bench ledgers, run in a CHILD session like the other
+    * two arms — the per-query session overhead must cancel between arms,
+    * or an identical-plan pair reads as a phantom rule cost.
+    */
+  def rollupStock(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.rollupMonthly(ChildSession(spark0), dir)
+
+  def cubeLineitemStock(spark0: SparkSession, dir: String): DataFrame =
+    GroupingSets.cubeLineitem(ChildSession(spark0), dir)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "opt_rollup_reroll" -> (rollupReroll _),
     "opt_rollup_reroll_gated" -> (rollupRerollGated _),

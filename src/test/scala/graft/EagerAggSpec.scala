@@ -159,6 +159,31 @@ class EagerAggSpec extends SparkSpec {
     assert(aggBelowJoin(qU2), "probeRows=0 must disable the gate")
   }
 
+  test("probe result is cached across query constructions (one probe per plan)") {
+    import graft.plans.EagerAggregation
+    def q(sess: org.apache.spark.sql.SparkSession) = {
+      import sess.implicits._
+      val fact = sess.range(5000).selectExpr("id % 50 AS k", "id % 7 AS v")
+      val dim = sess.range(50)
+        .selectExpr("id AS dk", "CAST(id % 3 AS STRING) AS grp")
+        .dropDuplicates("dk")
+      fact.join(dim, $"k" === $"dk").groupBy($"grp").agg(sum($"v").as("sv"))
+    }
+    def fresh() = {
+      val s = ruleSession
+      s.conf.set(EagerAggregation.MinSavedRowsKey, "0")
+      s
+    }
+    q(fresh()).queryExecution.optimizedPlan
+    val n1 = EagerAggregation.gate.probeCacheSize
+    // a SECOND construction of the same logical query (fresh session, fresh
+    // exprIds) must hit the cache — Expression.canonicalized keeps live
+    // exprIds, so a naive key made every build re-scan the fact (r11 bug)
+    q(fresh()).queryExecution.optimizedPlan
+    assert(EagerAggregation.gate.probeCacheSize == n1,
+      "re-building the same query must not add a probe cache entry")
+  }
+
   test("key-hash-sampled probe agrees with the exact probe on the sf0.1 fact") {
     import org.apache.spark.sql.functions.col
     def ratio(key: String, mod: Int): Double = {
