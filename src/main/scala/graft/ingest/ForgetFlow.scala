@@ -35,26 +35,48 @@ object ForgetFlow {
     */
   val RequestNibble = "a"
 
+  /** The request's root key set (customer level). Shared with every other
+    * consumer of the forget flow — [[graft.plans.IvmSetQueries]]' view
+    * retraction derives its delete delta from [[deletedOrderKeys]] below,
+    * so the GDPR cascade and the IVM retraction are ONE flow, not two
+    * look-alike constants.
+    */
+  private[graft] def forgottenCustomers(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .filter(substring(md5($"c_custkey".cast("string")), 1, 1) === RequestNibble)
+      .select($"c_custkey")
+  }
+
+  /** Level-1 of the cascade: order keys of forgotten customers — the set
+    * the lineitem-level rewrite (and the IVM retraction delta) anti-joins
+    * against.
+    */
+  private[graft] def deletedOrderKeys(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(forgottenCustomers(spark, dir)),
+        $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey")
+  }
+
   def forgetCascade(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val customer = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
 
-    val forgottenCustomers = customer
-      .filter(substring(md5($"c_custkey".cast("string")), 1, 1) === RequestNibble)
-      .select($"c_custkey")
-    val deletedOrders = orders
-      .join(broadcast(forgottenCustomers),
-        $"o_custkey" === $"c_custkey", "left_semi")
-      .select($"o_orderkey")
+    val forgotten = forgottenCustomers(spark, dir)
+    val deletedOrders = deletedOrderKeys(spark, dir)
     // the rewrites (kept = anti-join), counted rather than persisted
-    val keptOrders = orders.join(broadcast(forgottenCustomers),
+    val keptOrders = orders.join(broadcast(forgotten),
       $"o_custkey" === $"c_custkey", "left_anti")
     val keptLineitem = lineitem.join(broadcast(deletedOrders),
       $"l_orderkey" === $"o_orderkey", "left_anti")
     // post-condition: kept children reference no forgotten parent
-    val orphanOrders = keptOrders.join(broadcast(forgottenCustomers),
+    val orphanOrders = keptOrders.join(broadcast(forgotten),
       $"o_custkey" === $"c_custkey", "left_semi")
     val orphanLines = keptLineitem.join(broadcast(deletedOrders),
       $"l_orderkey" === $"o_orderkey", "left_semi")

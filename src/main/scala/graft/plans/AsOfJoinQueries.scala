@@ -206,6 +206,87 @@ j AS (
       .orderBy($"event_id")
   }
 
+  /** Amplification for the LEDGER-ONLY skew pair: the oracle-checked skew
+    * fixtures above stay at raw sf size (20k purchases — sub-second, all
+    * session floor), while the bench `asof_skew` ledger runs this
+    * ×[[AmpFactor]] replicated feed with a ~95%-one-key skew. The two
+    * forms are equivalence-pinned against each other in AsOfJoinSpec at
+    * sf0.001 — same rows, no DuckDB needed, so the amplification costs
+    * the oracle nothing.
+    *
+    * MEASURED FINDING (r12, and why the ledger publishes parity): on a
+    * one-sided hot key the two plans cost the SAME, intrinsically — at
+    * ×200 amplification (4M purchases, ~95% one key) native read 3.70s vs
+    * composed 3.57s on an idle box. Both plans' wall is the hot
+    * partition's SORT of the purchase side (the exec sorts each child
+    * within the merge task; the composition sorts the union in one window
+    * task — purchases + 19k interleaved clicks, i.e. the same ~4M-row
+    * sort), and both carry O(1) running state through it (the exec's one
+    * buffered row; the window's streaming UnboundedPreceding→CurrentRow
+    * frame). The composition's extra work — the interleaved right rows
+    * and two running-`last` columns — is noise against the shared sort.
+    * The exec's real edges stay where the other entries price them:
+    * tolerance/forward/compound-key variants no single window expresses,
+    * and a smaller unified-schema exchange. The r10 "native wins skew"
+    * reading (0.34s vs 0.49s) was sub-second session-floor noise, not a
+    * plan property — this ledger now carries per-arm spread so that
+    * misreading cannot recur.
+    */
+  val AmpFactor = 50
+  private val AmpResidues = 20L // pmod(user_id, 20) < 19 → one hot key (~95%)
+
+  private def skewFeedAmp(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"ts".isNotNull)
+      .withColumn("sk",
+        when(pmod($"user_id", lit(AmpResidues)) < AmpResidues - 1, lit(0L))
+          .otherwise($"user_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"sk", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"sk".as("c_sk"), unix_micros($"ts").as("c_us"), $"click_id")
+    // each purchase ×AmpFactor with a distinct id and a <AmpFactor-µs time
+    // shift (keeps per-row work honest: no two replicas are equal rows)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .crossJoin(broadcast(spark.range(AmpFactor).select($"id".as("rep"))))
+      .select(($"event_id" * AmpFactor + $"rep").as("event_id"), $"sk",
+        (unix_micros($"ts") + $"rep").as("p_us"))
+    (purchases, clicks)
+  }
+
+  /** Ledger-only: no final global sort (it would add an identical cost to
+    * both arms and dilute the ratio the pair exists to measure).
+    */
+  def asofSkewExecAmp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (purchases, clicks) = skewFeedAmp(spark, dir)
+    AsOfJoin.asofLeft(purchases, clicks,
+        leftKey = "sk", leftTime = "p_us",
+        rightKey = "c_sk", rightTime = "c_us")
+      .select($"event_id", $"sk", $"click_id".as("prior_click_id"),
+        coalesce($"p_us" - $"c_us", lit(-1L)).as("delay_us"))
+  }
+
+  def asofSkewWindowAmp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (purchases, clicks) = skewFeedAmp(spark, dir)
+    val cTagged = clicks.select($"c_sk".as("sk"), $"c_us".as("us"),
+      lit(0).as("tag"), $"click_id", $"c_us".as("src_c_us"),
+      lit(null).cast("bigint").as("event_id"))
+    val pTagged = purchases.select($"sk", $"p_us".as("us"),
+      lit(1).as("tag"), lit(null).cast("bigint").as("click_id"),
+      lit(null).cast("bigint").as("src_c_us"), $"event_id")
+    val w = Window.partitionBy($"sk").orderBy($"us", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cTagged.unionByName(pTagged)
+      .withColumn("prior_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("prior_c_us", last($"src_c_us", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"sk", $"prior_click_id",
+        coalesce($"us" - $"prior_c_us", lit(-1L)).as("delay_us"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_exec" -> (asofExec _),
     "join_asof_tolerance" -> (asofTolerance _),

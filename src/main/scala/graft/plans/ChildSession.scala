@@ -19,8 +19,14 @@ private[plans] object ChildSession {
     // Carry EVERY modifiable runtime conf whose parent value differs from
     // the child's builder-time default — not an allowlist, so ANSI mode,
     // adaptive settings, or any harness-toggled conf survive the hop too.
+    // EXCEPT the graft rule namespace: a child session exists precisely to
+    // isolate one rule flag, and the "stock" ledger arms are built as bare
+    // ChildSession(spark0) — carrying spark.sql.graft.* would let a parent
+    // that ever enabled a rule silently un-stock every off arm built after.
+    // Arms that want a rule set its keys on the child explicitly.
     for ((k, v) <- spark0.conf.getAll
-         if s.conf.isModifiable(k) && !s.conf.getOption(k).contains(v))
+         if s.conf.isModifiable(k) && !k.startsWith("spark.sql.graft.") &&
+           !s.conf.getOption(k).contains(v))
       s.conf.set(k, v)
     s
   }

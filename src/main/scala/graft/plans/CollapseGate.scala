@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.SQLConfHelper
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.internal.Logging
 
 /** The shared cost gate behind the aggregate-moving rewrites
@@ -29,6 +30,14 @@ import org.apache.spark.internal.Logging
   *    dominates on any hardware this was measured on; at 100 TB any
   *    qualifying plan clears it by orders of magnitude. Per-rule default
   *    (constructor): 0 disables the floor.
+  *  - [[MinSavedBytesKey]]: saved rows × the child's unsafe-row output
+  *    width (`defaultSize` sum) must be ≥ this. The byte twin of the rows
+  *    floor, for rules whose benefit axis is SHUFFLE BYTES rather than
+  *    operator rows: the r11 `eager_agg_hc` ledger measured a 600:1
+  *    collapse wall-POSITIVE (forced 0.70s vs off 0.84s, shuffle 44 KB vs
+  *    5.5 MB) yet the 2M-ROW floor declined it — 599k saved rows is few,
+  *    but ~10 MB of saved exchange is not. Per-rule default (constructor):
+  *    0 disables it.
   *
   * Estimation order:
   *
@@ -58,13 +67,38 @@ import org.apache.spark.internal.Logging
   *         un-ANALYZEd inputs where even one cheap pass is too much.
   *       - `probeRows = 0`: gate disabled (the rewrite fires ungated).
   *
+  * The probe's SCAN is itself bounded ([[ProbeFileFracKey]], default 0.1):
+  * when the child reads exactly one file-based relation, the probe scans a
+  * deterministic ≤10% subset of its FILES (evenly strided over the sorted
+  * path list, so a date-partitioned layout contributes every era) and
+  * scales the row count back up by the subset's BYTE fraction. At 100 TB
+  * un-ANALYZEd this is the difference between a planning-time probe
+  * reading a key column of the whole lake and it reading a few files. Two
+  * estimation consequences, both conservative:
+  *
+  *  - rows: scaled by byte fraction — exact for uniform row widths, close
+  *    elsewhere;
+  *  - ratio: keys that SPAN files are observed once per subset file, so
+  *    `d/ns` over a fraction `p` of files over-estimates the true ratio by
+  *    at most 1/p — biased TOWARD DECLINING, the cheap failure mode (one
+  *    forgone win, never a redundant exchange). A genuinely qualifying
+  *    collapse (the gate demands ≥10×) still reads ≤ p⁻¹·ratio ≪ maxRatio
+  *    at the scales where the rewrite matters.
+  *
+  * Single-file inputs (the sf0.1 test tables) keep the full scan — there
+  * is nothing to bound; set the fraction to 1 to disable bounding.
+  *
   * Inputs smaller than `minRows` skip the gate — the estimate is too noisy
   * to act on and the decision too cheap to matter. Streaming children skip
-  * it too (no batch probe possible). Either failure mode costs one
-  * redundant shuffle or one forgone win, never a wrong answer.
+  * it too (no batch probe possible). A FAILED probe declines the rewrite
+  * without caching: the stock plan is the never-worse fallback, and a
+  * transient failure (cancelled job) must not pin a session-lifetime
+  * decision either way. Either failure mode costs one redundant shuffle or
+  * one forgone win, never a wrong answer.
   */
 final class CollapseGate(rule: String, confPrefix: String,
-    defaultMinSavedRows: Long = 0L)
+    defaultMinSavedRows: Long = 0L,
+    defaultMinSavedBytes: Long = 0L)
     extends SQLConfHelper with Logging {
 
   val MaxRatioKey = s"$confPrefix.maxCollapseRatio"
@@ -72,6 +106,8 @@ final class CollapseGate(rule: String, confPrefix: String,
   val MinRowsKey = s"$confPrefix.minGateRows"
   val SampleModKey = s"$confPrefix.probeSampleMod"
   val MinSavedRowsKey = s"$confPrefix.minSavedRows"
+  val MinSavedBytesKey = s"$confPrefix.minSavedBytes"
+  val ProbeFileFracKey = s"$confPrefix.probeFileFraction"
 
   /** Re-entrancy latch shared by ALL gates on the thread: a probe's own
     * optimization must not probe (rules consult [[probing]] in apply).
@@ -99,16 +135,26 @@ final class CollapseGate(rule: String, confPrefix: String,
     val probeRows = conf.getConfString(ProbeRowsKey, "-1").toLong
     val minRows = conf.getConfString(MinRowsKey, "1000").toLong
     val sampleMod = conf.getConfString(SampleModKey, "16").toInt
+    val fileFrac = conf.getConfString(ProbeFileFracKey, "0.1").toDouble
     val minSaved =
       conf.getConfString(MinSavedRowsKey, defaultMinSavedRows.toString).toLong
+    val minSavedBytes =
+      conf.getConfString(MinSavedBytesKey, defaultMinSavedBytes.toString).toLong
     if (probeRows == 0 || child.isStreaming) return true
+    // the saved-bytes floor prices saved rows at the child's unsafe-row
+    // width — defaultSize is the planner's own per-type estimate, the same
+    // coin sizeInBytes stats are minted in
+    val rowWidth = child.output.map(_.dataType.defaultSize).sum.max(1)
 
     def decide(rows: Long, ratio: Double): Boolean = {
       if (rows < minRows) return true // too small to gate: always rewrite
       val saved = savedFactor * rows * (1.0 - ratio)
-      val accept = ratio <= maxRatio && saved >= minSaved
+      val savedBytes = saved * rowWidth
+      val accept = ratio <= maxRatio && saved >= minSaved &&
+        savedBytes >= minSavedBytes
       if (!accept) logInfo(f"$rule declined: collapse ratio $ratio%.4f " +
-        f"(max $maxRatio), saved rows ≈ $saved%.0f (min $minSaved)")
+        f"(max $maxRatio), saved rows ≈ $saved%.0f (min $minSaved), " +
+        f"saved bytes ≈ $savedBytes%.0f (min $minSavedBytes)")
       accept
     }
 
@@ -142,8 +188,15 @@ final class CollapseGate(rule: String, confPrefix: String,
     val keyTag = keys.map(_.canonicalized.transformUp {
       case a: Attribute => Literal(pos.getOrElse(a.exprId.id, -1))
     }.toString).mkString(",")
-    val cacheKey = child.canonicalized.toString + "|" + keyTag +
-      "|" + probeRows + "|" + sampleMod
+    // semanticHash of the canonicalized plan, NOT its treeString: the
+    // string truncates at spark.sql.debug.maxToStringFields, so two wide
+    // plans differing only past the cut would collide and reuse each
+    // other's ratio (wrong gate decision, never wrong results); the output
+    // schema rides along so an Int-hash collision needs a schema match too
+    val cacheKey = child.semanticHash().toString + "|" +
+      child.output.map(a => a.name + ":" + a.dataType.simpleString)
+        .mkString(";") + "|" + keyTag +
+      "|" + probeRows + "|" + sampleMod + "|" + fileFrac
     val cached = ratioCache.get(cacheKey)
     val (rows, ratio): (Long, Double) = if (cached != null) cached else {
       CollapseGate.probing.set(true)
@@ -152,17 +205,23 @@ final class CollapseGate(rule: String, confPrefix: String,
         val named = keys.zipWithIndex.map { case (k, i) =>
           Alias(k, s"_gate_k$i")(): NamedExpression
         }
+        // bound the SCAN, not just the sketch: a deterministic file subset
+        // of the child's (single) relation, rows scaled back by the byte
+        // fraction — see the class doc for the bias story
+        val (boundedChild, byteFrac) =
+          if (probeRows < 0) CollapseGate.boundFiles(child, fileFrac)
+          else (child, 1.0)
         // full probe: no Limit node at all — a huge LIMIT would plan as
         // CollectLimit and funnel the scan through one partition
         val probePlan: LogicalPlan =
-          if (probeRows < 0) Project(named, child)
+          if (probeRows < 0) Project(named, boundedChild)
           else Limit(Literal(probeRows.min(Int.MaxValue.toLong).toInt),
             Project(named, child))
         val probe = org.apache.spark.sql.graft.PlanDF.ofRows(spark, probePlan)
         val keyCols = named.map(n => probe.col(n.name))
         val mod = if (probeRows < 0) sampleMod else 1 // prefix probe: exact
         val row = CollapseGate.probeAgg(probe, keyCols, mod).head()
-        val n = row.getLong(0)
+        val n = (row.getLong(0) / byteFrac).toLong
         val ns = row.getLong(1)
         val d = row.getLong(2)
         // ns == 0 with n > 0: fewer than ~mod distinct keys exist at all —
@@ -171,9 +230,11 @@ final class CollapseGate(rule: String, confPrefix: String,
         ratioCache.put(cacheKey, (n, r))
         (n, r)
       } catch { case e: Throwable =>
-        logWarning(s"$rule probe failed, skipping gate: $e")
-        ratioCache.put(cacheKey, (Long.MaxValue, 0.0))
-        (Long.MaxValue, 0.0)
+        // decline WITHOUT caching: stock is the never-worse plan, and a
+        // transient failure must not pin a session-lifetime forced-on (the
+        // old MaxValue sentinel cleared every floor) or forced-off
+        logWarning(s"$rule probe failed, declining rewrite (not cached): $e")
+        return decide(minRows, 1.0)
       } finally CollapseGate.probing.set(false)
     }
     decide(rows, ratio)
@@ -183,6 +244,72 @@ final class CollapseGate(rule: String, confPrefix: String,
 object CollapseGate {
   private val probing = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = false
+  }
+
+  /** A [[FileIndex]] view keeping only `keep` paths — the probe's bounded
+    * scan. Partition values and schema pass through; pruned-empty
+    * partitions drop whole (their files contribute no probe rows either
+    * way).
+    */
+  private final class SubsetFileIndex(inner: FileIndex, keep: Set[String],
+      keptBytes: Long) extends FileIndex {
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = inner.rootPaths
+    override def listFiles(
+        partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      inner.listFiles(partitionFilters, dataFilters)
+        .map(pd => pd.copy(files = pd.files.filter(f => keep(f.getPath.toString))))
+        .filter(_.files.nonEmpty)
+    override def inputFiles: Array[String] = inner.inputFiles.filter(keep)
+    override def refresh(): Unit = inner.refresh()
+    override def sizeInBytes: Long = keptBytes
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      inner.partitionSchema
+  }
+
+  /** Replace `child`'s single file-based relation with a deterministic
+    * ≤`frac` subset of its files (evenly strided over the sorted path
+    * list), returning the bounded plan and the kept BYTE fraction the
+    * probe's row count must scale back by. Plans that are not one
+    * file-relation leaf — or whose relation has too few files for a subset
+    * to mean anything — pass through unbounded (fraction 1.0).
+    */
+  private[graft] def boundFiles(child: LogicalPlan, frac: Double)
+      : (LogicalPlan, Double) = {
+    if (frac >= 1.0 || frac <= 0.0) return (child, 1.0)
+    val rels = child.collect {
+      case lr @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => lr }
+    if (rels.size != 1 || child.collectLeaves().size != 1) return (child, 1.0)
+    val fs = rels.head.relation.asInstanceOf[HadoopFsRelation]
+    val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+      .map(f => (f.getPath.toString, f.getLen)).sortBy(_._1)
+    val keepN = math.max(1, math.ceil(files.size * frac).toInt)
+    if (keepN >= files.size) return (child, 1.0)
+    // even stride over sorted paths: a lexicographic (≈ time-partitioned)
+    // layout contributes files from every era, not one hot prefix
+    val step = files.size.toDouble / keepN
+    val kept = (0 until keepN).map(i => files((i * step).toInt)).distinct
+    val totalBytes = files.map(_._2).sum
+    if (totalBytes <= 0) return (child, 1.0)
+    val keptBytes = kept.map(_._2).sum
+    val index = new SubsetFileIndex(fs.location, kept.map(_._1).toSet, keptBytes)
+    val bounded = child.transform {
+      case lr @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _) =>
+        lr.copy(relation = hfs.copy(location = index)(hfs.sparkSession))
+    }
+    (bounded, keptBytes.toDouble / totalBytes)
+  }
+
+  /** The bounded probe as a (DataFrame, byteFraction) pair over `df`'s own
+    * plan — exposed so the bench `gate_probe` ledger and the gate spec
+    * price the SAME file-subset scan the gate runs at planning time.
+    */
+  private[graft] def boundedProbe(df: DataFrame, keys: Seq[String],
+      frac: Double, sampleMod: Int): (DataFrame, Double) = {
+    val (bounded, byteFrac) =
+      boundFiles(df.queryExecution.analyzed, frac)
+    val pdf = org.apache.spark.sql.graft.PlanDF.ofRows(df.sparkSession, bounded)
+    (probeAgg(pdf, keys.map(pdf.col), sampleMod), byteFrac)
   }
 
   /** The probe aggregate over `df` with `keyCols` as the leaf keys: one

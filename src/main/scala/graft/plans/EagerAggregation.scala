@@ -78,7 +78,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     */
   private[graft] val gate =
     new CollapseGate("eager aggregation", "spark.sql.graft.eagerAggregation",
-      defaultMinSavedRows = 2000000L)
+      defaultMinSavedRows = 0L, defaultMinSavedBytes = 4L << 20)
 
   /** Decline threshold: estimated |leaf groups| / |fact rows| above this
     * means the leaf aggregate barely collapses anything and its exchange
@@ -104,14 +104,21 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
   val SampleModKey: String = gate.SampleModKey
 
   /** Absolute floor on estimated rows removed from the join exchange
-    * (default 2M): at sf0.1 even a 600:1-collapsing fixture (599k rows
-    * saved, shuffle bytes cut 153×) measured wall-NEGATIVE on one box —
-    * the leaf aggregate plus two extra stage boundaries cost more than an
-    * in-memory 5.7MB exchange. The byte win is what turns into network +
-    * spill on a cluster, where any 100 TB fact clears this floor by six
-    * orders of magnitude; single-box users get the stock plan.
-    */
+    * (default 0 = off — this rule's floor is [[MinSavedBytesKey]]). */
   val MinSavedRowsKey: String = gate.MinSavedRowsKey
+
+  /** Absolute floor on estimated BYTES removed from the join exchange
+    * (saved rows × the fact's row width; default 4 MiB). This rule's win
+    * axis is shuffle bytes, so the floor is calibrated in bytes: the r11
+    * 2M-ROW floor declined the 600:1 high-collapse fixture that its own
+    * ledger measured wall-POSITIVE (forced 0.70s vs off 0.84s, shuffle
+    * 44 KB vs 5.5 MB — 599k saved rows, ~10 MB saved exchange), so the
+    * rule never fired anywhere it measurably won at bench scale. Under
+    * 4 MiB saved the extra aggregation stage costs more than the exchange
+    * it removes on any hardware this was measured on; a 100 TB fact
+    * clears it by seven orders of magnitude.
+    */
+  val MinSavedBytesKey: String = gate.MinSavedBytesKey
 
   /** Facts smaller than this skip the gate (estimate too noisy to act on,
     * decision too cheap to matter).

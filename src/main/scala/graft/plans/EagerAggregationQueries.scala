@@ -24,21 +24,20 @@ import org.apache.spark.sql.functions._
   *
   * HIGH-COLLAPSE fixture: the same lineitem joined to the SUPPLIER dim —
   * the leaf grain is `l_suppkey` (~600 line items per supplier at sf0.1, a
-  * 600:1 collapse). The forced rewrite cuts shuffle bytes 153× (5.66 MB →
-  * 37 KB, measured sf0.1) — the axis that turns into network and spill on
-  * a cluster — yet still measures wall-NEGATIVE on one box (~1.3s → ~1.7s:
-  * an in-memory 5.7MB exchange is nearly free, while the leaf aggregate
-  * and two extra stage boundaries are not). That measurement is why the
-  * gate's saved-rows floor ([[EagerAggregation.MinSavedRowsKey]], 2M)
-  * DECLINES both fixtures at sf0.1: on this hardware no 600k-row shape
-  * pays, so the gated arms must plan — and time — identical to their
-  * `_base` twins, while any cluster-scale fact clears the floor by orders
-  * of magnitude and fires on the ratio alone.
+  * 600:1 collapse). The rewrite cuts shuffle bytes 126× (5.5 MB → 44 KB,
+  * measured sf0.1) — the axis that turns into network and spill on a
+  * cluster — and the r11 idle-box ledger measured it wall-POSITIVE too
+  * (forced 0.70s vs off 0.84s). That measurement is why the gate's floor
+  * is calibrated in saved BYTES ([[EagerAggregation.MinSavedBytesKey]],
+  * 4 MiB — the r11 2M-ROW floor declined this very fixture): at sf0.1 the
+  * high fixture saves ~9.6 MB of fact exchange and FIRES, so
+  * `opt_eager_agg_hc` must plan — and win — like its `_forced` twin, while
+  * the low fixture still declines on ratio and plans stock.
   *
   * Arms (`opt_eager_agg*` = low fixture, `*_hc*` = high):
   *  - `*_gated` / `opt_eager_agg_hc` — rule ON, gate at defaults: the rule
-  *    DECIDES (declines both fixtures at bench scale — low on ratio, high
-  *    on the saved-rows floor). What a user gets by enabling.
+  *    DECIDES (declines the low fixture on ratio; fires the high one on
+  *    a ~9.6 MB saved exchange). What a user gets by enabling.
   *  - `opt_eager_agg` / `opt_eager_agg_hc_forced` — rule ON, gate OFF
   *    (`probeRows=0`): the forced arms; EagerAggSpec gates the
   *    Aggregate-below-Join shape here deterministically at any scale, and

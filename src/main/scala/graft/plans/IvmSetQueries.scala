@@ -36,10 +36,11 @@ object IvmSetQueries {
   /** Late-batch carve-out modulus (~10% of lineitems arrive "late"). */
   val LateMod = 10
 
-  /** Lineitem, not orders: the MvRewrite catalog is JVM-global, and a
-    * second set view over the same base relation would make WHICH view
-    * serves a given consumer an iteration-order accident — lineitem has no
-    * other registered set view, so the plan gate is deterministic.
+  /** Multi-view selection over one base is DETERMINISTIC since r12
+    * ([[MvRewrite.orderedEntries]]: coarsest serving grain, then name —
+    * spec-pinned with two adversarially-named views), so co-registered
+    * views no longer threaten the plan gate; lineitem stays the base here
+    * simply because the orders views already exercise the other paths.
     */
   private def keyed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -123,13 +124,12 @@ object IvmSetQueries {
   // Retractable state: (grain, value) → multiset COUNT, not a bare set
   // =====================================================================
 
-  /** Forget-batch carve-out: lineitems of every 7th-mod-3 order are
-    * DELETED after v0 was built (the `etl_forget_cascade` flow's shape).
-    * One modulus, three derivations: the delete delta, the rewritten
-    * current table, and the oracle's WHERE clause.
-    */
-  val ForgetMod = 7
-  val ForgetRes = 3
+  // The forget batch is the REAL cascade's level-1 key set
+  // ([[graft.ingest.ForgetFlow.deletedOrderKeys]] — orders of customers
+  // whose md5 nibble matches the request): one flow drives the GDPR
+  // rewrite (`etl_forget_cascade`), this view retraction, and the oracle's
+  // WHERE clause, per the one-constant-two-engines discipline. ~1/16 of
+  // orders' lineitems are deleted after v0 was built.
 
   /** A bare `collect_set` view cannot RETRACT — `array_union` has no
     * inverse, so a forget/GDPR delete would silently over-count
@@ -161,12 +161,20 @@ object IvmSetQueries {
   private def doRefreshRetract(spark: SparkSession, dir: String,
       scratch: String): Unit = {
     import spark.implicits._
-    val rows = Tables.lineitem(spark, dir).select(
-      year($"l_shipdate").cast("int").as("yr"),
-      month($"l_shipdate").cast("int").as("mo"),
-      $"l_suppkey",
-      (pmod($"l_orderkey", lit(LateMod)) === 0).as("late"),
-      (pmod($"l_orderkey", lit(ForgetMod)) === ForgetRes).as("bad"))
+    // `bad` = this lineitem belongs to a cascade-deleted order: the SAME
+    // broadcast key set the GDPR rewrite anti-joins with, here as a flag
+    // (left join + null test) because both partitions of the row stream
+    // are needed — kept rows rebuild `current`, bad rows form the −1 delta
+    val del = graft.ingest.ForgetFlow.deletedOrderKeys(spark, dir)
+      .withColumn("bad_", lit(true))
+    val rows = Tables.lineitem(spark, dir)
+      .join(broadcast(del), $"l_orderkey" === $"o_orderkey", "left")
+      .select(
+        year($"l_shipdate").cast("int").as("yr"),
+        month($"l_shipdate").cast("int").as("mo"),
+        $"l_suppkey",
+        (pmod($"l_orderkey", lit(LateMod)) === 0).as("late"),
+        coalesce($"bad_", lit(false)).as("bad"))
     // the rewritten base table (setup, like the warehouse build): what the
     // forget cascade leaves behind; the consumer and the defining read THIS
     rows.filter(!$"bad").select($"yr", $"mo", $"l_suppkey")
@@ -240,7 +248,12 @@ ORDER BY yr""",
        count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
        count(*)::BIGINT AS n_items
 FROM lineitem
-WHERE l_orderkey % $ForgetMod <> $ForgetRes
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE substring(md5(c_custkey::VARCHAR), 1, 1)
+            = '${graft.ingest.ForgetFlow.RequestNibble}'))
 GROUP BY 1
 ORDER BY yr""")
 }

@@ -60,10 +60,13 @@ import org.apache.spark.sql.types.IntegerType
   *     (count = 0, sum = null) on EMPTY input, while the merged grouped
   *     aggregate emits zero, so each merged global branch appends a GUARD
   *     child that emits exactly that row iff the merged aggregate produced
-  *     no rows (`Filter(count(1) == 0, Aggregate(global, merged))` over
-  *     the SAME merged subtree — its exchange is reused, so the physical
-  *     plan still scans the source once and the guard costs one re-count
-  *     of already-aggregated sketch rows). Global branches therefore only
+  *     no rows (`Filter(isnull(max(struct(outputs))), Aggregate(global,
+  *     merged))` over the SAME merged subtree — the probe references
+  *     EVERY merged output precisely so the optimizer cannot specialize
+  *     the guard's copy, its exchange stays canonically equal to the main
+  *     branch's, and ReuseExchange makes the physical plan scan the
+  *     source once; spec-asserted via ReusedExchangeExec, see the guard
+  *     code comment for the count-probe trap). Global branches only
   *     merge when every aggregate is a Sum / Count / Min / Max / Average
   *     (their empty-input values are static literals); others stay
   *     unmerged children, still correct.
@@ -335,14 +338,38 @@ object MergeUnionAggregates extends Rule[LogicalPlan] {
 
     // ---- empty-input guards for merged GLOBAL branches --------------------
     // A global branch emits one row over empty input; the merged grouped
-    // aggregate emits zero. Guard: re-aggregate the merged subtree to a
-    // global count (its exchange is REUSED physically — sketch rows, one
-    // scan) and emit the branch's static empty-row iff that count is 0.
+    // aggregate emits zero. Guard: re-aggregate the merged subtree to ONE
+    // probe value and emit the branch's static empty-row iff the merged
+    // aggregate produced no rows. The probe is `max(struct(ALL merged
+    // outputs)) IS NULL`, not `count(1) == 0`, for a physical reason the
+    // UnionMergeSpec ReusedExchangeExec test enforces: a count references
+    // no columns, so ColumnPruning + RemoveRedundantAggregates specialize
+    // the guard's copy of the merged subtree (keys-only aggregate, thinner
+    // Expand) and its exchange no longer canonically equals the main
+    // branch's — the "reused" exchange silently became a SECOND FULL SCAN
+    // (r12 finding; the r11 docstring claimed reuse without a spec). By
+    // referencing every merged output the guard's subtree survives
+    // optimization bit-identical, ReuseExchange unifies the two, and the
+    // physical plan scans the source once. Falls back to the count probe
+    // (correct, two scans) only when some merged output type is not
+    // orderable — max(struct) needs ordering, count does not.
     val globalIdx = classIdx.filter(i => branches(i).get.groupingExpressions.isEmpty)
     val guards: Seq[LogicalPlan] = if (globalIdx.isEmpty) Nil else {
-      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Count}
-      val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
-        isDistinct = false, None), "_uam_probe")()
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Count, Max}
+      import org.apache.spark.sql.catalyst.expressions.{CreateStruct, IsNull}
+      val orderable = merged.output.forall(a =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
+      val (cnt, probeCond) = if (orderable) {
+        val m = Alias(AggregateExpression(
+          Max(CreateStruct(merged.output)), Complete,
+          isDistinct = false, None), "_uam_probe")()
+        (m, IsNull(m.toAttribute): Expression)
+      } else {
+        val c = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+          isDistinct = false, None), "_uam_probe")()
+        (c, EqualTo(c.toAttribute, Literal(0L)): Expression)
+      }
       val probe = Aggregate(Nil, Seq(cnt), merged)
       globalIdx.map { i =>
         val outs: Seq[NamedExpression] =
@@ -362,7 +389,7 @@ object MergeUnionAggregates extends Rule[LogicalPlan] {
           }
         Project(outs,
           org.apache.spark.sql.catalyst.plans.logical.Filter(
-            EqualTo(cnt.toAttribute, Literal(0L)), probe)): LogicalPlan
+            probeCond, probe)): LogicalPlan
       }
     }
 

@@ -382,10 +382,41 @@ object MvRewrite extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
   }
 
+  /** Grain arity of an entry's defining: grouping-expression count of its
+    * optimized top Aggregate (structured entries read it off the
+    * pre-digested facts). Coarser-than-Aggregate shapes rank 0.
+    */
+  private def grainArity(e: Entry): Int = e.wholePlan match {
+    case a: Aggregate => a.groupingExpressions.size
+    case _            => e.structured.map(_.groupFlat.size).getOrElse(0)
+  }
+
+  /** DETERMINISTIC candidate order — which view serves a consumer must
+    * never be a hash-iteration accident (two equally-servable views over
+    * one base would otherwise flip between runs, and with them every
+    * downstream plan gate). Policy: COARSEST grain first, then name order
+    * as the total tie-break. The coarsest view that can serve at all is
+    * the one nearest the query's own grain: when it matches exactly the
+    * rewrite degenerates to a pure projection (zero aggregates — the
+    * plan shape MvRewriteSpec pins for the exact-grain path), and when it
+    * rolls up it scans the fewest view rows. Finest-first — the obvious
+    * alternative — was tried and measurably worse: it re-routed the
+    * exact-grain avg consumer through a FINER sibling's sum/count
+    * partials, re-aggregating 3-key-grain rows where a 2-key exact match
+    * projects, and broke the pure-Project guarantee. A view that cannot
+    * serve is simply skipped, so first-success in this order IS the
+    * coarsest-serving view.
+    */
+  private def orderedEntries: Seq[Entry] = {
+    import scala.jdk.CollectionConverters._
+    catalog.values.asScala.toSeq.sortBy(e => (grainArity(e), e.name))
+  }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val entries = orderedEntries
     // pass 1: child-equivalence — the only path that can serve join-based
     // and multi-distinct (Expand-form) definings
-    val it1 = catalog.values.iterator
+    val it1 = entries.iterator
     while (it1.hasNext) {
       tryChildEquiv(agg, it1.next()) match {
         case some @ Some(_) => return some
@@ -395,7 +426,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     // pass 2: structured single-relation matching
     val (fq, preds, baseQ) = flattenQ(agg.child).getOrElse(return None)
     val keyQ = baseKey(baseQ).getOrElse(return None)
-    val it2 = catalog.values.iterator
+    val it2 = entries.iterator
     while (it2.hasNext) {
       val e = it2.next()
       e.structured match {

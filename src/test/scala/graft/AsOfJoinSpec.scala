@@ -391,6 +391,20 @@ class AsOfJoinSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("amplified skew ledger arms are row-identical (exec ≡ window form)") {
+    // the bench asof_skew ledger prices these two plans against each other
+    // WITHOUT a DuckDB oracle (the ×50 amplification would cost the oracle
+    // run dearly) — so their equivalence is pinned here instead, at
+    // sf0.001, sorted both sides
+    val dir = "/root/testdata/sf0.001"
+    val a = AsOfJoinQueries.asofSkewExecAmp(spark, dir)
+      .orderBy($"event_id").collect().map(_.toString).toSeq
+    val b = AsOfJoinQueries.asofSkewWindowAmp(spark, dir)
+      .orderBy($"event_id").collect().map(_.toString).toSeq
+    assert(a.nonEmpty, "amplified feed must produce rows")
+    assert(a === b, "native exec and window composition must agree row-for-row")
+  }
+
   test("exec survives skewed co-partitioning (all rows one key)") {
     val n = 5000
     val l = (1 to n).map(i => (7L, i.toLong * 2, s"e$i")).toDF("k", "t", "tag")

@@ -122,9 +122,11 @@ class EagerAggSpec extends SparkSpec {
     */
   test("cost gate declines a near-unique leaf grain, keeps a collapsing one") {
     val s = ruleSession
-    // isolate the RATIO axis: zero the saved-rows floor (5000-row fixtures
-    // are far under the 2M default, covered by the next test)
+    // isolate the RATIO axis: zero both saved-work floors (5000-row
+    // fixtures are far under the 4 MiB byte default, covered by the
+    // floor test below)
     s.conf.set(EagerAggregation.MinSavedRowsKey, "0")
+    s.conf.set(EagerAggregation.MinSavedBytesKey, "0")
     import s.implicits._
     // 5000 rows ≥ the gate's minGateRows floor; key = id → ratio ≈ 1.0
     val factU = s.range(5000).selectExpr("id AS k", "id % 7 AS v")
@@ -205,7 +207,7 @@ class EagerAggSpec extends SparkSpec {
       s"extreme collapse must read extreme: sampled $s2")
   }
 
-  test("cost gate's saved-rows floor declines small facts at any ratio") {
+  test("cost gate's saved-bytes floor declines small facts at any ratio") {
     def q(sess: org.apache.spark.sql.SparkSession) = {
       import sess.implicits._
       val fact = sess.range(5000).selectExpr("id % 50 AS k", "id % 7 AS v")
@@ -214,14 +216,66 @@ class EagerAggSpec extends SparkSpec {
         .dropDuplicates("dk")
       fact.join(dim, $"k" === $"dk").groupBy($"grp").agg(sum($"v").as("sv"))
     }
-    // 100:1 collapse, but ~5k rows removed from the join exchange is far
-    // under the 2M default floor (the sf0.1 ledger measured even a 600:1 /
-    // 599k-row fixture wall-negative on one box): decline
-    assert(!aggBelowJoin(q(ruleSession)), "5k saved rows is under the floor")
+    // 100:1 collapse, but ~5k saved rows × 16-byte width ≈ 79 KB removed
+    // from the join exchange is far under the 4 MiB default byte floor
+    // (this rule's win axis is shuffle bytes — the r11 ROW floor declined
+    // a fixture its own ledger measured wall-positive): decline
+    assert(!aggBelowJoin(q(ruleSession)), "79KB saved is under the byte floor")
     // the floor is the only objection: clear it and the same plan fires
     val s2 = ruleSession
-    s2.conf.set(EagerAggregation.MinSavedRowsKey, "4000")
-    assert(aggBelowJoin(q(s2)), "floor cleared (~5k ≥ 4k): fires")
+    s2.conf.set(EagerAggregation.MinSavedBytesKey, "60000")
+    assert(aggBelowJoin(q(s2)), "floor cleared (~79KB ≥ 60KB): fires")
+    // the ROWS floor still composes (default 0 for this rule): raising it
+    // re-declines the same plan
+    val s3 = ruleSession
+    s3.conf.set(EagerAggregation.MinSavedBytesKey, "60000")
+    s3.conf.set(EagerAggregation.MinSavedRowsKey, "1000000")
+    assert(!aggBelowJoin(q(s3)), "row floor composes with the byte floor")
+  }
+
+  test("file-bounded probe: deterministic subset, scaled rows, " +
+      "conservative ratio, gate still fires end-to-end") {
+    import graft.plans.{CollapseGate, EagerAggregation}
+    import org.apache.spark.sql.functions.col
+    // a genuinely multi-file relation (8 round-robin files, 80k rows)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-gate-bound"
+    spark.range(80000).selectExpr("id % 100 AS k", "id AS v")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val keyDf = spark.read.parquet(dir).select(col("k"))
+    def probe(frac: Double) =
+      CollapseGate.boundedProbe(keyDf, Seq("k"), frac, 1)
+    val (bounded, frac) = probe(0.25)
+    assert(frac > 0.15 && frac < 0.45, s"kept byte fraction $frac")
+    val b = bounded.head()
+    // row estimate scales back by the byte fraction: within 30% of truth
+    val est = b.getLong(0) / frac
+    assert(math.abs(est - 80000.0) / 80000.0 < 0.30, s"row estimate $est")
+    // ratio reads CONSERVATIVE (≥ the true 100/80000): keys span files, so
+    // the subset over-observes distincts — biased toward declining, never
+    // toward a spurious rewrite (the class doc's 1/p bound)
+    val ratioB = b.getLong(2).toDouble / b.getLong(1)
+    val trueRatio = 100.0 / 80000.0
+    assert(ratioB >= trueRatio * 0.9 && ratioB <= trueRatio / frac * 1.5,
+      s"bounded ratio $ratioB vs true $trueRatio (frac $frac)")
+    // deterministic: a second bound yields the identical subset
+    val b2 = probe(0.25)._1.head()
+    assert(b.getLong(0) == b2.getLong(0) && b.getLong(2) == b2.getLong(2))
+    // single-file inputs pass through unbounded
+    assert(CollapseGate.boundFiles(
+      Tables.lineitem(spark, sf).queryExecution.analyzed, 0.1)._2 == 1.0 ||
+      sf.isEmpty) // sf0.001 lineitem is one file → fraction 1.0
+    // end-to-end: the gate probes through the bounded scan and still FIRES
+    // on this collapsing fact (ratio ≤ 1/frac × 0.00125 ≪ 0.1)
+    val s = ruleSession
+    s.conf.set(EagerAggregation.MinSavedBytesKey, "0")
+    import s.implicits._
+    val fact = s.read.parquet(dir)
+    val dim = s.range(100)
+      .selectExpr("id AS dk", "CAST(id % 3 AS STRING) AS grp")
+      .dropDuplicates("dk")
+    val q = fact.join(dim, $"k" === $"dk")
+      .groupBy($"grp").agg(sum($"v").as("sv"))
+    assert(aggBelowJoin(q), "bounded probe must not block a clear win")
   }
 
   test("avg pushes via the two-partial derivation (planted parity + no-match null)") {

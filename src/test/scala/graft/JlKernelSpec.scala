@@ -50,4 +50,37 @@ class JlKernelSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.numElements() == graft.similarity.JlProjection.OutDim)
   }
+
+  test("ANSI mode: well-formed parity holds; short-array divergence is " +
+      "the documented kernel contract (null, where ANSI getItem throws)") {
+    import graft.similarity.JlProjection
+    val s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    graft.similarity.Similarity.register(s)
+    // parity on well-formed input is ANSI-independent: same corpus, same
+    // bit-identical coordinates
+    val emb = Tables.embeddings(s, sf).limit(50)
+    val both = emb.select(
+      Seq(expr("graft_jl_project(embedding)").as("jl")) ++
+        (0 until JlProjection.OutDim).map(j =>
+          JlProjection.projCol(col("embedding"), j).as(s"ref$j")): _*)
+    for (r <- both.collect(); j <- 0 until JlProjection.OutDim)
+      assert(java.lang.Double.doubleToRawLongBits(r.getSeq[Double](0)(j)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1 + j)))
+    // the divergence, pinned: a SHORT array is null through the kernel…
+    import s.implicits._
+    val short = Seq((1L, Array.fill(63)(1.0f))).toDF("id", "embedding")
+    val viaKernel = short.select(expr("graft_jl_project(embedding)").as("jl"))
+      .collect().head
+    assert(viaKernel.isNullAt(0),
+      "kernel keeps null-poison semantics under ANSI")
+    // …while the declarative fold's out-of-bounds getItem THROWS under
+    // ANSI — if Spark ever changes that, this pin flags the contract for
+    // re-derivation rather than letting the twins drift silently
+    val thrown = try {
+      short.select(JlProjection.projCol(col("embedding"), 0).as("p"))
+        .collect(); false
+    } catch { case _: Throwable => true }
+    assert(thrown, "ANSI getItem on a short array is expected to throw")
+  }
 }

@@ -274,9 +274,11 @@ class MvRewriteSpec extends SparkSpec {
       s"the consumer must read the state-derived set view, got $roots")
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // the from-scratch recompute applies the SAME cascade delete set the
+    // retraction consumed (one flow: ForgetFlow.deletedOrderKeys)
     val raw = Tables.lineitem(spark, sf)
-      .filter(pmod($"l_orderkey", lit(IvmSetQueries.ForgetMod)) =!=
-        IvmSetQueries.ForgetRes)
+      .join(broadcast(graft.ingest.ForgetFlow.deletedOrderKeys(spark, sf)),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
       .select(year($"l_shipdate").cast("int").as("yr"), $"l_suppkey")
       .groupBy($"yr")
       .agg(countDistinct($"l_suppkey").as("n_suppliers"),
@@ -444,6 +446,62 @@ class MvRewriteSpec extends SparkSpec {
       assert(scanRoots(q).forall(_.contains("orders.parquet")),
         "a double-element set partial must not serve count(distinct)")
     } finally MvRewrite.deregister("mv_double_set_test")
+  }
+
+  test("two servable views over one base: the coarsest serving grain wins, " +
+      "deterministically, under AQE") {
+    import org.apache.spark.sql.functions._
+    // Two views over the SAME lineitem base, both able to serve a yearly
+    // consumer by roll-up: coarse grain (yr, l_returnflag) and fine grain
+    // (yr, mo, l_returnflag). Selection must be the documented policy —
+    // coarsest serving grain first (nearest the query's own grain: fewest
+    // view rows scanned; an exact match degenerates to a pure Project) —
+    // not a catalog-hash accident. Names are chosen ADVERSARIALLY to the
+    // tie-break (the fine view sorts FIRST by name), so a name-ordered or
+    // hash-ordered implementation fails here.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-mv-two-views"
+    def keyed(d: DataFrame) = d.select(
+      year(col("l_shipdate")).cast("int").as("yr"),
+      month(col("l_shipdate")).cast("int").as("mo"),
+      col("l_returnflag"),
+      col("l_linenumber").cast("long").as("ln"))
+    val base = keyed(Tables.lineitem(spark, sf))
+    val defFine = base.groupBy(col("yr"), col("mo"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("ln")).as("s"))
+    val defCoarse = base.groupBy(col("yr"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("ln")).as("s"))
+    defFine.write.mode("overwrite").parquet(s"$dir/fine")
+    defCoarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    assert(MvRewrite.register("mv_det_a_fine", defFine,
+      spark.read.parquet(s"$dir/fine")))
+    assert(MvRewrite.register("mv_det_z_coarse", defCoarse,
+      spark.read.parquet(s"$dir/coarse")))
+    try {
+      def arm(aqe: Boolean) = {
+        val s = spark.newSession()
+        MvRewrite.install(s)
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        if (aqe) s.conf.set("spark.sql.adaptive.forceApply", "true")
+        keyed(Tables.lineitem(s, sf)).groupBy(col("yr"))
+          .agg(count(lit(1)).as("n"), sum(col("ln")).as("s"))
+          .orderBy(col("yr"))
+      }
+      for (aqe <- Seq(false, true)) {
+        val q = arm(aqe)
+        val roots = scanRoots(q)
+        assert(roots.nonEmpty && roots.forall(_.contains("two-views/coarse")),
+          s"the COARSEST serving view must win (aqe=$aqe), got $roots")
+        // and it serves correctly: rows equal the raw computation
+        val raw = keyed(Tables.lineitem(spark, sf)).groupBy(col("yr"))
+          .agg(count(lit(1)).as("n"), sum(col("ln")).as("s"))
+          .orderBy(col("yr"))
+        assert(q.collect().toSeq == raw.collect().toSeq)
+      }
+    } finally {
+      MvRewrite.deregister("mv_det_a_fine")
+      MvRewrite.deregister("mv_det_z_coarse")
+    }
   }
 
   test("coarser-grain SUM/AVG(DISTINCT) merge from the set partial") {

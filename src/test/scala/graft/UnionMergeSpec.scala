@@ -103,6 +103,28 @@ class UnionMergeSpec extends SparkSpec {
       "guard must ride the reused exchange, not a second scan")
   }
 
+  test("opt_union_merge_total's physical plan carries a ReusedExchangeExec " +
+      "and exactly one parquet scan (the guard's single-scan claim)") {
+    // The empty-input guard's docstring claims it "rides the reused
+    // exchange" — assert the physical artifact itself, so a future planner
+    // change that silently re-plans the guard as a second scan fails here
+    // instead of doubling the read at scale.
+    val df = UnionMergeQueries.mergedTotal(spark, sf)
+    // execute first — THIS QueryExecution, so collect(), not a noop write
+    // (which plans a separate execution): under AQE, exchange reuse
+    // happens at stage materialization — the pre-execution plan shows two
+    // identical exchanges, the FINAL plan shows one ReusedExchangeExec
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val reusedEx = collectAll(plan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reusedEx.nonEmpty,
+      s"expected a ReusedExchangeExec (guard riding the merged exchange):\n$plan")
+    assert(scans(df).size == 1,
+      s"expected exactly one parquet scan, got ${scans(df).size}")
+  }
+
   test("duplicate grains double the rows, exactly like the original union") {
     val s = onSession()
     import s.implicits._
