@@ -370,6 +370,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spj ledger FAILED: ${e.getMessage}"); ""
     }
+    // Price the generated-column pruning rule: the same date-ranged report
+    // with the derived month_key predicate vs without — partitions read
+    // (4 vs ~84) is the structural story, scan rows and wall ride along.
+    val derivedDppJson = try {
+      val (on, onHi) = prof2(warehouse.PartitionedFact.derivedPruneScan(spark, sfDir))
+      val (off, offHi) = prof2(warehouse.PartitionedFact.derivedPruneScanOff(spark, sfDir))
+      s""","derived_dpp":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
+        s""""on_sec_hi":$onHi,"off_sec_hi":$offHi,""" +
+        s""""on_scan_rows":${on.scanRows},"off_scan_rows":${off.scanRows}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] derived_dpp ledger FAILED: ${e.getMessage}"); ""
+    }
     // Price the union-of-aggregates merge: the same three-grain hand-written
     // UNION ALL report as one grouping-sets scan vs three scans — scan rows
     // is the structural story (1×|orders| vs 3×), wall and shuffle ride along.
@@ -406,7 +418,7 @@ object Bench {
     val loadEnd = loadAvg()
     val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""prior_total_shared":$priorShared,"total_shared":$totalShared,"noisy":$noisy"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$rerollHcJson$mvJson$eagerJson$eagerHcJson$gateProbeJson$spjJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$rerollHcJson$mvJson$eagerJson$eagerHcJson$gateProbeJson$spjJson$derivedDppJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * parallelism no matter what the caller set — which made the invariance
   * property vacuous for child-session queries until r10.
   */
-private[plans] object ChildSession {
+private[graft] object ChildSession {
   def apply(spark0: SparkSession): SparkSession = {
     val s = spark0.newSession()
     // Carry EVERY modifiable runtime conf whose parent value differs from

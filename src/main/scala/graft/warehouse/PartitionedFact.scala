@@ -25,6 +25,27 @@ object PartitionedFact {
   val MonthHi = 199606
 
   private val memo = new ConcurrentHashMap[String, DataFrame]()
+  private val pathMemo = new ConcurrentHashMap[String, String]()
+
+  /** Land the month layout once per (application, corpus) and return its
+    * path — split out from [[factByMonth]] so consumers that must read it
+    * in a CHILD session (the derived-pruning query installs a rule there)
+    * can re-open the path instead of borrowing a parent-bound DataFrame.
+    */
+  private[graft] def monthLayoutPath(spark: SparkSession, dir: String): String =
+    pathMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-fact-month/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      Warehouse.forDir(spark, dir).factEncounters
+        .withColumn("month_key", (col("date_key") / 100).cast("int"))
+        .write.mode("overwrite").partitionBy("month_key").parquet(p)
+      // the write-time invariant this layout just created, declared for
+      // the derived-pruning rule (generated-column DDL's moral equivalent)
+      graft.plans.DerivedPartitionFilter.register(
+        p, dataCol = "date_key", partCol = "month_key", divisor = 100L)
+      p
+    })
 
   /** The fact table re-landed partitioned by `month_key` (yyyyMM of the
     * encounter date), written once per (application, corpus) from the
@@ -33,13 +54,7 @@ object PartitionedFact {
     */
   def factByMonth(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val p = s"${sys.props("java.io.tmpdir")}/graft-fact-month/" +
-        s"${spark.sparkContext.applicationId}/$safe"
-      Warehouse.forDir(spark, dir).factEncounters
-        .withColumn("month_key", (col("date_key") / 100).cast("int"))
-        .write.mode("overwrite").partitionBy("month_key").parquet(p)
-      spark.read.parquet(p)
+      spark.read.parquet(monthLayoutPath(spark, dir))
     })
 
   /** Month-ranged activity report off the partitioned layout: the filter is
@@ -57,6 +72,53 @@ object PartitionedFact {
         sum(col("num_procedures")).as("total_procedures"),
         sum(when(col("has_report"), 1L).otherwise(0L)).as("n_with_report"))
       .orderBy(col("month_key"))
+
+  /** Day range of the DERIVED-pruning report (yyyyMMdd, inclusive) —
+    * deliberately month-UNALIGNED (mid-January to mid-April) so the
+    * entry's exactness depends on the original predicate surviving the
+    * rewrite, and deliberately on the DATA column so no stock rule can
+    * prune the scan. One pair, both engines.
+    */
+  val DateLo = 19960115
+  val DateHi = 19960410
+
+  /** Date-ranged report whose filter names only `date_key`, served with
+    * [[graft.plans.DerivedPartitionFilter]] enabled: the registered
+    * layout invariant (`month_key = date_key div 100`) lets the rule
+    * append `month_key BETWEEN 199601 AND 199604`, and the scan prunes to
+    * 4 of ~84 month directories — the generated-column pruning every
+    * date-filtered dashboard over a 100 TB derived-key layout needs
+    * (DerivedPartitionSpec pins the executed PartitionFilters and row
+    * parity; the bench `derived_dpp` ledger prices the scan cut).
+    */
+  def derivedPruneScan(spark0: SparkSession, dir: String): DataFrame = {
+    val path = monthLayoutPath(spark0, dir)
+    val spark = graft.plans.ChildSession(spark0)
+    graft.plans.DerivedPartitionFilter.install(spark)
+    spark.conf.set(graft.plans.DerivedPartitionFilter.EnabledKey, "true")
+    spark.read.parquet(path)
+      .filter(col("date_key") >= DateLo && col("date_key") <= DateHi)
+      .groupBy(col("month_key"))
+      .agg(
+        count(lit(1)).as("n_encounters"),
+        countDistinct(col("patient_key")).as("n_patients"),
+        sum(col("num_procedures")).as("total_procedures"))
+      .orderBy(col("month_key"))
+  }
+
+  /** The rule-off twin (bench ledger only — same rows, full-layout scan). */
+  private[graft] def derivedPruneScanOff(spark0: SparkSession, dir: String): DataFrame = {
+    val path = monthLayoutPath(spark0, dir)
+    val spark = graft.plans.ChildSession(spark0)
+    spark.read.parquet(path)
+      .filter(col("date_key") >= DateLo && col("date_key") <= DateHi)
+      .groupBy(col("month_key"))
+      .agg(
+        count(lit(1)).as("n_encounters"),
+        countDistinct(col("patient_key")).as("n_patients"),
+        sum(col("num_procedures")).as("total_procedures"))
+      .orderBy(col("month_key"))
+  }
 
   /** Dim slice selecting the dynamically-pruned months (year, quarter) —
     * one pair of values, both engines. Distinct from [[MonthLo]]/[[MonthHi]]
@@ -192,6 +254,7 @@ object PartitionedFact {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_month_pruned_scan" -> (monthPrunedScan _),
+    "wh_derived_prune_scan" -> (derivedPruneScan _),
     "wh_dpp_quarter_scan" -> (dppQuarterScan _),
     "wh_partition_checksums" -> (partitionChecksums _),
     "wh_compaction_ledger" -> (compactionLedger _),
@@ -206,6 +269,16 @@ SELECT (date_key // 100)::INT AS month_key,
        sum(CASE WHEN has_report THEN 1 ELSE 0 END)::BIGINT AS n_with_report
 FROM fact_encounters
 WHERE date_key // 100 BETWEEN $MonthLo AND $MonthHi
+GROUP BY 1
+ORDER BY 1""",
+
+    "wh_derived_prune_scan" -> s"""${graft.analytics.OracleSql.prelude}
+SELECT (date_key // 100)::INT AS month_key,
+       count(*)::BIGINT AS n_encounters,
+       count(DISTINCT patient_key)::BIGINT AS n_patients,
+       sum(num_procedures)::BIGINT AS total_procedures
+FROM fact_encounters
+WHERE date_key BETWEEN $DateLo AND $DateHi
 GROUP BY 1
 ORDER BY 1""",
 
