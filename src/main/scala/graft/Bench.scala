@@ -371,14 +371,18 @@ object Bench {
       System.err.println(s"[bench] spj ledger FAILED: ${e.getMessage}"); ""
     }
     // Price the generated-column pruning rule: the same date-ranged report
-    // with the derived month_key predicate vs without — partitions read
-    // (4 vs ~84) is the structural story, scan rows and wall ride along.
+    // with the derived month_key predicate vs without — FILES READ (4 of
+    // ~84 month directories) is the structural story; scan output rows
+    // are identical by construction (the pushed data filter trims both
+    // arms to the same rows — pruning saves the READ, not the output),
+    // bytes and wall ride along.
     val derivedDppJson = try {
       val (on, onHi) = prof2(warehouse.PartitionedFact.derivedPruneScan(spark, sfDir))
       val (off, offHi) = prof2(warehouse.PartitionedFact.derivedPruneScanOff(spark, sfDir))
       s""","derived_dpp":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
         s""""on_sec_hi":$onHi,"off_sec_hi":$offHi,""" +
-        s""""on_scan_rows":${on.scanRows},"off_scan_rows":${off.scanRows}}"""
+        s""""on_scan_files":${on.scanFiles},"off_scan_files":${off.scanFiles},""" +
+        s""""on_scan_bytes":${on.scanBytes},"off_scan_bytes":${off.scanBytes}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] derived_dpp ledger FAILED: ${e.getMessage}"); ""
     }
