@@ -114,6 +114,12 @@ object GraftExtensions {
       arity("graft_jl_project", 1,
         "graft_jl_project(array<float>) → array<double> of 16 JL coordinates") {
         args => graft.functions.JlProjectVec(args.head) }),
+    (FunctionIdentifier("graft_bigram_counts"),
+      new ExpressionInfo(classOf[graft.functions.BigramCounts].getName,
+        "graft_bigram_counts"),
+      arity("graft_bigram_counts", 1,
+        "graft_bigram_counts(string) → array<struct<bg,c>> distinct char bigrams with counts") {
+        args => graft.functions.BigramCounts(args.head) }),
     (FunctionIdentifier("graft_edit_within"),
       new ExpressionInfo(classOf[graft.functions.EditWithin].getName,
         "graft_edit_within"),

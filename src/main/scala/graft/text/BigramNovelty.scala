@@ -32,22 +32,23 @@ object BigramNovelty {
 
   def bigramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
+    graft.GraftExtensions.registerAll(spark)
+    // per-doc DISTINCT-bigram counts straight from the codegen'd kernel
+    // ([[graft.functions.BigramCounts]]): all of a document's bigrams live
+    // in its own row, so the declarative explode-every-character →
+    // groupBy(doc, bg) shuffle (10M rows / 5.3 MB at sf0.1 — this query's
+    // entire wall) computed a row-local fact; the kernel emits it
+    // map-side. A <2-code-point doc yields an empty array and drops under
+    // explode — exactly the oracle's empty `range(1, length(t))`.
+    val perDocCounts = Tables.documents(spark, dir)
       .select($"doc_id", lower(trim($"text")).as("t"))
-      // the length guard matters: Spark's sequence(1, 0) is DESCENDING
-      // [1,0], not empty like DuckDB's range — a 1-char doc would diverge
-      .filter(length($"t") >= 2)
-      .select($"doc_id",
-        explode(expr("sequence(1, length(t) - 1)")).as("i"), $"t")
-      .select($"doc_id", expr("substring(t, i, 2)").as("bg"))
-    // aggregate to (doc, bigram) counts FIRST: the corpus model is then a
-    // rollup of that table (no second gram explode), and the rarity join
-    // runs over per-doc DISTINCT grams instead of every occurrence —
-    // same numbers, roughly half the explode work and a much smaller join
-    val perDocCounts = grams.groupBy($"doc_id", $"bg")
-      .agg(count(lit(1)).as("c"))
+      .select($"doc_id", explode(expr("graft_bigram_counts(t)")).as("s"))
+      .select($"doc_id", $"s.bg".as("bg"), $"s.c".as("c"))
     val corpus = perDocCounts.groupBy($"bg").agg(sum($"c").as("cf"))
-    val perDoc = perDocCounts.join(corpus, "bg")
+    // the corpus model is alphabet²-bounded (≤ a few thousand rows at ANY
+    // corpus size): broadcast it, so the rarity lookup never shuffles the
+    // per-doc gram table
+    val perDoc = perDocCounts.join(broadcast(corpus), "bg")
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_bigrams"),
         sum(when($"cf" < RareMax, $"c").otherwise(0L)).as("n_rare"))
