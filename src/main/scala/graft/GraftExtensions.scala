@@ -120,6 +120,13 @@ object GraftExtensions {
       arity("graft_bigram_counts", 1,
         "graft_bigram_counts(string) → array<struct<bg,c>> distinct char bigrams with counts") {
         args => graft.functions.BigramCounts(args.head) }),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunkFps].getName,
+        "graft_cdc_chunks"),
+      arity("graft_cdc_chunks", 1,
+        "graft_cdc_chunks(string) → array<struct<fp,s>> content-defined chunk fingerprints") {
+        args => graft.functions.CdcChunkFps(args.head,
+          dedup.CdcChunks.GramK, dedup.CdcChunks.Divisor) }),
     (FunctionIdentifier("graft_edit_within"),
       new ExpressionInfo(classOf[graft.functions.EditWithin].getName,
         "graft_edit_within"),

@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.functions.Md5Hash
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Content-defined chunking (CDC) dedup ledger — the shift-resistant
@@ -18,18 +17,24 @@ import org.apache.spark.sql.functions._
   * chunk it lands in, and every later chunk re-aligns and re-matches.
   * Expected chunk length is D tokens (geometric).
   *
-  * Pipeline: per-token boundary flags are computed MAP-SIDE from the
-  * document's own token array (the lookahead gram never crosses the
-  * shuffle); one per-doc window turns the flag prefix-sum into chunk ids;
-  * chunk fingerprints group-aggregate in token order; global keep-first
-  * canonicalization is the lexicographic (doc_id, start) struct-min on the
-  * fingerprint key — the exact [[SegmentDedup]] recipe, so the two ledgers
-  * differ ONLY in how boundaries are chosen. Three keyed shuffles total
-  * (doc window, fingerprint, doc rollup), each on a high-cardinality key.
+  * Pipeline: chunking is a ROW-LOCAL fact (boundaries depend only on the
+  * document's own token k-grams), so the codegen'd
+  * [[graft.functions.CdcChunkFps]] kernel emits finished
+  * (fingerprint, start) chunk rows MAP-SIDE — the explode-every-token →
+  * per-doc-window → collect_list form this replaced shuffled the whole
+  * token stream twice to assemble strings each row already held (5.3 MB /
+  * ~3s at sf0.1; ~1s with the kernel). What still shuffles is what the
+  * semantics require: global keep-first canonicalization — the
+  * lexicographic (doc_id, start) struct-min on the fingerprint key, the
+  * exact [[SegmentDedup]] recipe, so the two ledgers differ ONLY in how
+  * boundaries are chosen — and the per-doc rollup; both move 2-column
+  * chunk rows, never tokens.
   *
-  * Determinism: boundaries/fingerprints are md5-derived ([[Md5Hash.h32]]);
-  * token order inside a chunk is pinned by position; all emitted values are
-  * integer counts plus one rounded percentage.
+  * Determinism: boundaries/fingerprints are md5-derived ([[Md5Hash.h32]] /
+  * md5 hex, same byte-fold definitions); token order inside a chunk is
+  * pinned by position; all emitted values are integer counts plus one
+  * rounded percentage. The unchanged DuckDB oracle recomputes the whole
+  * pipeline declaratively — the kernel's parity gate.
   */
 object CdcChunks {
 
@@ -50,24 +55,10 @@ object CdcChunks {
   private[graft] def cdcLedgerDf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs
-      .withColumn("toks", split(trim(lower($"text")), "\\s+"))
-      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("p", "tok")))
-      // boundary flag AT p, evaluated before the array is dropped (map-side)
-      .withColumn("flag", when(
-        $"p" + GramK <= size($"toks") &&
-          Md5Hash.h32(concat_ws(" ", slice($"toks", $"p" + 1, lit(GramK))))
-            % Divisor === 0, 1L).otherwise(0L))
-      .select($"doc_id", $"p", $"tok", $"flag")
-    val w = Window.partitionBy($"doc_id").orderBy($"p")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
-      .withColumn("cid", coalesce(sum($"flag").over(w), lit(0L)))
-      .groupBy($"doc_id", $"cid")
-      .agg(
-        expr("md5(array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), ' '))")
-          .as("fp"),
-        min($"p").as("s"))
+    graft.GraftExtensions.registerAll(spark)
+    val chunks = docs
+      .select($"doc_id", explode(expr("graft_cdc_chunks(text)")).as("ch"))
+      .select($"doc_id", $"ch.fp".as("fp"), $"ch.s".as("s"))
     val canon = chunks.groupBy($"fp")
       .agg(min(struct($"doc_id", $"s")).as("first_key"))
     chunks.join(canon, "fp")

@@ -35,6 +35,20 @@ class DedupSpec extends SparkSpec {
       "chunk counts should be within the one perturbed region")
   }
 
+  test("cdc kernel corners: empty, whitespace-only, and null docs behave " +
+      "like the declarative explode pipeline they replaced") {
+    val feed = Seq(
+      (1L, Some("")),            // tokenizes to [""] → one chunk, kept
+      (2L, Some("   ")),         // trims to "" → same single chunk → dropped
+      (3L, None)                 // null text drops entirely
+    ).toDF("doc_id", "text")
+    val led = dedup.CdcChunks.cdcLedgerDf(feed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(led.keySet == Set(1L, 2L), "null doc must be absent")
+    assert(led(1L) == ((1L, 1L)), "empty doc: one chunk, first occurrence kept")
+    assert(led(2L) == ((1L, 0L)), "whitespace doc: same fingerprint, dropped")
+  }
+
   test("exact dedup finds exactly the planted duplicate groups") {
     val groups = Dedup.exact(spark, sf).collect()
     val planted = Tables.documents(spark, sf)
