@@ -20,23 +20,30 @@ import org.apache.spark.sql.functions._
   * reproduce it) instead of parsing 16 hex chars, whose high-nibble
   * shift overflows signed int64.
   *
-  * Scale: two count-distincts over one scan; the audit output is 2 rows.
+  * Scale: SPLIT aggregates — one single-distinct aggregate per key width,
+  * cross-joined as 1-row results (the `agg_approx_stats` recipe). The
+  * natural `agg(countDistinct(k32), countDistinct(k62))` plans through
+  * RewriteDistinctAggregates' Expand: every input row replicated once per
+  * distinct group — a ×3 input blowup (1.8M expand rows / 14.7 MB shuffle
+  * at sf0.1) that at 100 TB triples the audit's shuffle for no reason the
+  * split doesn't serve. Two one-column scans beat one tripled shuffle at
+  * any scale where the audit matters.
   */
 object KeyCollision {
 
   def keyCollision(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val keyed = Tables.lineitem(spark, dir)
+    def keyed = Tables.lineitem(spark, dir)
       .select(concat($"l_orderkey".cast("string"), lit(":"),
         $"l_linenumber".cast("string")).as("bk"))
-      .select(
-        Md5Hash.h32(concat(lit("k32:"), $"bk")).as("k32"),
+    val a = keyed.select(
+        Md5Hash.h32(concat(lit("k32:"), $"bk")).as("k32"))
+      .agg(count(lit(1)).as("n_keys"), countDistinct($"k32").as("d32"))
+    val b = keyed.select(
         (Md5Hash.h32(concat(lit("ka:"), $"bk")) * lit(2147483648L) +
           Md5Hash.h32(concat(lit("kb:"), $"bk"))).as("k62"))
-    keyed.agg(
-      count(lit(1)).as("n_keys"),
-      countDistinct($"k32").as("d32"),
-      countDistinct($"k62").as("d62"))
+      .agg(countDistinct($"k62").as("d62"))
+    a.crossJoin(b)
       .selectExpr(
         """stack(2,
           |  32, n_keys, d32, n_keys - d32,
