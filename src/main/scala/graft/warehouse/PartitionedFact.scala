@@ -40,10 +40,18 @@ object PartitionedFact {
       Warehouse.forDir(spark, dir).factEncounters
         .withColumn("month_key", (col("date_key") / 100).cast("int"))
         .write.mode("overwrite").partitionBy("month_key").parquet(p)
-      // the write-time invariant this layout just created, declared for
-      // the derived-pruning rule (generated-column DDL's moral equivalent)
+      // the write-time invariants this layout just created, declared for
+      // the derived-pruning rule (generated-column DDL's moral equivalent):
+      // month_key is derivable from BOTH the int date_key (div 100) and
+      // the DateType encounter_date (yyyyMM) — two invariants, one layout
       graft.plans.DerivedPartitionFilter.register(
         p, dataCol = "date_key", partCol = "month_key", divisor = 100L)
+      graft.plans.DerivedPartitionFilter.registerDateMonth(
+        p, dataCol = "encounter_date", partCol = "month_key")
+      // …and PERSISTED with the layout (sidecar JSON under the root), so a
+      // fresh session — every real reader at 100 TB — prunes without this
+      // JVM's registry (DerivedPartitionSpec's cleared-registry gate)
+      graft.plans.DerivedPartitionFilter.persist(spark, p)
       p
     })
 
@@ -98,6 +106,42 @@ object PartitionedFact {
     spark.conf.set(graft.plans.DerivedPartitionFilter.EnabledKey, "true")
     spark.read.parquet(path)
       .filter(col("date_key") >= DateLo && col("date_key") <= DateHi)
+      .groupBy(col("month_key"))
+      .agg(
+        count(lit(1)).as("n_encounters"),
+        countDistinct(col("patient_key")).as("n_patients"),
+        sum(col("num_procedures")).as("total_procedures"))
+      .orderBy(col("month_key"))
+  }
+
+  /** Date range of the DATE-typed derived-pruning report (inclusive) —
+    * month-unaligned like [[DateLo]]/[[DateHi]] and over DIFFERENT months
+    * (Feb–May 1997) so the two derived entries exercise different
+    * partitions. One pair, both engines.
+    */
+  val DateLitLo = "1997-02-10"
+  val DateLitHi = "1997-05-20"
+
+  /** Date-ranged report whose filter names only the DateType
+    * `encounter_date` column, served with the rule's `yyyymm` derivation
+    * (`month_key = year*100 + month` — the monotone date→int map
+    * registered by [[monthLayoutPath]]): the scan prunes to the 4 implied
+    * month directories (199702..199705) although the query never names
+    * `month_key`. This is the shape the reference's consumers actually
+    * write — they filter on dates, not on synthetic int keys
+    * (`/root/reference/sql/analytics_queries.sql:79` reaches months
+    * through dim_time dates) — and the int-keyed
+    * [[derivedPruneScan]]'s sibling on the DATE lattice
+    * (DerivedPartitionSpec pins the executed PartitionFilters).
+    */
+  def datePruneScan(spark0: SparkSession, dir: String): DataFrame = {
+    val path = monthLayoutPath(spark0, dir)
+    val spark = graft.plans.ChildSession(spark0)
+    graft.plans.DerivedPartitionFilter.install(spark)
+    spark.conf.set(graft.plans.DerivedPartitionFilter.EnabledKey, "true")
+    spark.read.parquet(path)
+      .filter(col("encounter_date") >= lit(java.sql.Date.valueOf(DateLitLo)) &&
+        col("encounter_date") <= lit(java.sql.Date.valueOf(DateLitHi)))
       .groupBy(col("month_key"))
       .agg(
         count(lit(1)).as("n_encounters"),
@@ -255,6 +299,7 @@ object PartitionedFact {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_month_pruned_scan" -> (monthPrunedScan _),
     "wh_derived_prune_scan" -> (derivedPruneScan _),
+    "wh_date_prune_scan" -> (datePruneScan _),
     "wh_dpp_quarter_scan" -> (dppQuarterScan _),
     "wh_partition_checksums" -> (partitionChecksums _),
     "wh_compaction_ledger" -> (compactionLedger _),
@@ -279,6 +324,16 @@ SELECT (date_key // 100)::INT AS month_key,
        sum(num_procedures)::BIGINT AS total_procedures
 FROM fact_encounters
 WHERE date_key BETWEEN $DateLo AND $DateHi
+GROUP BY 1
+ORDER BY 1""",
+
+    "wh_date_prune_scan" -> s"""${graft.analytics.OracleSql.prelude}
+SELECT (date_key // 100)::INT AS month_key,
+       count(*)::BIGINT AS n_encounters,
+       count(DISTINCT patient_key)::BIGINT AS n_patients,
+       sum(num_procedures)::BIGINT AS total_procedures
+FROM fact_encounters
+WHERE encounter_date BETWEEN DATE '$DateLitLo' AND DATE '$DateLitHi'
 GROUP BY 1
 ORDER BY 1""",
 
