@@ -100,20 +100,33 @@ import org.apache.spark.sql.types.IntegerType
   * rewrite carries no cardinality gate — the structural invariant is
   * one-sided (K−1 fewer scans and shuffles, identical aggregated row
   * count), which is what transfers to 100 TB. Wall clock at SMALL scale
-  * can still regress: the Expand replicates each input row K× and the
-  * merged shuffle rows are wider (pooled groupings + gid), which can
-  * outweigh saved scans while scans are cheap (the bench ledger has shown
-  * both signs at sf0.1). It ships session-opt-in OFF ([[EnabledKey]]) like
-  * every graft rewrite, so the 400-query shared verification session's
-  * plan gates stay undisturbed.
+  * wobbled both ways historically (the Expand replicates each input row
+  * K× and the merged shuffle rows are wider), but after the r12
+  * guard-subtree fix pinned exchange reuse the ledger reads a win on
+  * every axis even at sf0.1: wall 0.555s vs 0.574s, scan rows 150k vs
+  * 450k, and the scan advantage grows linearly with K and corpus size.
+  *
+  * So unlike the cost-gated rewrites this one is ON by default wherever
+  * the rule is present (injected via the session extension or
+  * [[install]]ed): the rewrite needs no cardinality probe because its
+  * saved term — (K−1) scans — is structural, and the regression regime
+  * (scans nearly free, Expand widening dominant) is bounded by the
+  * branch count while the win regime is unbounded in data size. Sessions
+  * that want the stock K-scan plan set [[EnabledKey]] to false; the
+  * shared verification session's other plan gates are undisturbed either
+  * way because the rule only exists in sessions that opted into the
+  * extension or called install (UnionMergeSpec pins both the default-on
+  * merge and the key-off opt-out).
   */
 object MergeUnionAggregates extends Rule[LogicalPlan] {
 
-  /** Session opt-in (default OFF — see the note above). */
+  /** Session opt-out (default ON where the rule is installed — see the
+    * cost note above for why this rewrite needs no gate).
+    */
   val EnabledKey = "spark.sql.graft.unionMergeAgg.enabled"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
     else plan.transformUp {
       case u @ Union(children, false, false) if children.size >= 2 =>
         merge(u).getOrElse(u)

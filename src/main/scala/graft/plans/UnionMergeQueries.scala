@@ -69,9 +69,18 @@ object UnionMergeQueries {
     unionRollup(spark, dir)
   }
 
-  /** The stock three-scan plan (rule off) — the bench ledger's other arm. */
-  def stock(spark0: SparkSession, dir: String): DataFrame =
-    unionRollup(ChildSession(spark0), dir)
+  /** The stock three-scan plan — the bench ledger's other arm. The rule
+    * defaults ON wherever it is present, so this arm opts OUT explicitly:
+    * in a bare Bench session the key is belt-and-braces (the rule isn't
+    * installed), but under a GraftExtensions-built session (the test
+    * harness, an extension-configured deployment) the key is what keeps
+    * this the genuine K-scan control.
+    */
+  def stock(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ChildSession(spark0)
+    spark.conf.set(MergeUnionAggregates.EnabledKey, "false")
+    unionRollup(spark, dir)
+  }
 
   /** Grand total + per-status breakdown over ONE source: the global branch
     * rides the empty grouping set, the guard supplies its row on an empty

@@ -345,6 +345,10 @@ class MvRewriteSpec extends SparkSpec {
     val s = spark.newSession()
     MvRewrite.install(s)
     s.conf.set(MvRewrite.EnabledKey, "true")
+    // this test targets MvRewrite's per-site fresh-instance splicing, so
+    // it needs the UNION to survive as two aggregates — opt out of the
+    // (default-on) union-merge rewrite that would collapse them first
+    s.conf.set(graft.plans.MergeUnionAggregates.EnabledKey, "false")
     import org.apache.spark.sql.functions._
     def rollup = {
       val o = Tables.orders(s, sf)

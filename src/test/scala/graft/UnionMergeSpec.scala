@@ -160,12 +160,27 @@ class UnionMergeSpec extends SparkSpec {
       "distinct aggregates must not merge (post-hoc planning contract)")
   }
 
-  test("the stock session never merges (kill switch)") {
+  test("default ON where the rule is present; the opt-out key is the " +
+      "kill switch") {
     import spark.implicits._
-    def branch = Tables.orders(spark, sf)
-      .select(year($"o_orderdate").cast("int").as("yr"))
-      .groupBy($"yr").agg(count(lit(1)).as("n"))
-    assert(scans(branch.union(branch)).size == 2)
+    def stack(s: SparkSession) = {
+      import s.implicits._
+      def branch = Tables.orders(s, sf)
+        .select(year($"o_orderdate").cast("int").as("yr"))
+        .groupBy($"yr").agg(count(lit(1)).as("n"))
+      branch.union(branch)
+    }
+    // an extension-built session (the harness session and its children)
+    // merges WITHOUT setting any key — the rule's structural invariant
+    // (K−1 fewer scans) ships on by default wherever the rule exists
+    val defaultOn = spark.newSession()
+    assert(scans(stack(defaultOn)).size == 1,
+      "default-on session must merge the same-source stack")
+    // the opt-out key restores the stock K-scan plan
+    val optedOut = spark.newSession()
+    optedOut.conf.set(MergeUnionAggregates.EnabledKey, "false")
+    assert(scans(stack(optedOut)).size == 2,
+      "EnabledKey=false must keep the stock two-scan plan")
   }
 
   test("composes with the re-roll rule: merged Expand feeds from a leaf aggregate") {
