@@ -205,7 +205,12 @@ object Bench {
         plans.AsOfJoinQueries.asofExec(spark, sfDir))
       val (_, composed) = observability.QueryMetrics.profile(
         analytics.WindowExtras.asofClickAttribution(spark, sfDir))
-      s""","asof":{"native_sec":${native.wallMs / 1e3},"composed_sec":${composed.wallMs / 1e3},""" +
+      // published claim (r12 rescope): the exec's measured edge on the
+      // UNIFORM feed is shuffle bytes (per-side schemas vs the union's
+      // padded superset); uniform WALL is parity by measurement — the
+      // "claim" field keeps the artifact from being read as a wall ledger
+      s""","asof":{"claim":"shuffle_bytes (uniform wall is parity — see AsOfJoin scaladoc)",""" +
+        s""""native_sec":${native.wallMs / 1e3},"composed_sec":${composed.wallMs / 1e3},""" +
         s""""native_shuffle_bytes":${native.shuffleWriteBytes},"composed_shuffle_bytes":${composed.shuffleWriteBytes}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] asof ledger FAILED: ${e.getMessage}"); ""
@@ -231,7 +236,8 @@ object Bench {
     val asofSkewJson = try {
       val (native, nHi) = prof2(plans.AsOfJoinQueries.asofSkewExecAmp(spark, sfDir))
       val (composed, cHi) = prof2(plans.AsOfJoinQueries.asofSkewWindowAmp(spark, sfDir))
-      s""","asof_skew":{"native_sec":${native.wallMs / 1e3},"composed_sec":${composed.wallMs / 1e3},""" +
+      s""","asof_skew":{"claim":"skew_wall+shuffle_bytes (sort dominates both arms; edge is modest — see AsOfJoinQueries.AmpFactor)",""" +
+        s""""native_sec":${native.wallMs / 1e3},"composed_sec":${composed.wallMs / 1e3},""" +
         s""""native_sec_hi":$nHi,"composed_sec_hi":$cHi,""" +
         s""""native_shuffle_bytes":${native.shuffleWriteBytes},"composed_shuffle_bytes":${composed.shuffleWriteBytes}}"""
     } catch { case e: Throwable =>
@@ -379,10 +385,14 @@ object Bench {
     val derivedDppJson = try {
       val (on, onHi) = prof2(warehouse.PartitionedFact.derivedPruneScan(spark, sfDir))
       val (off, offHi) = prof2(warehouse.PartitionedFact.derivedPruneScanOff(spark, sfDir))
+      // the DATE-lattice twin rides the same ledger: same layout, filter on
+      // the DateType column, pruning via the sidecar's yyyymm derivation
+      val (dOn, _) = prof2(warehouse.PartitionedFact.datePruneScan(spark, sfDir))
       s""","derived_dpp":{"on_sec":${on.wallMs / 1e3},"off_sec":${off.wallMs / 1e3},""" +
         s""""on_sec_hi":$onHi,"off_sec_hi":$offHi,""" +
         s""""on_scan_files":${on.scanFiles},"off_scan_files":${off.scanFiles},""" +
-        s""""on_scan_bytes":${on.scanBytes},"off_scan_bytes":${off.scanBytes}}"""
+        s""""on_scan_bytes":${on.scanBytes},"off_scan_bytes":${off.scanBytes},""" +
+        s""""date_on_scan_files":${dOn.scanFiles},"date_on_scan_bytes":${dOn.scanBytes}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] derived_dpp ledger FAILED: ${e.getMessage}"); ""
     }
@@ -422,7 +432,11 @@ object Bench {
     val loadEnd = loadAvg()
     val loadJson = s""","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""prior_total_shared":$priorShared,"total_shared":$totalShared,"noisy":$noisy"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$rerollHcJson$mvJson$eagerJson$eagerHcJson$gateProbeJson$spjJson$derivedDppJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
+    // artifact assembler: the stdout line is always the HONEST current run
+    // (refreshed=false); only a baseline refresh writes a min-merged record
+    def artifact(v: Double, q: String, refreshed: Boolean): String =
+      s"""{"metric":"total","value":$v,"unit":"sec","refreshed":$refreshed,"queries":$q,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$rerollHcJson$mvJson$eagerJson$eagerHcJson$gateProbeJson$spjJson$derivedDppJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
+    val json = artifact(total, qs, refreshed = false)
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which
     // is exactly what broke the driver's JSON parse through r8 ("parsed":
@@ -438,22 +452,44 @@ object Bench {
       // including fully idle ones, so the >1.05× guard rejected every
       // honest run forever and the artifact stopped detecting anything.
       // Two CONSECUTIVE idle-start runs (loadavg_start < 2.5) that agree
-      // with EACH OTHER within 10% are drift, not load: accept the newer
-      // one as the baseline even though it is slower than the stale
-      // committed record. The previous rejected run is read back from
+      // with EACH OTHER within 10% are drift, not load: refresh the
+      // baseline even though both are slower than the stale committed
+      // record. The previous rejected run is read back from
       // bench_out.noisy.json (deleted on refresh, so the next refresh
-      // again needs two fresh agreeing runs).
+      // again needs two fresh agreeing runs). Three r12-judge tightenings:
+      //  - the committed record is the per-query MIN of the agreeing pair
+      //    (the agreement proves drift; the faster sample is the better
+      //    estimate of the box's floor — r12 committed the slower sweep
+      //    and the very next clean run read 0.87×, hiding ≤15% regressions);
+      //  - the candidate must POSTDATE the committed baseline and be <48h
+      //    old (an arbitrarily stale rejected artifact that coincidentally
+      //    agrees is not "two consecutive runs");
+      //  - both runs' loadavg_end must be bench-shaped (<10; a clean
+      //    driver run ends ~4–5 from the bench's own threads, an external
+      //    hog that spun up mid-run reads far higher) — an idle START no
+      //    longer launders a mid-run load spike into the baseline.
       val idleStart = loadStart >= 0 && loadStart < 2.5
+      val calmEnd = loadEnd >= 0 && loadEnd < 10.0
       val candFile = new java.io.File(repoRoot, "bench_out.noisy.json")
-      val agreedRefresh = (noisy || slower) && !force && idleStart &&
-        candFile.isFile && (try {
+      val committedFile = new java.io.File(repoRoot, "bench_out.json")
+      // the agreeing candidate's per-query times, or None if any gate fails
+      val agreed: Option[Map[String, Double]] =
+        if (!((noisy || slower) && !force && idleStart && calmEnd &&
+            candFile.isFile)) None
+        else try {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(candFile)
           val candIdle = {
             val l = node.path("loadavg_start").asDouble(-1.0)
             l >= 0 && l < 2.5
           }
+          val candCalmEnd = {
+            val l = node.path("loadavg_end").asDouble(-1.0)
+            l >= 0 && l < 10.0
+          }
           val candSf = node.path("sf").asText() == sfDir
+          val candFresh = candFile.lastModified() > committedFile.lastModified() &&
+            System.currentTimeMillis() - candFile.lastModified() < 48L * 3600 * 1000
           val cand = {
             val it = node.path("queries").fields()
             val b = Map.newBuilder[String, Double]
@@ -465,18 +501,31 @@ object Bench {
             case (n, t) if t >= 0 && cand.get(n).exists(_ > 0) => n }
           val mine = names.map(results.toMap).sum
           val theirs = names.map(cand).sum
-          candIdle && candSf && names.nonEmpty &&
-            mine <= 1.10 * theirs && theirs <= 1.10 * mine
-        } catch { case _: Throwable => false })
+          if (candIdle && candCalmEnd && candSf && candFresh &&
+              names.nonEmpty && mine <= 1.10 * theirs && theirs <= 1.10 * mine)
+            Some(cand)
+          else None
+        } catch { case _: Throwable => None }
+      val agreedRefresh = agreed.isDefined
       val reject = (noisy || slower) && !force && !agreedRefresh
       val target = if (reject) "bench_out.noisy.json" else "bench_out.json"
-      if (agreedRefresh) {
-        System.err.println(
-          s"[bench] BASELINE REFRESH: two consecutive idle-start runs agree " +
-            s"within 10% (shared total $totalShared vs stale committed " +
-            s"$priorShared, loadavg $loadStart→$loadEnd) — drift, not load; " +
-            "accepting the slower run as the new baseline")
-        candFile.delete()
+      val committed = agreed match {
+        case Some(cand) =>
+          System.err.println(
+            s"[bench] BASELINE REFRESH: two consecutive idle-start runs agree " +
+              s"within 10% (shared total $totalShared vs stale committed " +
+              s"$priorShared, loadavg $loadStart→$loadEnd) — drift, not load; " +
+              "committing the per-query MIN of the agreeing pair")
+          candFile.delete()
+          val merged = results.map { case (n, t) =>
+            val c = cand.getOrElse(n, -1.0)
+            n -> (if (t >= 0 && c > 0) math.min(t, c) else t)
+          }
+          val mergedQs = merged.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+          val mergedTotal = merged.map(_._2).filter(_ >= 0).sum
+          artifact(mergedTotal, mergedQs, refreshed = true)
+        case None => json
       }
       if (reject) System.err.println(
         s"[bench] ${if (noisy) "NOISY" else "SLOWER"} RUN (shared total " +
@@ -484,7 +533,7 @@ object Bench {
           s"keeping committed baseline, wrote $target")
       java.nio.file.Files.write(
         new java.io.File(repoRoot, target).toPath,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        committed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
   }

@@ -40,6 +40,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    At 100 TB that is the floor: you cannot enrich ticks with quotes for
   *    fewer passes.
   *
+  * WHAT THE LEDGER ACTUALLY SHOWS (r12, two idle runs — the claim this
+  * exec publishes, no more): against the union-window composition the
+  * exec's measured edge is the SHUFFLE-BYTES axis — each side exchanges
+  * its own schema instead of the union's padded superset (1.42 MB vs
+  * 1.69 MB at sf0.1, a gap that scales with the padded width) — plus a
+  * modest skew-wall edge (0.88s vs 1.00s on the ×50 ~95%-one-key feed).
+  * UNIFORM wall is parity by measurement (0.571s vs 0.563s): both plans'
+  * cost is the same per-key sort, and both stream O(1) state through it
+  * (the full analysis sits at [[AsOfJoinQueries.AmpFactor]]). The exec's
+  * non-negotiable wins are expressiveness, not wall: tolerance, forward,
+  * and compound-key variants no single window composition expresses.
+  *
   * Keys and times must be LongType (ids, epoch micros) — the merge compares
   * raw longs instead of interpreting generic orderings, which keeps the
   * inner loop allocation-free; callers cast (`unix_micros`) upstream.

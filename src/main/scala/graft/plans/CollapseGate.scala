@@ -232,9 +232,12 @@ final class CollapseGate(rule: String, confPrefix: String,
       } catch { case e: Throwable =>
         // decline WITHOUT caching: stock is the never-worse plan, and a
         // transient failure must not pin a session-lifetime forced-on (the
-        // old MaxValue sentinel cleared every floor) or forced-off
+        // old MaxValue sentinel cleared every floor) or forced-off. An
+        // UNCONDITIONAL false — not decide(minRows, 1.0), which a user
+        // running maxCollapseRatio >= 1.0 with zero floors would have
+        // silently ACCEPT on a transient failure, contradicting this log
         logWarning(s"$rule probe failed, declining rewrite (not cached): $e")
-        return decide(minRows, 1.0)
+        return false
       } finally CollapseGate.probing.set(false)
     }
     decide(rows, ratio)
@@ -292,6 +295,10 @@ object CollapseGate {
     val totalBytes = files.map(_._2).sum
     if (totalBytes <= 0) return (child, 1.0)
     val keptBytes = kept.map(_._2).sum
+    // a kept subset of zero-length files would make byteFrac 0.0 and the
+    // scale-back divide the probe's row count by zero — fall back to the
+    // unbounded probe rather than gate on garbage
+    if (keptBytes <= 0) return (child, 1.0)
     val index = new SubsetFileIndex(fs.location, kept.map(_._1).toSet, keptBytes)
     val bounded = child.transform {
       case lr @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _) =>
