@@ -45,10 +45,19 @@ object BigramNovelty {
       .select($"doc_id", explode(expr("graft_bigram_counts(t)")).as("s"))
       .select($"doc_id", $"s.bg".as("bg"), $"s.c".as("c"))
     val corpus = perDocCounts.groupBy($"bg").agg(sum($"c").as("cf"))
-    // the corpus model is alphabet²-bounded (≤ a few thousand rows at ANY
-    // corpus size): broadcast it, so the rarity lookup never shuffles the
-    // per-doc gram table
-    val perDoc = perDocCounts.join(broadcast(corpus), "bg")
+    // The corpus model is alphabet²-bounded — which is "a few thousand
+    // rows at ANY corpus size" ONLY for small alphabets (ASCII/Latin text,
+    // this corpus). A CJK/emoji-heavy corpus has an alphabet² in the tens
+    // of millions, where a FORCED broadcast is a driver OOM, not a win —
+    // so the hint ships behind a conf (default on, matching this corpus'
+    // known alphabet): a wide-alphabet deployment sets it false and lets
+    // autoBroadcastJoinThreshold/AQE pick the join, degrading to a
+    // shuffle instead of an OOM.
+    val hinted =
+      if (spark.conf.get("spark.sql.graft.bigramBroadcast", "true").toBoolean)
+        broadcast(corpus)
+      else corpus
+    val perDoc = perDocCounts.join(hinted, "bg")
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_bigrams"),
         sum(when($"cf" < RareMax, $"c").otherwise(0L)).as("n_rare"))
