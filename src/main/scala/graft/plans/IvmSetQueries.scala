@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.{Memos, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVM × set partials: incrementally maintain a `collect_set` view and
@@ -150,6 +150,22 @@ object IvmSetQueries {
     * from raw lineitem WITH the delete applied — a hash match proves the
     * retraction arithmetic exact.
     */
+  /** Fail-loud zero-floor: the merged multiset count, or `raise_error` if
+    * it went negative (a delete arrived for a fact the state never
+    * counted). Inlined into the state write so the audit costs no extra
+    * pass — and spec-pinned against optimizer simplification: the
+    * downstream `filter(cnt > 0)` substitutes this CASE into its
+    * predicate, and a rewrite that pruned the error branch (negatives
+    * "can't pass the filter anyway") would turn the invariant breach into
+    * a silent row drop.
+    */
+  private[graft] def zeroFloorGuard(cnt: Column, at: Column): Column =
+    when(cnt < 0,
+      raise_error(concat(lit("retraction below zero at "), at,
+        lit(" — a delete arrived for a fact the state never counted")))
+        .cast("long"))
+      .otherwise(cnt)
+
   private def refreshRetract(spark: SparkSession, dir: String): String = {
     val tag = s"retract:${spark.sparkContext.applicationId}:$dir:${Memos.runTag}"
     val scratch = s"${sys.props("java.io.tmpdir")}/graft-ivm-set/" +
@@ -195,27 +211,33 @@ object IvmSetQueries {
       .groupBy($"yr", $"mo", $"l_suppkey")
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$scratch/v0")
-    // signed delta: late inserts (+1) ∪ forget deletes (−1, on-time AND
-    // late — a late bad row is inserted then forgotten, net zero)
-    val delta = rows.filter($"late").select($"yr", $"mo", $"l_suppkey",
-        lit(1L).as("w"))
-      .union(rows.filter($"bad").select($"yr", $"mo", $"l_suppkey",
-        lit(-1L).as("w")))
+    // signed delta: +1 per late insert, −1 per forget delete, as ONE net
+    // weight per row in ONE scan of the delta-batch slice (a late bad row
+    // is inserted then forgotten — net zero — and drops out here instead
+    // of contributing a +1 and a −1 row to a unioned double scan). In
+    // production this aggregates the DELTA BATCH, which is the small side;
+    // the late||bad prefilter keeps the evidence query the same shape.
+    val delta = rows.filter($"late" || $"bad")
+      .select($"yr", $"mo", $"l_suppkey",
+        (when($"late", 1L).otherwise(0L) +
+          when($"bad", -1L).otherwise(0L)).as("w"))
+      .filter($"w" =!= 0L)
       .groupBy($"yr", $"mo", $"l_suppkey")
       .agg(sum($"w").as("d_cnt"))
-    // merge lands ONCE (v1all), then the zero-floor audit and the served
-    // state are cheap reads of it — the old shape computed the full merge
-    // twice (once for the audit count, once for the state write)
+    // merge + zero-floor audit + state write land as ONE job: the audit is
+    // an inline raise_error on any negative count (a delete arrived for a
+    // fact the state never counted), so it fails the write itself loudly —
+    // no separate full-merge materialization and no extra audit pass. Rows
+    // at exactly zero (last contributing fact forgotten) drop here.
     spark.read.parquet(s"$scratch/v0")
       .join(delta, Seq("yr", "mo", "l_suppkey"), "full_outer")
       .select($"yr", $"mo", $"l_suppkey",
         (coalesce($"cnt", lit(0L)) + coalesce($"d_cnt", lit(0L))).as("cnt"))
-      .write.mode("overwrite").parquet(s"$scratch/v1all")
-    val v1 = spark.read.parquet(s"$scratch/v1all")
-    val neg = v1.filter($"cnt" < 0).count()
-    require(neg == 0, s"retraction below zero on $neg state rows — a delete " +
-      "arrived for a fact the state never counted")
-    v1.filter($"cnt" > 0).write.mode("overwrite").parquet(s"$scratch/v1state")
+      .select($"yr", $"mo", $"l_suppkey",
+        zeroFloorGuard($"cnt", concat(lit("("), $"yr", lit(","), $"mo",
+          lit(","), $"l_suppkey", lit(")"))).as("cnt"))
+      .filter($"cnt" > 0)
+      .write.mode("overwrite").parquet(s"$scratch/v1state")
     // the SERVED set view, derived from state (one row per present value)
     spark.read.parquet(s"$scratch/v1state")
       .groupBy($"yr", $"mo")

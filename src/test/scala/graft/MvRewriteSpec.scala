@@ -294,6 +294,30 @@ class MvRewriteSpec extends SparkSpec {
       "fixture must actually delete rows, or the retract path is vacuous")
   }
 
+  test("zero-floor guard raises through the state write's select+filter " +
+      "shape; clean counts pass untouched") {
+    import graft.plans.IvmSetQueries
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the EXACT downstream shape of the v1state write: guard in a select,
+    // then filter(cnt > 0) — the substitution the optimizer sees. A
+    // SimplifyConditionals-style rewrite that pruned the error branch
+    // would make this collect() return 2 rows instead of throwing.
+    def shaped(df: DataFrame) = df
+      .select($"k", IvmSetQueries.zeroFloorGuard($"cnt", concat(lit("("),
+        $"k", lit(")"))).as("cnt"))
+      .filter($"cnt" > 0)
+    val bad = Seq(("a", 3L), ("b", -1L), ("c", 2L)).toDF("k", "cnt")
+    val e = intercept[Exception] { shaped(bad).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("retraction below zero")),
+      s"guard must raise its audit message, got: ${msgs(e)}")
+    val ok = Seq(("a", 3L), ("b", 0L), ("c", 2L)).toDF("k", "cnt")
+    assert(shaped(ok).collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == Set(("a", 3L), ("c", 2L)))
+  }
+
   test("IVM-set rewrite composes with AQE: same rows, still the v1 view") {
     import graft.plans.IvmSetQueries
     // ChildSession (inside served) carries every modified runtime conf, so
