@@ -396,6 +396,26 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] derived_dpp ledger FAILED: ${e.getMessage}"); ""
     }
+    // Price file-level skipping: the same reports over the z-ordered
+    // layout with the stats-sidecar rule on vs off — FILES/BYTES READ are
+    // the structural story (envelope cut on a z-order dimension for the
+    // range probe; per-file Bloom cut on the unclustered point key, where
+    // envelopes are useless). Scan output rows are identical by
+    // construction; wall rides along.
+    val fileSkipJson = try {
+      val (xOn, xOnHi) = prof2(warehouse.FileSkip.xRange(spark, sfDir))
+      val (xOff, xOffHi) = prof2(warehouse.FileSkip.xRangeOff(spark, sfDir))
+      val (pOn, _) = prof2(warehouse.FileSkip.pointLookup(spark, sfDir))
+      val (pOff, _) = prof2(warehouse.FileSkip.pointLookupOff(spark, sfDir))
+      s""","file_skip":{"x_on_sec":${xOn.wallMs / 1e3},"x_off_sec":${xOff.wallMs / 1e3},""" +
+        s""""x_on_sec_hi":$xOnHi,"x_off_sec_hi":$xOffHi,""" +
+        s""""x_on_scan_files":${xOn.scanFiles},"x_off_scan_files":${xOff.scanFiles},""" +
+        s""""x_on_scan_bytes":${xOn.scanBytes},"x_off_scan_bytes":${xOff.scanBytes},""" +
+        s""""point_on_scan_files":${pOn.scanFiles},"point_off_scan_files":${pOff.scanFiles},""" +
+        s""""point_on_scan_bytes":${pOn.scanBytes},"point_off_scan_bytes":${pOff.scanBytes}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] file_skip ledger FAILED: ${e.getMessage}"); ""
+    }
     // Price the union-of-aggregates merge: the same three-grain hand-written
     // UNION ALL report as one grouping-sets scan vs three scans — scan rows
     // is the structural story (1×|orders| vs 3×), wall and shuffle ride along.
@@ -435,7 +455,7 @@ object Bench {
     // artifact assembler: the stdout line is always the HONEST current run
     // (refreshed=false); only a baseline refresh writes a min-merged record
     def artifact(v: Double, q: String, refreshed: Boolean): String =
-      s"""{"metric":"total","value":$v,"unit":"sec","refreshed":$refreshed,"queries":$q,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$rerollHcJson$mvJson$eagerJson$eagerHcJson$gateProbeJson$spjJson$derivedDppJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$v,"unit":"sec","refreshed":$refreshed,"queries":$q,"failed":$failed,"second_sample":$secondJson$ruleJson$asofJson$asofSkewJson$rerollJson$rerollHcJson$mvJson$eagerJson$eagerHcJson$gateProbeJson$spjJson$derivedDppJson$fileSkipJson$unionMergeJson$loadJson,"sf":"$sfDir"}"""
     val json = artifact(total, qs, refreshed = false)
     println(json)
     // The committed artifact: sbt wraps stdout in "[info] " prefixes, which

@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // union-of-aggregates merge: one grouping-sets scan instead of one
     // scan per hand-written grain (session opt-in via its EnabledKey)
     ext.injectOptimizerRule(_ => graft.plans.MergeUnionAggregates)
+    // generated-column partition pruning: derive partition predicates from
+    // data-column filters via layout invariants (session opt-in)
+    ext.injectOptimizerRule(_ => graft.plans.DerivedPartitionFilter)
+    // file-level data skipping: prune the scan's file list from the
+    // layout's stats sidecar (session opt-in via its EnabledKey)
+    ext.injectOptimizerRule(_ => graft.plans.FileSkipIndex)
     // table-valued function surface: SELECT ... FROM graft_gen(n)
     ext.injectTableFunction(graft.sources.v2.GenTvf.Info)
   }

@@ -84,7 +84,7 @@ object SparkEntry {
       plans.MvWarehouseQueries.all ++
       plans.EagerAggregationQueries.all ++
       plans.UnionMergeQueries.all ++
-      plans.IvmSetQueries.all
+      plans.IvmSetQueries.all ++ warehouse.FileSkip.all
       // stream_outer_attribution rides streaming.IncrementalIngest.all
       // (new Scd2/DpRelease/IvfIndex entries ride their modules' maps)
 
@@ -157,7 +157,7 @@ object SparkEntry {
       plans.MvWarehouseQueries.oracle ++
       plans.EagerAggregationQueries.oracle ++
       plans.UnionMergeQueries.oracle ++
-      plans.IvmSetQueries.oracle
+      plans.IvmSetQueries.oracle ++ warehouse.FileSkip.oracle
 
   def oracleSql: Map[String, String] = oracleA ++ oracleB
 }

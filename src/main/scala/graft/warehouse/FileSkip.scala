@@ -1,0 +1,152 @@
+package graft.warehouse
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.Tables
+import graft.plans.{ChildSession, FileSkipIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end file-skipping evidence: a Z-ordered lineitem layout with a
+  * [[graft.plans.FileSkipIndex]] stats sidecar, read through the pruning
+  * rule by three oracle-checked queries.
+  *
+  * This is the execution-path completion of the skipping story the
+  * manifest entries only REPORT on: [[FileManifest]] proves the envelope
+  * math, [[BloomManifest]] proves the per-file Bloom math, and
+  * [[ZOrderLayout]] proves the curve keeps both dimensions' envelopes
+  * tight — here the layout is actually LANDED as files
+  * ([[ZOrderLayout.layout]]), the index built from its footers + one
+  * Bloom pass, and the rule prunes the EXECUTED scan's file list at plan
+  * time. Queries:
+  *
+  *  - `wh_fileskip_xrange` / `wh_fileskip_yrange`: range predicates on
+  *    the two Z-order dimensions (`l_partkey`, `l_suppkey`) — each prunes
+  *    via min/max envelopes, and BOTH prune on the same layout, which is
+  *    the Z-order claim a single-column sort cannot make;
+  *  - `wh_fileskip_point`: a point lookup on the UNCLUSTERED
+  *    `l_orderkey`, where every envelope spans ~the full key range and
+  *    only the per-file Bloom filter can prune — the reference's B-tree
+  *    point-read (`/root/reference/sql/01_schema.sql:19-34`) re-expressed
+  *    as layout + sidecar + plan-time skipping.
+  *
+  * The DuckDB oracles run the same predicates over raw `lineitem`: the
+  * layout holds exactly lineitem's rows, so a hash match proves pruning
+  * changed WHICH FILES are read and nothing else. FileSkipSpec pins the
+  * executed scan's file count and the cleared-registry fresh-session
+  * path; the bench `file_skip` ledger prices files/bytes on vs off.
+  */
+object FileSkip {
+
+  /** Files in the landed layout (one z-contiguous range each). */
+  val NFiles = 32
+
+  /** Bloom words per file (63 usable bits each): 151,200 bits ≈ 8–32
+    * bits/key at sf 0.1–0.01 per-file distinct-orderkey counts, so the
+    * false-positive rate stays ≪ 1% with the family's K=3 hashes.
+    */
+  val BloomWords = 2400
+
+  /** Range probes (inclusive; one definition, both engines) — sized to be
+    * non-empty from sf 0.01 up and each a minority slab of its dimension.
+    */
+  val XLo = 150L;  val XHi = 450L   // l_partkey
+  val YLo = 8L;    val YHi = 40L    // l_suppkey
+
+  /** Point probe: an orderkey present at every scale factor (TPC-H keys
+    * 1..7 always exist).
+    */
+  val PointKey = 7L
+
+  private val pathMemo = new ConcurrentHashMap[String, String]()
+
+  /** Land the z-ordered layout once per (application, corpus), build +
+    * persist its stats index, and return the layout root.
+    */
+  private[graft] def layoutPath(spark: SparkSession, dir: String): String =
+    pathMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-fileskip/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      ZOrderLayout.layout(Tables.lineitem(spark, dir),
+        xCol = "l_partkey", yCol = "l_suppkey", files = NFiles, outPath = p)
+      FileSkipIndex.index(spark, p,
+        rangeCols = Seq("l_partkey", "l_suppkey", "l_orderkey"),
+        bloomCol = Some("l_orderkey"), words = BloomWords)
+      p
+    })
+
+  /** The layout read through the rule in a child session. */
+  private def pruned(spark0: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    FileSkipIndex.install(spark)
+    spark.conf.set(FileSkipIndex.EnabledKey, "true")
+    spark.read.parquet(path)
+  }
+
+  private def rangeReport(df: DataFrame): DataFrame = df
+    .groupBy(col("l_returnflag"))
+    .agg(count(lit(1)).as("n_rows"),
+      sum(col("l_quantity")).as("sum_qty"),
+      min(col("l_orderkey")).as("min_orderkey"),
+      max(col("l_orderkey")).as("max_orderkey"))
+    .orderBy(col("l_returnflag"))
+
+  /** Range on the X dimension — envelope-pruned. */
+  def xRange(spark: SparkSession, dir: String): DataFrame =
+    rangeReport(pruned(spark, dir)
+      .filter(col("l_partkey") >= XLo && col("l_partkey") <= XHi))
+
+  /** Range on the Y dimension — envelope-pruned, SAME layout. */
+  def yRange(spark: SparkSession, dir: String): DataFrame =
+    rangeReport(pruned(spark, dir)
+      .filter(col("l_suppkey") >= YLo && col("l_suppkey") <= YHi))
+
+  /** Point lookup on the unclustered key — Bloom-pruned. */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    pruned(spark, dir)
+      .filter(col("l_orderkey") === PointKey)
+      .select(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+      .orderBy(col("l_linenumber"))
+
+  /** Rule-off twins (bench ledger only — same rows, full file list). */
+  private[graft] def xRangeOff(spark0: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    rangeReport(spark.read.parquet(path)
+      .filter(col("l_partkey") >= XLo && col("l_partkey") <= XHi))
+  }
+
+  private[graft] def pointLookupOff(spark0: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    spark.read.parquet(path)
+      .filter(col("l_orderkey") === PointKey)
+      .select(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+      .orderBy(col("l_linenumber"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_fileskip_xrange" -> (xRange _),
+    "wh_fileskip_yrange" -> (yRange _),
+    "wh_fileskip_point" -> (pointLookup _))
+
+  private def rangeSql(where: String) =
+    s"""SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       |       sum(l_quantity) AS sum_qty,
+       |       min(l_orderkey) AS min_orderkey,
+       |       max(l_orderkey) AS max_orderkey
+       |FROM lineitem WHERE $where
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "wh_fileskip_xrange" -> rangeSql(s"l_partkey BETWEEN $XLo AND $XHi"),
+    "wh_fileskip_yrange" -> rangeSql(s"l_suppkey BETWEEN $YLo AND $YHi"),
+    "wh_fileskip_point" ->
+      s"""SELECT l_linenumber, l_partkey, l_suppkey, l_quantity
+         |FROM lineitem WHERE l_orderkey = $PointKey
+         |ORDER BY l_linenumber""".stripMargin)
+}
