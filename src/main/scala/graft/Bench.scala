@@ -407,12 +407,25 @@ object Bench {
       val (xOff, xOffHi) = prof2(warehouse.FileSkip.xRangeOff(spark, sfDir))
       val (pOn, _) = prof2(warehouse.FileSkip.pointLookup(spark, sfDir))
       val (pOff, _) = prof2(warehouse.FileSkip.pointLookupOff(spark, sfDir))
+      // TIMESTAMP envelopes over the two-batch append layout: the probe
+      // sits inside the APPENDED batch, so the cut proves the incremental
+      // indexAppend path end to end
+      val (sOn, _) = prof2(warehouse.FileSkip.shipRange(spark, sfDir))
+      val (sOff, _) = prof2(warehouse.FileSkip.shipRangeOff(spark, sfDir))
+      // the drill-down semi-join: ~10 collected keys folded into an IN,
+      // Bloom-cut at file granularity (file-level dynamic pruning)
+      val (dOn, _) = prof2(warehouse.FileSkip.custDrill(spark, sfDir))
+      val (dOff, _) = prof2(warehouse.FileSkip.custDrillOff(spark, sfDir))
       s""","file_skip":{"x_on_sec":${xOn.wallMs / 1e3},"x_off_sec":${xOff.wallMs / 1e3},""" +
         s""""x_on_sec_hi":$xOnHi,"x_off_sec_hi":$xOffHi,""" +
         s""""x_on_scan_files":${xOn.scanFiles},"x_off_scan_files":${xOff.scanFiles},""" +
         s""""x_on_scan_bytes":${xOn.scanBytes},"x_off_scan_bytes":${xOff.scanBytes},""" +
         s""""point_on_scan_files":${pOn.scanFiles},"point_off_scan_files":${pOff.scanFiles},""" +
-        s""""point_on_scan_bytes":${pOn.scanBytes},"point_off_scan_bytes":${pOff.scanBytes}}"""
+        s""""point_on_scan_bytes":${pOn.scanBytes},"point_off_scan_bytes":${pOff.scanBytes},""" +
+        s""""ship_on_scan_files":${sOn.scanFiles},"ship_off_scan_files":${sOff.scanFiles},""" +
+        s""""ship_on_scan_bytes":${sOn.scanBytes},"ship_off_scan_bytes":${sOff.scanBytes},""" +
+        s""""drill_on_scan_files":${dOn.scanFiles},"drill_off_scan_files":${dOff.scanFiles},""" +
+        s""""drill_on_scan_bytes":${dOn.scanBytes},"drill_off_scan_bytes":${dOff.scanBytes}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file_skip ledger FAILED: ${e.getMessage}"); ""
     }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, LogicalRelation, PartitionDirectory}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 import graft.functions.Md5Hash
 
@@ -153,23 +153,75 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
     */
   def index(spark: SparkSession, root: String, rangeCols: Seq[String],
       bloomCol: Option[String], words: Int): LayoutStats = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
+    val lens = listLens(spark, root)
+    val stats = LayoutStats(root,
+      statsFor(spark, root, lens, rangeCols, bloomCol, words))
+    register(stats)
+    persist(spark, stats)
+    stats
+  }
+
+  /** Incrementally extend `root`'s index with the files that appeared
+    * since the last [[index]]/[[indexAppend]] — the append-only ingest
+    * path: each landed batch manifests just ITS files' footers and Bloom
+    * words, prior entries are reused verbatim, and the merged sidecar is
+    * re-persisted. Between the append and this call the new files are
+    * simply unknown to the pruner and always read, so the index can LAG
+    * ingest without correctness risk (FileSkipSpec pins both states).
+    * Files that vanished since the last index are dropped from the stats.
+    */
+  def indexAppend(spark: SparkSession, root: String, rangeCols: Seq[String],
+      bloomCol: Option[String], words: Int): LayoutStats = {
+    val prior = registered(root).orElse {
+      // adopt a sidecar written by another process before extending it
+      sidecarChecked.remove(norm(root))
+      loadSidecar(root, spark.sessionState.newHadoopConf())
+      registered(root)
+    }.map(_.byName).getOrElse(Map.empty)
+    val lens = listLens(spark, root)
+    val freshNames = lens.keySet.filterNot(prior.contains)
+    val fresh = statsFor(spark, root, lens.view.filterKeys(freshNames).toMap,
+      rangeCols, bloomCol, words)
+    val stats = LayoutStats(root,
+      (lens.keySet -- freshNames).toSeq.sorted.map(prior) ++ fresh)
+    register(stats)
+    persist(spark, stats)
+    stats
+  }
+
+  /** The layout's live data files: relative name → byte length. */
+  private def listLens(spark: SparkSession, root: String): Map[String, Long] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootUri = fs.makeQualified(rootPath).toString
-    def rel(p: String): String = {
-      val q = fs.makeQualified(new Path(p)).toString
-      require(q.startsWith(rootUri), s"$q not under $rootUri")
-      q.stripPrefix(rootUri).stripPrefix("/")
-    }
-    val lens: Map[String, Long] = fs.listStatus(rootPath)
+    fs.listStatus(rootPath)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => rel(s.getPath.toString) -> s.getLen).toMap
+      .map(s => relName(fs, root, s.getPath.toString) -> s.getLen).toMap
+  }
+
+  private def relName(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      p: String): String = {
+    val rootUri = fs.makeQualified(new Path(root)).toString
+    val q = fs.makeQualified(new Path(p)).toString
+    require(q.startsWith(rootUri), s"$q not under $rootUri")
+    q.stripPrefix(rootUri).stripPrefix("/")
+  }
+
+  /** Per-file stats for exactly the files in `lens` (envelopes from
+    * footers, Bloom words from one scan of those files only).
+    */
+  private def statsFor(spark: SparkSession, root: String,
+      lens: Map[String, Long], rangeCols: Seq[String],
+      bloomCol: Option[String], words: Int): Seq[FileStat] = {
+    import org.apache.spark.sql.functions._
+    if (lens.isEmpty) return Nil
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rel(p: String): String = relName(fs, root, p)
+    val paths = lens.keys.toSeq.sorted.map(n => s"$root/$n")
     // envelopes from footers only (FileManifest names files by last path
     // segment; flat layout ⇒ that IS the relative name)
     val envRows = graft.warehouse.FileManifest
-      .build(spark, root, rangeCols)
+      .buildFiles(spark, paths, rangeCols)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
@@ -182,7 +234,7 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
         require(lens.size.toLong * words <= MaxBloomCells,
           s"bloom sidecar would exceed $MaxBloomCells cells — shard it")
         val mBits = words.toLong * WordBits
-        val keyed = spark.read.parquet(root)
+        val keyed = spark.read.parquet(paths: _*)
           .select(input_file_name().as("f"), col(bc).cast("long").as("k"))
           .filter(col("k").isNotNull).distinct()
           .withColumn("j", explode(sequence(lit(0), lit(K - 1))))
@@ -199,14 +251,11 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
           f -> arr
         }
     }
-    val stats = LayoutStats(root, lens.keys.toSeq.sorted.map { name =>
+    lens.keys.toSeq.sorted.map { name =>
       val (env, rows) = envByFile.getOrElse(name, (Map.empty[String, (Long, Long)], 0L))
       FileStat(name, lens(name), rows, env,
         blooms.get(name).map(BloomStat(bloomCol.get, _)))
-    })
-    register(stats)
-    persist(spark, stats)
-    stats
+    }
   }
 
   // =====================================================================
@@ -245,13 +294,13 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
   /** Lazily load `root`'s sidecar (once per process per root; misses are
     * cached) — what makes a FRESH session prune a layout it never wrote.
     */
-  private def loadSidecar(rootRaw: String, fsRel: HadoopFsRelation): Unit = {
+  private def loadSidecar(rootRaw: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     val root = norm(rootRaw)
     if (sidecarChecked.containsKey(root)) return
     val found: Boolean = try {
       val path = new Path(rootRaw, SidecarName)
-      val fs = path.getFileSystem(
-        fsRel.sparkSession.sessionState.newHadoopConf())
+      val fs = path.getFileSystem(conf)
       if (!fs.exists(path)) false else {
         val in = fs.open(path)
         val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
@@ -318,7 +367,7 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (fsRel.location.rootPaths.size != 1) return None
     val rootRaw = fsRel.location.rootPaths.head.toString
-    loadSidecar(rootRaw, fsRel)
+    loadSidecar(rootRaw, fsRel.sparkSession.sessionState.newHadoopConf())
     val stats = registered(rootRaw).getOrElse(return None)
     val preds = supported(cond, lr)
     if (preds.isEmpty) return None
@@ -375,8 +424,13 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
         lr.output.find(_.exprId == a.exprId).map(_.name)
       case _ => None
     }
+    // integral types compare as raw longs; DATE literals are epoch DAYS
+    // (int) and TIMESTAMP literals epoch MICROS (long) — exactly the units
+    // parquet footer stats carry for those logical types, so the envelope
+    // comparison is unit-consistent by construction
     def longOf(l: Literal): Option[Long] = l.dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType =>
         Option(l.value).map(_.asInstanceOf[java.lang.Number].longValue())
       case _ => None
     }

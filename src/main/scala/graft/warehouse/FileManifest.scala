@@ -39,11 +39,19 @@ object FileManifest {
     * empty directory yields an empty manifest, not a crash.
     */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
-    import spark.implicits._
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq.sorted
+    buildFiles(spark, files, cols)
+  }
+
+  /** [[build]] over an explicit file list — the incremental-index path:
+    * an append-only layout manifests just its NEW files' footers.
+    */
+  def buildFiles(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    import spark.implicits._
     if (files.isEmpty)
       return spark.emptyDataset[(String, String, Long, Long, Long)]
         .toDF("file", "column", "min_value", "max_value", "n_rows")

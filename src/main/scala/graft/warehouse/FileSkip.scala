@@ -111,6 +111,124 @@ object FileSkip {
         col("l_quantity"))
       .orderBy(col("l_linenumber"))
 
+  // =====================================================================
+  // Time-clustered append layout: TIMESTAMP envelopes + incremental index
+  // =====================================================================
+
+  /** Files per landed batch of the ship-date layout (two batches). */
+  val ShipBatchFiles = 16
+
+  /** The append split (batch 1 strictly before, batch 2 from here) and
+    * the probe range — one set of literals, both engines. The probe sits
+    * inside batch 2 so the pruned scan must cut through APPENDED files
+    * whose stats arrived via the incremental [[FileSkipIndex.indexAppend]]
+    * path, not the initial build.
+    */
+  val ShipSplit = "1996-01-01 00:00:00"
+  val ShipLo = "1996-03-01 00:00:00"
+  val ShipHi = "1996-07-01 00:00:00" // exclusive
+
+  private val shipMemo = new ConcurrentHashMap[String, String]()
+
+  /** Land the time-clustered layout in TWO batches once per (application,
+    * corpus): batch 1 (pre-split) is range-partitioned by `l_shipdate`
+    * and indexed; batch 2 (post-split) is APPENDED the same way and the
+    * index extended incrementally — the append-only time-series ingest
+    * shape, where each day's landing manifests only its own files.
+    */
+  private[graft] def shipLayoutPath(spark: SparkSession, dir: String): String =
+    shipMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-fileskip-ship/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      val li = Tables.lineitem(spark, dir)
+      def land(batch: org.apache.spark.sql.DataFrame, mode: String): Unit =
+        batch.repartitionByRange(ShipBatchFiles, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode(mode).parquet(p)
+      land(li.filter(expr(s"l_shipdate < TIMESTAMP '$ShipSplit'")), "overwrite")
+      FileSkipIndex.index(spark, p, rangeCols = Seq("l_shipdate"),
+        bloomCol = None, words = 0)
+      land(li.filter(expr(s"l_shipdate >= TIMESTAMP '$ShipSplit'")), "append")
+      FileSkipIndex.indexAppend(spark, p, rangeCols = Seq("l_shipdate"),
+        bloomCol = None, words = 0)
+      p
+    })
+
+  /** Ship-date range inside batch 2 — TIMESTAMP-envelope-pruned through
+    * files the INCREMENTAL index pass manifested.
+    */
+  def shipRange(spark0: SparkSession, dir: String): DataFrame = {
+    val path = shipLayoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    FileSkipIndex.install(spark)
+    spark.conf.set(FileSkipIndex.EnabledKey, "true")
+    rangeReport(spark.read.parquet(path)
+      .filter(expr(s"l_shipdate >= TIMESTAMP '$ShipLo'") &&
+        expr(s"l_shipdate < TIMESTAMP '$ShipHi'")))
+  }
+
+  private[graft] def shipRangeOff(spark0: SparkSession, dir: String): DataFrame = {
+    val path = shipLayoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    rangeReport(spark.read.parquet(path)
+      .filter(expr(s"l_shipdate >= TIMESTAMP '$ShipLo'") &&
+        expr(s"l_shipdate < TIMESTAMP '$ShipHi'")))
+  }
+
+  /** Customer whose orders drive the drill-down semi-join (exists with
+    * orders at every scale factor) and the fail-loud bound on the
+    * collected key set.
+    */
+  val DrillCustKey = 1L
+  val MaxDrillKeys = 1000
+
+  /** Customer drill-down through the fact: all line items of one
+    * customer's orders — the semi-join whose inner side a broadcast join
+    * would ship anyway, here COLLECTED at plan build (bounded,
+    * [[MaxDrillKeys]]) and folded into an IN predicate so the file-skip
+    * rule can cut the fact's FILE LIST through the Bloom page before a
+    * single fact task launches. This is file-level dynamic pruning: row-
+    * level runtime filters (Spark's InjectRuntimeFilter) drop rows AFTER
+    * a file is opened; at 100k files the win is never scheduling the
+    * files that contain none of the ~10 probed keys. The kept-file count
+    * is bounded by the probed keys' ROW LOCATIONS (~36 lineitems here —
+    * 23 of 32 files at sf0.1, a modest cut), not by the layout size, so
+    * the cut RATIO grows with the layout: the same drill over a 100k-file
+    * corpus still opens ≤ ~36 files.
+    */
+  def custDrill(spark0: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    FileSkipIndex.install(spark)
+    spark.conf.set(FileSkipIndex.EnabledKey, "true")
+    import spark.implicits._
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_custkey") === DrillCustKey)
+      .select(col("o_orderkey")).as[Long].collect().sorted
+    require(keys.nonEmpty && keys.length <= MaxDrillKeys,
+      s"drill key set must be (0, $MaxDrillKeys], got ${keys.length}")
+    spark.read.parquet(path)
+      .filter(col("l_orderkey").isin(keys.map(Long.box): _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private[graft] def custDrillOff(spark0: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    import spark.implicits._
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_custkey") === DrillCustKey)
+      .select(col("o_orderkey")).as[Long].collect().sorted
+    spark.read.parquet(path)
+      .filter(col("l_orderkey").isin(keys.map(Long.box): _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
   /** Rule-off twins (bench ledger only — same rows, full file list). */
   private[graft] def xRangeOff(spark0: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(spark0, dir)
@@ -132,7 +250,9 @@ object FileSkip {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_fileskip_xrange" -> (xRange _),
     "wh_fileskip_yrange" -> (yRange _),
-    "wh_fileskip_point" -> (pointLookup _))
+    "wh_fileskip_point" -> (pointLookup _),
+    "wh_fileskip_shiprange" -> (shipRange _),
+    "wh_fileskip_custdrill" -> (custDrill _))
 
   private def rangeSql(where: String) =
     s"""SELECT l_returnflag, count(*)::BIGINT AS n_rows,
@@ -148,5 +268,14 @@ object FileSkip {
     "wh_fileskip_point" ->
       s"""SELECT l_linenumber, l_partkey, l_suppkey, l_quantity
          |FROM lineitem WHERE l_orderkey = $PointKey
-         |ORDER BY l_linenumber""".stripMargin)
+         |ORDER BY l_linenumber""".stripMargin,
+    "wh_fileskip_shiprange" -> rangeSql(
+      s"l_shipdate >= TIMESTAMP '$ShipLo' AND l_shipdate < TIMESTAMP '$ShipHi'"),
+    "wh_fileskip_custdrill" ->
+      s"""SELECT l_orderkey, count(*)::BIGINT AS n_items,
+         |       sum(l_quantity) AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_custkey = $DrillCustKey)
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
 }
