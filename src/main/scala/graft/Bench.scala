@@ -416,6 +416,11 @@ object Bench {
       // Bloom-cut at file granularity (file-level dynamic pruning)
       val (dOn, _) = prof2(warehouse.FileSkip.custDrill(spark, sfDir))
       val (dOff, _) = prof2(warehouse.FileSkip.custDrillOff(spark, sfDir))
+      // layered pruning, three arms: no metadata / directory cut only /
+      // directory + file cut — each rung of the ladder priced separately
+      val (lBoth, _) = prof2(warehouse.FileSkip.layeredScan(spark, sfDir))
+      val (lDpf, _) = prof2(warehouse.FileSkip.layeredScanDpfOnly(spark, sfDir))
+      val (lOff, _) = prof2(warehouse.FileSkip.layeredScanOff(spark, sfDir))
       s""","file_skip":{"x_on_sec":${xOn.wallMs / 1e3},"x_off_sec":${xOff.wallMs / 1e3},""" +
         s""""x_on_sec_hi":$xOnHi,"x_off_sec_hi":$xOffHi,""" +
         s""""x_on_scan_files":${xOn.scanFiles},"x_off_scan_files":${xOff.scanFiles},""" +
@@ -425,7 +430,10 @@ object Bench {
         s""""ship_on_scan_files":${sOn.scanFiles},"ship_off_scan_files":${sOff.scanFiles},""" +
         s""""ship_on_scan_bytes":${sOn.scanBytes},"ship_off_scan_bytes":${sOff.scanBytes},""" +
         s""""drill_on_scan_files":${dOn.scanFiles},"drill_off_scan_files":${dOff.scanFiles},""" +
-        s""""drill_on_scan_bytes":${dOn.scanBytes},"drill_off_scan_bytes":${dOff.scanBytes}}"""
+        s""""drill_on_scan_bytes":${dOn.scanBytes},"drill_off_scan_bytes":${dOff.scanBytes},""" +
+        s""""layer_off_scan_files":${lOff.scanFiles},"layer_dpf_scan_files":${lDpf.scanFiles},""" +
+        s""""layer_both_scan_files":${lBoth.scanFiles},""" +
+        s""""layer_off_scan_bytes":${lOff.scanBytes},"layer_both_scan_bytes":${lBoth.scanBytes}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file_skip ledger FAILED: ${e.getMessage}"); ""
     }

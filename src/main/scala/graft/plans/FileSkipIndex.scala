@@ -189,13 +189,24 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
     stats
   }
 
-  /** The layout's live data files: relative name → byte length. */
+  /** The layout's live data files (recursive — a Hive-partitioned layout
+    * keeps its files under `k=v/` subdirectories): relative name → byte
+    * length. Relative names retain the partition path, so nested layouts
+    * index and prune exactly like flat ones.
+    */
   private def listLens(spark: SparkSession, root: String): Map[String, Long] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(rootPath)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => relName(fs, root, s.getPath.toString) -> s.getLen).toMap
+    val out = Map.newBuilder[String, Long]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+        out += relName(fs, root, s.getPath.toString) -> s.getLen
+    }
+    out.result()
   }
 
   private def relName(fs: org.apache.hadoop.fs.FileSystem, root: String,
@@ -218,13 +229,14 @@ object FileSkipIndex extends Rule[LogicalPlan] with PredicateHelper {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rel(p: String): String = relName(fs, root, p)
     val paths = lens.keys.toSeq.sorted.map(n => s"$root/$n")
-    // envelopes from footers only (FileManifest names files by last path
-    // segment; flat layout ⇒ that IS the relative name)
+    // envelopes from footers only, labeled by FULL path (part-file names
+    // repeat across `k=v/` partition directories) and mapped back to the
+    // layout-relative name
     val envRows = graft.warehouse.FileManifest
-      .buildFiles(spark, paths, rangeCols)
+      .buildFiles(spark, paths, rangeCols, label = identity)
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
+      .map(r => (rel(r.getString(0)), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
     val envByFile = envRows.groupBy(_._1).map { case (f, rs) =>
       f -> (rs.map(r => r._2 -> (r._3, r._4)).toMap, rs.head._5)
     }

@@ -47,10 +47,14 @@ object FileManifest {
   }
 
   /** [[build]] over an explicit file list — the incremental-index path:
-    * an append-only layout manifests just its NEW files' footers.
+    * an append-only layout manifests just its NEW files' footers. `label`
+    * names each output row's file (default: last path segment, as
+    * [[build]] always did; a partitioned layout passes the full path,
+    * since part-file names repeat across `k=v/` directories).
     */
   def buildFiles(spark: SparkSession, files: Seq[String],
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String],
+      label: String => String = _.split('/').last): DataFrame = {
     import spark.implicits._
     if (files.isEmpty)
       return spark.emptyDataset[(String, String, Long, Long, Long)]
@@ -99,7 +103,7 @@ object FileManifest {
             if (envelopes.isEmpty)
               sys.error(s"column '$c' absent from $f — " +
                 "a missing envelope must not read as prunable")
-            (f.split('/').last, c, envelopes.map(_._1).min,
+            (label(f), c, envelopes.map(_._1).min,
               envelopes.map(_._2).max, nRows)
           }
         } finally reader.close()

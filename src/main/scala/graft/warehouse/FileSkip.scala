@@ -176,6 +176,92 @@ object FileSkip {
         expr(s"l_shipdate < TIMESTAMP '$ShipHi'")))
   }
 
+  // =====================================================================
+  // Layered pruning: derived PARTITION cut + file-envelope cut, one scan
+  // =====================================================================
+
+  /** Range tasks across the ~7-year corpus → ~8 date-contiguous files per
+    * year directory.
+    */
+  val YearFiles = 56
+
+  /** Probe range (inclusive yyyyMMdd ints) — deliberately inside ONE year
+    * and spanning a ~2-month slice of it, so exactness needs the original
+    * predicate, the directory cut needs the derived-partition rule, and
+    * the within-directory cut needs the file envelopes.
+    */
+  val LayerLo = 19960215
+  val LayerHi = 19960410
+
+  private val yearMemo = new ConcurrentHashMap[String, String]()
+
+  /** Land the year-partitioned, date-clustered layout once per
+    * (application, corpus): `year_key=yyyy/` directories whose files each
+    * cover a contiguous `date_key` slice, with BOTH write-time metadata
+    * artifacts — the derived-partition invariant (`year_key = date_key
+    * div 10000`) and the per-file stats sidecar.
+    */
+  private[graft] def yearLayoutPath(spark: SparkSession, dir: String): String =
+    yearMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir", { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft-fileskip-year/" +
+        s"${spark.sparkContext.applicationId}/$safe"
+      Tables.lineitem(spark, dir)
+        .select(
+          (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+            dayofmonth(col("l_shipdate"))).cast("int").as("date_key"),
+          col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+        .withColumn("year_key", (col("date_key") / 10000).cast("int"))
+        .repartitionByRange(YearFiles, col("date_key"))
+        .sortWithinPartitions("date_key")
+        .write.mode("overwrite").partitionBy("year_key").parquet(p)
+      graft.plans.DerivedPartitionFilter.register(
+        p, dataCol = "date_key", partCol = "year_key", divisor = 10000L)
+      graft.plans.DerivedPartitionFilter.persist(spark, p)
+      FileSkipIndex.index(spark, p, rangeCols = Seq("date_key"),
+        bloomCol = None, words = 0)
+      p
+    })
+
+  /** Date-ranged report over the layered layout with BOTH pruning rules:
+    * the derived invariant cuts to the one `year_key=1996/` DIRECTORY
+    * before listing, and the file envelopes cut that directory's ~8
+    * date-contiguous files to the ~2 covering the slice — the full
+    * metadata ladder (partition → file) a 100 TB time-ranged dashboard
+    * descends before reading a byte. Neither cut touches the predicate,
+    * so exactness is layout-independent (the bench `file_skip` ledger's
+    * three arms price each rung; FileSkipSpec pins files read off >
+    * dpf-only > layered).
+    */
+  def layeredScan(spark0: SparkSession, dir: String): DataFrame = {
+    val path = yearLayoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    graft.plans.DerivedPartitionFilter.install(spark)
+    FileSkipIndex.install(spark)
+    spark.conf.set(graft.plans.DerivedPartitionFilter.EnabledKey, "true")
+    spark.conf.set(FileSkipIndex.EnabledKey, "true")
+    rangeReport(spark.read.parquet(path)
+      .filter(col("date_key") >= LayerLo && col("date_key") <= LayerHi))
+  }
+
+  /** Directory cut only (ledger mid arm). */
+  private[graft] def layeredScanDpfOnly(spark0: SparkSession, dir: String): DataFrame = {
+    val path = yearLayoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    graft.plans.DerivedPartitionFilter.install(spark)
+    spark.conf.set(graft.plans.DerivedPartitionFilter.EnabledKey, "true")
+    rangeReport(spark.read.parquet(path)
+      .filter(col("date_key") >= LayerLo && col("date_key") <= LayerHi))
+  }
+
+  /** No metadata at all (ledger off arm). */
+  private[graft] def layeredScanOff(spark0: SparkSession, dir: String): DataFrame = {
+    val path = yearLayoutPath(spark0, dir)
+    val spark = ChildSession(spark0)
+    rangeReport(spark.read.parquet(path)
+      .filter(col("date_key") >= LayerLo && col("date_key") <= LayerHi))
+  }
+
   /** Customer whose orders drive the drill-down semi-join (exists with
     * orders at every scale factor) and the fail-loud bound on the
     * collected key set.
@@ -252,7 +338,8 @@ object FileSkip {
     "wh_fileskip_yrange" -> (yRange _),
     "wh_fileskip_point" -> (pointLookup _),
     "wh_fileskip_shiprange" -> (shipRange _),
-    "wh_fileskip_custdrill" -> (custDrill _))
+    "wh_fileskip_custdrill" -> (custDrill _),
+    "wh_fileskip_layered" -> (layeredScan _))
 
   private def rangeSql(where: String) =
     s"""SELECT l_returnflag, count(*)::BIGINT AS n_rows,
@@ -277,5 +364,8 @@ object FileSkip {
          |FROM lineitem
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
          |                     WHERE o_custkey = $DrillCustKey)
-         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "wh_fileskip_layered" -> rangeSql(
+      s"(year(l_shipdate) * 10000 + month(l_shipdate) * 100 + " +
+        s"day(l_shipdate)) BETWEEN $LayerLo AND $LayerHi"))
 }

@@ -223,6 +223,20 @@ class FileSkipSpec extends SparkSpec {
     }
   }
 
+  test("layered pruning: the derived-partition rule cuts directories AND " +
+      "the file envelopes cut within the kept directory, one executed scan") {
+    val layered = FileSkip.layeredScan(spark, sf)
+    val dpfOnly = FileSkip.layeredScanDpfOnly(spark, sf)
+    val off = FileSkip.layeredScanOff(spark, sf)
+    val (nL, nD, nO) = (filesRead(layered), filesRead(dpfOnly), filesRead(off))
+    assert(nO > nD, s"directory cut must drop files: off=$nO dpf=$nD")
+    assert(nD > nL, s"envelope cut must drop more within the kept " +
+      s"directory: dpf=$nD layered=$nL")
+    assert(scans(layered).forall(
+      _.relation.location.isInstanceOf[SkipPrunedFileIndex]))
+    assert(layered.collect().toSeq == off.collect().toSeq)
+  }
+
   test("unsupported predicate shapes leave the plan untouched") {
     import org.apache.spark.sql.functions._
     val path = FileSkip.layoutPath(spark, sf)
