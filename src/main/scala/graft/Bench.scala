@@ -47,10 +47,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // populate phase (untimed setup, like the reference's warehouse build):
-    // every memoized build artifact is pre-warmed here so per-query timings
-    // measure query execution, not whichever consumer alphabetically runs
-    // first paying a one-time parquet write.
+    populate(spark, sfDir)
+    // dev iteration: SPARK_GRAFT_ONLY=a,b,c times just those queries
+    // (the driver never sets it, so official runs always time everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      // noop sink = full materialization of every output column (count()
+      // lets Catalyst prune projection-only expressions, under-measuring
+      // select-heavy queries). Failures are reported as -1, never as a
+      // fake elapsed time.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0
+      }
+    }
+    runArtifacts(spark, sfDir, loadStart, results, only.isDefined)
+    spark.stop()
+  }
+
+  /** The bench's populate phase (untimed setup, like the reference's
+    * warehouse build): every memoized build artifact is pre-warmed so
+    * per-query timings measure query execution, not whichever consumer
+    * alphabetically runs first paying a one-time parquet write. Shared
+    * with [[Profile]] so ad-hoc profiling sees the exact bench state.
+    */
+  def populate(spark: SparkSession, sfDir: String): Unit = {
     warehouse.Warehouse.forDir(spark, sfDir)
     dedup.DocIndex.forDir(spark, sfDir)
     dedup.Dedup.pairsForDir(spark, sfDir)
@@ -111,25 +138,15 @@ object Bench {
           expr("percentile(v, 0.5)"), percentile_approx(col("v"), lit(0.5), lit(10000)))
         .write.format("noop").mode("overwrite").save()
     }
-    // dev iteration: SPARK_GRAFT_ONLY=a,b,c times just those queries
-    // (the driver never sets it, so official runs always time everything)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink = full materialization of every output column (count()
-      // lets Catalyst prune projection-only expressions, under-measuring
-      // select-heavy queries). Failures are reported as -1, never as a
-      // fake elapsed time.
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
-      }
-    }
+  }
+
+  /** Everything after the timing sweep: second samples, rule ledgers, the
+    * JSON line, and the committed-baseline policy. Factored from main so
+    * the sweep itself stays the tool-agnostic core.
+    */
+  private def runArtifacts(spark: SparkSession, sfDir: String,
+      loadStart: Double, results: Seq[(String, Double)],
+      partial: Boolean): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -485,7 +502,7 @@ object Bench {
     // prefix-free record, and doubles as next round's `prior` baseline.
     // Partial dev runs (SPARK_GRAFT_ONLY) must not clobber it; neither must
     // a load-polluted run (it lands at bench_out.noisy.json for inspection).
-    if (only.isEmpty) {
+    if (!partial) {
       val force = sys.env.get("SPARK_GRAFT_FORCE_BASELINE").contains("1")
       // Refresh policy (r11 judge finding 1): a best-quiet-run baseline on
       // a box whose ambient speed DRIFTS can become unreachably fast — the
@@ -576,6 +593,5 @@ object Bench {
         new java.io.File(repoRoot, target).toPath,
         committed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    spark.stop()
   }
 }
