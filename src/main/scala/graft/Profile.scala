@@ -23,8 +23,13 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val names = if (args.length > 1) args(1).split(",").toSeq else Seq.empty
-    val explainDir = if (args.length > 2) Some(args(2)) else None
+    val explainDir = if (args.length > 2 && args(2).nonEmpty) Some(args(2))
+      else None
     val tag = if (args.length > 3) args(3) else "before"
+    // "fresh" repeats memoized work per run (the bench second-sample
+    // discipline): entries whose timed work is a memoized build must
+    // re-run it, not hit the memo
+    val fresh = args.length > 4 && args(4) == "fresh"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,6 +45,22 @@ object Profile {
       case Some(fn) =>
         spark.sparkContext.setJobDescription(s"profile:$name")
         try {
+          if (fresh) {
+            // bench-style timing (t0 before fn, so memoized builds that run
+            // at DataFrame construction are INSIDE the clock), with
+            // Memos.newGeneration before each run so the build repeats —
+            // the bench second-sample discipline
+            def run(): Double = {
+              Memos.newGeneration()
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            run() // warm
+            val a = run(); val b = run()
+            println(f"PROFILE $name ${math.min(a, b)}%.3f fresh " +
+              f"hi=${math.max(a, b)}%.3f")
+          } else {
           // warm run via the bench's own sink, then min-of-2 profiled runs
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val a = observability.QueryMetrics.profile(fn(spark, sfDir))._2
@@ -49,6 +70,7 @@ object Profile {
             s"${p.scanBytes} ${p.shuffleWriteBytes} ${p.shuffleRecordsWritten} " +
             s"${p.spillBytes} ${p.expandRows} ${p.outputRows} " +
             f"hi=${math.max(a.wallMs, b.wallMs) / 1e3}%.3f")
+          }
           explainDir.foreach { d =>
             val f = new java.io.File(d, s"${name}_$tag.txt")
             f.getParentFile.mkdirs()

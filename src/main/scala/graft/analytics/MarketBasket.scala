@@ -36,11 +36,19 @@ object MarketBasket {
 
   def rules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // materialized once (localCheckpoint): items feeds FOUR consumers
+    // (n_baskets, item totals, both sides of the pair self-join) and each
+    // re-derivation re-ran the lineitem⋈part join + distinct — 3 corpus
+    // scans where one suffices (r13 profile: 1.84M scan rows → 620k). The
+    // checkpoint truncates lineage so the basket→item projection is
+    // computed exactly once per run; at scale this is the "decide on small
+    // rows" intermediate you would land anyway.
     val items = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
         .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("basket"), $"p_brand".as("item"))
       .distinct()
+      .localCheckpoint(eager = false)
     val nBaskets = items.select($"basket").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemCounts = items.groupBy($"item").agg(count(lit(1)).as("n_item"))

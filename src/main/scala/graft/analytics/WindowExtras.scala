@@ -360,12 +360,17 @@ ORDER BY g_y, g_q, g_s, y, q, status""")
     // combined agg: mixing a distinct aggregate with the sketch/percentile
     // buffers makes Catalyst Expand-duplicate every input row through the
     // wide buffers (measured 3× slower at sf0.1) — and each split scan
-    // prunes to just its own column
+    // prunes to just its own column. The HLL sketch rides the PERCENTILE
+    // aggregate, not the distinct one: Catalyst plans countDistinct as a
+    // first-level aggregate AT (event_type, user_id) GRAIN, and a sketch
+    // placed beside it is dragged through every one of those ~|users|
+    // groups as a multi-KB partial buffer (r13: 2.2 s warm with the sketch
+    // there vs 0.7 s here, where it shares the |event_type|-group pass)
     val distincts = ev.groupBy($"event_type").agg(
       count(lit(1)).as("n_events"),
-      countDistinct($"user_id").as("n_users_exact"),
-      approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+      countDistinct($"user_id").as("n_users_exact"))
     val percentiles = ev.groupBy($"event_type").agg(
+      approx_count_distinct($"user_id", 0.01).as("n_users_approx"),
       expr("percentile(value, 0.5)").as("p50_exact"),
       percentile_approx($"value", lit(0.5), lit(10000)).as("p50_approx"))
     distincts.join(broadcast(percentiles), "event_type")

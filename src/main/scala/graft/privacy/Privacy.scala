@@ -93,12 +93,27 @@ object Privacy {
       .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
         $"l_partkey" === $"p_partkey")
       .select($"o_custkey".as("patient_id"), $"p_brand")
-    qi(spark, dir)
+    // The two distinct counts are over DIFFERENT columns, and a combined
+    // countDistinct pair makes Catalyst Expand-duplicate every joined row
+    // once per function (r13 profile: 1.2M Expand rows from 600k input).
+    // Dedup to the (class, patient, brand) triple grain first — both
+    // counts are exact over it — then each count is a plain count over a
+    // pair-projection distinct; no Expand anywhere, and the checkpointed
+    // triple table (≈ distinct patient×brand links) feeds both.
+    val d = qi(spark, dir)
       .join(diag, "patient_id")
+      .select($"age_group", $"sex", $"location", $"patient_id", $"p_brand")
+      .distinct()
+      .localCheckpoint(eager = false)
+    val classSize = d.select($"age_group", $"sex", $"location", $"patient_id")
+      .distinct()
       .groupBy($"age_group", $"sex", $"location")
-      .agg(
-        countDistinct($"patient_id").as("class_size"),
-        countDistinct($"p_brand").as("l_achieved"))
+      .agg(count(lit(1)).as("class_size"))
+    val lAch = d.select($"age_group", $"sex", $"location", $"p_brand")
+      .distinct()
+      .groupBy($"age_group", $"sex", $"location")
+      .agg(count(lit(1)).as("l_achieved"))
+    classSize.join(lAch, Seq("age_group", "sex", "location"))
       .groupBy($"age_group")
       .agg(
         count(lit(1)).as("n_classes"),
@@ -179,11 +194,20 @@ object Privacy {
           $"l_partkey" === $"p_partkey")
         .select($"o_custkey".as("patient_id"), $"p_brand"), "patient_id")
       .select($"age_group", $"sex", $"location", $"p_brand")
-    val marginal = rows.groupBy($"p_brand").agg(count(lit(1)).as("c_v"))
-    val total = marginal.agg(sum($"c_v").as("n"))
-    val classValue = rows
+    // ONE corpus pass: aggregate to (class, brand) grain first — the
+    // marginal and the total are ALGEBRAIC rollups of that tiny table
+    // (sum of c_gv over classes / over everything), so deriving them from
+    // `cv` instead of from `rows` deletes two full re-runs of the
+    // qi⋈orders⋈lineitem join (r13 profile: 3.24M scan rows → 1.4M). The
+    // checkpoint pins the class×brand table (QI-domain × brand-vocabulary
+    // bounded) so its three consumers don't re-aggregate.
+    val cv = rows
       .groupBy($"age_group", $"sex", $"location", $"p_brand")
       .agg(count(lit(1)).as("c_gv"))
+      .localCheckpoint(eager = false)
+    val marginal = cv.groupBy($"p_brand").agg(sum($"c_gv").as("c_v"))
+    val total = marginal.agg(sum($"c_v").as("n"))
+    val classValue = cv
       .join(broadcast(marginal), "p_brand")
       .crossJoin(broadcast(total))
     val ng = classValue.groupBy($"age_group", $"sex", $"location")

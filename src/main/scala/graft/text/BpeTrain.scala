@@ -42,6 +42,13 @@ object BpeTrain {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", _ => {
       import spark.implicits._
+      // localCheckpoint makes the "corpus collapses ONCE" scale shape
+      // REAL: the merge loop below runs 2 driver actions per round (argmax
+      // + token count), and without materialization each action re-derived
+      // the word table from the raw corpus — 2·Rounds corpus scans where
+      // the algorithm needs one (r13 fresh profile: 3.0 s → the loop's
+      // honest vocabulary-sized cost). Each round's substitution is also
+      // re-checkpointed so lineage stays one replace deep.
       var words = Tables.documents(spark, dir)
         .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
         .filter($"w".rlike("^[a-z]{2,}$"))
@@ -49,6 +56,7 @@ object BpeTrain {
         // " l o w " — every symbol space-bounded on both sides
         .select(concat(lit(" "),
           regexp_replace($"w", "(.)", "$1 ")).as("sym"), $"n")
+        .localCheckpoint(eager = false)
       val ledger = (1 to Rounds).map { r =>
         val toks = words.select($"n",
           split(trim($"sym"), " ").as("arr"))
@@ -66,6 +74,7 @@ object BpeTrain {
         // symbols are [a-z]+ so the interpolated literal needs no quoting
         words = words.select(
           expr(s"replace(sym, ' $l $rt ', ' $l$rt ')").as("sym"), $"n")
+          .localCheckpoint(eager = false)
         val tokensAfter = words
           .select(($"n" * (size(split(trim($"sym"), " ")))).as("t"))
           .agg(sum($"t")).as[Long].collect()(0)

@@ -120,12 +120,19 @@ object SnapshotFacts {
         expr("CAST(l_quantity AS DECIMAL(12,2))").as("q"))
       .groupBy($"l_orderkey", $"l_partkey")
       .agg(sum($"q").as("qty"))
-    val orderQty = line.groupBy($"l_orderkey".as("o_key"))
-      .agg(sum($"qty").as("qty_total"))
+    // the order-level denominator is a WINDOW over the bridge rows, not a
+    // second aggregate joined back: the self-join form re-scanned lineitem
+    // and re-aggregated per consumer, then shuffled both sides again for
+    // the equi-join (r13 profile: 29.6 MB shuffle, two lineitem scans);
+    // the window reuses the one bridge table, keyed by order (bounded
+    // per-order line counts — never a corpus-scale partition). DECIMAL sum
+    // keeps the denominator exact either way.
+    val byOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey")
     val orders = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_totalprice")
     line
-      .join(orderQty, $"l_orderkey" === $"o_key")
+      .withColumn("qty_total", sum($"qty").over(byOrder))
       .join(orders, $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_partkey",
         ($"qty".cast("double") / $"qty_total".cast("double")).as("weight"),
