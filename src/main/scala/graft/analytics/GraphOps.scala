@@ -243,15 +243,15 @@ object GraphOps {
     // two endpoint filters); left as lazy lineage Catalyst re-derives the
     // whole chain per reference — 3^rounds recomputations of the base
     // self-join (measured 9.5 s at sf0.1 for an EMPTY graph). Materialize
-    // every round to parquet (the repo's anti-recompute device — .persist
-    // is pathological on this box and a checkpoint is the 100 TB-correct
-    // shape for iterative edge sets anyway: PageRank/BFS reference their
-    // state once per round and don't need this).
-    val work = java.nio.file.Files
-      .createTempDirectory("graft-kcore").toString
+    // every round via localCheckpoint (serialized row blocks — NOT the
+    // columnar .persist cache that is pathological on this box): same
+    // recompute cut as the earlier per-round parquet round-trip without
+    // its 2·rounds write/read jobs (r13: 1.5 s → 0.9 s warm), and still
+    // the 100 TB-correct shape for iterative edge sets. PageRank/BFS
+    // reference their state once per round and don't need this.
     def mat(df: DataFrame, round: Int): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$work/r$round")
-      spark.read.parquet(s"$work/r$round")
+      val _ = round
+      df.localCheckpoint(eager = false)
     }
     val e0 = coEdges(spark, dir)
     var edges = mat(e0.select($"u".as("a"), $"v".as("b"))

@@ -62,10 +62,19 @@ object LpaCommunities {
     // [[TopEdges]] heaviest incident edges (the standard mutual-kNN prep
     // before community detection), deterministic tie-break on (w, u)
     val byNode = Window.partitionBy($"v").orderBy($"w".desc, $"u")
+    // per-round lazy checkpoints: the unrolled chain's dominant cost at
+    // this graph size is CATALYST PLANNING of the deep composed tree
+    // (r13: ~2.5 s of the entry's ~3.5 s wall was plan-time), and every
+    // consumer that referenced `labels` k times re-planned and re-ran the
+    // whole chain k times. Checkpointing the nation-sized edge and label
+    // tables keeps each round's planned tree one join deep and computes
+    // each round exactly once — the iterative-plan discipline the graph
+    // family documents, now actually enforced.
     val edges = denseEdges(spark, dir)
       .withColumn("erk", row_number().over(byNode))
       .filter($"erk" <= TopEdges)
       .select($"v", $"u", $"w")
+      .localCheckpoint(eager = false)
     val nodes = edges.select($"v").distinct()
     var labels = nodes.select($"v", $"v".as("label"))
     val byPull = Window.partitionBy($"v")
@@ -78,6 +87,7 @@ object LpaCommunities {
         .withColumn("rk", row_number().over(byPull))
         .filter($"rk" === 1)
         .select($"v", $"nbr_label".as("label"))
+        .localCheckpoint(eager = false)
     }
     labels
   }

@@ -31,8 +31,15 @@ object Modularity {
 
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // both inputs are nation-graph-sized (≤ |nations|² edges, |nations|
+    // labels) but each re-derivation replays the corpus-scale trade-edge
+    // aggregate / the full unrolled LPA chain; the lazy checkpoints pin
+    // them so the three consumers below (degree mass, intra mass, total)
+    // compute each exactly once
     val dense = LpaCommunities.denseEdges(spark, dir)
+      .localCheckpoint(eager = false)
     val lbl = LpaCommunities.labelsDf(spark, dir)
+      .localCheckpoint(eager = false)
     val tot = dense.agg(sum($"w").as("two_w"))
     val degC = dense.groupBy($"v").agg(sum($"w").as("dv"))
       .join(lbl, "v")

@@ -31,18 +31,28 @@ object IncrementalIngest {
   private def eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
 
-  /** Shuffle/state partition count for the self-contained *Entry runs.
-    * A streaming query's state-store instance count is pinned to
+  /** Shuffle/state partition count for the self-contained *Entry runs —
+    * overridable per deployment via [[StreamPartitionsKey]]. A streaming
+    * query's state-store instance count is pinned to
     * `spark.sql.shuffle.partitions` at FIRST start (the checkpoint fixes it
     * thereafter), and every instance pays per-batch delta+commit file I/O —
     * so it must be sized to the STATE volume (bounded by the watermark
     * horizon), not to the batch corpus: the standard streaming deployment
     * knob. 32 instances on this box spent more time in state-file fsyncs
-    * than in the join; 8 covers the horizon-bounded state with headroom.
-    * Scaling a production stream up later means a new checkpoint — which is
-    * why this is set per-query here, never globally.
+    * than in the join; r13 re-measured the ladder on the horizon-bounded
+    * state these entries actually carry: 8 → 4 cut the per-batch commit
+    * wall ~35% across the family (stream_attribution 3.90 → 2.36 s fresh)
+    * and 2 gave it back (one data partition serializes the batch work), so
+    * 4 is the measured knee LOCALLY. A production stream sizes this to its
+    * own state volume through the conf; scaling up later means a new
+    * checkpoint — which is why this is set per-query here, never globally.
     */
-  val StreamShufflePartitions = 8
+  val StreamShufflePartitions = 4
+
+  /** Conf key overriding [[StreamShufflePartitions]] for real deployments
+    * (state volume scales with the watermark horizon, not this box).
+    */
+  val StreamPartitionsKey = "spark.sql.graft.stream.statePartitions"
 
   /** Run `body` (which starts + awaits a streaming query) in a CLONED
     * session (`spark.newSession()` — same SparkContext, shared state,
@@ -56,7 +66,9 @@ object IncrementalIngest {
     */
   private[graft] def withStreamPartitions[T](spark: SparkSession)(body: SparkSession => T): T = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    val n = spark.conf.getOption(StreamPartitionsKey)
+      .getOrElse(StreamShufflePartitions.toString)
+    ss.conf.set("spark.sql.shuffle.partitions", n)
     body(ss)
   }
 

@@ -164,25 +164,36 @@ object FileManifest {
         .withColumn("o_date_int",
           (year($"o_orderdate") * 10000 + month($"o_orderdate") * 100 +
             dayofmonth($"o_orderdate")).cast("long"))
-      // bounded: one entry per calendar year in the corpus (~7 for TPC-H)
-      val years = o.select(year($"o_orderdate").as("y")).distinct()
-        .as[Int].collect().sorted
+      // bounded: one flat file per calendar year (~7 for TPC-H), landed in
+      // ONE parallel job: repartition($"y") puts each year's rows in
+      // exactly one task (hash on the year value — two years may share a
+      // task, but a year never splits), and partitionBy writes one file
+      // per distinct year per task, so every year lands as a single part
+      // file. The previous form ran one filter+coalesce(1) job PER year —
+      // 7 sequential scans of orders for a 7-file layout (r13 fresh
+      // profile ~2 s, about half of it those serialized driver-loop jobs).
+      // The manifest is footer min/max/count per file, so in-file row
+      // order is irrelevant to every emitted number.
       val fs = new Path(base).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       val flat = new Path(s"$base/flat")
       fs.mkdirs(flat)
-      years.foreach { y =>
-        val tmp = s"$base/tmp_y$y"
-        o.filter(year($"o_orderdate") === y)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new Path(tmp))
-          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file landed for year $y"))
-        // deterministic flat name — the property that lets the oracle name
-        // the same files from the data alone
-        fs.rename(part.getPath, new Path(flat, s"y$y.parquet"))
-        fs.delete(new Path(tmp), true)
-      }
+      val tmp = s"$base/tmp_years"
+      o.withColumn("y", year($"o_orderdate"))
+        .repartition($"y")
+        .write.mode("overwrite").partitionBy("y").parquet(tmp)
+      fs.listStatus(new Path(tmp))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("y="))
+        .foreach { d =>
+          val y = d.getPath.getName.stripPrefix("y=").toInt
+          val part = fs.listStatus(d.getPath)
+            .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file landed for year $y"))
+          // deterministic flat name — the property that lets the oracle
+          // name the same files from the data alone
+          fs.rename(part.getPath, new Path(flat, s"y$y.parquet"))
+        }
+      fs.delete(new Path(tmp), true)
       val m = build(spark, s"$base/flat", ManifestCols)
       val selected = filesForRange(m, "o_date_int", ProbeLo, ProbeHi)
       m.withColumnRenamed("column", "col_name")
