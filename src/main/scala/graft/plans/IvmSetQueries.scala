@@ -85,11 +85,20 @@ object IvmSetQueries {
     import spark.implicits._
     val scratch = s"${sys.props("java.io.tmpdir")}/graft-ivm-set/" +
       tag.replaceAll("[^A-Za-z0-9._-]", "_")
-    setsOf(keyed(spark, dir).filter(!$"late"))
+    // ONE lineitem scan lands both slices: aggregating at (yr, mo, late)
+    // grain partitions the rows exactly as the two filtered setsOf calls
+    // did (late is a grouping key, so each set/count sees only its slice),
+    // and the lazy checkpoint lets the v0 write and the delta merge share
+    // the pass instead of re-scanning the fact per consumer.
+    val byLate = keyed(spark, dir)
+      .groupBy($"yr", $"mo", $"late")
+      .agg(collect_set($"l_suppkey").as("supp_set"),
+        count(lit(1)).as("n_items"))
+      .localCheckpoint(eager = false)
+    byLate.filter(!$"late").select($"yr", $"mo", $"supp_set", $"n_items")
       .write.mode("overwrite").parquet(s"$scratch/v0")
-    val delta = setsOf(keyed(spark, dir).filter($"late"))
-      .withColumnRenamed("supp_set", "d_set")
-      .withColumnRenamed("n_items", "d_n")
+    val delta = byLate.filter($"late")
+      .select($"yr", $"mo", $"supp_set".as("d_set"), $"n_items".as("d_n"))
     val empty = expr("CAST(array() AS ARRAY<BIGINT>)")
     val v1 = spark.read.parquet(s"$scratch/v0")
       .join(delta, Seq("yr", "mo"), "full_outer")
@@ -203,6 +212,11 @@ object IvmSetQueries {
     val rows = spark.read.parquet(s"$scratch/rows")
     // the rewritten base table (setup, like the warehouse build): what the
     // forget cascade leaves behind; the consumer and the defining read THIS
+    // as a bare relation — the rewrite gate's sameResult match is anchored
+    // on the base RELATION, so serving-from-state (the entry's whole point,
+    // spec-pinned via executed scan roots ⊆ /v1sets) needs the materialized
+    // table, not a filter view over `rows` (r13 tried the view: the gate
+    // declined and the consumer fell back to the base scan)
     rows.filter(!$"bad").select($"yr", $"mo", $"l_suppkey")
       .write.mode("overwrite").parquet(s"$scratch/current")
     // v0 multiset state from the on-time slice (bad rows still present —
@@ -243,11 +257,14 @@ object IvmSetQueries {
       .groupBy($"yr", $"mo")
       .agg(collect_set($"l_suppkey").as("supp_set"), sum($"cnt").as("n_items"))
       .write.mode("overwrite").parquet(s"$scratch/v1sets")
-    val defining = setsOf(spark.read.parquet(s"$scratch/current"))
+    val defining = setsOf(currentRows(spark, scratch))
     val ok = MvRewrite.register(s"mv_ivm_supp_retract:$dir",
       defining, spark.read.parquet(s"$scratch/v1sets"))
     require(ok, "mv_ivm_supp_retract must register (structured path)")
   }
+
+  private def currentRows(spark: SparkSession, scratch: String): DataFrame =
+    spark.read.parquet(s"$scratch/current")
 
   /** Yearly distinct suppliers + item counts over the POST-FORGET table,
     * served from the retractable state's derived set view.
@@ -258,7 +275,7 @@ object IvmSetQueries {
     spark.conf.set(MvRewrite.EnabledKey, "true")
     val scratch = refreshRetract(spark, dir)
     import spark.implicits._
-    spark.read.parquet(s"$scratch/current")
+    currentRows(spark, scratch)
       .groupBy($"yr")
       .agg(countDistinct($"l_suppkey").as("n_suppliers"),
         count(lit(1)).as("n_items"))

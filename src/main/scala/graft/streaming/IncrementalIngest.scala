@@ -266,6 +266,29 @@ object IncrementalIngest {
       .start()
   }
 
+  private val attrSrcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The attribution pair's landed source feed, shared: both entries
+    * stream the IDENTICAL filtered projection of events, and each landing
+    * is a full corpus write — one shared landing per (application, run,
+    * corpus) is the same discipline as the warehouse build (the feed is
+    * setup; the STREAM is the operator, and each entry still runs its own
+    * stream end to end against its own checkpoint and sink).
+    */
+  private def attributionSrc(spark: SparkSession, dir: String): String =
+    attrSrcMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = s"${sys.props("java.io.tmpdir")}/graft-stream-attr-src/" +
+          s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
+        graft.Tables.events(spark, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+
   private val outerMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -280,12 +303,9 @@ object IncrementalIngest {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-oattr/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        graft.Tables.events(spark, dir)
-          .filter(col("user_id").isNotNull && col("ts").isNotNull)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("overwrite").parquet(s"$base/src")
+        val src = attributionSrc(spark, dir)
         withStreamPartitions(spark) { ss =>
-          streamOuterAttribution(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+          streamOuterAttribution(ss, src, s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
@@ -318,12 +338,9 @@ object IncrementalIngest {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-attr/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        graft.Tables.events(spark, dir)
-          .filter(col("user_id").isNotNull && col("ts").isNotNull)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("overwrite").parquet(s"$base/src")
+        val src = attributionSrc(spark, dir)
         withStreamPartitions(spark) { ss =>
-          streamAttribution(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+          streamAttribution(ss, src, s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
