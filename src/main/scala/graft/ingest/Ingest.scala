@@ -89,6 +89,13 @@ object Ingest {
         get_json_object($"props", "$.k").cast("int").as("k"))
       .filter($"event_type".isin(EventTypes: _*)
         && $"value" >= 0 && $"k".between(0, 100))
+      // checkpoint before the global sort: with no exchange below it, the
+      // range partitioner's SAMPLING pass re-runs the whole
+      // scan+parse+filter pipeline a second time (r13 profile: 200k scan
+      // rows for a 100k-row table); the checkpoint materializes the
+      // cleansed rows once and both passes read blocks. Same seam in
+      // [[quarantine]]/[[deadLetterReplay]].
+      .localCheckpoint(eager = false)
       .orderBy($"event_id")
   }
 
@@ -102,6 +109,7 @@ object Ingest {
     import spark.implicits._
     dirtyDlq(spark, dir)
       .select($"event_id", $"event_type", $"value", $"reason")
+      .localCheckpoint(eager = false) // see cleanseDf: halves the sort's sample pass
       .orderBy($"event_id")
   }
 
@@ -155,6 +163,7 @@ object Ingest {
         $"event_type".isin(EventTypes: _*) && $"value" >= 0 && kOk)
       .select($"event_id", $"reason", $"action", $"event_type", $"value",
         $"passes_revalidation")
+      .localCheckpoint(eager = false) // see cleanseDf: halves the sort's sample pass
       .orderBy($"event_id")
   }
 

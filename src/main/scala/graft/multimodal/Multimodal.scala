@@ -348,6 +348,11 @@ object Multimodal {
       .withColumn("phash", (0 until 16).map(i =>
         when(cell(i) > $"m", lit(1 << i)).otherwise(lit(0))).reduce(_ + _))
       .select($"doc_id", $"media_type", $"phash")
+      // checkpoint the (doc, hash) rows: ph feeds the bucket aggregate AND
+      // the keeper join, and the opaque per-partition decode kernel would
+      // otherwise re-read + re-decode every media payload per consumer —
+      // decode once, fan out from the small rows (guide §8)
+      .localCheckpoint(eager = false)
     val buckets = ph.groupBy($"phash")
       .agg(count(lit(1)).as("n_group"), min($"doc_id").as("keeper"))
     ph.join(buckets, "phash")
@@ -482,6 +487,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(imageDecodeKernel _)
       .toDF()
+      // decode once: same two-consumer fan-out as [[phashOn]], but here
+      // each re-derivation was a full binaryFile re-read + ImageIO decode
+      .localCheckpoint(eager = false)
     val buckets = ph.groupBy($"phash_hi", $"phash_lo")
       .agg(count(lit(1)).as("n_group"), min($"doc_id").as("keeper"))
     ph.join(buckets, Seq("phash_hi", "phash_lo"))
