@@ -138,5 +138,20 @@ object GraftExtensions {
         "graft_edit_within"),
       arity("graft_edit_within", 3,
         "graft_edit_within(string, string, int k) → min(levenshtein, k+1)") {
-        args => graft.functions.EditWithin(args(0), args(1), args(2)) }))
+        args => graft.functions.EditWithin(args(0), args(1), args(2)) }),
+    (FunctionIdentifier("graft_topk_ids"),
+      new ExpressionInfo(classOf[graft.functions.TopKIdsAgg].getName,
+        "graft_topk_ids"),
+      arity("graft_topk_ids", 3,
+        "graft_topk_ids(double score, bigint id, int literal k) aggregate " +
+          "→ array<bigint> ids of the k best by (score desc, id asc)") {
+        args =>
+          val k = args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+                if v != null => v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_topk_ids k must be an int literal, got $other")
+          }
+          graft.functions.TopKIdsAgg(args(0), args(1), k)
+      }))
 }

@@ -45,13 +45,17 @@ object HubnessAnn {
       $"bucket")
     val queries = idx.select($"vec_id".as("qid"), $"embedding".as("qe"),
       explode(RandomHyperplaneLsh.probeSignatures($"bucket")).as("bucket"))
+    // same native top-k aggregate swap as [[Similarity.hubness]] (see its
+    // comment): the multi-probe candidate stream is deduped to distinct
+    // (qid, nid, cos) rows exactly as before, then ranked by the bounded
+    // buffer instead of a full candidate sort
     val annTopk = queries.join(corpus, "bucket")
       .filter($"qid" =!= $"nid")
       .withColumn("cos", expr("graft_cosine(qe, ne)"))
       .select($"qid", $"nid", $"cos").distinct()
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
-      .filter($"rk" <= k)
+      .groupBy($"qid")
+      .agg(expr(s"graft_topk_ids(cos, nid, $k)").as("ids"))
+      .select(explode($"ids").as("nid"))
     val annHist = e.select($"vec_id".as("nid"))
       .join(annTopk.groupBy($"nid").agg(count(lit(1)).as("ko")),
         Seq("nid"), "left")

@@ -121,14 +121,19 @@ object Similarity {
     requireExactEnvelope(e.count(), "sim_hubness", "sim_hubness_ann")
     val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
     val n = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"cos".desc, $"nid")
-    val topk = q.crossJoin(n)
+    // top-k per query via the native bounded-buffer aggregate, not a
+    // ranked window: the window form sorted all n² scored pairs before
+    // trimming (a 4M-row map-side sort at sf0.1); the aggregate is one
+    // O(k) compare-insert per pair and shuffles ≤ k ids per (query,
+    // mapper). Selection is the identical (cos desc, nid) total order —
+    // the unchanged ranked-subquery oracle is the equivalence proof.
+    val topkIds = q.crossJoin(n)
       .filter($"qid" =!= $"nid")
-      .withColumn("cos", expr("graft_cosine(qe, ne)"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= HubK)
-    val kOcc = topk.groupBy($"nid").agg(count(lit(1)).as("k_occurrence"))
+      .select($"qid", expr("graft_cosine(qe, ne)").as("cos"), $"nid")
+      .groupBy($"qid")
+      .agg(expr(s"graft_topk_ids(cos, nid, $HubK)").as("ids"))
+    val kOcc = topkIds.select(explode($"ids").as("nid"))
+      .groupBy($"nid").agg(count(lit(1)).as("k_occurrence"))
     // vectors never chosen have k-occurrence 0 — keep them in the histogram
     val withZeros = e.select($"vec_id".as("nid"))
       .join(kOcc, Seq("nid"), "left")
