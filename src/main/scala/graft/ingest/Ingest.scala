@@ -79,6 +79,26 @@ object Ingest {
     */
   private[graft] def cleanseDf(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
+    cleansePipeline(spark, events)
+      // checkpoint before the global sort: with no exchange below it, the
+      // range partitioner's SAMPLING pass re-runs the whole
+      // scan+parse+filter pipeline a second time (r13 profile: 200k scan
+      // rows for a 100k-row table); the checkpoint materializes the
+      // cleansed rows once and both passes read blocks. Same seam in
+      // [[quarantine]]/[[deadLetterReplay]]. PlanSpec asserts the P2/P7
+      // scan pushdown on [[cleansePipeline]], which is the plan the
+      // checkpointed RDD executes.
+      .localCheckpoint(eager = false)
+      .orderBy($"event_id")
+  }
+
+  /** The cleanse pipeline proper (everything but the presentation sort) —
+    * the subtree the pre-sort checkpoint materializes, exposed so plan
+    * assertions can read the scan the final query hides behind its
+    * checkpointed-RDD leaf.
+    */
+  private[graft] def cleansePipeline(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
     events
       .select(
         $"event_id",
@@ -89,14 +109,6 @@ object Ingest {
         get_json_object($"props", "$.k").cast("int").as("k"))
       .filter($"event_type".isin(EventTypes: _*)
         && $"value" >= 0 && $"k".between(0, 100))
-      // checkpoint before the global sort: with no exchange below it, the
-      // range partitioner's SAMPLING pass re-runs the whole
-      // scan+parse+filter pipeline a second time (r13 profile: 200k scan
-      // rows for a 100k-row table); the checkpoint materializes the
-      // cleansed rows once and both passes read blocks. Same seam in
-      // [[quarantine]]/[[deadLetterReplay]].
-      .localCheckpoint(eager = false)
-      .orderBy($"event_id")
   }
 
   /** Quarantine split (SURVEY §2.9 late/dirty-data row): the rows `cleanse`

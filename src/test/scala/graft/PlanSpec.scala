@@ -43,7 +43,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cleanse pushes its filters into the parquet scan (P2/P7)") {
-    val s = plan(Ingest.cleanse(spark, sf)).toString
+    // the declared query checkpoints the pipeline before its presentation
+    // sort (r13), so its final plan shows a checkpointed-RDD leaf; the
+    // pushdown contract lives in the pipeline plan the checkpoint executes
+    val s = plan(Ingest.cleansePipeline(spark, Tables.events(spark, sf))).toString
     assert(s.contains("PushedFilters: ["), "scan should carry pushed filters")
     assert(s.contains("IsNotNull") || s.contains("GreaterThanOrEqual")
       || s.contains("In(event_type"),
