@@ -94,26 +94,24 @@ object Privacy {
         $"l_partkey" === $"p_partkey")
       .select($"o_custkey".as("patient_id"), $"p_brand")
     // The two distinct counts are over DIFFERENT columns, and a combined
-    // countDistinct pair makes Catalyst Expand-duplicate every joined row
-    // once per function (r13 profile: 1.2M Expand rows from 600k input).
-    // Dedup to the (class, patient, brand) triple grain first — both
-    // counts are exact over it — then each count is a plain count over a
-    // pair-projection distinct; no Expand anywhere, and the checkpointed
-    // triple table (≈ distinct patient×brand links) feeds both.
-    val d = qi(spark, dir)
+    // countDistinct pair makes Catalyst Expand-duplicate every input row
+    // once per function. Dedup to the (class, patient, brand) triple
+    // grain FIRST: duplicate diagnosis links (the corpus-proportional
+    // part — a patient's repeat encounters with the same code family)
+    // collapse before the Expand ever sees them, so the Expand doubles
+    // only the distinct-link table (bounded by patients × code families),
+    // not the fact join. One pipeline: the earlier three-aggregate
+    // no-Expand form executed 2× faster but paid ~+0.7 s of single-shot
+    // planning/codegen on every bench run — this shape keeps the
+    // data-proportional win and the single plan.
+    qi(spark, dir)
       .join(diag, "patient_id")
       .select($"age_group", $"sex", $"location", $"patient_id", $"p_brand")
       .distinct()
-      .localCheckpoint(eager = false)
-    val classSize = d.select($"age_group", $"sex", $"location", $"patient_id")
-      .distinct()
       .groupBy($"age_group", $"sex", $"location")
-      .agg(count(lit(1)).as("class_size"))
-    val lAch = d.select($"age_group", $"sex", $"location", $"p_brand")
-      .distinct()
-      .groupBy($"age_group", $"sex", $"location")
-      .agg(count(lit(1)).as("l_achieved"))
-    classSize.join(lAch, Seq("age_group", "sex", "location"))
+      .agg(
+        countDistinct($"patient_id").as("class_size"),
+        countDistinct($"p_brand").as("l_achieved"))
       .groupBy($"age_group")
       .agg(
         count(lit(1)).as("n_classes"),
