@@ -153,5 +153,21 @@ object GraftExtensions {
               s"graft_topk_ids k must be an int literal, got $other")
           }
           graft.functions.TopKIdsAgg(args(0), args(1), k)
+      }),
+    (FunctionIdentifier("graft_topk_pairs"),
+      new ExpressionInfo(classOf[graft.functions.TopKPairsAgg].getName,
+        "graft_topk_pairs"),
+      arity("graft_topk_pairs", 3,
+        "graft_topk_pairs(double score, bigint id, int literal k) aggregate " +
+          "→ array<struct<score,id>> of the k best DISTINCT ids by " +
+          "(score desc, id asc)") {
+        args =>
+          val k = args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+                if v != null => v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_topk_pairs k must be an int literal, got $other")
+          }
+          graft.functions.TopKPairsAgg(args(0), args(1), k)
       }))
 }

@@ -114,6 +114,171 @@ case class TopKIdsAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct-by-id top-k (score, id) pairs as a native aggregate — the
+  * aggregate form of the `SELECT DISTINCT …` → ranked-window idiom the
+  * multi-probe LSH consumers and the beam search use: candidates arrive
+  * with DUPLICATE ids (the same neighbor found through several probe
+  * buckets / several beam parents), every copy carrying the IDENTICAL
+  * score (the same kernel over the same vectors), and the query wants the
+  * k best distinct ids. The window form pays a full exchange of every
+  * candidate row just to `distinct()` before ranking (sim_hubness_ann:
+  * 22 MB / 1.29M rows shuffled at sf0.1); this buffer dedups on insert —
+  * a duplicate id either already sits in the buffer (O(k) scan finds it)
+  * or was evicted by k strictly-better entries (in which case the copy
+  * fails the same (score desc, id asc) comparison its twin failed) — so
+  * ONLY ≤ k entries per (group, mapper) ever shuffle and the distinct
+  * exchange disappears.
+  *
+  * Contract: duplicate ids are expected to carry EQUAL scores (true by
+  * construction for every caller — the score is a pure kernel of the id's
+  * vector); for robustness an id seen with several scores keeps its best.
+  * Under equal-score duplicates the result is bit-identical to
+  * `DISTINCT (group, id, score)` → `row_number() ≤ k` — TopKPairsSpec
+  * pins the parity and merge-order invariance.
+  *
+  * Output: `array<struct<score double, id bigint>>` in rank order.
+  * SQL: `graft_topk_pairs(score, id, k)` with literal k ≥ 1.
+  */
+case class TopKPairsAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPairsAgg.Buffer]
+  with BinaryLike[Expression] {
+
+  require(k >= 1, s"graft_topk_pairs needs k >= 1, got $k")
+
+  override def createAggregationBuffer(): TopKPairsAgg.Buffer =
+    new TopKPairsAgg.Buffer(k)
+
+  override def update(buffer: TopKPairsAgg.Buffer,
+      input: InternalRow): TopKPairsAgg.Buffer = {
+    val s = left.eval(input)
+    val i = right.eval(input)
+    if (s != null && i != null)
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKPairsAgg.Buffer,
+      other: TopKPairsAgg.Buffer): TopKPairsAgg.Buffer = {
+    var j = 0
+    while (j < other.size) {
+      buffer.insert(other.scores(j), other.ids(j))
+      j += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: TopKPairsAgg.Buffer): Any = {
+    val out = new Array[Any](buffer.size)
+    var j = 0
+    while (j < buffer.size) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buffer.scores(j), buffer.ids(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: TopKPairsAgg.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.size * 16)
+    bb.putInt(buffer.size)
+    var j = 0
+    while (j < buffer.size) {
+      bb.putDouble(buffer.scores(j)); bb.putLong(buffer.ids(j)); j += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairsAgg.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new TopKPairsAgg.Buffer(k)
+    var j = 0
+    while (j < n) { b.insert(bb.getDouble, bb.getLong); j += 1 }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("id", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_pairs expects (double score, bigint id), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def prettyName: String = "graft_topk_pairs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TopKPairsAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKPairsAgg {
+  /** [[TopKIdsAgg.Buffer]] plus dedup-by-id on insert: a duplicate id
+    * already in the buffer keeps its better (score, id) slot — under the
+    * equal-score contract that means the copy is simply dropped; a
+    * duplicate whose twin was EVICTED fails the same boundary comparison
+    * the twin failed (the buffer only ever improves), so it cannot
+    * re-enter. Eviction therefore never lets a duplicate through.
+    */
+  final class Buffer(val k: Int) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var size = 0
+
+    private def beats(s: Double, i: Long, j: Int): Boolean =
+      s > scores(j) || (s == scores(j) && i < ids(j))
+
+    def insert(s: Double, i: Long): Unit = {
+      // dedup scan: same id already ranked?
+      var d = 0
+      while (d < size) {
+        if (ids(d) == i) {
+          if (s <= scores(d)) return // equal-score duplicate (or worse)
+          // better score for the same id: remove the stale slot, re-rank
+          var m = d
+          while (m < size - 1) {
+            scores(m) = scores(m + 1); ids(m) = ids(m + 1); m += 1
+          }
+          size -= 1
+          d = size // exit scan
+        } else d += 1
+      }
+      if (size == k && !beats(s, i, k - 1)) return
+      var p = size
+      var j = 0
+      var found = false
+      while (j < size && !found) {
+        if (beats(s, i, j)) { p = j; found = true }
+        j += 1
+      }
+      if (p >= k) return
+      val last = math.min(size, k - 1)
+      var m = last
+      while (m > p) {
+        scores(m) = scores(m - 1); ids(m) = ids(m - 1); m -= 1
+      }
+      scores(p) = s
+      ids(p) = i
+      if (size < k) size += 1
+    }
+  }
+}
+
 object TopKIdsAgg {
   /** Bounded rank buffer: parallel arrays sorted by (score desc, id asc),
     * insertion-sorted — O(k) per accepted candidate, k is small by

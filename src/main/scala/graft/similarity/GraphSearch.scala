@@ -90,14 +90,19 @@ object GraphSearch {
           $"u_emb".as("cand_emb"))
       stay.unionByName(steps)
         .filter($"cand" =!= $"query_id")
-        // two beam parents can propose the same candidate — dedup before
-        // ranking or the beam wastes slots on copies
-        .dropDuplicates("query_id", "cand")
+        // two beam parents can propose the same candidate — the
+        // distinct-by-id top-k buffer dedups on insert (duplicate
+        // proposals score identically: same kernel, same vectors), so the
+        // old dropDuplicates exchange + ranked-window exchange collapse
+        // into ONE partial-aggregated exchange of ≤ Beam entries per
+        // (query, mapper) — at 4 hops that is 8 fewer stages per search
         .withColumn("qcos", expr("graft_cosine(q_emb, cand_emb)"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cand")))
-        .filter($"rk" <= Beam)
-        .select($"query_id", $"q_emb", $"cand".as("cur"), $"qcos", $"rk")
+        .groupBy($"query_id")
+        .agg(first($"q_emb").as("q_emb"),
+          expr(s"graft_topk_pairs(qcos, cand, $Beam)").as("top"))
+        .select($"query_id", $"q_emb", posexplode($"top"))
+        .select($"query_id", $"q_emb", $"col.id".as("cur"),
+          $"col.score".as("qcos"), ($"pos" + 1).cast("int").as("rk"))
     }
 
     var state = probes.select($"query_id", $"q_emb",
@@ -114,9 +119,12 @@ object GraphSearch {
     val path = hops.map(_._2).reduce(_.join(_, "query_id"))
 
     // exact nearest neighbor per probe — the recall referee
+    // the corpus side is one parquet row group — unsplittable, so without
+    // an explicit exchange the whole probes×n kernel loop runs in one task
+    // (Similarity.spread has the measurement)
     val exact1 = broadcast(probes)
-      .crossJoin(Tables.embeddings(spark, dir)
-        .select($"vec_id".as("nid"), $"embedding".as("n_emb")))
+      .crossJoin(Similarity.spread(Tables.embeddings(spark, dir)
+        .select($"vec_id".as("nid"), $"embedding".as("n_emb"))))
       .filter($"nid" =!= $"query_id")
       .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
       .withColumn("rk", row_number().over(

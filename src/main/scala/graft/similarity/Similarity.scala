@@ -102,6 +102,24 @@ object Similarity {
         s"vectors; this corpus has $n — run the bucketed variant " +
         s"($alternative) at this scale")
 
+  /** Spread the STREAMED side of a kernel-dense nested-loop scan across
+    * the cluster. The exact baselines read the corpus from a handful of
+    * parquet files — often ONE row group, which is unsplittable — so the
+    * BroadcastNestedLoopJoin that evaluates the cosine/dot kernel over
+    * every pair inherits a single input partition and runs the whole
+    * O(probes·n) / O(n²) loop in ONE task (measured: sim_hubness spent
+    * ~2 s in a single task evaluating 4M kernel calls while 31 cores sat
+    * idle). An explicit round-robin exchange of the bounded corpus (≤
+    * [[MaxExactScanVectors]] rows by the envelope guard — a few MB) costs
+    * microseconds and lets every core score its slice; the explicit
+    * partition count keeps AQE from coalescing the tiny exchange back to
+    * one partition. Derived from the cluster (`defaultParallelism`), not a
+    * local constant. Result-invariant: every consumer aggregates
+    * (merge-order-invariant top-k buffers) or totally orders its output.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Hubness diagnostic (Radovanović et al., public literature) — the
     * high-dimensional pathology screen an embedding corpus gets before an
     * ANN index is trusted: count how often each vector appears in OTHER
@@ -119,7 +137,8 @@ object Similarity {
     register(spark)
     val e = Tables.embeddings(spark, dir)
     requireExactEnvelope(e.count(), "sim_hubness", "sim_hubness_ann")
-    val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    // spread the streamed side: one row-group in, one task out otherwise
+    val q = spread(e.select($"vec_id".as("qid"), $"embedding".as("qe")))
     val n = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
     // top-k per query via the native bounded-buffer aggregate, not a
     // ranked window: the window form sorted all n² scored pairs before
@@ -149,7 +168,8 @@ object Similarity {
     register(spark)
     val e = Tables.embeddings(spark, dir)
     requireExactEnvelope(e.count(), "sim_cosine_pairs", "dedup_embedding_ann")
-    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    // spread the streamed side: one row-group in, one task out otherwise
+    val a = spread(e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")))
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
     a.crossJoin(b)
       .filter($"vec_a" < $"vec_b")
@@ -180,7 +200,7 @@ object Similarity {
     val probes = e.filter($"vec_id" < NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val scored = broadcast(probes).crossJoin(
-        e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb")))
+        spread(e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"))))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
     scored
@@ -215,7 +235,7 @@ object Similarity {
     val probes = e.filter($"vec_id" < NumProbes)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     broadcast(probes).crossJoin(
-        e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb")))
+        spread(e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"))))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("dot", expr("graft_dot(q_emb, n_emb)"))
       .withColumn("rank", row_number().over(
