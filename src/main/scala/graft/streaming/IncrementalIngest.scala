@@ -64,11 +64,27 @@ object IncrementalIngest {
     * order and pin the session at 8 permanently. The clone makes the
     * override invisible outside the stream by construction.
     */
-  private[graft] def withStreamPartitions[T](spark: SparkSession)(body: SparkSession => T): T = {
+  private[graft] def withStreamPartitions[T](spark: SparkSession,
+      skipNoDataBatches: Boolean = false)(body: SparkSession => T): T = {
     val ss = spark.newSession()
     val n = spark.conf.getOption(StreamPartitionsKey)
       .getOrElse(StreamShufflePartitions.toString)
     ss.conf.set("spark.sql.shuffle.partitions", n)
+    // A no-data micro-batch exists to EMIT what only a watermark advance
+    // can release (closed windows, expired outer-join rows, fired timers)
+    // and to evict state. For a query whose every output row is produced
+    // in the data batch that receives it — inner stream-stream joins,
+    // dropDuplicates*, timer-less transformWithState — the trailing
+    // no-data batch does nothing the sink can see, yet costs a full
+    // plan+state-commit cycle per run (~0.3-0.5 s at 4 state partitions).
+    // Callers opt in per entry; the sf0.01 oracle compare re-verifies
+    // every opted-in entry's sink. Entries whose output DEPENDS on
+    // watermark emission (outer attribution, windowed counts, session
+    // windows, timer timeouts) must never set this — and neither may an
+    // entry whose CHECKPOINT is itself read by a checked query
+    // (stream_state_metadata pins the no-data batch's batch id).
+    if (skipNoDataBatches)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     body(ss)
   }
 
@@ -110,6 +126,9 @@ object IncrementalIngest {
     spark.readStream
       .schema(eventSchema)
       .parquet(srcDir)
+      // event-time-less rows can never join a window or pass a watermark;
+      // dropped in-stream so the shared landed feed stays consumer-neutral
+      .where(col("ts").isNotNull)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -201,11 +220,13 @@ object IncrementalIngest {
   def streamAttribution(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String): StreamingQuery = {
     val clicks = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
       .withWatermark("click_ts", "1 hour")
     val purchases = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"))
@@ -240,12 +261,17 @@ object IncrementalIngest {
     */
   def streamOuterAttribution(spark: SparkSession, srcDir: String,
       outDir: String, checkpointDir: String): StreamingQuery = {
+    // the null-user/null-ts filter is part of the OUTER query's semantics
+    // (an unfilterable null purchase would emit null-extended), kept
+    // in-stream so the shared landed feed stays consumer-neutral
     val clicks = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
       .withWatermark("click_ts", "1 hour")
     val purchases = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"))
@@ -266,24 +292,28 @@ object IncrementalIngest {
       .start()
   }
 
-  private val attrSrcMemo =
+  private val eventsSrcMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The attribution pair's landed source feed, shared: both entries
-    * stream the IDENTICAL filtered projection of events, and each landing
-    * is a full corpus write — one shared landing per (application, run,
-    * corpus) is the same discipline as the warehouse build (the feed is
-    * setup; the STREAM is the operator, and each entry still runs its own
-    * stream end to end against its own checkpoint and sink).
+  /** The event-stream entries' landed source feed, shared: five entries
+    * (both attributions, windowed counts, both enriches) stream the SAME
+    * unfiltered events projection, and each landing is a full corpus
+    * write — one shared landing per (application, run, corpus) is the
+    * same discipline as the warehouse build (the feed is setup; the
+    * STREAM is the operator, and each entry still runs its own stream end
+    * to end against its own checkpoint and sink). Entry-specific row
+    * filters (the attributions' non-null user/ts, the window rollup's
+    * non-null ts) moved INTO the streams, where a 100 TB deployment would
+    * put them anyway — filtering a feed at land time couples the landing
+    * to one consumer.
     */
-  private def attributionSrc(spark: SparkSession, dir: String): String =
-    attrSrcMemo.computeIfAbsent(
+  private[graft] def landedEvents(spark: SparkSession, dir: String): String =
+    eventsSrcMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-        val p = s"${sys.props("java.io.tmpdir")}/graft-stream-attr-src/" +
+        val p = s"${sys.props("java.io.tmpdir")}/graft-stream-events-src/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         graft.Tables.events(spark, dir)
-          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .write.mode("overwrite").parquet(p)
         p
@@ -303,7 +333,9 @@ object IncrementalIngest {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-oattr/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        val src = attributionSrc(spark, dir)
+        val src = landedEvents(spark, dir)
+        // no skipNoDataBatches: the null-extended rows EMIT in the
+        // watermark-advance batch — skipping it would drop them
         withStreamPartitions(spark) { ss =>
           streamOuterAttribution(ss, src, s"$base/out", s"$base/ckpt")
             .awaitTermination()
@@ -338,8 +370,10 @@ object IncrementalIngest {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-attr/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        val src = attributionSrc(spark, dir)
-        withStreamPartitions(spark) { ss =>
+        val src = landedEvents(spark, dir)
+        // inner interval join: every match emits in the data batch that
+        // completes it — the trailing no-data batch only evicts state
+        withStreamPartitions(spark, skipNoDataBatches = true) { ss =>
           streamAttribution(ss, src, s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
@@ -372,12 +406,11 @@ object IncrementalIngest {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-wc/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        graft.Tables.events(spark, dir)
-          .filter(col("ts").isNotNull)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("overwrite").parquet(s"$base/src")
+        val src = landedEvents(spark, dir)
+        // no skipNoDataBatches: append-mode windows EMIT in the
+        // watermark-advance batch — skipping it would empty the sink
         withStreamPartitions(spark) { ss =>
-          windowedCounts(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+          windowedCounts(ss, src, s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
@@ -418,7 +451,9 @@ object IncrementalIngest {
             expr("ingest_ts + INTERVAL 10 MINUTES"))
         docs.unionByName(recrawl)
           .write.mode("overwrite").parquet(s"$base/src")
-        withStreamPartitions(spark) { ss =>
+        // dropDuplicatesWithinWatermark emits survivors in their data
+        // batch; the no-data batch only evicts state
+        withStreamPartitions(spark, skipNoDataBatches = true) { ss =>
           dedupDocs(ss, s"$base/src", s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
@@ -499,14 +534,12 @@ object IncrementalIngest {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-asof/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        graft.Tables.events(spark, dir)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("overwrite").parquet(s"$base/src")
+        val src = landedEvents(spark, dir)
         import spark.implicits._
         val dim = Scd2Weights
           .toDF("event_type", "weight", "valid_from_ms", "valid_to_ms")
         withStreamPartitions(spark) { ss =>
-          asofEnrich(ss, s"$base/src", dim, s"$base/out", s"$base/ckpt")
+          asofEnrich(ss, src, dim, s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
@@ -535,13 +568,11 @@ object IncrementalIngest {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-enrich/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        graft.Tables.events(spark, dir)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("overwrite").parquet(s"$base/src")
+        val src = landedEvents(spark, dir)
         import spark.implicits._
         val dim = EnrichWeights.toDF("event_type", "weight")
         withStreamPartitions(spark) { ss =>
-          enrich(ss, s"$base/src", dim, s"$base/out", s"$base/ckpt")
+          enrich(ss, src, dim, s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")

@@ -234,6 +234,10 @@ object StreamNearDedup {
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}:${graft.Memos.runTag}:$dir", { _ =>
       val base = basePath(spark, dir)
       feed(spark, dir).write.mode("overwrite").parquet(s"$base/src")
+      // NOT skipNoDataBatches: the ledger sink would be unchanged (the
+      // timeout path emits nothing), but stream_state_metadata reads this
+      // run's checkpoint and its oracle PINS the no-data batch's existence
+      // (max_batch = 1) — the trailing batch is part of the checked output
       IncrementalIngest.withStreamPartitions(spark) { ss =>
         nearDedup(ss, s"$base/src", s"$base/out", s"$base/ckpt")
           .awaitTermination()

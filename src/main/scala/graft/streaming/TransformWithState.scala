@@ -132,7 +132,10 @@ object TransformWithState {
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-tws/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         feed(spark, dir).write.mode("overwrite").parquet(s"$base/src")
-        IncrementalIngest.withStreamPartitions(spark) { ss =>
+        // TimeMode.None, no timers: every ledger row emits in its data
+        // batch — the trailing no-data batch has nothing to release
+        IncrementalIngest.withStreamPartitions(spark,
+            skipNoDataBatches = true) { ss =>
           runningLedger(ss, s"$base/src", s"$base/out", s"$base/ckpt")
             .awaitTermination()
         }
