@@ -58,4 +58,46 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = rd(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
+
+  /** Spread a kernel-dense map stage over the cluster WHEN the scan
+    * feeding it cannot: parquet splits only at row-group boundaries, so a
+    * table written as one small file (every sf0.x fixture; any dimension-
+    * sized landing) scans as ONE task no matter how many cores exist —
+    * and a map-heavy pipeline riding that scan (per-row md5 replication,
+    * shingling, codec work) serializes on one core while the rest idle.
+    *
+    * The exchange is added ONLY when the scan is provably narrow: total
+    * input bytes under `defaultParallelism × maxPartitionBytes` would
+    * yield fewer splits than cores, and a [[NarrowScanCapBytes]] hard cap
+    * keeps the rule from ever shuffling a big table (at 100 TB the scan
+    * has thousands of row groups and natural parallelism — an exchange
+    * there would be pure waste, so the condition derives from INPUT SIZE,
+    * not from a local-mode constant). Round-robin keeps row contents
+    * intact; callers must be partitioning-insensitive (aggregates /
+    * totally-ordered outputs — the repo norm).
+    */
+  def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.sizeInBytes
+          case _ => Long.MaxValue // non-file relation: unknown, don't touch
+        }
+    }
+    val bytes = if (rels.isEmpty) Long.MaxValue else rels.sum
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (bytes <= NarrowScanCapBytes && bytes < p.toLong * maxSplit)
+      df.repartition(p)
+    else df
+  }
+
+  /** Never spread a scan above this size (1 GiB): past it the table has
+    * enough row groups to parallelize on its own and the exchange is
+    * waste.
+    */
+  val NarrowScanCapBytes: Long = 1L << 30
 }

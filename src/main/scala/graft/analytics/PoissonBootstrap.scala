@@ -78,7 +78,11 @@ object PoissonBootstrap {
     import spark.implicits._
     val vals = Tables.orders(spark, dir)
       .select($"o_orderkey", floor($"o_totalprice").cast("long").as("x"))
-    val weighted = vals
+    // the 16× replicate explode + per-row md5 is the wall here, and it
+    // rides the orders scan — one row group, one task, one core
+    // (Tables.spreadNarrowScan: the exchange only exists when the input
+    // is too small to split)
+    val weighted = Tables.spreadNarrowScan(vals)
       .select($"o_orderkey", $"x",
         explode(sequence(lit(0), lit(Replicates - 1))).as("b"))
       .withColumn("u", Md5Hash.h32(concat(lit("boot"), $"b".cast("string"),

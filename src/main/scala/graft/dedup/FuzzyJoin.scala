@@ -72,10 +72,15 @@ object FuzzyJoin {
     val b = blocked(spark, dir)
     val sizes = b.groupBy($"blk".as("s_blk"), $"lb".as("s_lb"))
       .agg(count(lit(1)).as("block_n"))
-    val capped = b.join(sizes,
+    // spread before the self-join: the admitted side otherwise rides the
+    // one-row-group documents scan as a single task, and the O(P²)/O(P·k)
+    // verify kernel downstream of the broadcast join serializes on one
+    // core (Tables.spreadNarrowScan — exchange only exists for inputs too
+    // small to split; the verify is the wall, not the candidate set)
+    val capped = Tables.spreadNarrowScan(b.join(sizes,
         $"blk" === $"s_blk" && $"lb" === $"s_lb")
       .filter($"block_n" <= MaxBlock)
-      .select($"doc_id", $"blk", $"lb", $"prefix")
+      .select($"doc_id", $"blk", $"lb", $"prefix"))
     val l = capped.select($"doc_id".as("doc_a"), $"blk", $"lb",
       $"prefix".as("pa"))
     val r = capped.select($"doc_id".as("doc_b"), $"blk".as("r_blk"),

@@ -168,8 +168,12 @@ object EtlExtras {
     */
   def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = Tables.customer(spark, dir)
-      .select($"c_custkey", $"c_name", $"c_nationkey")
+    // spread the scan: the L-position wildcard expansion and the
+    // levenshtein re-score otherwise run in the customer file's single
+    // row-group task (Tables.spreadNarrowScan — exchange only for inputs
+    // too small to split)
+    val c = Tables.spreadNarrowScan(Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey"))
     val keyed = c
       .select($"c_custkey", $"c_name", $"c_nationkey",
         explode(expr("sequence(1, length(c_name))")).as("i"))

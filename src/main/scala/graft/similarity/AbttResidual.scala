@@ -44,6 +44,10 @@ object AbttResidual {
   def abttResidual(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Similarity.register(spark)
+    // measured NOT to spread (r13): Similarity.spread(e) here read 1.08 →
+    // 1.81 s — the corpus feeds four subtrees (cen twice, both pair
+    // sides), so the exchange multiplies instead of amortizing, and the
+    // single aggregate at the end already collapses everything
     val e = Tables.embeddings(spark, dir)
     val model = PcaPower.loadingsRow(spark, dir)
       .crossJoin(broadcast(PcaPower.muRow(spark, dir)))

@@ -57,7 +57,9 @@ object DsirWeights {
         .withColumn(out, $"mln" + $"_e")
         .drop("_k", "_e", "mk", "mln")
 
-    val toks = Tables.documents(spark, dir)
+    // spread the scan: tokenize + per-token md5 otherwise run in the
+    // documents file's single row-group task (Tables.spreadNarrowScan)
+    val toks = Tables.spreadNarrowScan(Tables.documents(spark, dir))
       .select($"doc_id", $"lang",
         explode(split(trim(lower($"text")), "\\s+")).as("tok"))
       .withColumn("bucket",

@@ -33,7 +33,13 @@ object KeyCollision {
 
   def keyCollision(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def keyed = Tables.lineitem(spark, dir)
+    // spread the scan BEFORE the key concat: 3 md5 draws per row
+    // otherwise hash the whole table in the lineitem file's single
+    // row-group task, and spreading the raw (int, int) projection keeps
+    // the exchange narrow (Tables.spreadNarrowScan — exchange only for
+    // inputs too small to split)
+    def keyed = Tables.spreadNarrowScan(Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber"))
       .select(concat($"l_orderkey".cast("string"), lit(":"),
         $"l_linenumber".cast("string")).as("bk"))
     val a = keyed.select(
