@@ -66,9 +66,13 @@ object Multimodal {
         val base = s"${sys.props("java.io.tmpdir")}/graft-mediafiles/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
-        Tables.documents(spark, dir)
+        // "distributed landing" was aspirational: documents is one parquet
+        // row group, so without the spread every file write ran in ONE
+        // task (Tables.spreadNarrowScan — exchange only for inputs too
+        // small to split)
+        Tables.spreadNarrowScan(Tables.documents(spark, dir)
           .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text"))
+            org.apache.spark.sql.functions.col("text")))
           .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
             it.foreach { r =>
               java.nio.file.Files.write(
@@ -393,7 +397,10 @@ object Multimodal {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         val w = ImgW
         val seeds = ImgSeeds
-        Tables.documents(spark, dir).select(col("doc_id"))
+        // same single-row-group fix as [[mediaFilesDir]]: spread so the
+        // per-doc ImageIO.write encodes run on every core
+        Tables.spreadNarrowScan(
+            Tables.documents(spark, dir).select(col("doc_id")))
           .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
             it.foreach { r =>
               val d = r.getLong(0)
