@@ -115,9 +115,15 @@ object SnapshotFacts {
     import spark.implicits._
     // bridge grain: one row per (order, part) — also what makes the output
     // ORDER BY total (raw lineitem has no duplicate-free natural key here)
+    // establish the order-key partitioning ONCE (§2.4): hash(l_orderkey)
+    // satisfies the (order, part) aggregate's clustering, the window's,
+    // AND the bridge side of the order join, so the explicit repartition
+    // replaces three exchanges with one ((ok, pk) groups are near-unique
+    // here, so the lost map-side partial aggregation saved nothing)
     val line = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey",
         expr("CAST(l_quantity AS DECIMAL(12,2))").as("q"))
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_partkey")
       .agg(sum($"q").as("qty"))
     // the order-level denominator is a WINDOW over the bridge rows, not a
