@@ -183,14 +183,17 @@ ORDER BY user_id, session_start_t""")
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-sess/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        Tables.events(spark, dir)
-          .filter($"user_id".isNotNull && $"ts".isNotNull)
-          .select($"event_id", $"ts", $"user_id", $"event_type",
-            ($"value".cast("decimal(12,2)") * 100).cast("double").as("value"),
-            $"props")
-          .write.mode("overwrite").parquet(s"$base/src")
+        val src = IncrementalIngest.landedEvents(spark, dir)
+        // no skipNoDataBatches: a user's final session emits only via
+        // the event-time timeout in the watermark-advance batch
         IncrementalIngest.withStreamPartitions(spark) { ss =>
-          streamSessions(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+          streamSessions(ss, src, s"$base/out", s"$base/ckpt",
+            prep = df => df
+              .filter($"user_id".isNotNull && $"ts".isNotNull)
+              .select($"event_id", $"ts", $"user_id", $"event_type",
+                ($"value".cast("decimal(12,2)") * 100).cast("double")
+                  .as("value"),
+                $"props"))
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
@@ -203,11 +206,15 @@ ORDER BY user_id, session_start_t""")
 
   /** Streaming sessionizer over a watched directory of event files. */
   def streamSessions(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      prep: DataFrame => DataFrame = identity): StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    spark.readStream.schema(schema).parquet(srcDir)
+    // `prep` is the entry's feed projection applied IN-STREAM (null
+    // filter, cents scaling) so the entry can read the shared landed
+    // events feed instead of landing its own copy; specs pass identity
+    prep(spark.readStream.schema(schema).parquet(srcDir))
       .withWatermark("ts", "1 hour")
       // the watermarked TIMESTAMP column must survive into the
       // flatMapGroupsWithState input (the event-time-timeout checker

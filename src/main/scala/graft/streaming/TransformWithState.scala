@@ -86,14 +86,18 @@ object TransformWithState {
     * set on the (cloned) streaming session only.
     */
   def runningLedger(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      schema: String = "event_id BIGINT, user_id BIGINT, event_type STRING, v BIGINT",
+      prep: DataFrame => DataFrame = identity): StreamingQuery = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, user_id BIGINT, event_type STRING, v BIGINT"))
-      .parquet(srcDir)
+    // (schema, prep) let the entry stream the SHARED landed events feed
+    // and project the ledger's 4 columns in-stream (column pruning keeps
+    // the scan identical); specs land the 4-column shape directly
+    prep(spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(srcDir))
       .as[EventIn]
       .groupByKey(_.user_id)
       .transformWithState(new RunningLedger, TimeMode.None(),
@@ -131,12 +135,20 @@ object TransformWithState {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-tws/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
-        feed(spark, dir).write.mode("overwrite").parquet(s"$base/src")
+        val src = IncrementalIngest.landedEvents(spark, dir)
+        import org.apache.spark.sql.functions.{coalesce, col, floor, lit}
         // TimeMode.None, no timers: every ledger row emits in its data
         // batch — the trailing no-data batch has nothing to release
         IncrementalIngest.withStreamPartitions(spark,
             skipNoDataBatches = true) { ss =>
-          runningLedger(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+          runningLedger(ss, src, s"$base/out", s"$base/ckpt",
+            schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING",
+            prep = df => df
+              .filter(col("user_id").isNotNull)
+              .select(col("event_id"), col("user_id"),
+                coalesce(col("event_type"), lit("(null)")).as("event_type"),
+                floor(col("value")).cast("long").as("v")))
             .awaitTermination()
         }
         import spark.implicits._
@@ -210,14 +222,16 @@ object TransformWithState {
   }
 
   def sessionTimeout(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      schema: String = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+      prep: DataFrame => DataFrame = identity): StreamingQuery = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"))
-      .parquet(srcDir)
+    // (schema, prep): same shared-feed seam as [[runningLedger]]
+    prep(spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(srcDir))
       .withWatermark("ts", "0 seconds")
       .selectExpr("event_id", "user_id", "unix_millis(ts) AS ms", "ts")
       .as[(Long, Long, Long, java.sql.Timestamp)]
@@ -243,12 +257,16 @@ object TransformWithState {
         val base = s"${sys.props("java.io.tmpdir")}/graft-stream-tws-sess/" +
           s"${spark.sparkContext.applicationId}/${graft.Memos.runTag}/$safe"
         import spark.implicits._
-        graft.Tables.events(spark, dir)
-          .filter($"user_id".isNotNull && $"ts".isNotNull)
-          .select($"event_id", $"user_id", $"ts")
-          .write.mode("overwrite").parquet(s"$base/src")
+        val src = IncrementalIngest.landedEvents(spark, dir)
+        // no skipNoDataBatches: sessions close via TIMERS firing in the
+        // watermark-advance batch — skipping it would empty the sink
         IncrementalIngest.withStreamPartitions(spark) { ss =>
-          sessionTimeout(ss, s"$base/src", s"$base/out", s"$base/ckpt")
+          sessionTimeout(ss, src, s"$base/out", s"$base/ckpt",
+            schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING",
+            prep = df => df
+              .filter(col("user_id").isNotNull && col("ts").isNotNull)
+              .select(col("event_id"), col("user_id"), col("ts")))
             .awaitTermination()
         }
         spark.read.parquet(s"$base/out")
