@@ -43,10 +43,16 @@ object MarketBasket {
     // checkpoint truncates lineage so the basket→item projection is
     // computed exactly once per run; at scale this is the "decide on small
     // rows" intermediate you would land anyway.
+    // basket-key partitioning established ONCE before the distinct (§2.4):
+    // hash(basket) satisfies the (basket, item) dedup's clustering, both
+    // sides of the pair self-join (the checkpoint preserves the
+    // partitioning), and the n_baskets distinct — one exchange where the
+    // planner otherwise inserted three over the same 620k-row table
     val items = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
         .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("basket"), $"p_brand".as("item"))
+      .repartition($"basket")
       .distinct()
       .localCheckpoint(eager = false)
     val nBaskets = items.select($"basket").distinct()
