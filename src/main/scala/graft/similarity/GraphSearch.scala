@@ -69,6 +69,15 @@ object GraphSearch {
       val curIdx = state.select($"cur").distinct()
         .join(idx, $"cur" === idx("vec_id"))
         .select($"cur", $"embedding".as("cur_emb"), $"bucket")
+      // neighbor selection via the bounded top-k buffer: (cur, u) pairs
+      // are UNIQUE here — a vector lives in exactly one bucket, so it can
+      // match at most one of cur's probe buckets — which makes the
+      // distinct-by-id aggregate selection-identical to the ranked window
+      // it replaces (the oracle's DISTINCT is a no-op for the same
+      // reason). The window form shuffled every candidate row WITH both
+      // embedding arrays just to rank; the aggregate shuffles ≤ Degree
+      // (score, id) entries per (cur, mapper), and the adjacency's
+      // embeddings are re-fetched by the ONE candidate join below.
       val adj = curIdx
         .select($"cur", $"cur_emb",
           explode(RandomHyperplaneLsh.probeSignatures($"bucket"))
@@ -77,19 +86,19 @@ object GraphSearch {
           $"bucket"), "bucket")
         .filter($"u" =!= $"cur")
         .withColumn("ncos", expr("graft_cosine(cur_emb, u_emb)"))
-        .withColumn("nrk", row_number().over(
-          Window.partitionBy($"cur").orderBy($"ncos".desc, $"u")))
-        .filter($"nrk" <= GraphDegree)
-        .select($"cur", $"u", $"u_emb")
-      val stay = state
-        .join(idx.select($"vec_id", $"embedding"), $"cur" === $"vec_id")
-        .select($"query_id", $"q_emb", $"cur".as("cand"),
-          $"embedding".as("cand_emb"))
+        .groupBy($"cur")
+        .agg(expr(s"graft_topk_pairs(ncos, u, $GraphDegree)").as("top"))
+        .select($"cur", explode($"top.id").as("u"))
+      val stay = state.select($"query_id", $"q_emb", $"cur".as("cand"))
       val steps = state.join(adj, "cur")
-        .select($"query_id", $"q_emb", $"u".as("cand"),
-          $"u_emb".as("cand_emb"))
+        .select($"query_id", $"q_emb", $"u".as("cand"))
       stay.unionByName(steps)
         .filter($"cand" =!= $"query_id")
+        // ONE embedding fetch for every proposal (stay's node and the
+        // adjacency's neighbors alike) instead of riding embeddings
+        // through the window exchange and a separate stay join
+        .join(idx.select($"vec_id".as("cand"), $"embedding".as("cand_emb")),
+          "cand")
         // two beam parents can propose the same candidate — the
         // distinct-by-id top-k buffer dedups on insert (duplicate
         // proposals score identically: same kernel, same vectors), so the
